@@ -1,0 +1,183 @@
+"""The analytics query surface (SURVEY.md §2.2-2.8) as DataFrame functions.
+
+Each function mirrors one inventoried reference query shape. All results are
+made *deterministic* (explicit tie-break columns on every top-k) — the
+reference merely prints results (`test-scenarios/run_tests.py:66-79`); our
+oracle-checked harness needs reproducible output.
+
+Scale notes are inline per operator; the common themes:
+- group-by aggregations are partial+final hash aggregates (map-side combine
+  free of charge) — no driver collection anywhere;
+- top-k is TakeOrderedAndProject (per-partition heap + driver merge of k
+  rows), never a global sort;
+- joins: dimension sides are broadcast, fact-fact joins shuffle on the key
+  and rely on AQE for skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    """Money-typed view of a double column. Casting to decimal *before*
+    aggregating makes sums exact and engine-order-independent — double
+    summation order differs between partitions/engines and would break
+    hash-comparison; decimal addition is associative.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# --- Aggregations (SURVEY.md §2.4) -----------------------------------------
+
+def count_by_type(events: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """A1: `SELECT event_type, count() ... GROUP BY event_type ORDER BY count
+    DESC` (`README.md:440-447`, `Makefile:77-78`)."""
+    return (
+        events.groupBy(type_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(type_col))
+    )
+
+
+def count_and_distinct_by_type(
+    events: DataFrame, type_col: str = "event_type", entity_col: str = "entity_id"
+) -> DataFrame:
+    """A2: total + exact distinct entities per type
+    (`test-scenarios/run_tests.py:91,104`). Exact countDistinct expands to a
+    two-phase aggregate; at 100 TB swap in approx_count_distinct via the
+    ``approximate`` flag."""
+    return (
+        events.groupBy(type_col)
+        .agg(
+            F.count("*").alias("total"),
+            F.countDistinct(entity_col).alias("unique_entities"),
+        )
+        .orderBy(type_col)
+    )
+
+
+def label_distribution(
+    events: DataFrame, labels_col: str = "labels", k: int = 10
+) -> DataFrame:
+    """A3: explode array -> grouped count -> top-k
+    (`initial-load/scripts/04-optimize-tables.sql:151-160`). explode happens
+    before the shuffle so the map-side combine sees single labels."""
+    return (
+        events.select(F.explode(F.col(labels_col)).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("label"))
+        .limit(k)
+    )
+
+
+def payload_profile(
+    events: DataFrame, group_col: str = "event_type", payload_col: str = "properties_after"
+) -> DataFrame:
+    """A4: per-group payload size profile — `sum(length(properties_after))`
+    (`initial-load/scripts/04-optimize-tables.sql:155,166`)."""
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length(payload_col)).alias("total_payload_chars"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def duplicate_keys(events: DataFrame, key: str = "entity_id") -> DataFrame:
+    """A5: GROUP BY key HAVING count>1
+    (`initial-load/scripts/04-optimize-tables.sql:68-87`)."""
+    return (
+        events.groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy(F.col("cnt").desc(), F.col(key))
+    )
+
+
+def global_totals(events: DataFrame, entity_col: str = "entity_id") -> DataFrame:
+    """A6: global scalar aggregates
+    (`initial-load/scripts/04-optimize-tables.sql:194-203`)."""
+    return events.agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct(entity_col).alias("total_entities"),
+    )
+
+
+def degree_topk(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_key: str = "entity_id",
+    edge_fk: str = "source_id",
+    k: int = 10,
+) -> DataFrame:
+    """A7/J1: per-node outgoing-edge count, top-k — the interfaces-per-device
+    query (`initial-load/scripts/04-optimize-tables.sql:206-218`).
+
+    The filtered node side is broadcast (dimension-sized after its filters);
+    the edge side aggregates on its FK *before* the join when possible. Here
+    we pre-aggregate edges per source — turning a row-level join into a
+    count-level join — which at 100 TB is the difference between shuffling
+    the edge table and shuffling one row per node.
+    """
+    per_source = edges.groupBy(edge_fk).agg(F.count("*").alias("degree"))
+    return (
+        F.broadcast(nodes.select(F.col(node_key), F.col("labels")))
+        .join(per_source, F.col(node_key) == F.col(edge_fk), "inner")
+        .select(node_key, "degree")
+        .orderBy(F.col("degree").desc(), F.col(node_key))
+        .limit(k)
+    )
+
+
+# --- Sorts / limits / sampling (SURVEY.md §2.6) -----------------------------
+
+def latest_n(events: DataFrame, n: int = 10, ts_col: str = "event_timestamp",
+             id_col: str = "event_id") -> DataFrame:
+    """O2: latest-n by event time (`README.md:364-365`) with id tie-break.
+    Plans as TakeOrderedAndProject — no global sort."""
+    return events.orderBy(F.col(ts_col).desc(), F.col(id_col).desc()).limit(n)
+
+
+def random_sample(events: DataFrame, n: int = 10, seed: int = 42) -> DataFrame:
+    """O3: random sample (`initial-load/scripts/04-optimize-tables.sql:124-145`).
+    The reference's ORDER BY rand() LIMIT n is a full sort at scale; the
+    Spark-correct form is a seeded per-row rand + top-k (still O(rows) but
+    heap-k per partition, no shuffle of the data)."""
+    return events.orderBy(F.rand(seed)).limit(n)
+
+
+# --- Set ops (SURVEY.md §2.7) ----------------------------------------------
+
+def union_counts(dfs: dict[str, DataFrame]) -> DataFrame:
+    """U1: UNION ALL of labeled scalar counts (`README.md:317-321`)."""
+    out = None
+    for name, df in dfs.items():
+        part = df.agg(F.count("*").alias("cnt")).select(
+            F.lit(name).alias("table_name"), F.col("cnt")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name")
+
+
+# --- Maintenance-adjacent predicates (SURVEY.md §2.2) -----------------------
+
+def events_in_range(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """P6: temporal range predicate (`README.md:583`). With the month
+    partition layout this prunes partitions before scanning."""
+    out = events
+    if start:
+        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+    if end:
+        out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
+    return out

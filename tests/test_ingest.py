@@ -1,0 +1,77 @@
+"""Ingest transform tests: envelope -> event rows, quarantine, dedup,
+latest-state (SURVEY.md §2.2 P1/P2, §2.9 M1/M2/M5)."""
+
+from __future__ import annotations
+
+from neo4j_to_clickhouse_spark.operators.ingest import (
+    node_events_from_raw,
+    relationship_events_from_raw,
+)
+from neo4j_to_clickhouse_spark.operators.latest_state import (
+    current_state,
+    dedup_exact_events,
+    duplicate_entities,
+    latest_events,
+)
+
+
+def test_node_projection(spark, node_raw):
+    res = node_events_from_raw(node_raw)
+    rows = {r.event_id: r for r in dedup_exact_events(res.events).collect()}
+    assert set(rows) == {"n-001", "n-002", "n-003", "n-004", "n-005", "n-006"}
+    assert rows["n-001"].event_type == "INSERT"
+    assert rows["n-003"].event_type == "UPDATE"
+    assert rows["n-006"].event_type == "DELETE"
+    assert rows["n-002"].labels == ["Company", "Organization"]
+    assert rows["n-001"].event_month == "202602"
+    assert rows["n-005"].event_month == "202603"
+    # CREATE has no before-state; normalized to '{}' (03-bulk-import.py:95-107)
+    assert rows["n-001"].properties_before == "{}"
+    assert '"age": 31' in rows["n-004"].properties_after
+
+
+def test_quarantine(spark, node_raw):
+    res = node_events_from_raw(node_raw)
+    bad = res.quarantine.collect()
+    assert len(bad) == 1
+    assert bad[0].reason == "unparseable_json"
+    assert bad[0].raw.startswith("{this")
+
+
+def test_relationship_projection(spark, rel_raw):
+    res = relationship_events_from_raw(rel_raw)
+    rows = {r.event_id: r for r in res.events.collect()}
+    assert set(rows) == {"r-001", "r-002", "r-003", "r-004"}
+    assert rows["r-001"].relationship_type == "KNOWS"
+    assert rows["r-001"].source_id == "4:abc:1"
+    assert rows["r-001"].target_id == "4:abc:2"
+    assert rows["r-004"].event_type == "DELETE"
+    assert res.quarantine.count() == 0
+
+
+def test_event_dedup_replay(spark, node_raw):
+    """Duplicate event ids (at-least-once replay) collapse to one row."""
+    events = node_events_from_raw(node_raw).events
+    assert events.count() == 7  # n-005 appears twice
+    assert dedup_exact_events(events).count() == 6
+
+
+def test_latest_state_tiebreak(spark, node_raw):
+    """At identical timestamps the higher event_id wins — the reference's
+    (event_timestamp, event_id) sort-key order (01-init-tables.sql:18)."""
+    events = dedup_exact_events(node_events_from_raw(node_raw).events)
+    latest = {r.entity_id: r for r in latest_events(events).collect()}
+    assert latest["4:abc:1"].event_id == "n-004"  # ties n-003 at same ms
+    assert latest["4:abc:1"].properties_after == '{"name": "Alice", "age": 31}'
+
+
+def test_current_state_excludes_deleted(spark, node_raw):
+    events = dedup_exact_events(node_events_from_raw(node_raw).events)
+    live = {r.entity_id for r in current_state(events).collect()}
+    assert live == {"4:abc:1", "4:abc:2"}  # 4:abc:3 deleted
+
+
+def test_duplicate_entities_validation(spark, node_raw):
+    events = node_events_from_raw(node_raw).events
+    # no SNAPSHOT rows in the CDC corpus -> validation passes vacuously
+    assert duplicate_entities(events).count() == 0
