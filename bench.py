@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Headline set: the queries that exercise every physical shape the engine
+cares about — fact-table scan+agg, broadcast join chains, window dedup,
+inverted-index self-join dedup, brute-force + LSH similarity, text scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neo4j_to_clickhouse_spark.plans import QUERIES
+from neo4j_to_clickhouse_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "orders_per_customer_topk",
+    "count_by_event_type",
+    "latest_state_per_entity",
+    "filter_json_path",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embedding_knn",
+    "text_stats_by_source",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    # warm the JVM + parquet footers so per-query times measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        n = spec.spark(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

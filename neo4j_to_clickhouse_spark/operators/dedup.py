@@ -1,0 +1,330 @@
+"""Document deduplication operators (north star, SURVEY.md §7 step 9).
+
+Beyond the reference's event-level dedup (`OPTIMIZE FINAL`,
+`initial-load/scripts/04-optimize-tables.sql:26-48` — covered by
+:mod:`.latest_state`), an LLM-training-data pipeline needs *content*
+dedup over a documents table. All operators here are pure DataFrame
+compositions — built-in hash functions (`xxhash64`, `md5`), explode,
+hash-shuffle group-bys and equi-joins — so they scale exactly like any
+Spark aggregation: no driver state, no UDFs, no per-row Python.
+
+Scale design at 100 TB:
+- exact dedup: one shuffle on a 64/128-bit content hash, never on the text.
+- MinHash-LSH: per-doc signature rows are tiny (`num_hashes` longs); the
+  only join is bucket-id equality on banded signatures, which by
+  construction has bounded fan-out; exact Jaccard verification runs only
+  on candidate pairs (a ~10^-5 fraction of the n^2 pair space).
+- SimHash: banding by 16-bit chunks (pigeonhole: hamming<=3 over 64 bits
+  guarantees one of 4 chunks equal) bounds the candidate join the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- shingling ---------------------------------------------------------------
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Native composition: tokenize -> sliding n-gram via transform over index
+    range -> explode -> distinct. The distinct is a map-side-combined
+    aggregation on (id, shingle).
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def content_hash(text: Column | str) -> Column:
+    """128-bit content fingerprint for exact dedup. md5 (hex text) so any
+    engine can reproduce it; at 100 TB the hash shuffles instead of the
+    document bodies."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, keep_id).
+
+    keep_id = lowest id in the group (deterministic survivor choice).
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), content_hash(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one survivor (lowest id) per identical content. One shuffle on
+    the content hash; original columns preserved."""
+    w_hash = df.withColumn("__h", content_hash(text_col))
+    keep = w_hash.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    return (
+        w_hash.join(keep, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold: (id_a, id_b, jaccard), a<b.
+
+    Inverted-index self-join on the shingle: only documents *sharing at
+    least one shingle* ever meet, so cost is sum over shingles of df^2 —
+    bounded by shingle frequency, not by n_docs^2. At 100 TB the standard
+    hardening is dropping ultra-frequent shingles (stop-shingles) before
+    the join; expose via ``max_shingle_freq``.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig) where sig = array of `num_hashes` min-hash values.
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — Spark's built-in 64-bit
+    hash with the seed folded in as a literal column, i.e. `num_hashes`
+    independent permutation approximations with zero Python. The per-seed
+    min is one grouped aggregation; signatures are `num_hashes` longs per
+    doc regardless of document size.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashed = shingle_df.select(
+        "id",
+        F.posexplode(
+            F.transform(seeds, lambda s: F.xxhash64(s, F.col("shingle")))
+        ).alias("i", "h"),
+    )
+    return (
+        hashed.groupBy("id", "i")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a, id_b), a<b, from minhash signatures.
+
+    Each signature is cut into `bands` contiguous bands of
+    ``num_hashes/bands`` rows; docs agreeing on *any* full band collide in
+    a bucket. The bucket id is a hash of (band_index, band values) so the
+    join key is a single long — the self-join shuffles (id, bucket) pairs
+    only.
+    """
+    n = bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda b: F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / n).cast("int") + 1,
+                                (F.size("sig") / n).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature -> banded
+    buckets -> candidate pairs -> exact-Jaccard verification >= threshold.
+
+    Returns verified (id_a, id_b, jaccard). The verification join re-uses
+    the shingle table; only candidate pairs pay the exact-Jaccard cost.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash).
+
+    Each token hashes to 64 bits (`xxhash64`); bit b of the document hash
+    is the sign of sum over tokens of (+1 if bit set else -1). Expressed as
+    64 native aggregate expressions over the exploded token table — heavy
+    but fully JVM-side and embarrassingly parallel.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    # reassemble: set bit b iff sum_b > 0 (use bit 63 via two 32-bit halves
+    # to avoid sign issues: build as sum of powers in a long)
+    expr = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        expr = term if expr is None else expr.bitwiseOR(term)
+    return agg.select("id", expr.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation by 16-bit chunk banding: for hamming<=3 over 64
+    bits, at least one of the 4 chunks is identical (pigeonhole), so the
+    equi-join on (chunk_index, chunk_value) finds all true pairs without
+    an n^2 comparison. Exact distance via bit_count(xor).
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

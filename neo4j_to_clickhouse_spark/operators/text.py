@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data curation (north star).
+
+Language-ID, quality scoring, token counting, fingerprinting — each a pure
+column expression or narrow aggregation so the whole module rides
+whole-stage codegen. These run *per document* with no shuffle except the
+final aggregations, i.e. they are scan-bound at 100 TB, which is optimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.dedup import tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real deployments swap in fastText etc. via the pandas-UDF escape hatch;
+# the heuristic keeps the reference pipeline dependency-free + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "que", "de", "es", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count. A BPE-ish subword estimate is chars/4 —
+    provided separately so both are cheap scans."""
+    return F.size(tokens(text))
+
+
+def subword_estimate(text: Column | str) -> Column:
+    """Rough BPE token estimate (≈1 token per 4 chars) — the standard
+    pre-tokenizer sizing heuristic for LLM corpus accounting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^\w\s]", "")
+    return (F.length(c) - F.length(stripped)) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + mean token length
+    band + low punctuation — the classic cheap pre-filters (Gopher-style
+    rules) as one expression. Tune weights per corpus."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    mtl = mean_token_length(c)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.3, 1.0).otherwise(0.0)
+    return (len_ok + mtl_ok + punct_ok) / F.lit(3.0)
+
+
+def detect_language(text: Column | str) -> Column:
+    """Marker-word language ID: the language whose marker lexicon hits the
+    most tokens; 'und' (undetermined) when nothing hits. Deterministic
+    tie-break by language code order via the (hits, -index) sort key."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scored = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(-i).alias("prio"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable under reflow/case changes — the cheap canonical-form dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def rolling_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 5, keep: int = 8,
+) -> DataFrame:
+    """Winnowing-style signature: the `keep` smallest n-gram rolling hashes
+    per document -> (id, signature array). Shared shingle machinery with
+    MinHash; robust to local edits where the full-text fingerprint breaks."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, keep).alias("signature"),
+    )
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document stat row: the full curation feature set in one scan."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        subword_estimate(c).alias("n_subwords_est"),
+        F.round(mean_token_length(c), 4).alias("mean_token_len"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+        detect_language(c).alias("detected_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,914 @@
+"""The engine's declared query inventory (SURVEY.md §2 + north-star ops).
+
+Each :class:`QuerySpec` pairs a Spark DataFrame program with the equivalent
+ANSI SQL for the DuckDB oracle. Specs without oracle SQL are operators whose
+hash functions are Spark-specific (xxhash64) or seeded-random — the driver
+records a rows-only check for those.
+
+Determinism rules applied throughout (both sides):
+- every top-k carries a total-order tie-break;
+- money/metric sums cast to DECIMAL *before* aggregating (double summation
+  is order-dependent across partitions/engines; decimal addition is exact),
+  then cast to DOUBLE once for a stable final representation;
+- averages are exact-decimal sums divided by counts, never double avg();
+- all computed columns aliased identically in Spark and SQL.
+
+The `events` table plays the role of the reference's CDC event log
+(event_id/ts/user_id ~ event_id/event_timestamp/entity_id,
+`clickhouse/init/01-init-tables.sql:8-20`); `documents`/`embeddings` feed
+the LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators import dedup as D
+from neo4j_to_clickhouse_spark.operators import similarity as S
+from neo4j_to_clickhouse_spark.operators import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read the raw int64 and truncate to micros —
+        # byte-identical to DuckDB's nanos->TIMESTAMP truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _avg(col, scale: int = 6):
+    """Deterministic average: exact decimal sum / count, one double cast."""
+    return (
+        F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+        / F.count("*").cast("double")
+    )
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def reg(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return reg
+
+
+# =====================================================================
+# Reference parity — aggregations (SURVEY.md §2.4)
+# =====================================================================
+
+@q(
+    "count_by_event_type",
+    """SELECT event_type, count(*) AS cnt
+       FROM events GROUP BY event_type
+       ORDER BY cnt DESC, event_type""",
+    "A1: the `make verify-clickhouse` query (README.md:440-447)",
+)
+def count_by_event_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "event_type")
+    )
+
+
+@q(
+    "count_distinct_by_type",
+    """SELECT event_type, count(*) AS total,
+              count(DISTINCT user_id) AS unique_entities
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "A2: test-scenarios/run_tests.py:91,104",
+)
+def count_distinct_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.countDistinct("user_id").alias("unique_entities"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "word_distribution",
+    """SELECT word, count(*) AS cnt
+       FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+       GROUP BY word ORDER BY cnt DESC, word LIMIT 10""",
+    "A3: arrayJoin + grouped count + top-k (04-optimize-tables.sql:151-160)",
+)
+def word_distribution(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(10)
+    )
+
+
+@q(
+    "payload_profile",
+    """SELECT event_type, count(*) AS cnt,
+              CAST(sum(length(props)) AS BIGINT) AS total_payload_chars
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "A4: sum(length(properties)) profiling (04-optimize-tables.sql:155,166)",
+)
+def payload_profile(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length("props")).alias("total_payload_chars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "duplicate_keys",
+    """SELECT user_id, count(*) AS cnt FROM events
+       GROUP BY user_id HAVING count(*) > 1
+       ORDER BY cnt DESC, user_id LIMIT 20""",
+    "A5: GROUP BY ... HAVING count>1 (04-optimize-tables.sql:68-87)",
+)
+def duplicate_keys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@q(
+    "global_totals",
+    """SELECT count(*) AS total_events,
+              count(DISTINCT user_id) AS total_entities
+       FROM events""",
+    "A6: global scalar aggregates (04-optimize-tables.sql:194-203)",
+)
+def global_totals(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("total_entities"),
+    )
+
+
+@q(
+    "orders_per_customer_topk",
+    """SELECT c.c_custkey, c.c_name, count(*) AS order_cnt
+       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey, c.c_name
+       ORDER BY order_cnt DESC, c.c_custkey LIMIT 10""",
+    "A7/J1: degree query — interfaces-per-device shape (04-optimize-tables.sql:206-218)",
+)
+def orders_per_customer_topk(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("order_cnt"))
+    return (
+        F.broadcast(customer.select("c_custkey", "c_name"))
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey)
+        .select("c_custkey", "c_name", "order_cnt")
+        .orderBy(F.col("order_cnt").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@q(
+    "summary_stats",
+    """SELECT event_type, count(*) AS cnt,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS avg_value,
+              list_sort(list(DISTINCT user_id % 10)) AS user_buckets
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "A8: count/avg/collect(DISTINCT) (test-scenarios/07 summary block)",
+)
+def summary_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            _avg(F.col("value")).alias("avg_value"),
+            F.array_sort(F.collect_set(F.col("user_id") % 10)).alias(
+                "user_buckets"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Sorts / limits / sampling / set ops (SURVEY.md §2.6-2.7)
+# =====================================================================
+
+@q(
+    "latest_events",
+    """SELECT event_id, ts, user_id, event_type FROM events
+       ORDER BY ts DESC, event_id DESC LIMIT 10""",
+    "O2: latest-n by time (README.md:364-365)",
+)
+def latest_events(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+    )
+
+
+@q(
+    "random_sample",
+    None,  # seeded rand() is engine-specific -> rows-only check
+    "O3: ORDER BY rand() LIMIT n (04-optimize-tables.sql:124-145)",
+)
+def random_sample(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.rand(42))
+        .limit(10)
+        .select("event_id", "event_type")
+    )
+
+
+@q(
+    "sorted_regions",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_name",
+    "O4: plain sort by key",
+)
+def sorted_regions(spark, sf_dir):
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_name")
+
+
+@q(
+    "union_counts",
+    """SELECT 'customer' AS table_name, count(*) AS cnt FROM customer
+       UNION ALL SELECT 'orders', count(*) FROM orders
+       UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+       ORDER BY table_name""",
+    "U1: UNION ALL of labeled counts (README.md:317-321)",
+)
+def union_counts(spark, sf_dir):
+    parts = []
+    for name in ("customer", "orders", "lineitem"):
+        parts.append(
+            _t(spark, sf_dir, name).agg(F.count("*").alias("cnt")).select(
+                F.lit(name).alias("table_name"), "cnt"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+# =====================================================================
+# Predicates (SURVEY.md §2.2)
+# =====================================================================
+
+@q(
+    "filter_event_type",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase'
+       ORDER BY event_id LIMIT 50""",
+    "P3: equality predicate on the event-type enum",
+)
+def filter_event_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+@q(
+    "filter_array_membership",
+    """SELECT p_brand, count(*) AS cnt FROM part
+       WHERE list_contains(string_split(p_name, ' '), 'widget')
+       GROUP BY p_brand ORDER BY p_brand""",
+    "P4: has(labels, x) -> array_contains (README.md:361)",
+)
+def filter_array_membership(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.array_contains(F.split("p_name", " "), "widget"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "filter_json_path",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+       GROUP BY event_type ORDER BY event_type""",
+    "P5/F1: JSONExtractString predicate (README.md:362)",
+)
+def filter_json_path(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "filter_time_range",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+       GROUP BY event_type ORDER BY event_type""",
+    "P6: temporal range predicate (README.md:583)",
+)
+def filter_time_range(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "conjunctive_filters",
+    """SELECT count(*) AS cnt FROM events
+       WHERE event_type = 'click'
+         AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+         AND ts >= TIMESTAMP '2024-01-05 00:00:00'""",
+    "P7: conjunctive predicates (04-optimize-tables.sql:212-215)",
+)
+def conjunctive_filters(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .filter(F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# =====================================================================
+# Latest-state / dedup semantics (SURVEY.md §2.5, §2.9 M1-M3)
+# =====================================================================
+
+@q(
+    "latest_state_per_entity",
+    """WITH ranked AS (
+         SELECT event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT event_type, count(*) AS entity_cnt FROM ranked
+       WHERE rn = 1 GROUP BY event_type ORDER BY event_type""",
+    "M1: OPTIMIZE FINAL semantics as window dedup (04-optimize-tables.sql:26-48)",
+)
+def latest_state_per_entity(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("entity_cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "dedup_validation",
+    """SELECT count(*) AS entities_with_dups FROM (
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         GROUP BY user_id HAVING count(*) > 1) t""",
+    "M2: post-dedup validation — entities holding >1 event of one kind",
+)
+def dedup_validation(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("entities_with_dups"))
+    )
+
+
+@q(
+    "retention_candidates",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+       GROUP BY event_type ORDER BY event_type""",
+    "M3: retention delete candidates (README.md:582-584), fixed cutoff",
+)
+def retention_candidates(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# TPC-H-style benchmark heads (BASELINE.md scale targets)
+# =====================================================================
+
+@q(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "flagship: TPC-H Q1-style pricing summary over the fact table",
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "top_revenue_orders",
+    """SELECT o.o_orderkey, c.c_mktsegment,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, c.c_mktsegment
+       ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+    "TPC-H Q3-style: filtered dim broadcast -> fact join -> top-k revenue",
+)
+def top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(
+                o.join(
+                    F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                    o.o_custkey == F.col("c_custkey"),
+                ).select("o_orderkey", "c_mktsegment")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """SELECT n.n_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS line_cnt
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+    "TPC-H Q5-style multi-join rollup (two-hop join shape, SURVEY.md §2.3 J2)",
+)
+def revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cust_nation = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    order_nation = F.broadcast(
+        o.join(cust_nation, o.o_custkey == F.col("c_custkey")).select(
+            "o_orderkey", "n_name"
+        )
+    )
+    return (
+        li.join(order_nation, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "order_priority_count",
+    """SELECT o_orderpriority, count(*) AS order_cnt FROM orders
+       WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "TPC-H Q4-style priority rollup with date filter",
+)
+def order_priority_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "acctbal_by_segment",
+    """SELECT c_mktsegment, count(*) AS customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "dimension rollup with exact decimal money sum",
+)
+def acctbal_by_segment(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# =====================================================================
+# LLM-pipeline: deduplication (north star)
+# =====================================================================
+
+@q(
+    "dedup_exact_docs",
+    """SELECT source, count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_unique
+       FROM documents GROUP BY source ORDER BY source""",
+    "exact content-hash dedup accounting per source",
+)
+def dedup_exact_docs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+         FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 2),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       ORDER BY id_a, id_b""",
+    "n-gram Jaccard near-dup pairs via inverted-index self-join",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    pairs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are Spark-specific -> rows-only check
+    "MinHash+LSH near-dup: shingle -> 64-hash signature -> 16 bands -> verify",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=64, bands=16, threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "dedup_simhash",
+    None,  # xxhash64-based -> rows-only check
+    "SimHash near-dup pairs, hamming<=3 via 16-bit chunk banding",
+)
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# =====================================================================
+# LLM-pipeline: similarity search (north star)
+# =====================================================================
+
+_COS = (
+    "list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+@q(
+    "embedding_knn",
+    f"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id, {_COS} AS sim
+         FROM q JOIN c ON query_id <> neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank,
+                sim
+         FROM scored)
+       SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "brute-force cosine top-5 for query vectors (exact ANN baseline)",
+)
+def embedding_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("query_id", "rank")
+
+
+@q(
+    "embedding_near_duplicates",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+       FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "embedding-cosine near-dup pairs (threshold tuned to corpus sim range)",
+)
+def embedding_near_duplicates(spark, sf_dir):
+    return (
+        S.cosine_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "embedding_ivf_topk",
+    None,  # approximate by design -> rows-only check
+    "IVF-probed approximate top-k (scale path: nprobe/num_centroids recall knob)",
+)
+def embedding_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("query_id", "rank")
+
+
+# =====================================================================
+# LLM-pipeline: text analysis (north star)
+# =====================================================================
+
+@q(
+    "text_stats_by_source",
+    """SELECT source, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                AS total_subwords_est
+       FROM documents GROUP BY source ORDER BY source""",
+    "per-source corpus accounting: chars, whitespace tokens, BPE estimate",
+)
+def text_stats_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.sum(TX.subword_estimate("text")).alias("total_subwords_est"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "token_count_extremes",
+    """SELECT lang, count(*) AS n_docs,
+              min(len(string_split(text, ' '))) AS min_tokens,
+              max(len(string_split(text, ' '))) AS max_tokens
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "token-count distribution extremes per language tag",
+)
+def token_count_extremes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(toks).alias("min_tokens"),
+            F.max(toks).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "langid_distribution",
+    """SELECT detected_lang, count(*) AS cnt FROM (
+         SELECT CASE
+           WHEN len(list_filter(string_split(lower(text), ' '),
+                    t -> list_contains(['the','and','of','to','a','in','is','it'], t))) > 0
+           THEN 'en' ELSE 'und' END AS detected_lang
+         FROM documents) t
+       GROUP BY detected_lang ORDER BY detected_lang""",
+    "marker-word language ID distribution (en-markers vs undetermined)",
+)
+def langid_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(m) for m in TX.LANG_MARKERS["en"]])
+    toks = F.split(F.lower("text"), " ")
+    detected = F.when(
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))) > 0, "en"
+    ).otherwise("und")
+    return (
+        d.select(detected.alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("detected_lang")
+    )
+
+
+@q(
+    "fingerprint_uniqueness",
+    """SELECT lang, count(*) AS n_docs,
+              count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                AS n_fingerprints
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "canonical-form fingerprint uniqueness per language tag",
+)
+def fingerprint_uniqueness(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(TX.fingerprint("text")).alias("n_fingerprints"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "quality_bands",
+    """SELECT CASE WHEN len(string_split(text, ' ')) >= 50 THEN 'long'
+                   WHEN len(string_split(text, ' ')) >= 20 THEN 'medium'
+                   ELSE 'short' END AS band,
+              count(*) AS cnt,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars
+       FROM documents GROUP BY band ORDER BY band""",
+    "document quality banding by token count (curation pre-filter shape)",
+)
+def quality_bands(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    band = (
+        F.when(n_tok >= 50, "long").when(n_tok >= 20, "medium").otherwise("short")
+    )
+    return (
+        d.select(band.alias("band"), F.length("text").alias("n_chars"))
+        .groupBy("band")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("band")
+    )
+
+
+# =====================================================================
+# LLM-pipeline: multimodal plumbing (north star; payloads faked from text)
+# =====================================================================
+
+@q(
+    "multimodal_inventory",
+    """SELECT source AS modality_group, count(*) AS n_assets,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              count(DISTINCT sha256(text)) AS n_distinct_payloads
+       FROM documents GROUP BY source ORDER BY source""",
+    "binary-asset inventory: byte totals + content-hash distinctness",
+)
+def multimodal_inventory(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.encode("text", "UTF-8").alias("payload"), "text"
+    )
+    return (
+        d.groupBy(F.col("source").alias("modality_group"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_distinct_payloads"),
+        )
+        .orderBy("modality_group")
+    )
