@@ -103,10 +103,12 @@ def rolling_fingerprints(
     per document -> (id, signature array). Shared shingle machinery with
     MinHash; robust to local edits where the full-text fingerprint breaks."""
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+    # same short-doc guard as dedup.word_shingles: sequence(0, k) descends
+    # for k < 0 and slice rejects start=0
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )
+    )).otherwise(F.array().cast("array<bigint>"))
     return df.select(
         F.col(id_col).alias("id"),
         F.slice(F.array_sort(F.array_distinct(grams)), 1, keep).alias("signature"),

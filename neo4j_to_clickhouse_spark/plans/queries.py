@@ -673,12 +673,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @q(
     "dedup_minhash_lsh",
     None,  # xxhash64-based signatures are Spark-specific -> rows-only check
-    "MinHash+LSH near-dup: shingle -> 64-hash signature -> 16 bands -> verify",
+    "MinHash+LSH near-dup: shingle -> 64-hash signature -> 32 bands -> verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_dedup(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, num_hashes=64, bands=16, threshold=0.5,
+        n=3, num_hashes=64, bands=32, threshold=0.5,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )

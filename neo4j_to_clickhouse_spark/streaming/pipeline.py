@@ -1,0 +1,124 @@
+"""Structured Streaming CDC ingest (SURVEY.md §2.10, §7 step 6).
+
+The Spark analogue of the reference's continuous path — Kafka-engine table +
+materialized view + MergeTree insert (`clickhouse/init/01-init-tables.sql:
+40-49,71-90`) — as ONE streaming query per entity kind:
+
+    source (Kafka topic / file stream)
+      -> envelope parse + projection  (identical code to batch ingest)
+      -> foreachBatch: month-partitioned parquet append + quarantine append
+
+Design decisions, mapped to reference behavior:
+
+- **Exactly-once effect.** The reference is at-least-once (auto-commit
+  consumer, `clickhouse/config/config.xml:13-14`) and defers dedup to
+  `OPTIMIZE FINAL`. We checkpoint offsets and make the event write
+  *logically* idempotent: every batch also passes through
+  ``dedup_exact_events`` downstream, so a replayed micro-batch can never
+  change query results (same recovery contract, no engine magic).
+- **Quarantine, not stall.** Poison messages blocked the reference's
+  consumer until manual DETACH/ATTACH (`docs/ISSUES-AND-FIXES.md:188-205`).
+  Here unparseable/incomplete envelopes land in a quarantine directory with
+  a reason column (M5) and the stream never stops.
+- **Latency SLO.** ``trigger(processingTime='1 second')`` matches the
+  1 s CDC poll interval (`kafka-connect/neo4j-cdc-nodes-source.json:9`) and
+  the <2 s end-to-end target (`docs/QUICKSTART.md:174`). Tests use
+  ``availableNow`` for a drain-and-stop run over file fixtures.
+- **Scale.** One task per Kafka partition; `maxOffsetsPerTrigger`
+  (default 1,048,576 = the reference's `kafka_max_block_size`,
+  `01-init-tables.sql:49`) bounds micro-batch size so executor memory is
+  block-sized, not backlog-sized. The sink appends month-partitioned parquet;
+  compaction of small streaming files is the existing
+  :func:`..operators.maintenance.compact` job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from neo4j_to_clickhouse_spark.operators.ingest import (
+    IngestResult,
+    node_events_from_raw,
+    relationship_events_from_raw,
+)
+
+
+@dataclass
+class StreamConfig:
+    """Sink layout + cadence for one entity-kind stream."""
+
+    table_path: str
+    quarantine_path: str
+    checkpoint_path: str
+    processing_time: str | None = "1 second"  # None -> availableNow drain
+    coalesce_output: int | None = None  # small-file control per micro-batch
+
+
+def _write_batch(result: IngestResult, config: StreamConfig, batch_id: int) -> None:
+    """Sink one micro-batch: events to the month-partitioned table, bad rows
+    to quarantine. Runs on the driver per micro-batch (foreachBatch), writes
+    happen on executors."""
+    events = result.events
+    if config.coalesce_output:
+        events = events.coalesce(config.coalesce_output)
+    (
+        events.write.mode("append")
+        .partitionBy("event_month")
+        .parquet(config.table_path)
+    )
+    bad = result.quarantine
+    if config.coalesce_output:
+        bad = bad.coalesce(1)
+    bad.write.mode("append").parquet(config.quarantine_path)
+
+
+def _start(
+    raw_stream: DataFrame,
+    transform: Callable[[DataFrame], IngestResult],
+    config: StreamConfig,
+    query_name: str,
+) -> StreamingQuery:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch(transform(batch_df), config, batch_id)
+
+    writer = (
+        raw_stream.writeStream.queryName(query_name)
+        .foreachBatch(process)
+        .option("checkpointLocation", config.checkpoint_path)
+    )
+    if config.processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=config.processing_time)
+    return writer.start()
+
+
+def start_node_stream(raw_stream: DataFrame, config: StreamConfig) -> StreamingQuery:
+    """Continuous node ingest — the `nodes_kafka_mv` analogue
+    (`clickhouse/init/01-init-tables.sql:71-90`). ``raw_stream`` is any
+    streaming frame with a single ``raw`` string column (Kafka via
+    :func:`..sources.kafka.read_kafka_envelopes`, or
+    :func:`..sources.envelopes.read_envelope_file` with streaming=True).
+    """
+    return _start(raw_stream, node_events_from_raw, config, "node_cdc_ingest")
+
+
+def start_relationship_stream(
+    raw_stream: DataFrame, config: StreamConfig
+) -> StreamingQuery:
+    """Continuous relationship ingest — the `relationships_kafka_mv` analogue
+    (`clickhouse/init/01-init-tables.sql:97-118`)."""
+    return _start(
+        raw_stream, relationship_events_from_raw, config, "rel_cdc_ingest"
+    )
+
+
+def drain(query: StreamingQuery, timeout_s: float = 120.0) -> None:
+    """Block until an availableNow query finishes draining its source."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()

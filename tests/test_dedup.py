@@ -1,0 +1,95 @@
+"""Deduplication operator tests: exact, n-gram Jaccard, MinHash-LSH,
+SimHash — semantics on a hand-built corpus with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators import dedup as D
+
+# doc 1 == doc 2 (byte-identical); doc 3 is a near-dup of 1 (one word
+# changed out of 12); doc 4 is unrelated; doc 5 is a near-dup of 4.
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river"),
+    (2, "the quick brown fox jumps over the lazy dog near the river"),
+    (3, "the quick brown fox jumps over the lazy cat near the river"),
+    (4, "spark structured streaming writes month partitioned parquet tables downstream"),
+    (5, "spark structured streaming writes month partitioned parquet files downstream"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2
+    assert groups[0].keep_id == 1
+
+
+def test_dedup_exact_keeps_survivor(docs):
+    kept = {r.doc_id for r in D.dedup_exact(docs).collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapsed into doc 1
+
+
+def test_word_shingles(docs):
+    sh = D.word_shingles(docs.filter(F.col("doc_id") == 1), n=3).collect()
+    shingles = {r.shingle for r in sh}
+    assert "the quick brown" in shingles
+    assert "near the river" in shingles
+    # 12 tokens -> 10 trigrams, all distinct here except none repeat
+    assert len(shingles) == 10
+
+
+def test_shingles_short_doc_empty(spark):
+    """Docs shorter than n tokens produce no shingles (not a crash)."""
+    short = spark.createDataFrame([(9, "too short")], ["doc_id", "text"])
+    assert D.word_shingles(short, n=3).count() == 0
+
+
+def test_jaccard_pairs_find_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # one-word edit
+    assert (1, 4) not in pairs  # unrelated
+    assert (4, 5) in pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs):
+    """LSH candidates that survive verification carry the *exact* Jaccard
+    value, so on a corpus this small LSH must find the same pairs as the
+    brute-force operator (identical or one-edit docs always collide in
+    at least one band)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_is_deterministic_64bit(docs):
+    a = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    b = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical docs -> identical simhash
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs

@@ -1,0 +1,108 @@
+"""Similarity-search tests: exact brute-force top-k correctness against a
+NumPy oracle, IVF recall on clustered data, cosine near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neo4j_to_clickhouse_spark.operators import similarity as S
+
+RNG = np.random.default_rng(7)
+DIM = 8
+N = 60
+
+
+def _make_vectors():
+    # three well-separated clusters so IVF probing has structure to find
+    centers = RNG.normal(size=(3, DIM)) * 10
+    rows = []
+    for i in range(N):
+        c = centers[i % 3]
+        rows.append((i, (c + RNG.normal(size=DIM)).astype(float).tolist()))
+    return rows
+
+
+VECTORS = _make_vectors()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(VECTORS, schema)
+
+
+def _numpy_topk(query_id: int, k: int = 5):
+    vecs = {i: np.array(v) for i, v in VECTORS}
+    q = vecs[query_id]
+    sims = sorted(
+        (
+            (float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), i)
+            for i, v in vecs.items()
+            if i != query_id
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in sims[:k]]
+
+
+def test_brute_force_matches_numpy(emb):
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    got = {}
+    for r in out.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid in range(3):
+        assert got[qid] == _numpy_topk(qid), f"query {qid}"
+
+
+def test_ivf_recall_on_clustered_data(emb):
+    """With nprobe covering half the cells on clustered data, IVF top-1
+    must agree with exact search for nearly all queries."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in S.ivf_topk(emb, queries, k=1, num_centroids=6, nprobe=3).collect()
+    }
+    hits = sum(exact[q] == approx.get(q) for q in exact)
+    assert hits >= 8, f"IVF top-1 recall too low: {hits}/10"
+
+
+def test_cosine_near_duplicates_symmetric_pairs(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),  # ~identical to 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        schema,
+    )
+    pairs = {(r.id_a, r.id_b) for r in S.cosine_near_duplicates(df, 0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_dot_and_norm_expressions(spark):
+    df = spark.createDataFrame([(1,)], ["x"]).select(
+        S.dot(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))).alias("d"),
+        S.norm(F.array(F.lit(3.0), F.lit(4.0))).alias("n"),
+    )
+    row = df.collect()[0]
+    assert row.d == 11.0
+    assert row.n == 5.0

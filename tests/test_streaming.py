@@ -1,0 +1,99 @@
+"""Streaming ingest e2e: file-stream envelopes -> partitioned parquet +
+quarantine, then the latest-state view over the streamed table
+(SURVEY.md §2.10; the file source stands in for Kafka as in §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_to_clickhouse_spark.operators.latest_state import (
+    current_state,
+    dedup_exact_events,
+)
+from neo4j_to_clickhouse_spark.sources.envelopes import read_envelope_file
+from neo4j_to_clickhouse_spark.streaming import (
+    StreamConfig,
+    drain,
+    start_node_stream,
+    start_relationship_stream,
+)
+
+from tests.conftest import NODE_ENVELOPES, REL_ENVELOPES
+
+
+@pytest.fixture(scope="module")
+def streamed_nodes(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_nodes")
+    src = root / "in"
+    src.mkdir()
+    # two source files -> at least two input splits in the drain
+    (src / "a.ndjson").write_text("\n".join(NODE_ENVELOPES[:4]) + "\n")
+    (src / "b.ndjson").write_text("\n".join(NODE_ENVELOPES[4:]) + "\n")
+    config = StreamConfig(
+        table_path=str(root / "events"),
+        quarantine_path=str(root / "quarantine"),
+        checkpoint_path=str(root / "ckpt"),
+        processing_time=None,  # availableNow drain
+        coalesce_output=1,
+    )
+    raw = read_envelope_file(spark, str(src), streaming=True)
+    drain(start_node_stream(raw, config))
+    return root
+
+
+def test_stream_lands_events(spark, streamed_nodes):
+    events = spark.read.parquet(str(streamed_nodes / "events"))
+    assert events.count() == 7  # 8 lines - 1 malformed (incl. 1 dup id)
+    assert set(events.select("event_month").distinct().toPandas()["event_month"]) == {
+        "202602",
+        "202603",
+    }
+
+
+def test_stream_quarantines_poison(spark, streamed_nodes):
+    bad = spark.read.parquet(str(streamed_nodes / "quarantine")).collect()
+    assert len(bad) == 1
+    assert bad[0].reason == "unparseable_json"
+
+
+def test_stream_restart_is_noop(spark, streamed_nodes):
+    """Re-starting against the same checkpoint must not re-ingest drained
+    files — the offset log makes the file source exactly-once."""
+    config = StreamConfig(
+        table_path=str(streamed_nodes / "events"),
+        quarantine_path=str(streamed_nodes / "quarantine"),
+        checkpoint_path=str(streamed_nodes / "ckpt"),
+        processing_time=None,
+        coalesce_output=1,
+    )
+    raw = read_envelope_file(spark, str(streamed_nodes / "in"), streaming=True)
+    drain(start_node_stream(raw, config))
+    assert spark.read.parquet(str(streamed_nodes / "events")).count() == 7
+
+
+def test_latest_state_over_streamed_table(spark, streamed_nodes):
+    events = dedup_exact_events(
+        spark.read.parquet(str(streamed_nodes / "events"))
+    )
+    live = {r.entity_id for r in current_state(events).collect()}
+    assert live == {"4:abc:1", "4:abc:2"}  # 4:abc:3 deleted in the stream
+
+
+def test_relationship_stream(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "rels.ndjson").write_text("\n".join(REL_ENVELOPES) + "\n")
+    config = StreamConfig(
+        table_path=str(tmp_path / "events"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        processing_time=None,
+        coalesce_output=1,
+    )
+    raw = read_envelope_file(spark, str(src), streaming=True)
+    drain(start_relationship_stream(raw, config))
+    events = spark.read.parquet(str(tmp_path / "events"))
+    assert events.count() == 4
+    live = current_state(events).collect()
+    assert {r.entity_id for r in live} == {"5:rel:1"}  # 5:rel:2 deleted
+    assert live[0].relationship_type == "KNOWS"

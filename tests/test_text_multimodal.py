@@ -1,0 +1,100 @@
+"""Text-curation + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators import multimodal as M
+from neo4j_to_clickhouse_spark.operators import text as TX
+
+DOCS = [
+    (1, "The cat and the dog sat in the garden, and it is warm."),
+    (2, "Der Hund ist nicht klein und das Haus ist alt."),
+    (3, "!!! ??? ### $$$ %%%"),
+    (4, "  The   cat and the dog sat in the GARDEN, and it is warm. "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_text_stats_schema_and_values(docs):
+    rows = {r.doc_id: r for r in TX.text_stats(docs).collect()}
+    assert rows[1].n_tokens == 13
+    assert rows[1].detected_lang == "en"
+    assert rows[2].detected_lang == "de"
+    assert rows[3].detected_lang == "und"
+    assert rows[3].punct_ratio > 0.5
+    assert rows[1].quality > rows[3].quality
+
+
+def test_fingerprint_canonicalizes_whitespace_and_case(docs):
+    fp = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    ).collect()}
+    assert fp[1] == fp[4]  # reflow + case changes collapse
+    assert fp[1] != fp[2]
+
+
+def test_subword_estimate(spark):
+    df = spark.createDataFrame([("x" * 40,)], ["text"])
+    assert df.select(TX.subword_estimate("text").alias("e")).collect()[0].e == 10
+
+
+def test_rolling_fingerprints_shape(docs):
+    sigs = {r.id: r.signature for r in TX.rolling_fingerprints(docs, n=3, keep=4).collect()}
+    assert all(len(s) <= 4 for s in sigs.values())
+    assert sigs[1] != sigs[2]
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assets(spark, docs):
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return M.ingest_binary_assets(binary, "doc_id", "payload", modality="image")
+
+
+def test_ingest_binary_assets_metadata(assets):
+    rows = {r.asset_id: r for r in assets.collect()}
+    assert rows["1"].n_bytes == len(DOCS[0][1].encode())
+    assert rows["1"].sha256 == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    assert rows["1"].modality == "image"
+
+
+def test_extract_features_deterministic(assets):
+    out1 = {r.asset_id: r.feature for r in M.extract_features(assets, dim=8).collect()}
+    out2 = {r.asset_id: r.feature for r in M.extract_features(assets, dim=8).collect()}
+    assert out1 == out2
+    assert all(len(v) == 8 for v in out1.values())
+    assert all(0.0 <= x < 1.0 for v in out1.values() for x in v)
+
+
+def test_extract_features_raise_stub_marks_codec_hole(assets):
+    with pytest.raises(Exception) as err:
+        M.extract_features(assets, decode_stub="raise").collect()
+    assert "NotImplementedError" in str(err.value) or "codec" in str(err.value)
+
+
+def test_resize_passthrough_stamps_dims(assets):
+    out = M.resize_images(assets, 64, 48).collect()
+    assert all(r.width == 64 and r.height == 48 for r in out)
+
+
+def test_sample_frames_explodes_rows(assets):
+    frames = M.sample_frames(assets, every_ms=1000).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # every asset yields >=1 frame; frame indices are dense from 0
+    for aid, rows in by_asset.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(len(idxs)))
+        assert all(len(r.payload) == 32 for r in rows)  # sha256 bytes
