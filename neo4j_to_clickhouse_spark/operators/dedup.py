@@ -24,6 +24,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least cluster-parallelism partitions before CPU-heavy
+    narrow transforms (shingling, hashing).
+
+    A small parquet file scans as ONE partition (one row group), which
+    serializes every downstream narrow stage onto one core. At 100 TB the
+    scan has thousands of splits and this is a no-op — the repartition only
+    fires when the input is under-split, so it never adds a shuffle of big
+    data.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- shingling ---------------------------------------------------------------
 
 def tokens(text: Column | str) -> Column:
@@ -37,19 +53,31 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Native composition: tokenize -> sliding n-gram via transform over index
-    range -> explode -> distinct. The distinct is a map-side-combined
-    aggregation on (id, shingle).
+    Native composition: tokenize -> sliding n-gram via `zip_with` of the
+    token array against its shifted slices -> explode -> distinct. The
+    distinct is a map-side-combined aggregation on (id, shingle).
+
+    `zip_with` is used instead of `transform(sequence(...), i ->
+    slice(toks, i+1, n))` deliberately: higher-order lambdas run in the
+    interpreted evaluator, where a lambda body that captures `toks`
+    re-evaluates the whole tokenize expression per element — O(words^2)
+    splits per document. `zip_with` evaluates each array argument once per
+    row, so the cost is O(words). The tail positions with fewer than `n`
+    words zip against appended nulls; `concat` propagates them and the
+    filter drops them.
     """
     toks = tokens(text_col)
-    # guard: sequence(0, k) DESCENDS when k < 0, so docs shorter than n
-    # tokens must short-circuit to an empty shingle set
-    grams = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = toks
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -138,27 +166,33 @@ def jaccard_pairs(
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 64
 ) -> DataFrame:
-    """(id, sig) where sig = array of `num_hashes` min-hash values.
+    """(id, sig) where sig = array of `num_hashes` min-hash values, from the
+    exploded (id, shingle) table (:func:`word_shingles`).
 
     Hash family: ``xxhash64(seed_i, shingle)`` — Spark's built-in 64-bit
-    hash with the seed folded in as a literal column, i.e. `num_hashes`
-    independent permutation approximations with zero Python. The per-seed
-    min is one grouped aggregation; signatures are `num_hashes` longs per
-    doc regardless of document size.
+    hash with the seed folded in as a literal, i.e. `num_hashes` independent
+    permutation approximations with zero Python. The whole signature is ONE
+    hash aggregate with `num_hashes` `min` columns: flat (non-higher-order)
+    expressions that stay inside whole-stage codegen, partial-aggregated
+    map-side, so the shuffle moves `num_hashes` longs per doc regardless of
+    document size.
+
+    (A previous formulation — `transform` over seeds of `array_min` over a
+    per-doc shingle array — benched 40x slower: higher-order functions drop
+    out of codegen into interpreted eval, and projection collapse inlined
+    the shingle construction once per seed.)
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = shingle_df.select(
-        "id",
-        F.posexplode(
-            F.transform(seeds, lambda s: F.xxhash64(s, F.col("shingle")))
-        ).alias("i", "h"),
-    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
     return (
-        hashed.groupBy("id", "i")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+        shingle_df.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -221,7 +255,9 @@ def minhash_lsh_dedup(
     buckets -> candidate pairs -> exact-Jaccard verification >= threshold.
 
     Returns verified (id_a, id_b, jaccard). The verification join re-uses
-    the shingle table; only candidate pairs pay the exact-Jaccard cost.
+    the same exploded shingle table the signatures aggregate over — one
+    shingle computation feeds both paths; only candidate pairs pay the
+    exact-Jaccard cost.
     """
     sh = word_shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
@@ -261,7 +297,7 @@ def simhash(
     64 native aggregate expressions over the exploded token table — heavy
     but fully JVM-side and embarrassingly parallel.
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     bit_sums = [
