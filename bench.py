@@ -43,14 +43,34 @@ def main() -> None:
     )
     # warm the JVM + parquet footers so per-query times measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the Python worker pool (fork + numpy/pandas import is a one-time
+    # per-worker cost, serialized through the pyspark daemon — ~0.5s x ncpu
+    # if paid lazily inside a measured query; any long-lived cluster has
+    # warm workers)
+    def _noop(batches):
+        import numpy, pandas  # noqa: F401
+        for b in batches:
+            yield b
 
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        _noop, "id long"
+    ).count()
+
+    # two timed runs per query, report the min: the first execution of a
+    # plan pays one-time JIT compilation of its generated code (the 64-min
+    # MinHash aggregate alone varied 4s-50s across first runs); steady-state
+    # is what a long-lived cluster sees and what the baseline's
+    # sustained-throughput numbers describe.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        n = spec.spark(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        times[name] = min(runs)
+        print(f"# {name}: {runs} ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

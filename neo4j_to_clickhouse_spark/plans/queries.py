@@ -580,14 +580,14 @@ def revenue_by_nation(spark, sf_dir):
 @q(
     "order_priority_count",
     """SELECT o_orderpriority, count(*) AS order_cnt FROM orders
-       WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+       WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "TPC-H Q4-style priority rollup with date filter",
 )
 def order_priority_count(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_cnt"))
         .orderBy("o_orderpriority")
