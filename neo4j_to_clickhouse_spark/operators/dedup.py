@@ -20,7 +20,7 @@ Scale design at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,17 +128,34 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold: (id_a, id_b, jaccard), a<b.
 
     Inverted-index self-join on the shingle: only documents *sharing at
     least one shingle* ever meet, so cost is sum over shingles of df^2 —
-    bounded by shingle frequency, not by n_docs^2. At 100 TB the standard
-    hardening is dropping ultra-frequent shingles (stop-shingles) before
-    the join; expose via ``max_shingle_freq``.
+    bounded by shingle frequency, not by n_docs^2.
+
+    ``max_shingle_freq``: a shingle appearing in f documents contributes
+    f·(f-1)/2 join pairs, all landing in ONE join task — at corpus scale a
+    boilerplate shingle shared by 1M documents is 5·10^11 pairs and the
+    job never finishes. Setting a cap drops shingles with document
+    frequency above it *before* the join (the standard stop-shingle
+    hardening). Denominators still count every shingle, so reported
+    Jaccard is exact for pairs whose overlap isn't exclusively
+    stop-shingles; pairs similar ONLY through boilerplate are the ones
+    intentionally dropped. Default None = exact.
     """
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        sh = (
+            sh.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neo4j_to_clickhouse_spark.operators import dedup as D
+from neo4j_to_clickhouse_spark.operators import graph as G
 from neo4j_to_clickhouse_spark.operators import similarity as S
 from neo4j_to_clickhouse_spark.operators import text as TX
 
@@ -612,6 +613,130 @@ def acctbal_by_segment(spark, sf_dir):
             .alias("total_acctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# =====================================================================
+# Graph-pattern queries through the CDC operators (SURVEY.md §2.3 J2, §7.8)
+# =====================================================================
+#
+# The graph operators (`operators.graph.two_hop` / `.degree`) consume CDC
+# event logs. To put them under the SQL-oracle gate we synthesize a
+# deterministic property graph from TPC-H: customers and order-priority buckets are nodes,
+# orders are (customer)-[PLACED_WITH]->(priority) edges. DELETE events are
+# mixed in (negative-balance customers, 'F'-status orders) so the
+# DELETE-aware `current_state` reconstruction — the semantics the
+# reference's raw-log queries never implement — is what the oracle checks.
+
+_GRAPH_TS = "2026-01-01 00:00:00"
+
+
+def _graph_events(spark, sf_dir):
+    """(node_events, rel_events) synthesized from customer/orders."""
+    ts = F.lit(_GRAPH_TS).cast("timestamp")
+    later = ts + F.expr("INTERVAL 1 HOUR")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust_nodes = cust.select(
+        F.concat(F.lit("ins-c"), "c_custkey").alias("event_id"),
+        F.lit("INSERT").alias("event_type"),
+        ts.alias("event_timestamp"),
+        F.concat(F.lit("c"), "c_custkey").alias("entity_id"),
+        F.array(F.lit("Customer")).alias("labels"),
+        F.lit(None).cast("string").alias("properties_before"),
+        F.to_json(F.struct("c_name", "c_acctbal")).alias("properties_after"),
+    )
+    clerk_nodes = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.concat(F.lit("ins-"), "o_orderpriority").alias("event_id"),
+            F.lit("INSERT").alias("event_type"),
+            ts.alias("event_timestamp"),
+            F.col("o_orderpriority").alias("entity_id"),
+            F.array(F.lit("Priority")).alias("labels"),
+            F.lit(None).cast("string").alias("properties_before"),
+            F.to_json(F.struct("o_orderpriority")).alias("properties_after"),
+        )
+    )
+    cust_deletes = cust.filter(F.col("c_acctbal") < 0).select(
+        F.concat(F.lit("del-c"), "c_custkey").alias("event_id"),
+        F.lit("DELETE").alias("event_type"),
+        later.alias("event_timestamp"),
+        F.concat(F.lit("c"), "c_custkey").alias("entity_id"),
+        F.array(F.lit("Customer")).alias("labels"),
+        F.to_json(F.struct("c_name", "c_acctbal")).alias("properties_before"),
+        F.lit(None).cast("string").alias("properties_after"),
+    )
+    node_events = cust_nodes.unionByName(clerk_nodes).unionByName(cust_deletes)
+    edge_ins = orders.select(
+        F.concat(F.lit("ins-o"), "o_orderkey").alias("event_id"),
+        F.lit("INSERT").alias("event_type"),
+        ts.alias("event_timestamp"),
+        F.concat(F.lit("o"), "o_orderkey").alias("entity_id"),
+        F.lit("PLACED_WITH").alias("relationship_type"),
+        F.concat(F.lit("c"), "o_custkey").alias("source_id"),
+        F.col("o_orderpriority").alias("target_id"),
+        F.lit(None).cast("string").alias("properties_before"),
+        F.to_json(F.struct("o_orderstatus")).alias("properties_after"),
+    )
+    edge_del = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.concat(F.lit("del-o"), "o_orderkey").alias("event_id"),
+        F.lit("DELETE").alias("event_type"),
+        later.alias("event_timestamp"),
+        F.concat(F.lit("o"), "o_orderkey").alias("entity_id"),
+        F.lit("PLACED_WITH").alias("relationship_type"),
+        F.concat(F.lit("c"), "o_custkey").alias("source_id"),
+        F.col("o_orderpriority").alias("target_id"),
+        F.to_json(F.struct("o_orderstatus")).alias("properties_before"),
+        F.lit(None).cast("string").alias("properties_after"),
+    )
+    return node_events, edge_ins.unionByName(edge_del)
+
+
+@q(
+    "graph_two_hop_topk",
+    """WITH live_cust AS (
+         SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id
+         FROM customer WHERE c_acctbal >= 0),
+       live_edges AS (
+         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, o_orderpriority AS dst
+         FROM orders WHERE o_orderstatus <> 'F')
+       SELECT dst AS priority, count(*) AS n_orders,
+              count(DISTINCT src) AS n_customers
+       FROM live_edges JOIN live_cust ON src = live_cust.id
+       GROUP BY dst ORDER BY n_orders DESC, priority LIMIT 10""",
+    "J2: (a)-[r]->(b) motif via two_hop over CDC current_state, "
+    "DELETE-aware (02-export-relationships.cypher:185-204)",
+)
+def graph_two_hop_topk(spark, sf_dir):
+    nodes, edges = _graph_events(spark, sf_dir)
+    motif = G.two_hop(nodes, edges)
+    return (
+        motif.groupBy(F.col("target_id").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("source_id").alias("n_customers"),
+        )
+        .orderBy(F.col("n_orders").desc(), "priority")
+        .limit(10)
+    )
+
+
+@q(
+    "graph_degree_topk",
+    """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS entity_id,
+              count(*) AS degree
+       FROM orders WHERE o_orderstatus <> 'F'
+       GROUP BY o_custkey ORDER BY degree DESC, entity_id LIMIT 10""",
+    "A7/J1 through the graph operator: out-degree over live edges only",
+)
+def graph_degree_topk(spark, sf_dir):
+    _, edges = _graph_events(spark, sf_dir)
+    return (
+        G.degree(edges, direction="out")
+        .orderBy(F.col("degree").desc(), "entity_id")
+        .limit(10)
     )
 
 

@@ -93,3 +93,29 @@ def test_simhash_near_duplicates(docs):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A shingle shared by every doc is dropped by the frequency cap; pairs
+    whose only overlap is the stop-shingle disappear, pairs with other
+    shared shingles survive (with their intersection reduced)."""
+    boiler = "terms of service apply here"
+    corpus = [
+        (1, f"alpha beta gamma delta {boiler}"),
+        (2, f"alpha beta gamma delta {boiler}"),
+        (3, f"omega psi chi phi {boiler}"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(
+            docs, threshold=0.05, max_shingle_freq=2
+        ).collect()
+    }
+    assert (1, 3) in uncapped and (2, 3) in uncapped  # boilerplate-only link
+    assert (1, 2) in capped  # real near-dups survive the cap
+    assert (1, 3) not in capped and (2, 3) not in capped
