@@ -94,32 +94,43 @@ def main() -> None:
     try:
         generate_envelopes(spark, n, src)
 
-        # batch path
-        t0 = time.perf_counter()
-        res = node_events_from_raw(read_envelope_file(spark, src))
-        (
-            res.events.write.mode("overwrite")
-            .partitionBy("event_month")
-            .parquet(f"{root}/batch_out")
-        )
-        batch_s = time.perf_counter() - t0
-        batch_rows = spark.read.parquet(f"{root}/batch_out").count()
+        # two timed runs per path, min reported: the first execution of a
+        # plan pays one-time JIT of its generated code (observed 3K->26K
+        # eps swings on identical plans); steady-state is the comparable
+        # number. Fresh output/checkpoint dirs per run so the streaming
+        # checkpoint can't mark files already-processed.
+        batch_s, stream_s = [], []
+        for i in range(2):
+            t0 = time.perf_counter()
+            res = node_events_from_raw(read_envelope_file(spark, src))
+            (
+                res.events.write.mode("overwrite")
+                .partitionBy("event_month")
+                .parquet(f"{root}/batch_out_{i}")
+            )
+            batch_s.append(time.perf_counter() - t0)
+            batch_rows = spark.read.parquet(f"{root}/batch_out_{i}").count()
+            assert batch_rows == n, f"batch lost rows: {batch_rows}/{n}"
 
-        # streaming path (availableNow drain over the same files)
-        config = StreamConfig(
-            table_path=f"{root}/stream_out",
-            quarantine_path=f"{root}/quarantine",
-            checkpoint_path=f"{root}/ckpt",
-            processing_time=None,
-        )
-        t0 = time.perf_counter()
-        drain(start_node_stream(read_envelope_file(spark, src, streaming=True), config),
-              timeout_s=600)
-        stream_s = time.perf_counter() - t0
-        stream_rows = spark.read.parquet(f"{root}/stream_out").count()
+        for i in range(2):
+            config = StreamConfig(
+                table_path=f"{root}/stream_out_{i}",
+                quarantine_path=f"{root}/quarantine_{i}",
+                checkpoint_path=f"{root}/ckpt_{i}",
+                processing_time=None,
+            )
+            t0 = time.perf_counter()
+            drain(
+                start_node_stream(
+                    read_envelope_file(spark, src, streaming=True), config
+                ),
+                timeout_s=600,
+            )
+            stream_s.append(time.perf_counter() - t0)
+            stream_rows = spark.read.parquet(f"{root}/stream_out_{i}").count()
+            assert stream_rows == n, f"stream lost rows: {stream_rows}/{n}"
 
-        assert batch_rows == n, f"batch lost rows: {batch_rows}/{n}"
-        assert stream_rows == n, f"stream lost rows: {stream_rows}/{n}"
+        batch_s, stream_s = min(batch_s), min(stream_s)
         print(
             json.dumps(
                 {
