@@ -34,19 +34,39 @@ def compact(
     keep='latest'  -> one row per entity (window dedup, M1);
     keep='events'  -> drop only replayed duplicate event ids.
 
-    Uses dynamic partition overwrite so untouched months are never rewritten.
+    The rewrite goes to a dot-prefixed temp dir (invisible to parquet
+    readers) and is then swapped in for every month that was READ — not
+    just every month that produced output. Dynamic partition overwrite
+    alone is wrong here: an entity whose survivor lands in month B leaves
+    its superseded month-A row in place if no other survivor lands in A,
+    because A is never among the written partitions. Months read are the
+    months that must be replaced (or removed, when fully deduped away).
+    Untouched months' files are never rewritten. On a cluster filesystem
+    the same swap is the table format's transactional partition replace
+    (e.g. Delta `replaceWhere`); the direct directory swap is the plain-
+    parquet realization.
     """
     df = spark.read.parquet(table_path)
     if months:
         df = df.filter(F.col("event_month").isin(months))
+    affected = [r[0] for r in df.select("event_month").distinct().collect()]
     deduped = latest_events(df) if keep == "latest" else dedup_exact_events(df)
+    tmp = Path(table_path) / ".compact_tmp"
     (
         deduped.repartition("event_month")
         .sortWithinPartitions("event_timestamp", "event_id")
         .write.mode("overwrite")
         .partitionBy("event_month")
-        .parquet(table_path)
+        .parquet(str(tmp))
     )
+    for month in affected:
+        old = Path(table_path) / f"event_month={month}"
+        new = tmp / f"event_month={month}"
+        if old.exists():
+            shutil.rmtree(old)
+        if new.exists():
+            new.rename(old)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def retention_months(now_month: str, days: int = 90) -> str:

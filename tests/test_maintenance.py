@@ -1,0 +1,147 @@
+"""Maintenance jobs (SURVEY.md §2.9 M1-M3): compact rewrites only the
+targeted month partitions; retention drops whole months without touching
+data files in surviving months; snapshot CSVs load into the same
+month-partitioned sink the CDC path writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.ingest import node_events_from_raw
+from neo4j_to_clickhouse_spark.operators.maintenance import (
+    apply_retention,
+    compact,
+    retention_months,
+)
+from neo4j_to_clickhouse_spark.sources.snapshot import (
+    load_node_snapshot,
+    write_events,
+)
+
+
+@pytest.fixture()
+def event_table(spark, node_raw, tmp_path):
+    """The conftest envelope corpus written as a partitioned event table:
+    7 good events (incl. one replayed duplicate id) over months 202602/202603.
+    """
+    path = str(tmp_path / "events")
+    write_events(node_events_from_raw(node_raw).events, path)
+    return path
+
+
+def test_write_events_layout(spark, event_table):
+    months = sorted(
+        p.split("=")[1]
+        for p in os.listdir(event_table)
+        if p.startswith("event_month=")
+    )
+    assert months == ["202602", "202603"]
+    df = spark.read.parquet(event_table)
+    assert df.count() == 7
+    # partition column survives the round-trip as yyyyMM STRING
+    assert dict(df.dtypes)["event_month"] == "string"
+
+
+def test_compact_latest_keeps_one_row_per_entity(spark, event_table):
+    compact(spark, event_table, keep="latest")
+    df = spark.read.parquet(event_table)
+    # 3 entities -> 3 rows; entity 1's survivor is the event_id tie-break
+    # winner at the duplicated millisecond timestamp
+    assert df.count() == 3
+    survivor = df.filter(F.col("entity_id") == "4:abc:1").collect()[0]
+    assert survivor.event_id == "n-004"
+
+
+def test_compact_events_drops_replayed_ids_only(spark, event_table):
+    compact(spark, event_table, keep="events")
+    df = spark.read.parquet(event_table)
+    assert df.count() == 6  # 7 - 1 replayed duplicate
+    assert df.select("event_id").distinct().count() == 6
+
+
+def test_compact_only_touches_requested_months(spark, event_table):
+    before = {
+        p: sorted(os.listdir(os.path.join(event_table, p)))
+        for p in os.listdir(event_table)
+        if p.startswith("event_month=")
+    }
+    compact(spark, event_table, months=["202603"], keep="events")
+    after_2602 = sorted(os.listdir(os.path.join(event_table, "event_month=202602")))
+    assert after_2602 == before["event_month=202602"]  # untouched files
+    df = spark.read.parquet(event_table)
+    assert df.filter("event_month = '202602'").count() == 4
+    assert df.filter("event_month = '202603'").count() == 2  # dup dropped
+
+
+def test_retention_month_arithmetic():
+    assert retention_months("202604", days=90) == "202601"
+    assert retention_months("202602", days=90) == "202511"
+    assert retention_months("202601", days=30) == "202512"
+
+
+def test_apply_retention_drops_old_months(spark, event_table):
+    dropped = apply_retention(spark, event_table, cutoff_month="202603")
+    assert dropped == ["202602"]
+    df = spark.read.parquet(event_table)
+    assert df.select("event_month").distinct().collect()[0][0] == "202603"
+
+
+def test_snapshot_csv_load(spark, tmp_path):
+    csv_dir = tmp_path / "staging"
+    csv_dir.mkdir()
+    (csv_dir / "nodes_1.csv").write_text(
+        "entity_id,labels,properties,export_timestamp\n"
+        '4:abc:1,"[""Person"",""Admin""]","{""name"": ""Alice""}",1767225600000\n'
+        '4:abc:2,"Company, Organization","{""name"": ""Acme""}",1767225600000\n'
+        "4:abc:3,,not-json,1767225600000\n"
+    )
+    df = load_node_snapshot(spark, str(csv_dir))
+    rows = {r.entity_id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["4:abc:1"].labels == ["Person", "Admin"]  # JSON-array form
+    assert rows["4:abc:2"].labels == ["Company", "Organization"]  # CSV form
+    assert rows["4:abc:3"].labels == []
+    assert rows["4:abc:3"].properties_after == "{}"  # invalid JSON fallback
+    assert all(r.event_type == "SNAPSHOT" for r in rows.values())
+    assert all(r.event_month == "202601" for r in rows.values())
+    # synthetic event ids are unique
+    assert df.select("event_id").distinct().count() == 3
+
+
+def test_compact_removes_stale_rows_across_months(spark, tmp_path):
+    """An entity whose survivor lands in month B must lose its superseded
+    month-A row even when no survivor lands in A — the case dynamic
+    partition overwrite alone gets wrong (A is never a written partition,
+    so its old files would silently survive)."""
+    rows = [
+        ("e1", "INSERT", "2026-02-01 00:00:00", "entityA"),
+        ("e2", "UPDATE", "2026-03-01 00:00:00", "entityA"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id string, event_type string, ts string, entity_id string"
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("event_timestamp"),
+            "entity_id",
+            F.lit("{}").alias("properties_before"),
+            F.lit("{}").alias("properties_after"),
+            F.lit("{}").alias("metadata"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyyMM").alias(
+                "event_month"
+            ),
+        )
+    )
+    path = str(tmp_path / "t")
+    write_events(df, path)
+    compact(spark, path, keep="latest")
+    out = spark.read.parquet(path).collect()
+    assert len(out) == 1
+    assert out[0].event_id == "e2"
+    assert not os.path.isdir(os.path.join(path, "event_month=202602"))
