@@ -109,8 +109,14 @@ def node_events_from_raw(raw_df: DataFrame) -> IngestResult:
     without an eventType are classified nodes iff they carry no
     relationship markers (the two topics are already segregated upstream,
     `kafka-connect/neo4j-cdc-nodes-source.json:6`).
+
+    Accepts either a raw one-column frame or an already-parsed frame (so a
+    caller splitting one batch into events + quarantine can persist the
+    parse and pay the JSON decode once).
     """
-    parsed = parse_envelopes(raw_df)
+    parsed = (
+        raw_df if PARSED_COL in raw_df.columns else parse_envelopes(raw_df)
+    )
     is_node = (_e("eventType") == NODE_EVENT_KIND) | (
         _e("eventType").isNull() & _e("type").isNull() & _e("start.elementId").isNull()
     )
@@ -132,9 +138,12 @@ def node_events_from_raw(raw_df: DataFrame) -> IngestResult:
 
 def relationship_events_from_raw(raw_df: DataFrame) -> IngestResult:
     """Raw envelope JSON -> relationship event rows (P2, 10-column projection
-    of `clickhouse/init/01-init-tables.sql:98-117`).
+    of `clickhouse/init/01-init-tables.sql:98-117`). Accepts raw or
+    pre-parsed frames like :func:`node_events_from_raw`.
     """
-    parsed = parse_envelopes(raw_df)
+    parsed = (
+        raw_df if PARSED_COL in raw_df.columns else parse_envelopes(raw_df)
+    )
     is_rel = (_e("eventType") == REL_EVENT_KIND) | (
         _e("eventType").isNull() & _e("type").isNotNull()
     )

@@ -45,6 +45,7 @@ from neo4j_to_clickhouse_spark.operators.ingest import (
     node_events_from_raw,
     relationship_events_from_raw,
 )
+from neo4j_to_clickhouse_spark.sources.envelopes import parse_envelopes
 
 
 @dataclass
@@ -83,7 +84,14 @@ def _start(
     query_name: str,
 ) -> StreamingQuery:
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _write_batch(transform(batch_df), config, batch_id)
+        # events + quarantine are two actions over the same micro-batch;
+        # persist the PARSED frame so the envelope JSON decode — the
+        # expensive step — runs once, not once per sink
+        parsed = parse_envelopes(batch_df).persist()
+        try:
+            _write_batch(transform(parsed), config, batch_id)
+        finally:
+            parsed.unpersist()
 
     writer = (
         raw_stream.writeStream.queryName(query_name)

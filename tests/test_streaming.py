@@ -97,3 +97,57 @@ def test_relationship_stream(spark, tmp_path):
     live = current_state(events).collect()
     assert {r.entity_id for r in live} == {"5:rel:1"}  # 5:rel:2 deleted
     assert live[0].relationship_type == "KNOWS"
+
+
+def test_windowed_monitoring_counts_batch_semantics(spark, streamed_nodes):
+    """The windowed count is one declarative transform usable on batch and
+    stream alike; batch mode gives the full expected window set."""
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.streaming import windowed_event_counts
+
+    events = spark.read.parquet(str(streamed_nodes / "events"))
+    out = windowed_event_counts(events, window_duration="1 minute").collect()
+    by_key = {(r.window_start.isoformat(), r.event_type): r.cnt for r in out}
+    # conftest corpus: 4 events in the 05:58 minute of 2026-02-14
+    # (3 on entity1 + 1 on entity2), including the replayed INSERT pair
+    # in the 2026-03-01 00:00 minute
+    assert by_key[("2026-02-14T05:58:00", "INSERT")] == 2
+    assert by_key[("2026-02-14T05:58:00", "UPDATE")] == 2
+    assert by_key[("2026-03-01T00:00:00", "INSERT")] == 2
+    assert by_key[("2026-03-02T00:00:00", "DELETE")] == 1
+
+
+def test_windowed_monitoring_stream_appends_finalized_windows(
+    spark, streamed_nodes, tmp_path
+):
+    """Streamed over the event table with availableNow: append mode emits
+    only watermark-finalized windows; on a bounded drain that is every
+    window except those still inside the lateness bound of the max event
+    time seen."""
+    from neo4j_to_clickhouse_spark.streaming import start_monitoring_stream
+
+    events_stream = spark.readStream.schema(
+        spark.read.parquet(str(streamed_nodes / "events")).schema
+    ).parquet(str(streamed_nodes / "events"))
+    q = start_monitoring_stream(
+        events_stream,
+        output_path=str(tmp_path / "monitor"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        window_duration="1 minute",
+        max_lateness="10 minutes",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "monitor"))
+    rows = {(r.window_start.isoformat(), r.event_type): r.cnt for r in out.collect()}
+    # watermark = max event time (2026-03-02) - 10 min: every earlier
+    # window is finalized and must have been emitted exactly once
+    assert rows[("2026-02-14T05:58:00", "INSERT")] == 2
+    assert rows[("2026-02-14T05:58:00", "UPDATE")] == 2
+    assert rows[("2026-03-01T00:00:00", "INSERT")] == 2
+    # the 2026-03-02 DELETE window is NOT finalized (inside lateness bound
+    # of the max event time) -> not emitted in append mode
+    assert ("2026-03-02T00:00:00", "DELETE") not in rows
