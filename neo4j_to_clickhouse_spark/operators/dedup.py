@@ -48,25 +48,20 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def ngram_array(toks: Column, n: int) -> Column:
+    """Sliding word n-grams of a token array, as an array column; tail
+    positions with fewer than `n` words are NULL entries (filter them
+    after explode, or count on `transform`/`filter` to skip them).
 
-    Native composition: tokenize -> sliding n-gram via `zip_with` of the
-    token array against its shifted slices -> explode -> distinct. The
-    distinct is a map-side-combined aggregation on (id, shingle).
-
-    `zip_with` is used instead of `transform(sequence(...), i ->
-    slice(toks, i+1, n))` deliberately: higher-order lambdas run in the
-    interpreted evaluator, where a lambda body that captures `toks`
-    re-evaluates the whole tokenize expression per element — O(words^2)
-    splits per document. `zip_with` evaluates each array argument once per
-    row, so the cost is O(words). The tail positions with fewer than `n`
-    words zip against appended nulls; `concat` propagates them and the
-    filter drops them.
+    Built with `zip_with` of the token array against its shifted slices
+    instead of `transform(sequence(...), i -> slice(toks, i+1, n))`
+    deliberately: higher-order lambdas run in the interpreted evaluator,
+    where a lambda body that captures `toks` re-evaluates the whole
+    tokenize expression per element — O(words^2) splits per document.
+    `zip_with` evaluates each array argument once per row, so the cost is
+    O(words). The tail zips against appended nulls and `concat` propagates
+    them.
     """
-    toks = tokens(text_col)
     grams = toks
     for k in range(1, n):
         grams = F.zip_with(
@@ -74,6 +69,19 @@ def word_shingles(
             F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
+    return grams
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Native composition: tokenize -> sliding n-gram (:func:`ngram_array`)
+    -> explode -> distinct. The distinct is a map-side-combined
+    aggregation on (id, shingle).
+    """
+    grams = ngram_array(tokens(text_col), n)
     return (
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))

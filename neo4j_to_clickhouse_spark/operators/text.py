@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from neo4j_to_clickhouse_spark.operators.dedup import tokens
+from neo4j_to_clickhouse_spark.operators.dedup import ngram_array, tokens
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Real deployments swap in fastText etc. via the pandas-UDF escape hatch;
@@ -100,18 +100,19 @@ def rolling_fingerprints(
     n: int = 5, keep: int = 8,
 ) -> DataFrame:
     """Winnowing-style signature: the `keep` smallest n-gram rolling hashes
-    per document -> (id, signature array). Shared shingle machinery with
-    MinHash; robust to local edits where the full-text fingerprint breaks."""
-    toks = tokens(text_col)
-    # same short-doc guard as dedup.word_shingles: sequence(0, k) descends
-    # for k < 0 and slice rejects start=0
-    grams = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )).otherwise(F.array().cast("array<bigint>"))
+    per document -> (id, signature array). Shared n-gram machinery with
+    MinHash (:func:`..dedup.ngram_array` — the O(words) zip_with form, not
+    the O(words^2) captured-slice form); robust to local edits where the
+    full-text fingerprint breaks."""
+    grams = F.filter(
+        ngram_array(tokens(text_col), n), lambda g: g.isNotNull()
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return df.select(
         F.col(id_col).alias("id"),
-        F.slice(F.array_sort(F.array_distinct(grams)), 1, keep).alias("signature"),
+        F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep).alias(
+            "signature"
+        ),
     )
 
 
