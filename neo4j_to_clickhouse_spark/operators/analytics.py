@@ -43,17 +43,33 @@ def count_by_type(events: DataFrame, type_col: str = "event_type") -> DataFrame:
 
 
 def count_and_distinct_by_type(
-    events: DataFrame, type_col: str = "event_type", entity_col: str = "entity_id"
+    events: DataFrame,
+    type_col: str = "event_type",
+    entity_col: str = "entity_id",
+    approximate: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """A2: total + exact distinct entities per type
-    (`test-scenarios/run_tests.py:91,104`). Exact countDistinct expands to a
-    two-phase aggregate; at 100 TB swap in approx_count_distinct via the
-    ``approximate`` flag."""
+    (`test-scenarios/run_tests.py:91,104`).
+
+    Exact countDistinct expands to a two-phase aggregate whose first phase
+    shuffles every distinct (type, entity) pair; at 100 TB that's an
+    entity-table-sized shuffle per query. ``approximate=True`` swaps in
+    HyperLogLog++ (`approx_count_distinct`, relative error ``rsd``), whose
+    state is a fixed-size sketch per group — the shuffle becomes
+    groups x KB regardless of entity count. Parity-checked queries use
+    exact; monitoring at scale should use the sketch.
+    """
+    distinct = (
+        F.approx_count_distinct(entity_col, rsd)
+        if approximate
+        else F.countDistinct(entity_col)
+    )
     return (
         events.groupBy(type_col)
         .agg(
             F.count("*").alias("total"),
-            F.countDistinct(entity_col).alias("unique_entities"),
+            distinct.alias("unique_entities"),
         )
         .orderBy(type_col)
     )
@@ -100,12 +116,23 @@ def duplicate_keys(events: DataFrame, key: str = "entity_id") -> DataFrame:
     )
 
 
-def global_totals(events: DataFrame, entity_col: str = "entity_id") -> DataFrame:
+def global_totals(
+    events: DataFrame,
+    entity_col: str = "entity_id",
+    approximate: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """A6: global scalar aggregates
-    (`initial-load/scripts/04-optimize-tables.sql:194-203`)."""
+    (`initial-load/scripts/04-optimize-tables.sql:194-203`). Same
+    exact-vs-sketch trade-off as :func:`count_and_distinct_by_type`."""
+    distinct = (
+        F.approx_count_distinct(entity_col, rsd)
+        if approximate
+        else F.countDistinct(entity_col)
+    )
     return events.agg(
         F.count("*").alias("total_events"),
-        F.countDistinct(entity_col).alias("total_entities"),
+        distinct.alias("total_entities"),
     )
 
 
