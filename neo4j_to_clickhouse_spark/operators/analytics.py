@@ -199,12 +199,28 @@ def events_in_range(
     ts_col: str = "event_timestamp",
     start: str | None = None,
     end: str | None = None,
+    month_col: str = "event_month",
 ) -> DataFrame:
-    """P6: temporal range predicate (`README.md:583`). With the month
-    partition layout this prunes partitions before scanning."""
+    """P6: temporal range predicate (`README.md:583`).
+
+    A predicate on the timestamp alone does NOT prune the month-partitioned
+    layout — Spark can't derive `event_month` bounds from an
+    `event_timestamp` filter (SURVEY.md §4 flags this as the one derived-
+    column convention the engine must uphold). When the frame carries the
+    partition column, the equivalent month bounds are added so the scan
+    prunes whole partitions before reading a row; the row-level timestamp
+    filter still applies within the boundary months.
+    """
     out = events
+    has_month = month_col in events.columns
     if start:
-        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+        s = F.lit(start).cast("timestamp")
+        out = out.filter(F.col(ts_col) >= s)
+        if has_month:
+            out = out.filter(F.col(month_col) >= F.date_format(s, "yyyyMM"))
     if end:
-        out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
+        e = F.lit(end).cast("timestamp")
+        out = out.filter(F.col(ts_col) < e)
+        if has_month:
+            out = out.filter(F.col(month_col) <= F.date_format(e, "yyyyMM"))
     return out

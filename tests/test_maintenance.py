@@ -145,3 +145,22 @@ def test_compact_removes_stale_rows_across_months(spark, tmp_path):
     assert len(out) == 1
     assert out[0].event_id == "e2"
     assert not os.path.isdir(os.path.join(path, "event_month=202602"))
+
+
+def test_events_in_range_prunes_month_partitions(spark, event_table):
+    """The derived-month convention (SURVEY.md §4): a time-range query on
+    the partitioned table must reach the scan as a PartitionFilter on
+    event_month, so the 202602 partition is never read for a March query."""
+    from neo4j_to_clickhouse_spark.operators.analytics import events_in_range
+
+    df = spark.read.parquet(event_table)
+    ranged = events_in_range(
+        df, start="2026-03-01 00:00:00", end="2026-04-01 00:00:00"
+    )
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_month" in plan.split("PartitionFilters")[1][:200]
+    # and the filter is correct, not just present
+    months = {r.event_month for r in ranged.select("event_month").collect()}
+    assert months == {"202603"}
+    assert ranged.count() == 3
