@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from neo4j_to_clickhouse_spark.functions import variant as VR
 from neo4j_to_clickhouse_spark.operators import dedup as D
 from neo4j_to_clickhouse_spark.operators import graph as G
 from neo4j_to_clickhouse_spark.operators import similarity as S
@@ -336,6 +337,25 @@ def filter_json_path(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "filter_json_path_variant",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+       GROUP BY event_type ORDER BY event_type""",
+    "P5/F1 through Spark 4 VariantType: parse_json once, typed variant_get "
+    "navigation — the engine-native form of the reference's unused "
+    "experimental JSON type (config.xml:18, SURVEY.md §1.2)",
+)
+def filter_json_path_variant(spark, sf_dir):
+    return (
+        VR.with_variant_properties(_t(spark, sf_dir, "events"), cols=("props",))
+        .filter(VR.vget("props_v", "$.k", "int") > 50)
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
         .orderBy("event_type")
