@@ -127,3 +127,66 @@ def test_dedup_exact_events_idempotent_and_complete(spark, log):
     assert sorted(set(ids)) == sorted(ids)  # no id appears twice
     assert set(ids) == {f"e{eid}" for (eid, _, _, _) in log}  # none lost
     assert dedup_exact_events(once).count() == once.count()  # idempotent
+
+
+# --- ingest robustness fuzz (M5: no envelope may crash or vanish) -----------
+
+_field_mask = st.fixed_dictionaries(
+    {
+        "id": st.booleans(),
+        "ts": st.booleans(),
+        "operation": st.booleans(),
+        "elementId": st.booleans(),
+        "labels": st.booleans(),
+        "after": st.booleans(),
+    }
+)
+
+
+def _masked_envelope(mask, i):
+    import json
+
+    ev = {}
+    if mask["operation"]:
+        ev["operation"] = "CREATE"
+    ev["eventType"] = "NODE_EVENT"
+    if mask["elementId"]:
+        ev["elementId"] = f"n{i}"
+    if mask["labels"]:
+        ev["labels"] = ["X"]
+    if mask["after"]:
+        ev["state"] = {"after": {"properties": "{\"a\": 1}"}}
+    env = {"event": ev}
+    if mask["id"]:
+        env["id"] = f"e{i}"
+    if mask["ts"]:
+        env["metadata"] = {"txStartTime": {"TZDT": "2026-01-05T10:00:00Z"}}
+    return json.dumps(env)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_field_mask, min_size=1, max_size=12))
+def test_ingest_partitions_every_envelope(spark, masks):
+    """Every input row lands in exactly one of {events, quarantine}; a row
+    is an event iff it carries identity (id, elementId) and a parseable
+    timestamp — regardless of which other fields are missing."""
+    from neo4j_to_clickhouse_spark.operators.ingest import node_events_from_raw
+
+    raw = spark.createDataFrame(
+        [(_masked_envelope(m, i),) for i, m in enumerate(masks)], ["raw"]
+    )
+    res = node_events_from_raw(raw)
+    n_good, n_bad = res.events.count(), res.quarantine.count()
+    assert n_good + n_bad == len(masks)
+    expect_good = sum(1 for m in masks if m["id"] and m["ts"] and m["elementId"])
+    assert n_good == expect_good
+    # defaults applied, never nulls, for the processable rows
+    if n_good:
+        evs = res.events.collect()
+        assert all(e.event_type in ("INSERT", "UPDATE", "DELETE") for e in evs)
+        assert all(e.properties_after is not None for e in evs)
+        assert all(e.labels is not None for e in evs)
