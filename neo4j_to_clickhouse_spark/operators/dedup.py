@@ -154,7 +154,13 @@ def jaccard_pairs(
     stop-shingles; pairs similar ONLY through boilerplate are the ones
     intentionally dropped. Default None = exact.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    # sh feeds three branches (sizes + both join sides) — same explicit
+    # persist rationale as minhash_lsh_dedup
+    sh = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         sh = (
@@ -283,8 +289,20 @@ def minhash_lsh_dedup(
     the same exploded shingle table the signatures aggregate over — one
     shingle computation feeds both paths; only candidate pairs pay the
     exact-Jaccard cost.
+
+    The shingle table is persisted (memory-and-disk, LRU-evicted): it
+    feeds four plan branches (signatures, both verification sides, sizes)
+    and Catalyst only reuses *identical* subplans, so without the explicit
+    persist the tokenize->ngram->distinct pipeline executes once per
+    branch — measured 6 redundant scans of the corpus in the physical
+    plan. Spark's cache manager keys on the canonicalized plan, so
+    repeated invocations share one entry.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
