@@ -6,6 +6,10 @@ from neo4j_to_clickhouse_spark.functions.json import (  # noqa: F401
     json_extract_string,
     json_first_array_element,
 )
+from neo4j_to_clickhouse_spark.functions.variant import (  # noqa: F401
+    vget,
+    with_variant_properties,
+)
 from neo4j_to_clickhouse_spark.functions.scalar import (  # noqa: F401
     event_month,
     human_readable_size,

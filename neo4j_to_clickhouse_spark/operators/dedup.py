@@ -34,6 +34,8 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     fires when the input is under-split, so it never adds a shuffle of big
     data.
     """
+    if df.isStreaming:  # .rdd is undefined on streams; micro-batch sizing
+        return df  # is the trigger's job (maxOffsetsPerTrigger)
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
