@@ -1,0 +1,28 @@
+"""JDBC surface builds declaratively (no driver jar in this container —
+execution happens on clusters that add one; here we assert the reader and
+writer assemble without touching a database)."""
+
+from __future__ import annotations
+
+from neo4j_to_clickhouse_spark.sources.jdbc import (
+    jdbc_reader_sharded,
+    jdbc_writer,
+)
+
+
+def test_reader_and_writer_assemble(spark):
+    reader = jdbc_reader_sharded(
+        spark,
+        url="jdbc:clickhouse://example:8123/db",
+        table="nodes_cdc",
+        partition_column="seq",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=8,
+    )
+    assert reader is not None  # declarative build only; .load() needs a driver
+    df = spark.range(10).withColumnRenamed("id", "seq")
+    writer = jdbc_writer(
+        df, url="jdbc:clickhouse://example:8123/db", table="nodes_cdc"
+    )
+    assert writer is not None
