@@ -222,15 +222,25 @@ def pick_centroids(
     """Deterministic centroid selection: the `num_centroids` corpus vectors
     with the lowest xxhash64(id) — a seeded uniform sample with no RNG
     state, reproducible across runs/engines. (A k-means refinement loop
-    can replace this without changing the probe path.)"""
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    return (
-        corpus.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= num_centroids)
-        .select(
-            F.col("__r").alias("cell"),
+    can replace this without changing the probe path.)
+
+    Selection is ``orderBy(...).limit(k)`` — TakeOrderedAndProject, a
+    per-partition heap of k rows merged on the driver. An unpartitioned
+    ``row_number`` window would total-sort the corpus through ONE task;
+    the window here numbers only the k survivors.
+    """
+    picked = (
+        corpus.select(
+            F.xxhash64(F.col(id_col)).alias("__h"),
+            F.col(id_col).alias("__id"),
             F.col(vec_col).alias("centroid"),
         )
+        .orderBy("__h", "__id")
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("__h", "__id")  # k rows only — trivially cheap
+    return picked.select(
+        F.row_number().over(w).alias("cell"), "centroid"
     )
 
 

@@ -26,3 +26,16 @@ def test_reader_and_writer_assemble(spark):
         df, url="jdbc:clickhouse://example:8123/db", table="nodes_cdc"
     )
     assert writer is not None
+
+
+def test_neo4j_readers_assemble(spark):
+    from neo4j_to_clickhouse_spark.sources.neo4j import (
+        neo4j_nodes_reader,
+        neo4j_relationships_reader,
+    )
+
+    assert neo4j_nodes_reader(spark, "neo4j://example:7687", "Device") is not None
+    assert (
+        neo4j_relationships_reader(spark, "neo4j://example:7687", "HAS_INTERFACE")
+        is not None
+    )
