@@ -20,6 +20,48 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    dataset_tb: float = 100.0,
+) -> dict[str, str]:
+    """Derived Spark conf for the target deployment (SURVEY.md §4's scale
+    posture made executable): pass to ``get_spark(extra_conf=...)`` or a
+    ``spark-submit`` conf file.
+
+    The arithmetic, not magic numbers:
+
+    - shuffle partitions ≈ 3 tasks per core-wave, floored so one shuffle
+      partition of a full-dataset shuffle stays ≤ ~1 GiB (spill threshold
+      well under executor memory);
+    - ``maxPartitionBytes`` stays 128 MiB: scan parallelism for 100 TB is
+      ~800k splits, scheduled fine, and row-group pruning works per split;
+    - AQE advisory size 256 MiB: post-shuffle coalescing targets partitions
+      big enough to amortize task overhead, small enough to not spill;
+    - broadcast threshold 256 MiB: dimension tables (nation/region/customer
+      slices, latest-state node side of graph joins) stay broadcast even at
+      large SF; executor memory supports it at 16 GB+.
+    """
+    total_cores = executors * cores_per_executor
+    by_waves = total_cores * 3
+    by_size = int(dataset_tb * 1024)  # ≈1 GiB per partition for a full shuffle
+    shuffle_partitions = max(by_waves, by_size)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.instances": str(executors),
+        "spark.sql.parquet.compression.codec": "zstd",  # scan-bound at scale
+    }
+
+
 def get_spark(
     app_name: str = "neo4j_to_clickhouse_spark",
     master: str | None = None,

@@ -68,3 +68,16 @@ def test_human_readable_size(spark):
     df = spark.createDataFrame([(512,), (2048,), (3 * 1024**2,)], ["v"])
     out = [r.out for r in df.select(human_readable_size("v").alias("out")).collect()]
     assert out == ["512 B", "2.0 KiB", "3.0 MiB"]
+
+
+def test_cluster_conf_arithmetic():
+    from neo4j_to_clickhouse_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4, dataset_tb=100.0)
+    # 100 TB full shuffle at ~1 GiB/partition needs >= 102400 partitions,
+    # which dominates the 12000 core-waves floor
+    assert int(c["spark.sql.shuffle.partitions"]) == 102400
+    small = cluster_conf(executors=100, cores_per_executor=4, dataset_tb=1.0)
+    # 1 TB: core-waves floor dominates (1200 > 1024)
+    assert int(small["spark.sql.shuffle.partitions"]) == 1200
+    assert c["spark.executor.instances"] == "1000"
