@@ -211,6 +211,123 @@ def cosine_near_duplicates(
     return spread(df).select(id_col, vec_col).mapInPandas(score, schema)
 
 
+# --- Hyperplane LSH (scale path for near-duplicates) ------------------------
+
+def hyperplane_buckets(
+    df: DataFrame,
+    num_tables: int = 8,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) rows: random-hyperplane (sign) LSH signatures.
+
+    For unit vectors, P[sign bit agrees] = 1 - angle/pi, so vectors at
+    cosine >= t collide in one full ``bits``-bit table with probability
+    (1 - arccos(t)/pi)^bits; ``num_tables`` independent tables push recall
+    to 1-(1-p)^T. At the near-duplicate regime this detector targets
+    (cosine >= ~0.9) the defaults give ~80%+ recall while bounding the
+    candidate join to bucket-mates — the same candidate-bounding contract
+    as MinHash banding for text.
+
+    Hyperplanes come from a seeded numpy RNG — deterministic across runs
+    and executors (the matrix is built once at plan time from (seed, dim,
+    tables, bits), broadcast in the closure). One GEMM per Arrow batch:
+    batch x dim @ dim x (tables*bits) -> sign bits -> one packed long per
+    table.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", df.schema[id_col].dataType),
+                    T.StructField("table", T.IntegerType()),
+                    T.StructField("bucket", T.LongType()),
+                ]
+            ),
+        )
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_tables * bits))
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def sign_buckets(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            S = (V @ planes) > 0  # batch x (tables*bits)
+            codes = S.reshape(len(pdf), num_tables, bits) @ weights
+            ids = pdf[id_col].reset_index(drop=True)
+            for t_idx in range(num_tables):
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "table": t_idx,
+                        "bucket": codes[:, t_idx],
+                    }
+                )
+
+    return spread(df).select(id_col, vec_col).mapInPandas(sign_buckets, schema)
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidates + exact
+    cosine verification: (id_a, id_b, cosine_sim), a<b, cosine >= threshold.
+
+    The scale path :func:`cosine_near_duplicates` documents: candidates are
+    bucket-mates only (equi-join on (table, bucket) — bounded fan-out),
+    each verified exactly with the Arrow dot product. Approximate in
+    recall only (a missed pair collides in no table); precision is exact
+    because every emitted pair is verified. At 100 TB the bucket join
+    shuffles (id, bucket) longs, never vectors; only candidate pairs pull
+    their vectors through the verify join.
+    """
+    b = hyperplane_buckets(df, num_tables, bits, seed, id_col, vec_col)
+    a_side = b.select(F.col("id").alias("id_a"), "table", "bucket")
+    b_side = b.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        a_side.join(b_side, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.sqrt(dot(F.col("__va"), F.col("__va"))) * F.sqrt(dot(F.col("__vb"), F.col("__vb")))),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 # --- IVF (scale path) --------------------------------------------------------
 
 def pick_centroids(

@@ -898,6 +898,32 @@ def embedding_near_duplicates(spark, sf_dir):
 
 
 @q(
+    "embedding_lsh_near_dup",
+    None,  # seeded hyperplanes are engine-specific -> rows-only check
+    "hyperplane-LSH near-dup: sign signatures -> bucket join -> exact "
+    "cosine verify (the scale path for embedding_near_duplicates). The "
+    "testdata embeddings are random (no natural cosine>=0.9 pairs), so "
+    "every vector is unioned with a scaled clone at vec_id+10^6: scaling "
+    "preserves cosine exactly, sign-LSH recall on cosine=1 pairs is "
+    "guaranteed, and the operator must recover one pair per vector.",
+)
+def embedding_lsh_near_dup(spark, sf_dir):
+    base = _t(spark, sf_dir, "embeddings")
+    clones = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).cast(
+            "array<float>"
+        ).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(clones)
+    return (
+        S.lsh_near_duplicates(corpus, threshold=0.9)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
     "embedding_ivf_topk",
     None,  # approximate by design -> rows-only check
     "IVF-probed approximate top-k (scale path: nprobe/num_centroids recall knob)",

@@ -106,3 +106,33 @@ def test_dot_and_norm_expressions(spark):
     row = df.collect()[0]
     assert row.d == 11.0
     assert row.n == 5.0
+
+
+def test_lsh_near_duplicates_finds_planted_pairs(spark):
+    """Hyperplane-LSH near-dup: planted near-identical vector pairs
+    (cosine ~0.99) must be recovered; every emitted pair is exactly
+    verified so results are a subset of the brute-force operator's."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(32)]
+        rows.append((i, v))
+        if i < 10:  # plant a near-duplicate of the first 10
+            rows.append((1000 + i, [x + random.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_near_duplicates(df, threshold=0.95).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_duplicates(df, threshold=0.95).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= brute  # sanity: the pairs really are near-dups
+    assert lsh <= brute  # exact verification -> no false positives
+    assert len(lsh & planted) >= 8  # >=80% recall on planted dups
