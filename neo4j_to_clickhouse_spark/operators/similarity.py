@@ -409,6 +409,45 @@ def assign_cells(
     return spread(corpus).select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of IVF centroids: assign every vector to
+    its nearest centroid, replace each centroid with its cell's mean,
+    repeat. Tightens cells so probes scan less for the same recall.
+
+    Scale shape per iteration: the assignment is the narrow GEMM pass of
+    :func:`assign_cells`; the mean is posexplode -> groupBy(cell, pos)
+    partial+final sum, so the shuffle carries ~partitions x cells x dim
+    partial rows, never the vectors. Cells that lose all members drop out
+    (fewer centroids, never empty ones). Deterministic end to end.
+    """
+    for _ in range(iterations):
+        assigned = assign_cells(corpus, centroids, id_col, vec_col)
+        centroids = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg((F.sum("v") / F.count("*")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("__a")
+            )
+            .select(
+                "cell",
+                F.transform("__a", lambda x: x["m"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -417,11 +456,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing: each query scores only the
     vectors in its ``nprobe`` nearest cells. Same output shape as
-    :func:`brute_force_topk`; recall governed by nprobe/num_centroids."""
+    :func:`brute_force_topk`; recall governed by nprobe/num_centroids,
+    improvable with ``refine_iterations`` rounds of k-means."""
     centroids = pick_centroids(corpus, num_centroids, id_col, vec_col)
+    if refine_iterations:
+        centroids = refine_centroids(
+            corpus, centroids, refine_iterations, id_col, vec_col
+        )
     indexed = assign_cells(corpus, centroids, id_col, vec_col)
     # query -> nprobe candidate cells
     qn = with_norm(queries, vec_col)

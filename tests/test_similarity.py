@@ -136,3 +136,34 @@ def test_lsh_near_duplicates_finds_planted_pairs(spark):
     assert planted <= brute  # sanity: the pairs really are near-dups
     assert lsh <= brute  # exact verification -> no false positives
     assert len(lsh & planted) >= 8  # >=80% recall on planted dups
+
+
+def test_refine_centroids_converges_to_cluster_means(spark):
+    """Three well-separated clusters, 2 seeded centroids per cluster worth
+    of initial picks: after refinement every vector's nearest centroid is
+    in its own cluster, and cell means sit inside the cluster."""
+    import random
+
+    random.seed(11)
+    centers = [[10.0 if d == c else 0.0 for d in range(8)] for c in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(
+            (i, [x + random.gauss(0, 0.2) for x in centers[c]])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    cent0 = S.pick_centroids(df, num_centroids=3)
+    refined = S.refine_centroids(df, cent0, iterations=3)
+    assigned = S.assign_cells(df, refined)
+    # every cell must be pure: all members from one ground-truth cluster
+    purity = (
+        assigned.withColumn("truth", F.col("vec_id") % 3)
+        .groupBy("cell")
+        .agg(F.countDistinct("truth").alias("n_truths"))
+        .collect()
+    )
+    assert all(r.n_truths == 1 for r in purity)
+    assert len(purity) == 3  # no cluster lost
