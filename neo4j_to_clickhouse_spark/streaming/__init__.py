@@ -10,3 +10,7 @@ from neo4j_to_clickhouse_spark.streaming.pipeline import (  # noqa: F401
     start_node_stream,
     start_relationship_stream,
 )
+from neo4j_to_clickhouse_spark.streaming.state import (  # noqa: F401
+    start_latest_state_stream,
+    tracked_latest_state,
+)

@@ -151,3 +151,43 @@ def test_windowed_monitoring_stream_appends_finalized_windows(
     # the 2026-03-02 DELETE window is NOT finalized (inside lateness bound
     # of the max event time) -> not emitted in append mode
     assert ("2026-03-02T00:00:00", "DELETE") not in rows
+
+
+def test_stateful_latest_state_tracker(spark, streamed_nodes, tmp_path):
+    """The incremental tracker must agree with the batch window: after
+    draining the event table as a multi-batch stream (one file per
+    micro-batch), latest_events over the emitted changelog equals
+    latest_events over the full log."""
+    from neo4j_to_clickhouse_spark.operators.latest_state import latest_events
+    from neo4j_to_clickhouse_spark.streaming.state import (
+        start_latest_state_stream,
+    )
+
+    table = str(streamed_nodes / "events")
+    events_stream = (
+        spark.readStream.schema(spark.read.parquet(table).schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(table)
+    )
+    q = start_latest_state_stream(
+        events_stream,
+        changelog_path=str(tmp_path / "changelog"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    changelog = spark.read.parquet(str(tmp_path / "changelog"))
+    got = {
+        r.entity_id: (r.event_id, r.event_type)
+        for r in latest_events(changelog).collect()
+    }
+    want = {
+        r.entity_id: (r.event_id, r.event_type)
+        for r in latest_events(spark.read.parquet(table)).collect()
+    }
+    assert got == want
+    # the tie-broken winner at the duplicated millisecond is preserved
+    assert got["4:abc:1"] == ("n-004", "UPDATE")
+    assert got["4:abc:3"][1] == "DELETE"
