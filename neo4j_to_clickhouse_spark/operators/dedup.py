@@ -119,14 +119,16 @@ def exact_duplicates(
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep one survivor (lowest id) per identical content. One shuffle on
-    the content hash; original columns preserved."""
-    w_hash = df.withColumn("__h", content_hash(text_col))
-    keep = w_hash.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    """Keep one survivor (lowest id) per identical content: ONE shuffle on
+    the content hash (rank window), original columns preserved. The
+    groupBy-then-join-back formulation shuffles twice and re-reads the
+    input; the window ranks in place, and WindowGroupLimit pushes the
+    rn=1 filter into the shuffle read."""
+    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
     return (
-        w_hash.join(keep, "__h")
-        .filter(F.col(id_col) == F.col("__keep"))
-        .drop("__h", "__keep")
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

@@ -25,10 +25,12 @@ def two_hop(
     broadcast_nodes: bool = True,
 ) -> DataFrame:
     """``(a)-[r]->(b)`` motif: one row per live edge with both endpoint
-    states attached (J2)."""
+    states attached (J2). The node latest-state feeds BOTH endpoint joins;
+    Catalyst won't reuse the differently-aliased subplans, so it is
+    persisted — computed once, broadcast twice."""
     nodes = current_state(node_events).select(
         F.col("entity_id"), F.col("labels"), F.col("properties_after")
-    )
+    ).persist()
     edges = current_state(rel_events).select(
         F.col("entity_id").alias("edge_id"),
         F.col("relationship_type"),
