@@ -53,11 +53,13 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 
 def mean_token_length(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
-    )
-    return total / F.greatest(F.size(toks), F.lit(1))
+    """Sum of token lengths == count of non-whitespace characters, so the
+    numerator is one flat regexp_replace+length instead of an interpreted
+    higher-order fold over the token array (identical values, stays in
+    whole-stage codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(F.regexp_replace(c, r"\s+", ""))
+    return total / F.greatest(F.size(tokens(c)), F.lit(1))
 
 
 def quality_score(text: Column | str) -> Column:
