@@ -56,11 +56,12 @@ def main() -> None:
         _noop, "id long"
     ).count()
 
-    # two timed runs per query, report the min: the first execution of a
-    # plan pays one-time JIT compilation of its generated code (the 64-min
-    # MinHash aggregate alone varied 4s-50s across first runs); steady-state
-    # is what a long-lived cluster sees and what the baseline's
-    # sustained-throughput numbers describe.
+    # Two timed runs per query, min reported: the first execution of a
+    # plan pays one-time JIT of its generated code (~2-3x on the heaviest
+    # queries), which a long-lived cluster never sees. The host itself is
+    # noisy (hypervisor steal: identical queries measured 0.3s and 31s
+    # hours apart, ~2500s accumulated steal in /proc/stat), so the min is
+    # also the best defense against a noise spike landing on one run.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES[name]

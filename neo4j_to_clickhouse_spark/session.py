@@ -101,7 +101,12 @@ def get_spark(
         # this, reading the partitioned table back infers it as int.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the whole cluster's memory (all
+        # executor threads' shuffle + cache + agg state). 8g starved a
+        # 32-thread session into GC thrash after allocation-heavy query
+        # sequences (identical queries 2s standalone, 25-50s late in a
+        # bench run); the box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if master:
         builder = builder.master(master)
