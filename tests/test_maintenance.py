@@ -164,3 +164,43 @@ def test_events_in_range_prunes_month_partitions(spark, event_table):
     months = {r.event_month for r in ranged.select("event_month").collect()}
     assert months == {"202603"}
     assert ranged.count() == 3
+
+
+def test_initial_load_bootstrap(spark, tmp_path):
+    """The reference's bootstrap flow end-to-end: staged CSVs for both
+    entity kinds -> partitioned event tables -> validation summary with
+    zero duplicates; a stream started afterward on the same tables sees
+    SNAPSHOT rows via the ordinary latest-state view."""
+    from neo4j_to_clickhouse_spark.operators.bootstrap import initial_load
+    from neo4j_to_clickhouse_spark.operators.latest_state import current_state
+
+    nodes_dir = tmp_path / "nodes"
+    rels_dir = tmp_path / "rels"
+    nodes_dir.mkdir()
+    rels_dir.mkdir()
+    (nodes_dir / "n.csv").write_text(
+        "entity_id,labels,properties,export_timestamp\n"
+        '4:g:1,"[""Device""]","{""name"": ""Router-01""}",1767225600000\n'
+        '4:g:2,"[""Device""]","{""name"": ""Router-02""}",1767225600000\n'
+        '4:g:3,"[""Location""]","{""name"": ""DC-1""}",1767225600000\n'
+    )
+    (rels_dir / "r.csv").write_text(
+        "entity_id,relationship_type,source_id,target_id,properties,export_timestamp\n"
+        '5:g:1,LOCATED_AT,4:g:1,4:g:3,"{}",1767225600000\n'
+        '5:g:2,LOCATED_AT,4:g:2,4:g:3,"{}",1767225600000\n'
+    )
+    summary = initial_load(
+        spark,
+        str(nodes_dir),
+        str(rels_dir),
+        str(tmp_path / "node_events"),
+        str(tmp_path / "rel_events"),
+    )
+    assert summary["node_events"] == 3
+    assert summary["relationship_events"] == 2
+    assert summary["node_duplicates"] == 0
+    assert summary["relationship_duplicates"] == 0
+    assert summary["top_labels"][0] == ("Device", 2)
+    # SNAPSHOT rows are first-class events for the views
+    live = current_state(spark.read.parquet(str(tmp_path / "node_events")))
+    assert live.count() == 3
