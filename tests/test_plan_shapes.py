@@ -1,0 +1,61 @@
+"""Physical-plan guards: the scan-efficiency properties the engine's 100 TB
+story depends on, asserted so a refactor can never silently lose them.
+
+(The reference gets these from ClickHouse implicitly; here Catalyst provides
+them ONLY while the plans stay declarative — a stray UDF or early collect
+would break pushdown without failing any result-correctness test.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_to_clickhouse_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = QUERIES[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_event_type")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type" in plan
+
+
+def test_column_pruning_on_fact_scan(spark):
+    """pricing_summary touches 5 of lineitem's columns; the scan schema
+    must not include the rest (a full-width scan at 100 TB reads ~3x the
+    bytes for nothing)."""
+    plan = _plan(spark, "pricing_summary")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_shipdate", "l_comment"):
+        assert col not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    """revenue_by_nation: the fact table streams, every dimension hop is a
+    broadcast — no shuffle exchange on the fact side before the join."""
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap), never a
+    global Sort feeding a Limit."""
+    plan = _plan(spark, "orders_per_customer_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["latest_state_per_entity"])
+def test_window_rank_limit_pushdown(spark, name):
+    """The latest-state window must get the WindowGroupLimit optimization
+    (per-partition rank pruning before the full window sort)."""
+    plan = _plan(spark, name)
+    assert "WindowGroupLimit" in plan
