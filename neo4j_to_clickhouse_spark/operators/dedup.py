@@ -24,18 +24,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Inputs estimated under this many bytes are left un-spread: fanning a
+#: sub-MB input across the cluster costs more in task scheduling + Python
+#: worker round-trips than single-core processing of the whole input
+#: (measured: a forced 32-way spread of a 780 KB corpus put 41 s of pure
+#: overhead on a GEMM whose FLOPs are microseconds). 32 MiB single-core
+#: shingling/hashing is ~seconds — below that, parallelism can't pay for
+#: its own scheduling.
+SPREAD_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (for a parquet scan: file
+    bytes). Driver-side plan statistics — no job, no RDD materialization."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM backends / stat-less plans: stay conservative
+        return None
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least cluster-parallelism partitions before CPU-heavy
-    narrow transforms (shingling, hashing).
+    narrow transforms (shingling, hashing) — but ONLY when the input is big
+    enough that single-core execution would actually hurt.
 
     A small parquet file scans as ONE partition (one row group), which
     serializes every downstream narrow stage onto one core. At 100 TB the
     scan has thousands of splits and this is a no-op — the repartition only
     fires when the input is under-split, so it never adds a shuffle of big
-    data.
+    data. Conversely, for inputs under :data:`SPREAD_MIN_BYTES` the fan-out
+    itself is the bottleneck (an explicit ``repartition(n)`` is exempt from
+    AQE coalescing, so every downstream stage inherits n tasks), so tiny
+    inputs are returned untouched and AQE sizes the rest of the plan.
     """
     if df.isStreaming:  # .rdd is undefined on streams; micro-batch sizing
         return df  # is the trigger's job (maxOffsetsPerTrigger)
+    size = _plan_size_bytes(df)
+    if size is not None and size < SPREAD_MIN_BYTES:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

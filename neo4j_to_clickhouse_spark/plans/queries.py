@@ -205,20 +205,27 @@ def orders_per_customer_topk(spark, sf_dir):
     """SELECT event_type, count(*) AS cnt,
               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                 / CAST(count(*) AS DOUBLE) AS avg_value,
-              list_sort(list(DISTINCT user_id % 10)) AS user_buckets
+              list_aggregate(list_sort(list(DISTINCT user_id % 10)),
+                             'string_agg', ',') AS user_buckets
        FROM events GROUP BY event_type ORDER BY event_type""",
     "A8: count/avg/collect(DISTINCT) (test-scenarios/07 summary block)",
 )
 def summary_stats(spark, sf_dir):
+    # user_buckets is serialized to a sorted comma-joined string (not a raw
+    # array column): the collect(DISTINCT) semantics are identical, but a
+    # scalar string stays hashable/sortable for any downstream consumer.
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
             _avg(F.col("value")).alias("avg_value"),
-            F.array_sort(F.collect_set(F.col("user_id") % 10)).alias(
-                "user_buckets"
-            ),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("user_id") % 10)).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("user_buckets"),
         )
         .orderBy("event_type")
     )
