@@ -35,6 +35,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_noise() -> dict:
+    """Load + hypervisor-steal snapshot so a noisy run is self-documenting:
+    this host has measured 100x wall-clock swings on identical plans from
+    exogenous neighbors (steal accumulates in /proc/stat field 8). Compare
+    BENCH rounds only after checking these numbers."""
+    out: dict = {}
+    try:
+        out["loadavg"] = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        pass
+    try:
+        cpu = open("/proc/stat").readline().split()
+        out["steal_cs"] = int(cpu[8])  # centisec since boot, all cpus
+    except (OSError, IndexError, ValueError):
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -62,7 +80,9 @@ def main() -> None:
     # noisy (hypervisor steal: identical queries measured 0.3s and 31s
     # hours apart, ~2500s accumulated steal in /proc/stat), so the min is
     # also the best defense against a noise spike landing on one run.
+    noise_before = _host_noise()
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
         runs = []
@@ -71,7 +91,9 @@ def main() -> None:
             n = spec.spark(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
         times[name] = min(runs)
+        all_runs[name] = runs
         print(f"# {name}: {runs} ({n} rows)", file=sys.stderr)
+    noise_after = _host_noise()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": all_runs,
+                "host_noise": {"before": noise_before, "after": noise_after},
             }
         )
     )

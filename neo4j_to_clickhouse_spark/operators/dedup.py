@@ -258,7 +258,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32
+    signatures: DataFrame, bands: int = 32, num_hashes: int = 64
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a, id_b), a<b, from minhash signatures.
 
@@ -266,32 +266,42 @@ def lsh_candidate_pairs(
     ``num_hashes/bands`` rows; docs agreeing on *any* full band collide in
     a bucket. Default 32 bands x 2 rows: at J=0.5 the candidate-recall is
     1-(1-0.25)^32 ~ 0.9999 — err on recall, since the exact-Jaccard
-    verification step prunes false candidates cheaply. The bucket id is a hash of (band_index, band values) so the
-    join key is a single long — the self-join shuffles (id, bucket) pairs
-    only.
+    verification step prunes false candidates cheaply. The bucket id is a
+    hash of (band_index, band values) so the join key is a single long —
+    the self-join shuffles (id, bucket) pairs only.
+
+    The band cut is generated as `bands` FLAT bucket expressions (python
+    loop over literal indices), not a `transform(sequence(...))` lambda:
+    higher-order lambdas run row-at-a-time in the interpreted evaluator,
+    while flat element references stay inside whole-stage codegen.
     """
-    n = bands
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be <= num_hashes ({num_hashes}): a "
+            "zero-width band hashes every doc to one bucket -> O(n^2) join"
+        )
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): trailing signature elements would be silently "
+            "ignored, changing the collision probability"
+        )
+    width = num_hashes // bands
+    buckets = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * width + i].cast("string")
+                    for i in range(width)
+                ],
+            ),
+        )
+        for b in range(bands)
+    ]
     banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                lambda b: F.xxhash64(
-                    b,
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / n).cast("int") + 1,
-                                (F.size("sig") / n).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    ),
-                ),
-            )
-        ).alias("bucket"),
+        "id", F.explode(F.array(*buckets)).alias("bucket")
     )
     a = banded.select(F.col("id").alias("id_a"), "bucket")
     b = banded.select(F.col("id").alias("id_b"), "bucket")
@@ -334,7 +344,7 @@ def minhash_lsh_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
