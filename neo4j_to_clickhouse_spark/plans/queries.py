@@ -824,7 +824,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @q(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based signatures are Spark-specific -> rows-only check
+    # The minhash signatures are engine-specific (xxhash64), but the
+    # OUTPUT is exact verified Jaccard over the LSH candidate set. With
+    # 32 bands x 2 rows, candidate recall at J>=0.5 is 1-(1-J^2)^32
+    # >= 0.9999 and the pipeline is fully deterministic (fixed seeds) —
+    # at sf0.01 the result is verified identical to the exhaustive
+    # inverted-index join, so the exact-Jaccard oracle applies verbatim.
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+         FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 2),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       ORDER BY id_a, id_b""",
     "MinHash+LSH near-dup: shingle -> 64-hash signature -> 32 bands -> verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -906,7 +930,15 @@ def embedding_near_duplicates(spark, sf_dir):
 
 @q(
     "embedding_lsh_near_dup",
-    None,  # seeded hyperplanes are engine-specific -> rows-only check
+    # The planted-clone construction has a closed-form answer: scaling
+    # preserves cosine exactly, so the only pairs at cosine>=0.9 are each
+    # vector with its own clone (random 64-dim vectors never reach 0.9),
+    # and sign-LSH recall on cosine=1 pairs is guaranteed (identical sign
+    # signatures collide in every band). Verified: 500/500 recovered,
+    # all at round(cosine,6)=1.0.
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+              CAST(1.0 AS DOUBLE) AS cosine_sim
+       FROM embeddings ORDER BY id_a, id_b""",
     "hyperplane-LSH near-dup: sign signatures -> bucket join -> exact "
     "cosine verify (the scale path for embedding_near_duplicates). The "
     "testdata embeddings are random (no natural cosine>=0.9 pairs), so "
