@@ -313,15 +313,22 @@ def lsh_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # Norms are attached BELOW the join (projection on each input side), so
+    # each vector's self-norm is one Arrow pass per vector — not recomputed
+    # for every candidate pair it appears in. Verification is then a single
+    # dot per pair (one UDF invocation) plus a native multiply.
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm(F.col("__va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm(F.col("__vb")))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine_sim",
-            dot(F.col("__va"), F.col("__vb"))
-            / (F.sqrt(dot(F.col("__va"), F.col("__va"))) * F.sqrt(dot(F.col("__vb"), F.col("__vb")))),
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
@@ -484,21 +491,25 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            F.col("__norm").alias("__qn"),  # reuse the query norm from qn
             F.col("cell"),
         )
     )
     # probe: join queries to their cells' vectors only (cell equi-join —
-    # partition-pruned when the index is stored partitioned by cell)
+    # partition-pruned when the index is stored partitioned by cell).
+    # Corpus norms ride the index side of the join (one pass per vector,
+    # below the join) — at scale they'd be stored in the IVF index itself.
     cand = probes.join(
         indexed.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             F.col("cell"),
-        ),
+        ).withColumn("__nn", norm(F.col("__cv"))),
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(
-        "cosine_sim", cosine(F.col("__qv"), F.col("__cv"))
+        "cosine_sim",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__nn")),
     ).select("query_id", "neighbor_id", "cosine_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
