@@ -75,6 +75,28 @@ class IngestResult:
     quarantine: DataFrame
 
 
+def _node_kind() -> Column:
+    """``eventType='NODE_EVENT'`` when present; envelopes without an
+    eventType are classified nodes iff they carry no relationship markers
+    (the two topics are already segregated upstream,
+    `kafka-connect/neo4j-cdc-nodes-source.json:6`)."""
+    # eqNullSafe, not ==: with a NULL eventType plain equality yields SQL
+    # NULL, which poisons the whole predicate (NULL | false = NULL) — and a
+    # NULL predicate fails BOTH ``filter(kind)`` and ``filter(~kind)``, so
+    # the row would vanish from events *and* quarantine.
+    return _e("eventType").eqNullSafe(F.lit(NODE_EVENT_KIND)) | (
+        _e("eventType").isNull()
+        & _e("type").isNull()
+        & _e("start.elementId").isNull()
+    )
+
+
+def _rel_kind() -> Column:
+    return _e("eventType").eqNullSafe(F.lit(REL_EVENT_KIND)) | (
+        _e("eventType").isNull() & _e("type").isNotNull()
+    )
+
+
 def _split(parsed: DataFrame, kind_filter: Column) -> tuple[DataFrame, DataFrame]:
     ok = _is_processable()
     good = parsed.filter(ok & kind_filter)
@@ -90,11 +112,20 @@ def _split(parsed: DataFrame, kind_filter: Column) -> tuple[DataFrame, DataFrame
             & F.col(f"{PARSED_COL}.metadata").isNull()
         )
     )
-    bad = parsed.filter(~ok).select(
+    # Processable rows that match NEITHER kind (unknown eventType value, or
+    # contradictory markers like start.elementId without type) are
+    # unroutable by ANY transform — without this they'd silently vanish,
+    # violating the M5 "split out, not dropped" contract. Rows matching the
+    # *other* kind are not quarantined here: they belong to the other
+    # topic's transform (a mixed-batch caller runs both transforms over the
+    # same frame and unions the event outputs).
+    unclassified = ok & ~_node_kind() & ~_rel_kind()
+    bad = parsed.filter(~ok | unclassified).select(
         F.col(RAW_COL),
         F.when(nothing_parsed, "unparseable_json")
         .when(F.col(f"{PARSED_COL}.id").isNull(), "missing_event_id")
         .when(_e("elementId").isNull(), "missing_entity_id")
+        .when(unclassified, "unclassified_kind")
         .otherwise("bad_timestamp")
         .alias("reason"),
     )
@@ -117,10 +148,7 @@ def node_events_from_raw(raw_df: DataFrame) -> IngestResult:
     parsed = (
         raw_df if PARSED_COL in raw_df.columns else parse_envelopes(raw_df)
     )
-    is_node = (_e("eventType") == NODE_EVENT_KIND) | (
-        _e("eventType").isNull() & _e("type").isNull() & _e("start.elementId").isNull()
-    )
-    good, bad = _split(parsed, is_node)
+    good, bad = _split(parsed, _node_kind())
     c = _common_columns()
     events = good.select(
         c["event_id"].alias("event_id"),
@@ -144,10 +172,7 @@ def relationship_events_from_raw(raw_df: DataFrame) -> IngestResult:
     parsed = (
         raw_df if PARSED_COL in raw_df.columns else parse_envelopes(raw_df)
     )
-    is_rel = (_e("eventType") == REL_EVENT_KIND) | (
-        _e("eventType").isNull() & _e("type").isNotNull()
-    )
-    good, bad = _split(parsed, is_rel)
+    good, bad = _split(parsed, _rel_kind())
     c = _common_columns()
     events = good.select(
         c["event_id"].alias("event_id"),

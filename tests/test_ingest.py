@@ -38,6 +38,47 @@ def test_quarantine(spark, node_raw):
     assert bad[0].raw.startswith("{this")
 
 
+def test_unclassified_kind_quarantined(spark):
+    """A processable envelope matching NEITHER kind filter must land in
+    quarantine (reason=unclassified_kind), never silently vanish (M5)."""
+    import json
+
+    weird = [
+        # unknown eventType value
+        json.dumps(
+            {
+                "id": "x-001",
+                "metadata": {"txStartTime": {"TZDT": "2026-02-14T05:58:36.100+00:00"}},
+                "event": {
+                    "operation": "CREATE",
+                    "eventType": "WEIRD_EVENT",
+                    "elementId": "4:abc:9",
+                },
+            }
+        ),
+        # no eventType, no type, but a start marker: not node (marker
+        # present), not rel (type null) -> contradictory
+        json.dumps(
+            {
+                "id": "x-002",
+                "metadata": {"txStartTime": {"TZDT": "2026-02-14T05:58:36.100+00:00"}},
+                "event": {
+                    "operation": "CREATE",
+                    "elementId": "4:abc:9",
+                    "start": {"elementId": "4:abc:1"},
+                },
+            }
+        ),
+    ]
+    raw = spark.createDataFrame([(s,) for s in weird], ["raw"])
+    for transform in (node_events_from_raw, relationship_events_from_raw):
+        res = transform(raw)
+        assert res.events.count() == 0
+        bad = res.quarantine.collect()
+        assert {r.reason for r in bad} == {"unclassified_kind"}
+        assert len(bad) == 2
+
+
 def test_relationship_projection(spark, rel_raw):
     res = relationship_events_from_raw(rel_raw)
     rows = {r.event_id: r for r in res.events.collect()}
