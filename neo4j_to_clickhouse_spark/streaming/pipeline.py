@@ -12,10 +12,17 @@ Design decisions, mapped to reference behavior:
 
 - **Exactly-once effect.** The reference is at-least-once (auto-commit
   consumer, `clickhouse/config/config.xml:13-14`) and defers dedup to
-  `OPTIMIZE FINAL`. We checkpoint offsets and make the event write
-  *logically* idempotent: every batch also passes through
-  ``dedup_exact_events`` downstream, so a replayed micro-batch can never
-  change query results (same recovery contract, no engine magic).
+  `OPTIMIZE FINAL`. We checkpoint offsets AND make the sink write itself
+  idempotent: each micro-batch lands in a hidden staging dir, then moves
+  into the table under deterministic ``batch-<id>-<i>`` file names, with
+  any stale files of the same batch id removed first. A batch replayed
+  after a crash (the at-least-once window between data write and
+  checkpoint commit) therefore *replaces* its own partial output instead
+  of appending a duplicate — raw-table consumers see each event once
+  without needing ``dedup_exact_events`` (which remains as
+  defense-in-depth for upstream producer duplicates). This is the local-FS
+  realization; on a cluster the same protocol rides HDFS atomic rename, or
+  a transactional table format (Delta/Iceberg) replaces it wholesale.
 - **Quarantine, not stall.** Poison messages blocked the reference's
   consumer until manual DETACH/ATTACH (`docs/ISSUES-AND-FIXES.md:188-205`).
   Here unparseable/incomplete envelopes land in a quarantine directory with
@@ -59,22 +66,58 @@ class StreamConfig:
     coalesce_output: int | None = None  # small-file control per micro-batch
 
 
+def _promote_staged(staging: str, dest_root: str, batch_id: int) -> None:
+    """Move staged part-files into the table under deterministic
+    ``batch-<id>-<i>`` names. Replay-safe: files from a previous (crashed)
+    attempt of the same batch are removed first, so re-running a batch
+    replaces its own output rather than duplicating it. Renames are
+    same-filesystem ``os.replace`` (atomic per file); the staging dir name
+    starts with '.' so Spark's file listing never sees in-flight data."""
+    import glob
+    import os
+    import shutil
+
+    prefix = f"batch-{batch_id:09d}-"
+    os.makedirs(dest_root, exist_ok=True)
+    for pat in ("event_month=*/", ""):
+        for stale in glob.glob(os.path.join(dest_root, pat + prefix + "*")):
+            os.remove(stale)
+    srcs = sorted(
+        glob.glob(os.path.join(staging, "event_month=*", "part-*"))
+        + glob.glob(os.path.join(staging, "part-*"))
+    )
+    for i, src in enumerate(srcs):
+        part_dir = os.path.dirname(os.path.relpath(src, staging))
+        dest_dir = os.path.join(dest_root, part_dir) if part_dir else dest_root
+        os.makedirs(dest_dir, exist_ok=True)
+        os.replace(src, os.path.join(dest_dir, f"{prefix}{i:05d}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def _write_batch(result: IngestResult, config: StreamConfig, batch_id: int) -> None:
     """Sink one micro-batch: events to the month-partitioned table, bad rows
-    to quarantine. Runs on the driver per micro-batch (foreachBatch), writes
-    happen on executors."""
+    to quarantine — idempotently (see module docstring). Runs on the driver
+    per micro-batch (foreachBatch); the staged writes happen on executors,
+    the promote is a driver-side batch of atomic renames."""
+    import os
+
     events = result.events
     if config.coalesce_output:
         events = events.coalesce(config.coalesce_output)
+    staging = os.path.join(config.table_path, f".staging-{batch_id}")
     (
-        events.write.mode("append")
+        events.write.mode("overwrite")
         .partitionBy("event_month")
-        .parquet(config.table_path)
+        .parquet(staging)
     )
+    _promote_staged(staging, config.table_path, batch_id)
+
     bad = result.quarantine
     if config.coalesce_output:
         bad = bad.coalesce(1)
-    bad.write.mode("append").parquet(config.quarantine_path)
+    q_staging = os.path.join(config.quarantine_path, f".staging-{batch_id}")
+    bad.write.mode("overwrite").parquet(q_staging)
+    _promote_staged(q_staging, config.quarantine_path, batch_id)
 
 
 def _start(
