@@ -5,6 +5,12 @@ ClickHouse gets these from the MergeTree engine (`OPTIMIZE TABLE ... FINAL`,
 and partition-surgical — batch rewrites. Partition-level operation is the
 point: at 100 TB you never rewrite the whole table, only the month
 partitions the operation touches.
+
+The physical partition swap is a :class:`PartitionStore` strategy so the
+100 TB realization is a sibling, not a rewrite: :class:`LocalPartitionStore`
+does crash-recoverable directory renames (plain parquet on a local/HDFS-like
+filesystem); a transactional table format (Delta `replaceWhere`, Iceberg
+`overwritePartitions`) plugs in as another store with snapshot isolation.
 """
 
 from __future__ import annotations
@@ -21,11 +27,108 @@ from neo4j_to_clickhouse_spark.operators.latest_state import (
 )
 
 
+class PartitionStore:
+    """Strategy for replacing/dropping whole month partitions of an event
+    table. Implementations must make ``replace_months`` effective-atomic per
+    partition: a crash may leave a partition momentarily old OR new, never
+    lost and never double-counted after :meth:`recover`."""
+
+    def replace_months(
+        self, table_path: str, staging_path: str, months: list[str]
+    ) -> None:
+        """Swap the ``event_month=<m>`` partitions under ``staging_path``
+        into the live table for every month in ``months``. A month with no
+        staged output (fully deduped/compacted away) is removed."""
+        raise NotImplementedError
+
+    def drop_months(self, table_path: str, cutoff_month: str) -> list[str]:
+        """Remove every partition strictly older than ``cutoff_month``;
+        return the dropped month names."""
+        raise NotImplementedError
+
+    def recover(self, table_path: str) -> list[str]:
+        """Finish (or roll back) any swap a crash interrupted; return the
+        months that needed recovery. No-op for transactional stores."""
+        return []
+
+
+class LocalPartitionStore(PartitionStore):
+    """Plain-parquet realization: per-month directory renames on a
+    filesystem with atomic rename (local disk, HDFS).
+
+    Swap protocol per month — each step is one rename, so a crash leaves a
+    state :meth:`recover` can always classify:
+
+    1. write marker ``.swap_<month>``          (intent recorded)
+    2. rename live  -> ``.old_<month>``        (set aside, NOT deleted)
+    3. rename staged -> live                   (new data in)
+    4. delete ``.old_<month>``                 (point of no return)
+    5. delete marker
+
+    Readers never lose the partition permanently (the old data survives as
+    the aside copy until the new data is in place), but there is a brief
+    window where the month is absent — this realization is NOT snapshot
+    isolated; that is exactly what a transactional table format buys at
+    cluster scale.
+    """
+
+    def replace_months(
+        self, table_path: str, staging_path: str, months: list[str]
+    ) -> None:
+        root = Path(table_path)
+        staging = Path(staging_path)
+        for month in months:
+            live = root / f"event_month={month}"
+            staged = staging / f"event_month={month}"
+            aside = root / f".old_{month}"
+            marker = root / f".swap_{month}"
+            marker.touch()
+            if live.exists():
+                live.rename(aside)
+            if staged.exists():
+                staged.rename(live)
+            if aside.exists():
+                shutil.rmtree(aside)
+            marker.unlink()
+
+    def drop_months(self, table_path: str, cutoff_month: str) -> list[str]:
+        root = Path(table_path)
+        dropped = []
+        for p in sorted(root.glob("event_month=*")):
+            month = p.name.split("=", 1)[1]
+            if month < cutoff_month:
+                shutil.rmtree(p)
+                dropped.append(month)
+        return dropped
+
+    def recover(self, table_path: str) -> list[str]:
+        root = Path(table_path)
+        recovered = []
+        for marker in sorted(root.glob(".swap_*")):
+            month = marker.name[len(".swap_") :]
+            live = root / f"event_month={month}"
+            aside = root / f".old_{month}"
+            if aside.exists():
+                if live.exists():
+                    # crash after step 3: new data is in -> roll forward
+                    shutil.rmtree(aside)
+                else:
+                    # crash between steps 2 and 3: staged rename never
+                    # happened -> roll back to the old data
+                    aside.rename(live)
+            # no aside: crash before step 2 (nothing moved) or after
+            # step 4 (swap complete) — table is consistent either way
+            marker.unlink()
+            recovered.append(month)
+        return recovered
+
+
 def compact(
     spark: SparkSession,
     table_path: str,
     months: list[str] | None = None,
     keep: str = "latest",
+    store: PartitionStore | None = None,
 ) -> None:
     """`OPTIMIZE TABLE ... FINAL` equivalent
     (`initial-load/scripts/04-optimize-tables.sql:26-48`): rewrite the given
@@ -41,11 +144,12 @@ def compact(
     its superseded month-A row in place if no other survivor lands in A,
     because A is never among the written partitions. Months read are the
     months that must be replaced (or removed, when fully deduped away).
-    Untouched months' files are never rewritten. On a cluster filesystem
-    the same swap is the table format's transactional partition replace
-    (e.g. Delta `replaceWhere`); the direct directory swap is the plain-
-    parquet realization.
+    Untouched months' files are never rewritten. The physical swap is the
+    ``store``'s job (default: :class:`LocalPartitionStore` renames; at
+    cluster scale pass a transactional-format store).
     """
+    store = store or LocalPartitionStore()
+    store.recover(table_path)  # finish anything a crashed compact left
     df = spark.read.parquet(table_path)
     if months:
         df = df.filter(F.col("event_month").isin(months))
@@ -59,13 +163,7 @@ def compact(
         .partitionBy("event_month")
         .parquet(str(tmp))
     )
-    for month in affected:
-        old = Path(table_path) / f"event_month={month}"
-        new = tmp / f"event_month={month}"
-        if old.exists():
-            shutil.rmtree(old)
-        if new.exists():
-            new.rename(old)
+    store.replace_months(table_path, str(tmp), affected)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -82,17 +180,15 @@ def retention_months(now_month: str, days: int = 90) -> str:
 
 
 def apply_retention(
-    spark: SparkSession, table_path: str, cutoff_month: str
+    spark: SparkSession,
+    table_path: str,
+    cutoff_month: str,
+    store: PartitionStore | None = None,
 ) -> list[str]:
     """M3: `ALTER TABLE ... DELETE WHERE event_timestamp < cutoff`
     (`README.md:582-584`) realized as month-partition drops — O(metadata),
     no data rewrite, the same trick ClickHouse's monthly partitioning
     enables. Returns the dropped partition names."""
-    root = Path(table_path)
-    dropped = []
-    for p in sorted(root.glob("event_month=*")):
-        month = p.name.split("=", 1)[1]
-        if month < cutoff_month:
-            shutil.rmtree(p)
-            dropped.append(month)
-    return dropped
+    return (store or LocalPartitionStore()).drop_months(
+        table_path, cutoff_month
+    )

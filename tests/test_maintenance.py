@@ -77,6 +77,43 @@ def test_compact_only_touches_requested_months(spark, event_table):
     assert df.filter("event_month = '202603'").count() == 2  # dup dropped
 
 
+def test_swap_recovery_rolls_back_and_forward(spark, event_table):
+    """A crash at any step of the partition swap must be recoverable: an
+    aside copy with no live dir rolls BACK; an aside copy alongside a live
+    dir rolls FORWARD; a bare marker is consistent already."""
+    import shutil
+    from pathlib import Path
+
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        LocalPartitionStore,
+    )
+
+    root = Path(event_table)
+    store = LocalPartitionStore()
+    n_before = spark.read.parquet(event_table).count()
+
+    # crash between steps 2 and 3: live renamed aside, new never arrived
+    (root / "event_month=202602").rename(root / ".old_202602")
+    (root / ".swap_202602").touch()
+    assert store.recover(event_table) == ["202602"]
+    assert (root / "event_month=202602").is_dir()
+    assert not (root / ".old_202602").exists()
+    assert spark.read.parquet(event_table).count() == n_before
+
+    # crash after step 3: new data live, aside not yet deleted
+    shutil.copytree(root / "event_month=202603", root / ".old_202603")
+    (root / ".swap_202603").touch()
+    assert store.recover(event_table) == ["202603"]
+    assert not (root / ".old_202603").exists()
+    assert spark.read.parquet(event_table).count() == n_before
+
+    # bare marker (crash before anything moved): just cleaned up
+    (root / ".swap_202602").touch()
+    assert store.recover(event_table) == ["202602"]
+    assert spark.read.parquet(event_table).count() == n_before
+    assert store.recover(event_table) == []
+
+
 def test_retention_month_arithmetic():
     assert retention_months("202604", days=90) == "202601"
     assert retention_months("202602", days=90) == "202511"
