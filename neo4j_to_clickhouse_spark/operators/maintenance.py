@@ -167,6 +167,54 @@ def compact(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    """Per-month-partition size/row reporting — the analogue of the
+    reference's `system.parts` queries with `formatReadableSize`
+    (`initial-load/scripts/04-optimize-tables.sql:175-203,225-241`):
+    (event_month, n_rows, n_files, total_bytes, readable_size), sorted by
+    month.
+
+    Scale shape: file counts/bytes come from the filesystem's metadata
+    listing through the Hadoop FileSystem API (works unchanged on HDFS/S3A
+    — the same O(files) metadata read `system.parts` does); row counts are
+    a ``groupBy(partition_col).count()`` whose ReadSchema is empty, i.e.
+    satisfied from parquet footers without touching data pages.
+    """
+    from neo4j_to_clickhouse_spark.functions.scalar import human_readable_size
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    part_rows = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("event_month=")):
+            continue
+        n_files = 0
+        total = 0
+        for f in fs.listStatus(status.getPath()):
+            if f.isFile() and not f.getPath().getName().startswith(("_", ".")):
+                n_files += 1
+                total += f.getLen()
+        part_rows.append((name.split("=", 1)[1], n_files, total))
+    sizes = spark.createDataFrame(
+        part_rows, "event_month string, n_files int, total_bytes long"
+    )
+    counts = (
+        spark.read.parquet(table_path)
+        .groupBy("event_month")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return (
+        counts.join(F.broadcast(sizes), "event_month")
+        .withColumn("readable_size", human_readable_size("total_bytes"))
+        .select(
+            "event_month", "n_rows", "n_files", "total_bytes", "readable_size"
+        )
+        .orderBy("event_month")
+    )
+
+
 def retention_months(now_month: str, days: int = 90) -> str:
     """Cutoff month (yyyyMM) for a retention window ending `days` before
     the given month — months strictly older can be dropped wholesale."""

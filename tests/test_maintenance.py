@@ -77,6 +77,35 @@ def test_compact_only_touches_requested_months(spark, event_table):
     assert df.filter("event_month = '202603'").count() == 2  # dup dropped
 
 
+def test_table_stats_reports_per_month(spark, event_table):
+    """system.parts analogue: per-partition rows/files/bytes with the
+    human-readable rendering, and the row counts must agree with a direct
+    per-month count."""
+    from neo4j_to_clickhouse_spark.operators.maintenance import table_stats
+
+    stats = {r.event_month: r for r in table_stats(spark, event_table).collect()}
+    assert set(stats) == {"202602", "202603"}
+    direct = {
+        r.event_month: r.cnt
+        for r in spark.read.parquet(event_table)
+        .groupBy("event_month")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for month, row in stats.items():
+        assert row.n_rows == direct[month]
+        assert row.n_files >= 1
+        assert row.total_bytes > 0
+        assert row.readable_size.endswith((" B", " KiB", " MiB", " GiB"))
+    # the plan reads no data columns for the counts (footer-only)
+    counted = (
+        spark.read.parquet(event_table).groupBy("event_month").count()
+    )
+    assert "ReadSchema: struct<>" in (
+        counted._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_swap_recovery_rolls_back_and_forward(spark, event_table):
     """A crash at any step of the partition swap must be recoverable: an
     aside copy with no live dir rolls BACK; an aside copy alongside a live
