@@ -183,6 +183,9 @@ def jaccard_pairs(
     Jaccard is exact for pairs whose overlap isn't exclusively
     stop-shingles; pairs similar ONLY through boilerplate are the ones
     intentionally dropped. Default None = exact.
+
+    The shingle table is persisted; cache lifetime is caller-owned (see
+    :func:`minhash_lsh_dedup` for the full contract).
     """
     from pyspark import StorageLevel
 
@@ -337,6 +340,12 @@ def minhash_lsh_dedup(
     branch — measured 6 redundant scans of the corpus in the physical
     plan. Spark's cache manager keys on the canonicalized plan, so
     repeated invocations share one entry.
+
+    Cache lifetime is caller-owned: unpersisting here is impossible (the
+    return value is lazy — the cache must outlive the caller's action).
+    Distinct input corpora each hold one MEMORY_AND_DISK entry until LRU
+    eviction; a long-lived session processing many corpora should call
+    ``spark.catalog.clearCache()`` between them.
     """
     from pyspark import StorageLevel
 

@@ -27,7 +27,13 @@ def two_hop(
     """``(a)-[r]->(b)`` motif: one row per live edge with both endpoint
     states attached (J2). The node latest-state feeds BOTH endpoint joins;
     Catalyst won't reuse the differently-aliased subplans, so it is
-    persisted — computed once, broadcast twice."""
+    persisted — computed once, broadcast twice.
+
+    Cache lifetime is caller-owned: the entry is keyed on the canonicalized
+    plan, so repeated calls over the same input REUSE it (no accumulation);
+    distinct inputs each hold one MEMORY_AND_DISK entry until LRU eviction
+    or ``spark.catalog.clearCache()``. Same contract as
+    :func:`..dedup.jaccard_pairs` / :func:`..dedup.minhash_lsh_dedup`."""
     nodes = current_state(node_events).select(
         F.col("entity_id"), F.col("labels"), F.col("properties_after")
     ).persist()
