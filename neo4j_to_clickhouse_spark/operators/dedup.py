@@ -377,6 +377,102 @@ def minhash_lsh_dedup(
     )
 
 
+# --- pair graph -> clusters -> survivors -------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components of a near-dup pair graph: (id, cluster_id),
+    cluster_id = the component's minimum id, one row per id that appears
+    in any pair. Pair emitters (:func:`jaccard_pairs`,
+    :func:`minhash_lsh_dedup`, SimHash/embedding near-dup) say *which*
+    documents collide; deduping a corpus needs the transitive closure —
+    A~B and B~C must retire B AND C, not just one of each pair.
+
+    Algorithm: iterative min-label propagation. Every node starts labeled
+    with itself; each round it adopts the minimum label among itself and
+    its neighbors; converged when a round changes nothing. Rounds needed =
+    graph diameter — near-dup components are small quasi-cliques (diameter
+    1-3), so 2-4 rounds in practice; ``max_iterations`` bounds adversarial
+    chains. Scale shape per round: one broadcast-or-shuffle equi-join of
+    (edge, label) + a min aggregate — labels are (long, long) pairs, the
+    document text never enters the loop.
+
+    Each round's label frame is ``localCheckpoint``-ed (eager): without
+    lineage TRUNCATION — persist alone is not enough — every iteration's
+    plan embeds the whole history and Catalyst re-analysis grows
+    super-linearly, the classic iterative-algorithm stall (measured: a
+    12-round chain spent minutes planning, milliseconds executing). On a
+    cluster with a checkpoint dir, ``checkpoint()`` gives the same
+    truncation plus executor-loss safety.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("lbl")).alias("lbl"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # neighbor's current label, keyed by this node
+        neighbor_lbl = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_lbl.withColumnRenamed("src", "id"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep one survivor (the minimum
+    id) per near-dup cluster, all original columns preserved. The loser
+    set is (ids in clusters) minus (cluster minima) — tiny relative to the
+    corpus — so the removal is a broadcast-friendly left-anti join; the
+    corpus is never shuffled."""
+    losers = duplicate_clusters(pairs).filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash(

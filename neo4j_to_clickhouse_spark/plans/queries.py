@@ -860,6 +860,73 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_JACCARD_PAIRS_CTE = """
+       d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+         FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 2),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT reach.id, edges.dst
+         FROM reach JOIN edges ON reach.r = edges.src),
+       clusters AS (
+         SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@q(
+    "dedup_clusters",
+    # connected components via transitive closure (recursive CTE) — the
+    # oracle-side ground truth for the iterative min-label propagation
+    "WITH RECURSIVE" + _JACCARD_PAIRS_CTE
+    + "SELECT id, cluster_id FROM clusters ORDER BY id",
+    "near-dup clusters: connected components of the Jaccard>=0.5 pair "
+    "graph, cluster_id = component min",
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return D.duplicate_clusters(pairs).orderBy("id")
+
+
+@q(
+    "dedup_survivors_by_source",
+    # corpus minus per-cluster losers, counted per source: what a training
+    # pipeline actually ships after near-dup removal
+    "WITH RECURSIVE" + _JACCARD_PAIRS_CTE
+    + """SELECT source, count(*) AS n_docs
+       FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+       GROUP BY source ORDER BY source""",
+    "deduplicated corpus size per source (keep one survivor per cluster)",
+)
+def dedup_survivors_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        D.dedup_by_pairs(docs, pairs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
 @q(
     "dedup_simhash",
     None,  # xxhash64-based -> rows-only check
@@ -971,6 +1038,42 @@ def embedding_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("query_id", "rank")
+
+
+@q(
+    "embedding_ivf_full_probe",
+    # With nprobe == num_centroids every cell is probed, so IVF degenerates
+    # to exact kNN BY CONSTRUCTION — the probe machinery (centroid pick,
+    # cell assignment, cell equi-join, rank) is exercised end-to-end while
+    # the result is provably the brute-force answer, giving the IVF path a
+    # hard value-hash gate (the default-nprobe variant above stays
+    # rows-only, as recall there is a tuning knob, not a contract).
+    f"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id, {_COS} AS sim
+         FROM q JOIN c ON query_id <> neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank,
+                sim
+         FROM scored)
+       SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "IVF with every cell probed: must equal exact kNN (hard gate on the "
+    "index/probe machinery)",
+)
+def embedding_ivf_full_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=8
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")

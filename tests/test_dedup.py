@@ -119,3 +119,35 @@ def test_jaccard_stop_shingle_cap(spark):
     assert (1, 3) in uncapped and (2, 3) in uncapped  # boilerplate-only link
     assert (1, 2) in capped  # real near-dups survive the cap
     assert (1, 3) not in capped and (2, 3) not in capped
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B and B~C must land A, B, C in ONE cluster labeled min(A,B,C) —
+    pairwise output alone would retire only one of each pair. A disjoint
+    pair forms its own cluster; untouched ids appear in no cluster."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 30)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 20: 20, 30: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A path graph is the propagation worst case (diameter = n-1); the
+    loop must still converge to a single component."""
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_dedup_by_pairs_keeps_cluster_minimum(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 4), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id for r in D.dedup_by_pairs(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 2, 3]  # 4 and 5 retired into 2's cluster
