@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data curation (north star).
+
+Corpus assembly needs *reproducible* samples — a rerun must pick the same
+documents, across engines, across partitionings, across cluster sizes.
+Spark's ``df.sample`` is seeded per-partition, so its output changes with
+the physical split layout; these operators instead derive every keep/drop
+decision from a content-stable hash of the row's key (md5 — the one hash
+both Spark and any ANSI oracle compute identically), making the sample a
+pure function of the data.
+
+Scale shapes:
+- :func:`hash_sample` is a stateless filter — pushes into the scan, zero
+  shuffle, embarrassingly parallel at any corpus size.
+- :func:`stratified_sample` is one hash shuffle on the stratum key + a
+  rank window whose ``rn <= n`` filter Spark pushes into the shuffle read
+  as WindowGroupLimit — per-stratum top-n never materializes whole strata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(key: Column | str) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(c.cast("string"))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex chars
+    of ``md5(key)`` fall below ``fraction`` of the 32-bit hex space.
+
+    The comparison is *lexicographic on lowercase hex strings*, which
+    orders identically to the numeric value — so any engine that can md5 a
+    string reproduces the exact member set. Expected (not exact) sample
+    size = fraction * n; the deviation is O(sqrt(n)) as for any Bernoulli
+    design.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = format(int(round(fraction * 16**8)), "08x")
+    return df.filter(F.substring(_hash_key(key_col), 1, 8) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen as the lowest md5(key) values — a deterministic
+    uniform draw with a closed-form member set any engine reproduces.
+
+    The rank window's ``<= n`` filter becomes WindowGroupLimit: each
+    shuffle-read task keeps a per-stratum heap of n rows, so giant strata
+    are never fully sorted or materialized.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_key(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

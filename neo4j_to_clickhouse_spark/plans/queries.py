@@ -1225,3 +1225,59 @@ def multimodal_inventory(spark, sf_dir):
         )
         .orderBy("modality_group")
     )
+
+
+# =====================================================================
+# LLM-pipeline: deterministic sampling (north star)
+# =====================================================================
+
+_HASH_SAMPLE_FRACTION = 0.1
+# the SAME constant the Spark operator derives — inlined into the oracle so
+# both engines compare against an identical hex threshold
+_HASH_SAMPLE_THRESHOLD = format(int(round(_HASH_SAMPLE_FRACTION * 16**8)), "08x")
+
+
+@q(
+    "sample_hash_fraction",
+    f"""SELECT doc_id, source FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             < '{_HASH_SAMPLE_THRESHOLD}'
+       ORDER BY doc_id""",
+    "deterministic Bernoulli sample by md5(doc_id): same member set on any "
+    "engine, any partitioning (unlike df.sample's split-dependent seeding)",
+)
+def sample_hash_fraction(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(
+            _t(spark, sf_dir, "documents"), "doc_id", _HASH_SAMPLE_FRACTION
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "sample_stratified_per_source",
+    """WITH ranked AS (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       SELECT doc_id, source FROM ranked WHERE rn <= 5
+       ORDER BY source, doc_id""",
+    "exactly-n-per-stratum deterministic sample (WindowGroupLimit: giant "
+    "strata are heap-topped in the shuffle read, never fully sorted)",
+)
+def sample_stratified_per_source(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            _t(spark, sf_dir, "documents"), "source", "doc_id", 5
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

@@ -151,3 +151,36 @@ def test_dedup_by_pairs_keeps_cluster_minimum(spark):
         r.doc_id for r in D.dedup_by_pairs(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 2, 3]  # 4 and 5 retired into 2's cluster
+
+
+def test_hash_sample_partition_invariant(spark):
+    """The sample member set must be a pure function of the data — same
+    rows regardless of physical partitioning (df.sample is NOT)."""
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert a == b
+    assert 40 <= len(a) <= 160  # Bernoulli around 100, generous bounds
+
+
+def test_stratified_sample_exact_counts(spark):
+    from neo4j_to_clickhouse_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(docs, "source", "doc_id", 7)
+    by_src = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src == {"big": 7, "small": 7}
+    # deterministic: a rerun picks the identical member set
+    again = stratified_sample(docs, "source", "doc_id", 7)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}

@@ -59,3 +59,18 @@ def test_window_rank_limit_pushdown(spark, name):
     (per-partition rank pruning before the full window sort)."""
     plan = _plan(spark, name)
     assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Per-stratum top-n must heap-prune in the shuffle read — a giant
+    stratum is never fully sorted/materialized."""
+    plan = _plan(spark, "sample_stratified_per_source")
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_sample_is_scan_side_filter(spark):
+    """The Bernoulli hash filter must stay a stateless Filter over the
+    scan: no shuffle exchange anywhere in the plan."""
+    plan = _plan(spark, "sample_hash_fraction")
+    before_sort = plan.split("Sort", 1)[0]  # output orderBy is test-only
+    assert "Exchange hashpartitioning" not in before_sort
