@@ -90,6 +90,22 @@ def detect_language(text: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def ngram_repetition(text: Column | str, n: int = 3) -> tuple[Column, Column]:
+    """(total_ngrams, distinct_ngrams) over word n-grams — the raw counts
+    behind the standard intra-document repetition signal (Gopher-style
+    "fraction of duplicate n-grams"): boilerplate, template spam, and
+    decoding loops all push distinct/total far below 1. Returned as counts
+    (not the ratio) so callers can aggregate corpus-level ratios exactly.
+
+    Flat expressions only: the valid-gram count is arithmetic on
+    ``size(tokens)``, and the distinct count is ``array_distinct`` over a
+    ``slice`` of the n-gram array — no interpreted filter lambda."""
+    toks = tokens(text)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(ngram_array(toks, n), F.lit(1), total)
+    return total.cast("long"), F.size(F.array_distinct(grams)).cast("long")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     Stable under reflow/case changes — the cheap canonical-form dedup key."""

@@ -574,6 +574,13 @@ def top_revenue_orders(spark, sf_dir):
     "TPC-H Q5-style multi-join rollup (two-hop join shape, SURVEY.md §2.3 J2)",
 )
 def revenue_by_nation(spark, sf_dir):
+    # The broadcast hints here INCLUDE the orders side — intentional, not a
+    # scale bug: F.broadcast is advisory, and when orders outgrows the
+    # broadcast threshold at real SF, AQE falls back to a shuffle join on
+    # l_orderkey, which is then the correct plan. At bench SF the hint
+    # keeps the whole chain broadcast so the fact table never shuffles
+    # (plan-asserted in tests/test_plan_shapes.py). Do not "fix" by
+    # removing the hint.
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1280,4 +1287,48 @@ def sample_stratified_per_source(spark, sf_dir):
         )
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
+    )
+
+
+@q(
+    "repetition_by_source",
+    # corpus-level duplicate-n-gram ratio per source: sum(total-uniq) /
+    # sum(total) over docs with at least one 3-gram — exact aggregation of
+    # counts, not an average of per-doc ratios (which would weight a
+    # 10-word doc equally with a 10k-word doc)
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents),
+       sh AS (SELECT doc_id, source,
+                     list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+              FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+              WHERE i <= len(w) - 2),
+       per_doc AS (SELECT doc_id, source, count(*) AS total,
+                          count(DISTINCT shingle) AS uniq
+                   FROM sh GROUP BY doc_id, source)
+       SELECT source,
+              round(CAST(sum(total - uniq) AS DOUBLE)
+                    / CAST(sum(total) AS DOUBLE), 6) AS rep_ratio,
+              count(*) AS n_docs
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "intra-document duplicate-3-gram ratio per source (boilerplate / "
+    "template-spam / decoding-loop detector)",
+)
+def repetition_by_source(spark, sf_dir):
+    total, uniq = TX.ngram_repetition(F.col("text"), n=3)
+    per_doc = (
+        _t(spark, sf_dir, "documents")
+        .select("source", total.alias("total"), uniq.alias("uniq"))
+        .filter(F.col("total") > 0)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("total") - F.col("uniq")).cast("double")
+                / F.sum("total").cast("double"),
+                6,
+            ).alias("rep_ratio"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
     )
