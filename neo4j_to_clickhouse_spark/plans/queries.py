@@ -1332,3 +1332,32 @@ def repetition_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@q(
+    "dedup_simhash_planted",
+    # Planted-clone hard gate for the SimHash machinery (same construction
+    # as embedding_lsh_near_dup): every doc is unioned with a byte-identical
+    # clone at doc_id+10^6. Identical text => identical token multiset =>
+    # identical simhash => hamming 0, and all four 16-bit chunks collide, so
+    # recall on the planted pairs is guaranteed. Restricting the output to
+    # (a, a+10^6) pairs removes natural near-dup pairs (not closed-form),
+    # leaving exactly one row per document.
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+              CAST(0 AS BIGINT) AS hamming
+       FROM documents ORDER BY id_a""",
+    "SimHash planted-clone gate: every doc must pair with its clone at "
+    "hamming 0 (hard check on tokenize -> bit-sum -> banding -> verify)",
+)
+def dedup_simhash_planted(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(clones)
+    pairs = D.simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
+    return (
+        pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a")
+    )
