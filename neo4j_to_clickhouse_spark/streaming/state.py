@@ -89,10 +89,21 @@ def start_latest_state_stream(
 ) -> StreamingQuery:
     """Run the tracker, appending the change rows to a parquet changelog.
     ``latest_events(spark.read.parquet(changelog_path))`` is the current
-    state at any moment."""
+    state at any moment.
+
+    The changelog write uses the same staged-rename idempotency as the
+    ingest sink (:func:`..pipeline._promote_staged`): a micro-batch
+    replayed after a crash replaces its own output. (Consumers going
+    through ``latest_events`` would collapse duplicates anyway — this
+    keeps the raw changelog itself exactly-once.)"""
+    import os
+
+    from neo4j_to_clickhouse_spark.streaming.pipeline import _promote_staged
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(changelog_path)
+        staging = os.path.join(changelog_path, f".staging-{batch_id}")
+        batch_df.write.mode("overwrite").parquet(staging)
+        _promote_staged(staging, changelog_path, batch_id)
 
     writer = (
         tracked_latest_state(events_stream)

@@ -270,3 +270,19 @@ def test_initial_load_bootstrap(spark, tmp_path):
     # SNAPSHOT rows are first-class events for the views
     live = current_state(spark.read.parquet(str(tmp_path / "node_events")))
     assert live.count() == 3
+
+
+def test_delta_store_gated_with_clear_error(spark):
+    """Without delta-spark the transactional store must fail at
+    CONSTRUCTION with an actionable message, not at first use."""
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        DeltaPartitionStore,
+    )
+
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="delta-spark"):
+            DeltaPartitionStore(spark)
+    else:  # environment has delta: construction succeeds
+        DeltaPartitionStore(spark)
