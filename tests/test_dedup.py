@@ -184,3 +184,40 @@ def test_stratified_sample_exact_counts(spark):
     # deterministic: a rerun picks the identical member set
     again = stratified_sample(docs, "source", "doc_id", 7)
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Property check on random graphs: the distributed min-label
+    propagation must produce exactly the components a reference union-find
+    computes (including min-id labeling)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n * 3), 2)))
+                for _ in range(rng.randint(1, n))
+            }
+        )
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {edges}"
