@@ -1361,3 +1361,32 @@ def dedup_simhash_planted(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a")
     )
+
+
+@q(
+    "dedup_survivors_minhash",
+    # The full scale-path dedup flow gated end-to-end: MinHash-LSH
+    # candidate pairs (not the exhaustive join) -> connected components ->
+    # survivor materialization -> per-source accounting. The oracle is the
+    # exhaustive-join closure: valid because the verified-minhash pair set
+    # is deterministic and equals the exact-Jaccard pair set at this SF
+    # (same equivalence the dedup_minhash_lsh gate asserts).
+    "WITH RECURSIVE" + _JACCARD_PAIRS_CTE
+    + """SELECT source, count(*) AS n_docs
+       FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+       GROUP BY source ORDER BY source""",
+    "deduplicated corpus per source via the MinHash-LSH scale path "
+    "(bucketed candidates -> clusters -> survivors)",
+)
+def dedup_survivors_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+    return (
+        D.dedup_by_pairs(docs, pairs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
