@@ -41,7 +41,14 @@ def hash_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    threshold = format(int(round(fraction * 16**8)), "08x")
+    t = int(round(fraction * 16**8))
+    if t >= 16**8:
+        # fraction ~1.0: the threshold would be the 9-char string
+        # '100000000', and '08x' hex strings compare lexicographically
+        # AGAINST it char-by-char — 'f…' > '1…' would silently drop ~15/16
+        # of rows. Keep-everything is what fraction=1 means.
+        return df
+    threshold = format(t, "08x")
     return df.filter(F.substring(_hash_key(key_col), 1, 8) < F.lit(threshold))
 
 

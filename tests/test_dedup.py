@@ -221,3 +221,17 @@ def test_duplicate_clusters_matches_union_find(spark):
             r.id: r.cluster_id for r in D.duplicate_clusters(pairs).collect()
         }
         assert got == want, f"trial {trial}: {edges}"
+
+
+def test_hash_sample_boundary_fractions(spark):
+    """fraction=1.0 must keep EVERY row (the naive 9-hex-char threshold
+    would lexicographically drop ~15/16), fraction=0.0 keeps none."""
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"]
+    )
+    assert hash_sample(docs, "doc_id", 1.0).count() == 200
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
