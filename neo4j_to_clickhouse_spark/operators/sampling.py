@@ -63,6 +63,10 @@ def stratified_sample(
     shuffle-read task keeps a per-stratum heap of n rows, so giant strata
     are never fully sorted or materialized.
     """
+    if n_per_stratum < 1:
+        raise ValueError(
+            f"n_per_stratum must be >= 1, got {n_per_stratum}"
+        )
     w = Window.partitionBy(strata_col).orderBy(
         _hash_key(key_col), F.col(key_col)
     )
