@@ -1,0 +1,94 @@
+"""As-of (point-in-time) join — the event-log lookup Spark has no native
+operator for: for each probe (key, t), the latest event row for that key
+with ``event_time <= t``.
+
+This answers "what was entity X's state when Y happened" without a
+per-probe scan: time-travel debugging of CDC state, feature extraction at
+label time (the leakage-free training-data join), and reconciliation
+against external snapshots.
+
+Scale shape — the union + carry-forward window, NOT a per-probe subquery
+or a range self-join:
+
+1. tag events kind=0 and probes kind=1, union them;
+2. one hash shuffle on the key, sort within partitions by
+   ``(time, kind)`` — so an event at exactly the probe time sorts first
+   and is visible to the probe;
+3. ``last(col, ignorenulls=True)`` over rows-unbounded-preceding carries
+   each event attribute forward to every later row;
+4. keep the probe rows.
+
+Cost: ONE shuffle of events+probes, linear window pass, regardless of how
+many probes hit the same key. The naive formulations are O(probes x
+events-per-key) (range join) or one scan per probe (subquery) — both
+collapse at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    events: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    probe_time_col: str,
+    value_cols: list[str],
+    tie_break_col: str | None = None,
+) -> DataFrame:
+    """For every probe row, attach the value columns of the latest event
+    with ``event_time <= probe_time`` for the same key (NULLs when the key
+    has no event at or before the probe time).
+
+    ``tie_break_col`` orders events sharing one timestamp (e.g. event_id)
+    so the winner is deterministic — same convention as the latest-state
+    view's ``(event_timestamp, event_id)`` total order.
+
+    Output: probe columns (key, probe time) + the carried value columns.
+    """
+    from pyspark.sql import types as T
+
+    tb = tie_break_col
+    # the carried unit is ONE struct of all value columns — carrying each
+    # column independently with last(ignorenulls) would stitch attributes
+    # from DIFFERENT events whenever a newer event has a NULL column
+    struct_t = T.StructType(
+        [T.StructField(c, events.schema[c].dataType) for c in value_cols]
+    )
+    ev = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_time_col).alias("__t"),
+        F.lit(0).alias("__kind"),
+        (F.col(tb) if tb else F.lit(None).cast("string")).alias("__tb"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+    )
+    tb_type = events.schema[tb].dataType if tb else T.StringType()
+    pr = probes.select(
+        F.col(key_col).alias("__k"),
+        F.col(probe_time_col).alias("__t"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(struct_t).alias("__v"),
+    )
+    # (time, kind, tie-break): events at the probe's exact time sort before
+    # the probe; among same-time events the highest tie-break wins (it is
+    # the last one the carry-forward sees).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__kind", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.unionByName(pr).select(
+        "__k",
+        "__t",
+        "__kind",
+        F.last("__v", ignorenulls=True).over(w).alias("__c"),
+    )
+    return carried.filter(F.col("__kind") == 1).select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(probe_time_col),
+        *[F.col("__c")[c].alias(c) for c in value_cols],
+    )

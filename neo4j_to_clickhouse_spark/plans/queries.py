@@ -1390,3 +1390,61 @@ def dedup_survivors_minhash(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source")
     )
+
+
+# =====================================================================
+# As-of join: point-in-time state lookup (north star)
+# =====================================================================
+
+@q(
+    "asof_user_state",
+    # The oracle runs DuckDB's NATIVE ASOF JOIN — a structurally different
+    # algorithm from the Spark union+carry-forward window, so agreement is
+    # a real cross-validation, not the same plan twice. Events are
+    # pre-deduped per (user_id, ts) by max event_id on the oracle side to
+    # pin the same-timestamp tie the Spark side breaks via tie_break_col.
+    """WITH probes AS (
+         SELECT DISTINCT user_id, t AS probe_time
+         FROM events,
+              (SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+                              TIMESTAMP '2024-01-16 00:00:00',
+                              TIMESTAMP '2024-01-24 00:00:00']) AS t)),
+       ev AS (
+         SELECT user_id, ts, max(event_id) AS event_id,
+                arg_max(event_type, event_id) AS event_type
+         FROM events GROUP BY user_id, ts)
+       SELECT p.user_id, p.probe_time, e.event_id, e.event_type
+       FROM probes p ASOF LEFT JOIN ev e
+         ON p.user_id = e.user_id AND e.ts <= p.probe_time
+       ORDER BY p.user_id, p.probe_time""",
+    "as-of join: each user's latest event at three probe instants "
+    "(union + carry-forward window — ONE shuffle for any probe count)",
+)
+def asof_user_state(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    probes = events.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("timestamp")
+                    for t in (
+                        "2024-01-08 00:00:00",
+                        "2024-01-16 00:00:00",
+                        "2024-01-24 00:00:00",
+                    )
+                ]
+            )
+        ).alias("probe_time"),
+    )
+    return asof_join(
+        events,
+        probes,
+        key_col="user_id",
+        event_time_col="ts",
+        probe_time_col="probe_time",
+        value_cols=["event_id", "event_type"],
+        tie_break_col="event_id",
+    ).orderBy("user_id", "probe_time")

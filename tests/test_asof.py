@@ -1,0 +1,98 @@
+"""As-of join semantics: at-or-before selection, exact-time ties,
+no-history NULLs, atomic carry of multi-column state, and the one-shuffle
+plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.asof import asof_join
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, t string, eid long, state string"
+    ).select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "eid", "state"
+    )
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 10, "a"),
+            (1, "2024-01-05 00:00:00", 11, "b"),
+            (1, "2024-01-09 00:00:00", 12, "c"),
+        ],
+    )
+    probes = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (1, "2024-01-06 00:00:00"),
+         (1, "2023-12-30 00:00:00")],
+        "k long, pt string",
+    ).select("k", F.col("pt").cast("timestamp").alias("pt"))
+    out = {
+        r.pt.isoformat(): (r.eid, r.state)
+        for r in asof_join(
+            ev, probes, "k", "ts", "pt", ["eid", "state"], "eid"
+        ).collect()
+    }
+    # exact-time event IS visible to the probe
+    assert out["2024-01-05T00:00:00"] == (11, "b")
+    assert out["2024-01-06T00:00:00"] == (11, "b")
+    # probe before any history -> NULLs, row preserved (left semantics)
+    assert out["2023-12-30T00:00:00"] == (None, None)
+
+
+def test_asof_tie_break_and_atomic_state(spark):
+    """Two events at one timestamp: the higher tie-break wins, and its
+    state comes through whole — a NULL column in the winning event must
+    NOT be backfilled from the older event (atomic struct carry)."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "old"),
+            (1, "2024-01-02 00:00:00", 2, "x"),
+            (1, "2024-01-02 00:00:00", 3, None),  # winner, NULL state
+        ],
+    )
+    probes = spark.createDataFrame(
+        [(1, "2024-01-03 00:00:00")], "k long, pt string"
+    ).select("k", F.col("pt").cast("timestamp").alias("pt"))
+    row = asof_join(
+        ev, probes, "k", "ts", "pt", ["eid", "state"], "eid"
+    ).collect()[0]
+    assert row.eid == 3
+    assert row.state is None  # not "x", not "old"
+
+
+def test_asof_numeric_tie_break_order(spark):
+    """Tie-break compares in the column's own type: event_id 10 must beat
+    9 (a string cast would sort '10' < '9')."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 9, "nine"),
+            (1, "2024-01-01 00:00:00", 10, "ten"),
+        ],
+    )
+    probes = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k long, pt string"
+    ).select("k", F.col("pt").cast("timestamp").alias("pt"))
+    row = asof_join(
+        ev, probes, "k", "ts", "pt", ["eid", "state"], "eid"
+    ).collect()[0]
+    assert (row.eid, row.state) == (10, "ten")
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of is ONE hash shuffle on the key (union feeds one
+    window sort) — no join exchange, no per-probe scan."""
+    ev = _events(spark, [(1, "2024-01-01 00:00:00", 1, "a")])
+    probes = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k long, pt string"
+    ).select("k", F.col("pt").cast("timestamp").alias("pt"))
+    out = asof_join(ev, probes, "k", "ts", "pt", ["eid", "state"], "eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
