@@ -1,6 +1,8 @@
-"""As-of (point-in-time) join — the event-log lookup Spark has no native
-operator for: for each probe (key, t), the latest event row for that key
-with ``event_time <= t``.
+"""Temporal joins Spark has no native operator for: as-of (point-in-time)
+and range (interval-containment).
+
+As-of: for each probe (key, t), the latest event row for that key with
+``event_time <= t``.
 
 This answers "what was entity X's state when Y happened" without a
 per-probe scan: time-travel debugging of CDC state, feature extraction at
@@ -91,4 +93,51 @@ def asof_join(
         F.col("__k").alias(key_col),
         F.col("__t").alias(probe_time_col),
         *[F.col("__c")[c].alias(c) for c in value_cols],
+    )
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_time_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Inner join of events to every interval containing their timestamp
+    (``start <= t < end``), WITHOUT the O(events x intervals) nested-loop
+    plan Spark produces for a raw inequality join.
+
+    Standard time-binning: an event belongs to exactly ONE ``bin_seconds``
+    bucket of its timestamp; an interval explodes to the (few) buckets it
+    overlaps. The join is then a bucket EQUI-join (hash, shuffle bounded by
+    events + intervals x bins-per-interval) followed by the exact
+    containment filter. Because each event carries one bucket, no
+    dedup pass is needed. Pick ``bin_seconds`` near the typical interval
+    length: shorter bins fan intervals wider; longer bins make each bucket
+    join more non-matching pairs for the filter to drop.
+
+    Output: all interval columns + all event columns (name collisions are
+    the caller's to avoid).
+    """
+    ev = events.withColumn(
+        "__bin", (F.unix_timestamp(F.col(event_time_col)) / bin_seconds)
+        .cast("long"),
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        iv.join(ev, "__bin")
+        .filter(
+            (F.col(event_time_col) >= F.col(start_col))
+            & (F.col(event_time_col) < F.col(end_col))
+        )
+        .drop("__bin")
     )

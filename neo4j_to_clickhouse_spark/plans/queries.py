@@ -1448,3 +1448,51 @@ def asof_user_state(spark, sf_dir):
         value_cols=["event_id", "event_type"],
         tie_break_col="event_id",
     ).orderBy("user_id", "probe_time")
+
+
+@q(
+    "range_join_interval_stats",
+    # plain inequality join is fine as the ORACLE (DuckDB, tiny data); the
+    # Spark side must produce identical results from the binned equi-join
+    """WITH iv AS (
+         SELECT * FROM (VALUES
+           (1, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-07 12:00:00'),
+           (2, TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+           (3, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-28 00:00:00'))
+           AS t(interval_id, t_start, t_end))
+       SELECT interval_id, count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       FROM iv JOIN events e ON e.ts >= iv.t_start AND e.ts < iv.t_end
+       GROUP BY interval_id ORDER BY interval_id""",
+    "range join via time-binned equi-join (no BroadcastNestedLoop): "
+    "per-interval event rollups",
+)
+def range_join_interval_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.asof import range_join
+
+    events = _t(spark, sf_dir, "events")
+    iv = spark.createDataFrame(
+        [
+            (1, "2024-01-03 00:00:00", "2024-01-07 12:00:00"),
+            (2, "2024-01-10 06:00:00", "2024-01-11 00:00:00"),
+            (3, "2024-01-20 00:00:00", "2024-01-28 00:00:00"),
+        ],
+        "interval_id int, t_start string, t_end string",
+    ).select(
+        "interval_id",
+        F.col("t_start").cast("timestamp").alias("t_start"),
+        F.col("t_end").cast("timestamp").alias("t_end"),
+    )
+    joined = range_join(events, iv, "ts", "t_start", "t_end")
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )

@@ -96,3 +96,57 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_range_join_containment_and_overlap(spark):
+    """End-exclusive containment; an event inside two overlapping
+    intervals matches both; cross-bin intervals still catch every event."""
+    from neo4j_to_clickhouse_spark.operators.asof import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (2, "2024-01-04 23:59:59"),
+         (3, "2024-01-05 00:00:00")],
+        "eid long, t string",
+    ).select("eid", F.col("t").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 12:00:00", "2024-01-05 00:00:00"),
+         (20, "2024-01-03 00:00:00", "2024-01-06 00:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("t_start"),
+        F.col("e").cast("timestamp").alias("t_end"),
+    )
+    got = {
+        (r.iid, r.eid)
+        for r in range_join(ev, iv, "ts", "t_start", "t_end").collect()
+    }
+    # eid=3 sits exactly at interval 10's end -> excluded (end-exclusive),
+    # but inside interval 20; eid=2 is in both
+    assert got == {(10, 1), (10, 2), (20, 2), (20, 3)}
+
+
+def test_range_join_is_equi_join_plan(spark):
+    """The physical plan must be a hash equi-join on the bin — never the
+    BroadcastNestedLoopJoin a raw inequality join degenerates to."""
+    from neo4j_to_clickhouse_spark.operators.asof import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "eid long, t string"
+    ).select("eid", F.col("t").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-05 00:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("t_start"),
+        F.col("e").cast("timestamp").alias("t_end"),
+    )
+    plan = (
+        range_join(ev, iv, "ts", "t_start", "t_end")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # any equi-join strategy on __bin is fine; nested-loop is the failure
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
