@@ -1496,3 +1496,30 @@ def range_join_interval_stats(spark, sf_dir):
         )
         .orderBy("interval_id")
     )
+
+
+@q(
+    "value_percentiles_by_type",
+    # EXACT percentiles (Spark `percentile`, DuckDB `quantile_cont` — both
+    # linear-interpolation on the sorted set, so values agree bit-for-bit
+    # modulo the round(6)). The approx sketch (approx_percentile/KLL) is
+    # the 100 TB path but is engine-specific by construction — the exact
+    # form is what the oracle can gate.
+    """SELECT event_type,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "exact value percentiles per event type (median / p90 / p99)",
+)
+def value_percentiles_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
