@@ -1523,3 +1523,74 @@ def value_percentiles_by_type(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "conditional_aggregates",
+    # ClickHouse's countIf/sumIf/avgIf idiom (ubiquitous in its dashboards)
+    # = ANSI FILTER clause = Spark count_if / sum(when). One pass, one
+    # shuffle, all map-side combinable.
+    """SELECT user_id % 10 AS user_bucket,
+              count(*) FILTER (WHERE event_type = 'INSERT') AS n_inserts,
+              count(*) FILTER (WHERE event_type = 'DELETE') AS n_deletes,
+              CAST(coalesce(sum(CAST(value AS DECIMAL(28,6)))
+                     FILTER (WHERE value > 100), 0) AS DOUBLE) AS big_value_sum
+       FROM events GROUP BY user_id % 10 ORDER BY user_bucket""",
+    "countIf/sumIf conditional aggregation (ClickHouse idiom -> count_if/"
+    "sum(when)): single-pass multi-predicate rollup",
+)
+def conditional_aggregates(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count_if(F.col("event_type") == "INSERT").alias("n_inserts"),
+            F.count_if(F.col("event_type") == "DELETE").alias("n_deletes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("value") > 100,
+                        F.col("value").cast("decimal(28,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            )
+            .cast("double")
+            .alias("big_value_sum"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@q(
+    "argmax_event_per_user",
+    # ClickHouse's argMax(col, ts) — THE latest-state idiom in its SQL
+    # surface — as Spark max_by over a total order. The ordering key is
+    # (ts, event_id): unique, so the winner is deterministic on both
+    # engines. Oracle via a rank window (structurally different from
+    # max_by's single-pass aggregate — cross-validation, not an echo).
+    """WITH ranked AS (
+         SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, event_id AS last_event_id,
+              event_type AS last_event_type,
+              round(value, 6) AS last_value
+       FROM ranked WHERE rn = 1 AND user_id < 30 ORDER BY user_id""",
+    "argMax(col, (ts, event_id)) latest-value lookup per user "
+    "(single-pass max_by aggregate, no window sort)",
+)
+def argmax_event_per_user(spark, sf_dir):
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.col("event_id"), ordkey).alias("last_event_id"),
+            F.max_by(F.col("event_type"), ordkey).alias("last_event_type"),
+            F.round(F.max_by(F.col("value"), ordkey), 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
