@@ -224,3 +224,48 @@ def events_in_range(
         if has_month:
             out = out.filter(F.col(month_col) <= F.date_format(e, "yyyyMM"))
     return out
+
+
+# --- Mergeable distinct-count sketches (uniqState/uniqMerge parity) ---------
+
+def distinct_sketches(
+    events: DataFrame,
+    group_cols: list[str],
+    entity_col: str = "entity_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch of distinct entities — ClickHouse's
+    ``uniqState`` materialized-rollup idiom (AggregatingMergeTree) on
+    Spark: (group_cols..., sketch binary).
+
+    The point at 100 TB: persist one sketch row per (month, type) at
+    ingest/compaction time, and ANY date-range distinct count becomes a
+    merge of a few KB-sized sketches (:func:`merge_distinct_sketches`)
+    instead of a rescan of the raw log. Sketches are Apache DataSketches
+    HLL (``hll_sketch_agg``) — mergeable across partitions, months, and
+    even engines that speak the same format. ``lg_k`` = 2^k registers:
+    12 -> ~1.6% relative error at 4 KB per sketch.
+    """
+    return events.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(entity_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """``uniqMerge``: combine sketch rows (e.g. per-month partials) into
+    distinct-count estimates per ``group_cols`` (drop the rolled-up
+    dimension from the list to merge across it). Output:
+    (group_cols..., approx_distinct)."""
+    merged = (
+        sketches.groupBy(*group_cols).agg(
+            F.hll_union_agg(F.col("sketch")).alias("sketch")
+        )
+        if group_cols
+        else sketches.agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+    )
+    return merged.select(
+        *group_cols,
+        F.hll_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
+    )

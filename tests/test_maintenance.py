@@ -286,3 +286,38 @@ def test_delta_store_gated_with_clear_error(spark):
             DeltaPartitionStore(spark)
     else:  # environment has delta: construction succeeds
         DeltaPartitionStore(spark)
+
+
+def test_distinct_sketches_merge_across_months(spark, event_table):
+    """uniqState/uniqMerge parity: per-(month,type) sketches merged across
+    months must estimate the true cross-month distinct count — the rollup
+    answers range queries without rescanning the raw log."""
+    from neo4j_to_clickhouse_spark.operators.analytics import (
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    events = spark.read.parquet(event_table)
+    per_month = distinct_sketches(
+        events, ["event_month", "event_type"], "entity_id"
+    )
+    assert per_month.count() == events.select(
+        "event_month", "event_type"
+    ).distinct().count()
+
+    # merge across months -> per-type estimates
+    by_type = {
+        r.event_type: r.approx_distinct
+        for r in merge_distinct_sketches(per_month, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.cnt
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("entity_id").alias("cnt"))
+        .collect()
+    }
+    assert by_type == exact  # tiny cardinalities: HLL is exact here
+
+    # global merge (no grouping)
+    total = merge_distinct_sketches(per_month, []).collect()[0]
+    assert total.approx_distinct == 3
