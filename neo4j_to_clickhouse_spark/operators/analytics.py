@@ -16,7 +16,7 @@ Scale notes are inline per operator; the common themes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -268,4 +268,42 @@ def merge_distinct_sketches(
     return merged.select(
         *group_cols,
         F.hll_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
+    )
+
+
+# --- Sessionization ---------------------------------------------------------
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_break_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the key's previous event exceeds ``gap_minutes``. Output: input
+    columns + ``session_id`` (1-based, per key, in time order).
+
+    Pure window composition — lag to detect gaps, running sum to number
+    sessions — so it is ONE hash shuffle on the key and two passes over
+    each partition's sorted run, no UDFs, no state store. (The streaming
+    analogue is ``F.session_window``; this is the batch/backfill form the
+    reference's event log needs.) Ordering is the (time, tie-break) total
+    order used everywhere else, so replayed logs sessionize identically.
+    """
+    order = [F.col(time_col), F.col(tie_break_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(time_col)).over(w)
+    new_session = (
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev)
+            > gap_minutes * 60
+        )
+    ).cast("long")
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )

@@ -1594,3 +1594,47 @@ def argmax_event_per_user(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "sessionization",
+    # gap-based sessions: lag to detect >30min gaps, running sum to number
+    # them — identical construction on both engines (deterministic via the
+    # (ts, event_id) total order)
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WHERE user_id < 30
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g),
+       per_session AS (
+         SELECT user_id, session_id, count(*) AS n_events
+         FROM s GROUP BY user_id, session_id)
+       SELECT user_id, count(*) AS n_sessions,
+              max(n_events) AS max_session_events
+       FROM per_session GROUP BY user_id ORDER BY user_id""",
+    "gap-based sessionization (30 min): per-user session counts via "
+    "lag + running-sum windows, one shuffle",
+)
+def sessionization(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    s = sessionize(ev, "user_id", "ts", "event_id", gap_minutes=30)
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
