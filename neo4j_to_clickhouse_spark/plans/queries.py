@@ -1638,3 +1638,35 @@ def sessionization(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "rollup_event_counts",
+    # ClickHouse's WITH ROLLUP = ANSI ROLLUP: subtotal rows per event_type
+    # and a grand total, one pass. Neither grouping column is nullable in
+    # the data, so the NULLs in the output unambiguously mark subtotal
+    # levels on both engines.
+    """SELECT event_type, user_id % 10 AS user_bucket,
+              count(*) AS cnt,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY ROLLUP (event_type, user_id % 10)
+       ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
+    "WITH ROLLUP hierarchy: (type, bucket) -> type subtotals -> grand "
+    "total in one aggregation pass",
+)
+def rollup_event_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
