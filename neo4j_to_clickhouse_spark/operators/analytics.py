@@ -307,3 +307,76 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+# --- ClickHouse event-analytics parity: windowFunnel / retention ------------
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[Column],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel``: per key, the deepest funnel step
+    reached by strictly-ordered step events, optionally within
+    ``window_seconds`` of the step-1 time. Output: (key, funnel_step).
+
+    Per step i the earliest qualifying time is one grouped min-aggregate
+    over events filtered by step i's predicate AND t > step i-1's time —
+    i.e. ``len(steps)`` aggregate+broadcast-join rounds, each shuffling one
+    row per key, never the event log. (A per-key sorted-array fold would
+    ship whole event histories; this stays in grouped aggregates.)
+    """
+    t_prev = None
+    out = None
+    for i, step in enumerate(steps):
+        ev = events
+        if t_prev is not None:
+            ev = ev.join(F.broadcast(out), key_col)
+            cond = step & (F.col(time_col) > F.col(t_prev))
+            if window_seconds is not None:
+                cond = cond & (
+                    F.unix_timestamp(F.col(time_col))
+                    - F.unix_timestamp(F.col("__t0"))
+                    <= window_seconds
+                )
+        else:
+            cond = step
+        t_i = f"__t{i}"
+        stage = ev.groupBy(key_col).agg(
+            F.min(F.when(cond, F.col(time_col))).alias(t_i)
+        )
+        if out is None:
+            out = stage.filter(F.col(t_i).isNotNull())
+        else:
+            out = out.join(stage, key_col, "left")
+        t_prev = t_i
+    step_cols = [f"__t{i}" for i in range(len(steps))]
+    reached = None
+    for i, c in enumerate(step_cols):
+        term = F.when(F.col(c).isNotNull(), i + 1).otherwise(0)
+        reached = term if reached is None else F.greatest(reached, term)
+    return out.select(F.col(key_col), reached.alias("funnel_step"))
+
+
+def retention_cohort(
+    events: DataFrame,
+    conditions: list[Column],
+    key_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention``: one row of cohort counts — n keys
+    satisfying condition 1, n satisfying 1 AND 2, 1 AND 3, ... Output
+    columns r1..rN. One grouped pass (bool_or per condition per key) +
+    one global conditional count — two map-side-combinable aggregates."""
+    per_key = events.groupBy(key_col).agg(
+        *[F.max(c.cast("int")).alias(f"__c{i}") for i, c in enumerate(conditions)]
+    )
+    aggs = [F.count_if(F.col("__c0") == 1).alias("r1")]
+    for i in range(1, len(conditions)):
+        aggs.append(
+            F.count_if(
+                (F.col("__c0") == 1) & (F.col(f"__c{i}") == 1)
+            ).alias(f"r{i + 1}")
+        )
+    return per_key.agg(*aggs)

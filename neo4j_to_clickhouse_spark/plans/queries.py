@@ -1670,3 +1670,81 @@ def rollup_event_counts(spark, sf_dir):
             F.col("user_bucket").asc_nulls_first(),
         )
     )
+
+
+@q(
+    "window_funnel_steps",
+    # ClickHouse windowFunnel parity: deepest strictly-ordered
+    # signup -> purchase -> error step per user, then the per-step user
+    # histogram. Oracle = chained earliest-qualifying-time CTEs.
+    """WITH t1 AS (
+         SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       t2 AS (
+         SELECT e.user_id, min(ts) AS t2
+         FROM events e JOIN t1 ON e.user_id = t1.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > t1.t1
+           AND e.ts <= t1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+       t3 AS (
+         SELECT e.user_id, min(ts) AS t3
+         FROM events e JOIN t2 ON e.user_id = t2.user_id
+         JOIN t1 ON e.user_id = t1.user_id
+         WHERE e.event_type = 'error' AND e.ts > t2.t2
+           AND e.ts <= t1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+       steps AS (
+         SELECT t1.user_id,
+                CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_step
+         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                 LEFT JOIN t3 ON t1.user_id = t3.user_id)
+       SELECT funnel_step, count(*) AS n_users
+       FROM steps GROUP BY funnel_step ORDER BY funnel_step""",
+    "windowFunnel parity: signup -> purchase -> error ordered funnel "
+    "within 48h of signup, users per deepest step reached",
+)
+def window_funnel_steps(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "signup",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+    ]
+    return (
+        window_funnel(ev, steps, "user_id", "ts", window_seconds=48 * 3600)
+        .groupBy("funnel_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+@q(
+    "retention_cohort_counts",
+    # ClickHouse retention() parity: users who signed up; of those, how
+    # many purchased; and (cond1 AND condN per CH semantics) how many
+    # hit an error.
+    """WITH per_user AS (
+         SELECT user_id,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+                max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+         FROM events GROUP BY user_id)
+       SELECT count(*) FILTER (WHERE c0 = 1) AS r1,
+              count(*) FILTER (WHERE c0 = 1 AND c1 = 1) AS r2,
+              count(*) FILTER (WHERE c0 = 1 AND c2 = 1) AS r3
+       FROM per_user""",
+    "retention() parity: cohort counts for signup / signup+purchase / "
+    "signup+error users",
+)
+def retention_cohort_counts(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import retention_cohort
+
+    return retention_cohort(
+        _t(spark, sf_dir, "events"),
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "error",
+        ],
+    )
