@@ -294,10 +294,13 @@ def sessionize(
     order = [F.col(time_col), F.col(tie_break_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(F.col(time_col)).over(w)
+    # cast("double") = fractional epoch seconds: a true timestamp
+    # difference, so sub-second gaps are not collapsed the way
+    # unix_timestamp's whole-second truncation would collapse them.
     new_session = (
         prev.isNull()
         | (
-            F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev)
+            F.col(time_col).cast("double") - prev.cast("double")
             > gap_minutes * 60
         )
     ).cast("long")
@@ -324,21 +327,26 @@ def window_funnel(
 
     Per step i the earliest qualifying time is one grouped min-aggregate
     over events filtered by step i's predicate AND t > step i-1's time —
-    i.e. ``len(steps)`` aggregate+broadcast-join rounds, each shuffling one
-    row per key, never the event log. (A per-key sorted-array fold would
-    ship whole event histories; this stays in grouped aggregates.)
+    i.e. ``len(steps)`` aggregate+join rounds, each shuffling one row per
+    key, never the event log. (A per-key sorted-array fold would ship
+    whole event histories; this stays in grouped aggregates.) The
+    inter-step join carries no hint: the per-key frame can have one row
+    per active user, which at 10^8+ keys must NOT be force-broadcast —
+    AQE picks broadcast-hash only when the frame is genuinely small and
+    falls back to a shuffle join otherwise (guarded by a plan test).
     """
     t_prev = None
     out = None
     for i, step in enumerate(steps):
         ev = events
         if t_prev is not None:
-            ev = ev.join(F.broadcast(out), key_col)
+            ev = ev.join(out, key_col)
             cond = step & (F.col(time_col) > F.col(t_prev))
             if window_seconds is not None:
+                # double cast = fractional-second-exact window bound
                 cond = cond & (
-                    F.unix_timestamp(F.col(time_col))
-                    - F.unix_timestamp(F.col("__t0"))
+                    F.col(time_col).cast("double")
+                    - F.col("__t0").cast("double")
                     <= window_seconds
                 )
         else:

@@ -68,6 +68,32 @@ def test_stratified_sample_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_window_funnel_has_no_forced_broadcast(spark):
+    """The funnel's inter-step join must not carry a broadcast HINT: with
+    autoBroadcastJoinThreshold disabled a hint would still plan a
+    BroadcastExchange (hints override the threshold), which at 10^8+ keys
+    is a driver OOM. Hint-free, the disabled threshold must yield zero
+    broadcast exchanges — proving broadcast is AQE's size-based choice,
+    not forced."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            conf.set(k, "-1")
+        plan = _plan(spark, "window_funnel_steps")
+        assert "BroadcastExchange" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_hash_sample_is_scan_side_filter(spark):
     """The Bernoulli hash filter must stay a stateless Filter over the
     scan: no shuffle exchange anywhere in the plan."""
