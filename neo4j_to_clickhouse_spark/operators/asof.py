@@ -24,6 +24,11 @@ Cost: ONE shuffle of events+probes, linear window pass, regardless of how
 many probes hit the same key. The naive formulations are O(probes x
 events-per-key) (range join) or one scan per probe (subquery) — both
 collapse at 100 TB.
+
+Known limit of the single-window form: it partitions by KEY, so one hot
+key is one task (AQE cannot split window partitions). When a single key
+can carry enough rows to stall a task, use ``asof_join_bucketed``, which
+runs the same computation partitioned by (key, time-bucket).
 """
 
 from __future__ import annotations
@@ -88,6 +93,125 @@ def asof_join(
         "__t",
         "__kind",
         F.last("__v", ignorenulls=True).over(w).alias("__c"),
+    )
+    return carried.filter(F.col("__kind") == 1).select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(probe_time_col),
+        *[F.col("__c")[c].alias(c) for c in value_cols],
+    )
+
+
+def asof_join_bucketed(
+    events: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    probe_time_col: str,
+    value_cols: list[str],
+    tie_break_col: str | None = None,
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Skew-safe variant of :func:`asof_join` — identical semantics, but
+    the carry-forward window partitions on ``(key, time-bucket)`` instead
+    of the key alone.
+
+    Why it exists: ``asof_join``'s single window partition per key means
+    one HOT key (an entity with 10^8 events+probes) serializes into ONE
+    task, and AQE cannot split window partitions. Bucketing the timeline
+    makes the unit of window work ``(key, bucket)``, so a hot key spreads
+    over ``timespan / bucket_seconds`` tasks.
+
+    Two-level carry-forward:
+
+    1. per ``(key, bucket)`` reduce events to the bucket's LAST event —
+       a hash aggregate, so partial (map-side) aggregation already spreads
+       the hot key across input tasks;
+    2. per key, carry bucket-last states forward over the bucket sequence
+       (``rowsBetween(unboundedPreceding, -1)`` — strictly earlier
+       buckets). This window IS per-key single-task, but its input is one
+       row per (key, active bucket): bounded by the calendar, not by the
+       event count;
+    3. within each ``(key, bucket)``: the usual union + carry-forward
+       window, coalesced with the bucket's carried-in baseline for probes
+       that precede every in-bucket event.
+
+    Cost vs ``asof_join``: one extra shuffle (the bucket-summary
+    aggregate) and a baseline join that reuses the ``(key, bucket)``
+    exchange of the main window. Pick ``bucket_seconds`` so a hot key's
+    densest bucket fits one task comfortably (default: one week).
+    """
+    from pyspark.sql import types as T
+
+    tb = tie_break_col
+    struct_t = T.StructType(
+        [T.StructField(c, events.schema[c].dataType) for c in value_cols]
+    )
+    tb_type = events.schema[tb].dataType if tb else T.StringType()
+
+    def _bucket(col):
+        # floor-to-second is monotone in time, so an event at or before a
+        # probe can never land in a LATER bucket than the probe.
+        return F.floor(F.unix_timestamp(col) / bucket_seconds).cast("long")
+
+    ev = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_time_col).alias("__t"),
+        F.lit(0).alias("__kind"),
+        (F.col(tb) if tb else F.lit(None).cast("string")).alias("__tb"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+    ).withColumn("__b", _bucket(F.col("__t")))
+    pr = probes.select(
+        F.col(key_col).alias("__k"),
+        F.col(probe_time_col).alias("__t"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(struct_t).alias("__v"),
+    ).withColumn("__b", _bucket(F.col("__t")))
+
+    # level 1: each bucket's last event, same (time, tie-break) total order
+    # as the window variant
+    ev_sum = ev.groupBy("__k", "__b").agg(
+        F.max_by(
+            F.struct(F.col("__t"), F.col("__tb"), F.col("__v")),
+            F.struct(F.col("__t"), F.col("__tb")),
+        ).alias("__last")
+    )
+    # level 2: baseline carried INTO each bucket any event or probe touches
+    # (strictly earlier buckets only — in-bucket events are level 3's job)
+    buckets = (
+        pr.select("__k", "__b")
+        .distinct()
+        .unionByName(ev_sum.select("__k", "__b"))
+        .distinct()
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = buckets.join(ev_sum, ["__k", "__b"], "left").select(
+        "__k",
+        "__b",
+        F.last(F.col("__last")["__v"], ignorenulls=True).over(wb).alias("__base"),
+    )
+    # level 3: in-bucket carry-forward, falling back to the baseline when
+    # no in-bucket event precedes the probe
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__kind", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        ev.unionByName(pr)
+        .join(base, ["__k", "__b"], "left")
+        .select(
+            "__k",
+            "__t",
+            "__kind",
+            F.coalesce(
+                F.last("__v", ignorenulls=True).over(w), F.col("__base")
+            ).alias("__c"),
+        )
     )
     return carried.filter(F.col("__kind") == 1).select(
         F.col("__k").alias(key_col),

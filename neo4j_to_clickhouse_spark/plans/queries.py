@@ -1451,6 +1451,61 @@ def asof_user_state(spark, sf_dir):
 
 
 @q(
+    "asof_user_state_bucketed",
+    # SAME oracle as asof_user_state (DuckDB native ASOF JOIN): the
+    # skew-safe (key, time-bucket) two-level carry-forward must be
+    # result-identical to the single-window form. 4-day buckets make the
+    # January event span cross ~8 bucket boundaries, so the baseline
+    # fallback path is genuinely exercised at sf0.01.
+    """WITH probes AS (
+         SELECT DISTINCT user_id, t AS probe_time
+         FROM events,
+              (SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+                              TIMESTAMP '2024-01-16 00:00:00',
+                              TIMESTAMP '2024-01-24 00:00:00']) AS t)),
+       ev AS (
+         SELECT user_id, ts, max(event_id) AS event_id,
+                arg_max(event_type, event_id) AS event_type
+         FROM events GROUP BY user_id, ts)
+       SELECT p.user_id, p.probe_time, e.event_id, e.event_type
+       FROM probes p ASOF LEFT JOIN ev e
+         ON p.user_id = e.user_id AND e.ts <= p.probe_time
+       ORDER BY p.user_id, p.probe_time""",
+    "skew-safe as-of join: (key, time-bucket) two-level carry-forward — "
+    "a hot key spreads over buckets instead of one window task",
+)
+def asof_user_state_bucketed(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_bucketed
+
+    events = _t(spark, sf_dir, "events")
+    probes = events.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("timestamp")
+                    for t in (
+                        "2024-01-08 00:00:00",
+                        "2024-01-16 00:00:00",
+                        "2024-01-24 00:00:00",
+                    )
+                ]
+            )
+        ).alias("probe_time"),
+    )
+    return asof_join_bucketed(
+        events,
+        probes,
+        key_col="user_id",
+        event_time_col="ts",
+        probe_time_col="probe_time",
+        value_cols=["event_id", "event_type"],
+        tie_break_col="event_id",
+        bucket_seconds=4 * 86400,
+    ).orderBy("user_id", "probe_time")
+
+
+@q(
     "range_join_interval_stats",
     # plain inequality join is fine as the ORACLE (DuckDB, tiny data); the
     # Spark side must produce identical results from the binned equi-join

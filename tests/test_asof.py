@@ -98,6 +98,73 @@ def test_asof_single_shuffle_plan(spark):
     assert "Join" not in plan
 
 
+def test_asof_bucketed_matches_window_form_under_skew(spark):
+    """The skew-safe bucketed variant must agree row-for-row with the
+    single-window form on a hot key whose events cross many bucket
+    boundaries, including probes in buckets with no in-bucket event
+    (baseline fallback) and probes before any history (NULLs)."""
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_bucketed
+
+    # hot key 1: an event every 7 hours across January (crosses every
+    # daily bucket boundary); key 2: two sparse events; key 3: no events
+    ev_rows = [
+        (1, f"2024-01-{1 + (7 * i) // 24:02d} {(7 * i) % 24:02d}:00:00",
+         100 + i, f"s{i}")
+        for i in range(100)
+    ] + [
+        (2, "2024-01-03 12:00:00", 900, "early"),
+        (2, "2024-01-20 06:00:00", 901, "late"),
+    ]
+    ev = _events(spark, ev_rows)
+    probe_rows = [
+        (1, f"2024-01-{d:02d} {h:02d}:30:00")
+        for d in range(1, 29)
+        for h in (0, 13)
+    ] + [
+        (2, "2024-01-02 00:00:00"),   # before key 2's history -> NULLs
+        (2, "2024-01-10 00:00:00"),   # empty bucket -> baseline fallback
+        (2, "2024-01-20 06:00:00"),   # exact-time event visible
+        (3, "2024-01-15 00:00:00"),   # key with no events at all
+    ]
+    probes = spark.createDataFrame(probe_rows, "k long, pt string").select(
+        "k", F.col("pt").cast("timestamp").alias("pt")
+    )
+    args = (ev, probes, "k", "ts", "pt", ["eid", "state"], "eid")
+    expect = sorted(
+        (r.k, r.pt, r.eid, r.state) for r in asof_join(*args).collect()
+    )
+    got = sorted(
+        (r.k, r.pt, r.eid, r.state)
+        for r in asof_join_bucketed(*args, bucket_seconds=86400).collect()
+    )
+    assert got == expect
+    # the fallback cases really exercised what they claim
+    by = {(k, p.isoformat()): (e, s) for k, p, e, s in got}
+    assert by[(2, "2024-01-02T00:00:00")] == (None, None)
+    assert by[(2, "2024-01-10T00:00:00")] == (900, "early")
+    assert by[(2, "2024-01-20T06:00:00")] == (901, "late")
+    assert by[(3, "2024-01-15T00:00:00")] == (None, None)
+
+
+def test_asof_bucketed_window_partitions_on_key_and_bucket(spark):
+    """Plan evidence for the skew claim: the carry-forward window's
+    partition spec must be (key, bucket) — a hot key is split across
+    buckets instead of serializing into one window task."""
+    import re
+
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_bucketed
+
+    ev = _events(spark, [(1, "2024-01-01 00:00:00", 1, "a")])
+    probes = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k long, pt string"
+    ).select("k", F.col("pt").cast("timestamp").alias("pt"))
+    out = asof_join_bucketed(
+        ev, probes, "k", "ts", "pt", ["eid", "state"], "eid"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(__k#\d+L?, __b#", plan)
+
+
 def test_range_join_containment_and_overlap(spark):
     """End-exclusive containment; an event inside two overlapping
     intervals matches both; cross-bin intervals still catch every event."""
