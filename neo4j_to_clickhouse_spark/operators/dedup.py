@@ -20,6 +20,8 @@ Scale design at 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -303,9 +305,21 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
-        "id", F.explode(F.array(*buckets)).alias("bucket")
+    # runtime guard: if the signatures were built with a different
+    # num_hashes, element references past the end are NULL and concat_ws
+    # silently skips them — the upper bands become per-band CONSTANTS and
+    # every doc collides there (the O(n^2) blowup the ValueErrors above
+    # exist to prevent). Fail loudly instead of degrading quietly.
+    guarded = F.when(F.size("sig") == num_hashes, F.array(*buckets)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_candidate_pairs: signature length "),
+                F.size("sig").cast("string"),
+                F.lit(f" != num_hashes {num_hashes}"),
+            )
+        )
     )
+    banded = signatures.select("id", F.explode(guarded).alias("bucket"))
     a = banded.select(F.col("id").alias("id_a"), "bucket")
     b = banded.select(F.col("id").alias("id_b"), "bucket")
     return (
@@ -427,6 +441,7 @@ def duplicate_clusters(
         )
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         # neighbor's current label, keyed by this node
         neighbor_lbl = (
@@ -456,6 +471,18 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > max_iterations would otherwise be
+        # SILENTLY split into several clusters (extra dedup survivors) —
+        # truncation must be visible to the caller
+        warnings.warn(
+            f"duplicate_clusters: label propagation did not converge in "
+            f"{max_iterations} iterations ({changed} labels still "
+            "changing) — components wider than the iteration bound are "
+            "split; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

@@ -153,8 +153,13 @@ class DeltaPartitionStore(PartitionStore):
     ) -> None:  # pragma: no cover - requires delta jars
         for month in months:
             staged = Path(staging_path) / f"event_month={month}"
+            # basePath keeps event_month as an inferred partition column: a
+            # bare leaf-directory read would DROP it (partitionBy strips it
+            # from the data files), and the Delta commit below would then
+            # fail replaceWhere's schema/predicate check.
             src = (
-                self._spark.read.parquet(str(staged))
+                self._spark.read.option("basePath", staging_path)
+                .parquet(str(staged))
                 if staged.exists()
                 else None
             )

@@ -142,6 +142,36 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_duplicate_clusters_warns_on_truncation(spark):
+    """A component wider than the iteration bound is split — that
+    truncation must surface as a warning, never silently."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iterations=1).collect()
+    # converged runs must stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        D.duplicate_clusters(pairs).collect()
+
+
+def test_lsh_rejects_wrong_signature_length(spark):
+    """Signatures built with a different num_hashes must fail loudly:
+    out-of-range band elements are NULL, concat_ws skips them, and the
+    upper bands silently become constants (every doc collides)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
+    )
+    sh = D.word_shingles(docs, "doc_id", "text", 3)
+    sig32 = D.minhash_signatures(sh, num_hashes=32)
+    with pytest.raises(SparkRuntimeException, match="signature length 32"):
+        D.lsh_candidate_pairs(sig32, bands=32, num_hashes=64).collect()
+
+
 def test_dedup_by_pairs_keeps_cluster_minimum(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 4, 5)], ["doc_id", "text"]
