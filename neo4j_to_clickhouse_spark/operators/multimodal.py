@@ -18,14 +18,133 @@ partitioning, output contract — is production-shaped and tested.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Literal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# --- pure-stdlib image codecs (BMP / PPM) -----------------------------------
+# The container ships no Pillow/ffmpeg, but uncompressed 24-bit BMP and
+# binary PPM (P6) need only `struct` + numpy — so for those two formats the
+# image path is REAL: decode -> pixel features / nearest-neighbor resize ->
+# re-encode. The hash stub remains only for formats that genuinely need
+# external codecs (JPEG, PNG, video).
+
+
+def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
+    """Sniff + decode a payload into (format, HxWx3 uint8 RGB array).
+    Returns None for anything that is not an uncompressed 24-bit BMP or a
+    binary PPM — the caller falls back to its stub for those."""
+    if not payload or len(payload) < 2:
+        return None
+    try:
+        if payload[:2] == b"BM":
+            return ("bmp", _decode_bmp(payload))
+        if payload[:2] == b"P6":
+            return ("ppm", _decode_ppm(payload))
+    except (ValueError, struct.error, IndexError):
+        return None
+    return None
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit BI_RGB BITMAPINFOHEADER decode: BGR rows padded to 4 bytes,
+    bottom-up unless height is negative."""
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    need = data_off + row_bytes * height
+    if width <= 0 or height <= 0 or len(buf) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a bottom-up 24-bit BMP."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    body = img.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6), maxval 255; `#` comments allowed in the header."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval != 255:
+        raise ValueError("only 8-bit binary PPM is supported")
+    if len(buf) < pos + w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return (
+        np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w, _ = pixels.shape
+    yi = (np.arange(height) * h // height).clip(max=h - 1)
+    xi = (np.arange(width) * w // width).clip(max=w - 1)
+    return pixels[yi][:, xi]
+
+
+def _pixel_feature(pixels: np.ndarray, dim: int) -> list[float]:
+    """Deterministic pixel-derived feature in [0,1): per-channel means and
+    stds, then a luminance histogram filling the remaining dims. Same
+    output contract as the model-forward-pass this stands in for."""
+    flat = pixels.reshape(-1, 3).astype(np.float64)
+    feats = list(flat.mean(axis=0) / 256.0) + list(flat.std(axis=0) / 256.0)
+    bins = dim - len(feats)
+    if bins > 0:
+        lum = flat @ np.array([0.299, 0.587, 0.114])
+        hist, _ = np.histogram(lum, bins=bins, range=(0.0, 256.0))
+        feats += list(hist / max(len(lum), 1) * (255.0 / 256.0))
+    return [float(x) for x in feats[:dim]]
 
 
 def ingest_binary_assets(
@@ -78,28 +197,38 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize payloads via Arrow-batched ``mapInPandas``.
 
+    BMP/PPM payloads are decoded FOR REAL (pure-stdlib codecs above) and
+    yield pixel-derived features; other formats hit the stub (`fake` =
+    payload-hash vector, `raise` = marked codec hole for Pillow/ffmpeg).
+
     Batch shape is the real one for GPU inference at scale: the iterator
     yields bounded pandas chunks so executor memory is payload-batch-sized,
     never partition-sized. Partition count should track total payload
     bytes / ~128 MB (use ``repartition`` upstream), not row count.
     """
 
+    def featurize(payload):
+        decoded = decode_image(payload)
+        if decoded is not None:
+            return _pixel_feature(decoded[1], dim)
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "media codec not available in this environment: "
+                "plug Pillow/torchaudio/ffmpeg decode here"
+            )
+        return _fake_feature(payload, dim)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
-                if decode_stub == "raise":
-                    raise NotImplementedError(
-                        "media codec not available in this environment: "
-                        "plug Pillow/torchaudio/ffmpeg decode here"
-                    )
                 yield pd.DataFrame(
                     {
                         "asset_id": chunk["asset_id"],
                         "modality": chunk["modality"],
                         "n_bytes": chunk["n_bytes"],
                         "feature": [
-                            _fake_feature(p, dim) for p in chunk["payload"]
+                            featurize(p) for p in chunk["payload"]
                         ],
                     }
                 )
@@ -122,21 +251,33 @@ def resize_images(
     assets: DataFrame, width: int, height: int,
     decode_stub: Literal["fake", "raise"] = "fake",
 ) -> DataFrame:
-    """Image resize plumbing: binary in -> binary out with target dims.
+    """Image resize: binary in -> binary out with target dims.
 
-    Stub semantics: 'fake' passes the payload through and stamps the target
-    dims (exercises schema/batching); 'raise' marks the codec hole."""
+    BMP/PPM payloads are REALLY resized (nearest-neighbor) and re-encoded
+    in their own format; other formats hit the stub ('fake' passes the
+    payload through and stamps the target dims — exercises
+    schema/batching; 'raise' marks the codec hole)."""
+
+    def one(payload):
+        decoded = decode_image(payload)
+        if decoded is not None:
+            fmt, pixels = decoded
+            resized = _resize_nearest(pixels, width, height)
+            return encode_bmp(resized) if fmt == "bmp" else encode_ppm(resized)
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "image codec not available: plug Pillow here"
+            )
+        return payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError("image codec not available: plug Pillow here")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"],
+                    "payload": [one(p) for p in pdf["payload"]],
                 }
             )
 
@@ -169,20 +310,35 @@ def sample_frames(
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError("video codec not available: plug ffmpeg here")
-            out = {"asset_id": [], "frame_idx": [], "frame_ms": [], "payload": []}
-            for _, row in pdf.iterrows():
-                # fake duration: 1 s per KiB, capped — deterministic
-                dur = min(int(row["n_bytes"] or 0), 10_000)
-                for i, ms in enumerate(range(0, max(dur, 1), every_ms)):
-                    out["asset_id"].append(row["asset_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ms"].append(ms)
-                    out["payload"].append(
+            # fake duration: 1 ms per byte, capped — deterministic. The
+            # explode is pure numpy (repeat + offset arange), no pandas
+            # row iteration; only the per-frame hash is per-item, where
+            # the real operator's ffmpeg seek+decode call would sit.
+            dur = np.minimum(
+                pdf["n_bytes"].fillna(0).astype("int64").to_numpy(), 10_000
+            )
+            counts = -(-np.maximum(dur, 1) // every_ms)
+            frame_idx = np.arange(counts.sum()) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            payloads = np.repeat(
+                pdf["payload"].to_numpy(dtype=object), counts
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": np.repeat(
+                        pdf["asset_id"].to_numpy(dtype=object), counts
+                    ),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_ms": frame_idx * every_ms,
+                    "payload": [
                         hashlib.sha256(
-                            (row["payload"] or b"") + str(i).encode()
+                            (p or b"") + str(i).encode()
                         ).digest()
-                    )
-            yield pd.DataFrame(out)
+                        for p, i in zip(payloads, frame_idx)
+                    ],
+                }
+            )
 
     return assets.select("asset_id", "n_bytes", "payload").mapInPandas(
         run, FRAME_SCHEMA

@@ -98,3 +98,74 @@ def test_sample_frames_explodes_rows(assets):
         idxs = sorted(r.frame_idx for r in rows)
         assert idxs == list(range(len(idxs)))
         assert all(len(r.payload) == 32 for r in rows)  # sha256 bytes
+
+
+# --- real BMP / PPM codec path ----------------------------------------------
+
+
+def _checker(h, w):
+    """Deterministic test image: red/blue checkerboard."""
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    mask = (np.add.outer(np.arange(h), np.arange(w)) % 2).astype(bool)
+    px[mask] = (255, 0, 0)
+    px[~mask] = (0, 0, 255)
+    return px
+
+
+def test_bmp_ppm_codec_roundtrip():
+    """Pure codec check, no Spark: decode(encode(x)) == x for both
+    formats, including BMP's padded odd-width rows."""
+    import numpy as np
+
+    for w in (4, 5):  # 5 exercises BMP row padding
+        px = _checker(3, w)
+        for enc in (M.encode_bmp, M.encode_ppm):
+            fmt, back = M.decode_image(enc(px))
+            assert back.shape == (3, w, 3)
+            assert np.array_equal(back, px), (enc.__name__, w)
+
+
+def test_extract_features_decodes_real_bmp(spark):
+    """A genuine BMP payload must produce PIXEL-derived features (channel
+    means/stds), not the payload-hash fake."""
+    import numpy as np
+
+    px = np.full((4, 6, 3), 0, dtype=np.uint8)
+    px[:, :, 0] = 200  # solid (200, 0, 0)
+    bmp = M.encode_bmp(px)
+    binary = spark.createDataFrame(
+        [("img1", bytearray(bmp))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "image")
+    feat = M.extract_features(assets, dim=8).collect()[0].feature
+    assert abs(feat[0] - 200 / 256) < 1e-6  # mean R
+    assert feat[1] == 0.0 and feat[2] == 0.0  # mean G/B
+    assert feat[3] == 0.0  # std R (solid color)
+    # decodable payloads must NOT raise even in 'raise' mode — the codec
+    # hole is only for formats the stdlib decoder cannot handle
+    feat2 = (
+        M.extract_features(assets, dim=8, decode_stub="raise")
+        .collect()[0]
+        .feature
+    )
+    assert feat2 == feat
+
+
+def test_resize_really_resizes_bmp_and_ppm(spark):
+    import numpy as np
+
+    px = _checker(8, 8)
+    binary = spark.createDataFrame(
+        [("b", bytearray(M.encode_bmp(px))), ("p", bytearray(M.encode_ppm(px)))],
+        "doc_id string, payload binary",
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "image")
+    out = {r.asset_id: r for r in M.resize_images(assets, 4, 2).collect()}
+    for aid, fmt in (("b", "bmp"), ("p", "ppm")):
+        got_fmt, back = M.decode_image(bytes(out[aid].payload))
+        assert got_fmt == fmt  # re-encoded in its own format
+        assert back.shape == (2, 4, 3)
+        # nearest-neighbor of a 2x-downscale samples every other pixel
+        assert np.array_equal(back, px[::4][:, ::2])
