@@ -73,9 +73,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 # --- shingling ---------------------------------------------------------------
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization, empty-safe."""
+    """Whitespace tokenization, empty-safe.
+
+    Flat expressions only: after ``trim``, splitting on ``\\s+`` can
+    produce an empty token ONLY for the all-whitespace/empty string (one
+    ``""`` element), so a flat ``when`` guard replaces the previous
+    ``F.filter`` lambda — higher-order lambdas run interpreted, outside
+    whole-stage codegen, and this expression sits under every shingle,
+    stat, and language-ID scan in the engine."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def ngram_array(toks: Column, n: int) -> Column:

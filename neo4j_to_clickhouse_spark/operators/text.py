@@ -45,11 +45,27 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+def _marker_hits(low_toks: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word in a lowercased token array, as flat
+    per-marker ``size - size(array_remove)`` counts summed — markers are
+    distinct so a token matches at most one, making the sum exactly the
+    count a filter-by-membership lambda would produce, but in whole-stage
+    codegen instead of the interpreted higher-order evaluator."""
+    counts = [
+        F.size(low_toks) - F.size(F.array_remove(low_toks, m))
+        for m in markers
+    ]
+    total = counts[0]
+    for extra in counts[1:]:
+        total = total + extra
+    return total
+
+
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    toks = tokens(text)
-    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    c = F.col(text) if isinstance(text, str) else text
+    low = tokens(F.lower(c))  # lower-then-split == split-then-lower-each
+    hits = _marker_hits(low, LANG_MARKERS[lang])
+    return hits / F.greatest(F.size(low), F.lit(1))
 
 
 def mean_token_length(text: Column | str) -> Column:
@@ -78,12 +94,13 @@ def quality_score(text: Column | str) -> Column:
 def detect_language(text: Column | str) -> Column:
     """Marker-word language ID: the language whose marker lexicon hits the
     most tokens; 'und' (undetermined) when nothing hits. Deterministic
-    tie-break by language code order via the (hits, -index) sort key."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    tie-break by language code order via the (hits, -index) sort key.
+    All-flat scoring (see :func:`_marker_hits`) — no interpreted lambdas."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = tokens(F.lower(c))
     scored = []
     for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
-        arr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hits = _marker_hits(low, markers)
         scored.append(F.struct(hits.alias("hits"), F.lit(-i).alias("prio"),
                                F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scored))
