@@ -242,36 +242,87 @@ def compact(
 
 def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
     """Per-month-partition size/row reporting — the analogue of the
-    reference's `system.parts` queries with `formatReadableSize`
-    (`initial-load/scripts/04-optimize-tables.sql:175-203,225-241`):
-    (event_month, n_rows, n_files, total_bytes, readable_size), sorted by
-    month.
+    reference's `system.parts` queries with `formatReadableSize` and its
+    compressed-vs-uncompressed ratio report
+    (`initial-load/scripts/04-optimize-tables.sql:174-203,225-241`):
+    (event_month, n_rows, n_files, total_bytes, readable_size,
+    compression_ratio), sorted by month.
 
     Scale shape: file counts/bytes come from the filesystem's metadata
     listing through the Hadoop FileSystem API (works unchanged on HDFS/S3A
     — the same O(files) metadata read `system.parts` does); row counts are
     a ``groupBy(partition_col).count()`` whose ReadSchema is empty, i.e.
-    satisfied from parquet footers without touching data pages.
+    satisfied from parquet footers without touching data pages; the
+    compression ratio sums each column chunk's
+    ``total_compressed_size / total_uncompressed_size`` from the parquet
+    footers via a DISTRIBUTED ``mapInPandas`` over the file list (one
+    footer read per file on the executors — the driver never opens a
+    file, so 10^5 files parallelize instead of serializing).
     """
+    import pandas as pd
+
     from neo4j_to_clickhouse_spark.functions.scalar import human_readable_size
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     part_rows = []
+    file_rows = []
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if not (status.isDirectory() and name.startswith("event_month=")):
             continue
+        month = name.split("=", 1)[1]
         n_files = 0
         total = 0
         for f in fs.listStatus(status.getPath()):
             if f.isFile() and not f.getPath().getName().startswith(("_", ".")):
                 n_files += 1
                 total += f.getLen()
-        part_rows.append((name.split("=", 1)[1], n_files, total))
+                file_rows.append((month, f.getPath().toUri().getPath()))
+        part_rows.append((month, n_files, total))
     sizes = spark.createDataFrame(
         part_rows, "event_month string, n_files int, total_bytes long"
+    )
+
+    def footer_sizes(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            comp, uncomp = [], []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                c = u = 0
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        c += col.total_compressed_size
+                        u += col.total_uncompressed_size
+                comp.append(c)
+                uncomp.append(u)
+            yield pd.DataFrame(
+                {
+                    "event_month": pdf["event_month"],
+                    "compressed": comp,
+                    "uncompressed": uncomp,
+                }
+            )
+
+    ratios = (
+        spark.createDataFrame(file_rows, "event_month string, path string")
+        .mapInPandas(
+            footer_sizes,
+            "event_month string, compressed long, uncompressed long",
+        )
+        .groupBy("event_month")
+        .agg(
+            F.round(
+                F.sum("compressed")
+                / F.greatest(F.sum("uncompressed"), F.lit(1)),
+                4,
+            ).alias("compression_ratio")
+        )
     )
     counts = (
         spark.read.parquet(table_path)
@@ -280,9 +331,15 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
     )
     return (
         counts.join(F.broadcast(sizes), "event_month")
+        .join(F.broadcast(ratios), "event_month")
         .withColumn("readable_size", human_readable_size("total_bytes"))
         .select(
-            "event_month", "n_rows", "n_files", "total_bytes", "readable_size"
+            "event_month",
+            "n_rows",
+            "n_files",
+            "total_bytes",
+            "readable_size",
+            "compression_ratio",
         )
         .orderBy("event_month")
     )

@@ -97,6 +97,9 @@ def test_table_stats_reports_per_month(spark, event_table):
         assert row.n_files >= 1
         assert row.total_bytes > 0
         assert row.readable_size.endswith((" B", " KiB", " MiB", " GiB"))
+        # footer-derived compressed/uncompressed ratio, parity with the
+        # reference's 04-optimize-tables.sql:174-182 report
+        assert 0.0 < row.compression_ratio <= 1.0
     # the plan reads no data columns for the counts (footer-only)
     counted = (
         spark.read.parquet(event_table).groupBy("event_month").count()
