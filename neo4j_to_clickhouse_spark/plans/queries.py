@@ -1696,6 +1696,43 @@ def sessionization(spark, sf_dir):
 
 
 @q(
+    "session_window_counts",
+    # the native session_window operator (streaming twin of `sessionization`)
+    # run in batch mode: one row per session with start / end(=last+gap) /
+    # size. Oracle rebuilds sessions with the lag+running-sum construction —
+    # structurally different algorithm, same sessions (testdata has no
+    # exact-30min gaps, where the half-open session_window boundary and the
+    # batch `diff > gap` rule would legitimately differ).
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WHERE user_id < 30
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g)
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_start""",
+    "native session_window sessions (batch mode of the streaming "
+    "sessionizer): per-session start/end/size",
+)
+def session_window_counts(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.streaming import session_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return session_counts(
+        ev, key_col="user_id", time_col="ts", gap="30 minutes"
+    ).orderBy("user_id", "session_start")
+
+
+@q(
     "rollup_event_counts",
     # ClickHouse's WITH ROLLUP = ANSI ROLLUP: subtotal rows per event_type
     # and a grand total, one pass. Neither grouping column is nullable in

@@ -1,7 +1,9 @@
 """Structured Streaming ingest for the CDC event log."""
 
 from neo4j_to_clickhouse_spark.streaming.monitoring import (  # noqa: F401
+    session_counts,
     start_monitoring_stream,
+    start_session_stream,
     windowed_event_counts,
 )
 from neo4j_to_clickhouse_spark.streaming.pipeline import (  # noqa: F401

@@ -80,3 +80,70 @@ def start_monitoring_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "event_timestamp",
+    gap: str = "30 minutes",
+    max_lateness: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessions as a streaming aggregation — the streaming twin
+    of the batch :func:`..operators.analytics.sessionize` window, via
+    Spark's native ``session_window`` (merging event-time windows that
+    keep extending while events arrive within ``gap``).
+
+    Output: (key, session_start, session_end, n_events) — one row per
+    closed session. ``session_end`` is ``last event + gap`` (the native
+    operator's convention). Boundary contract: ``session_window`` is
+    half-open, so an event at EXACTLY ``gap`` after its predecessor
+    starts a NEW session, where the batch form's ``diff > gap`` keeps it
+    — equivalent everywhere except that zero-measure boundary.
+
+    Scale shape: state is (keys with an open session) x (sessions inside
+    the watermark), evicted as the watermark passes ``session_end`` —
+    bounded by active keys, never by history. Works on a batch frame too
+    (full session set, no watermark eviction), which is what the
+    equivalence test exercises against the batch sessionizer.
+    """
+    return (
+        events.withWatermark(time_col, max_lateness)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("s"),
+            key_col,
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def start_session_stream(
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    time_col: str = "event_timestamp",
+    gap: str = "30 minutes",
+    max_lateness: str = "10 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run sessionization continuously: append-mode parquet of CLOSED
+    sessions only (a session emits once, when the watermark passes its
+    end — no session is ever revised after landing)."""
+    agg = session_counts(events_stream, key_col, time_col, gap, max_lateness)
+    writer = (
+        agg.writeStream.queryName("sessionization")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -184,6 +184,86 @@ def test_windowed_monitoring_stream_appends_finalized_windows(
     assert ("2026-03-02T00:00:00", "DELETE") not in rows
 
 
+def test_session_counts_matches_batch_sessionize(spark):
+    """The session_window streaming aggregation, run over the batch event
+    table, must agree with the batch lag+running-sum sessionizer: same
+    per-user session count and same per-session event-count multiset."""
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+    from neo4j_to_clickhouse_spark.plans.queries import _t
+    from neo4j_to_clickhouse_spark.streaming import session_counts
+
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    stream_form = session_counts(
+        events, key_col="user_id", time_col="ts", gap="30 minutes"
+    )
+    batch_form = (
+        sessionize(events, "user_id", "ts", "event_id", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {}
+    for r in stream_form.collect():
+        got.setdefault(r.user_id, []).append(r.n_events)
+    want = {}
+    for r in batch_form.collect():
+        want.setdefault(r.user_id, []).append(r.n_events)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+
+def test_session_stream_emits_closed_sessions(spark, tmp_path):
+    """Streamed with availableNow: append mode lands exactly the sessions
+    the watermark closed, and every landed row matches the batch result."""
+    from neo4j_to_clickhouse_spark.plans.queries import _t
+    from neo4j_to_clickhouse_spark.streaming import (
+        session_counts,
+        start_session_stream,
+    )
+
+    # re-land the testdata with micro timestamps (the raw file is
+    # TIMESTAMP(NANOS), which readStream's parquet source rejects)
+    table = str(tmp_path / "events_us")
+    _t(spark, "/root/testdata/sf0.001", "events").write.parquet(table)
+    batch = spark.read.parquet(table)
+    events_stream = spark.readStream.schema(batch.schema).parquet(table)
+    q = start_session_stream(
+        events_stream,
+        output_path=str(tmp_path / "sessions"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_col="user_id",
+        time_col="ts",
+        gap="30 minutes",
+        max_lateness="10 minutes",
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "sessions")).collect()
+    }
+    full = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_counts(
+            batch, key_col="user_id", time_col="ts", gap="30 minutes"
+        ).collect()
+    }
+    assert emitted <= full
+    # the watermark (max event time - 10 min) closes every session that
+    # ended >10 min + gap before the log's end — nearly all of them here
+    assert len(emitted) >= 0.9 * len(full)
+    # sessions fully clear of the tail must ALL have been emitted
+    import datetime
+
+    max_ts = max(e[2] for e in full)
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    assert {e for e in full if e[2] < cutoff} <= emitted
+
+
 def test_stateful_latest_state_tracker(spark, streamed_nodes, tmp_path):
     """The incremental tracker must agree with the batch window: after
     draining the event table as a multi-batch stream (one file per
