@@ -129,6 +129,43 @@ def word_distribution(spark, sf_dir):
 
 
 @q(
+    "topk_words_approx",
+    # ClickHouse topK() parity through the mergeable-summary operator.
+    # capacity >> per-batch distinct words makes the summaries exact and
+    # every err_bound 0 BY CONSTRUCTION (the IVF-full-probe trick), so
+    # the exact per-group top-k with (count desc, word asc) tie-break is
+    # a legitimate hard oracle for the whole summarize+merge machinery.
+    """WITH w AS (
+         SELECT source, unnest(string_split(p.word_src, ' ')) AS item
+         FROM (SELECT source, text AS word_src FROM documents) p),
+       c AS (
+         SELECT source, item, count(*) AS est_count FROM w
+         GROUP BY source, item),
+       r AS (
+         SELECT source, item, est_count,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY est_count DESC, item) AS rn
+         FROM c)
+       SELECT source, item, est_count, CAST(0 AS BIGINT) AS err_bound
+       FROM r WHERE rn <= 5 ORDER BY source, est_count DESC, item""",
+    "approximate per-source top-5 words (ClickHouse topK parity: "
+    "mergeable truncated-count summaries, certified error bounds)",
+)
+def topk_words_approx(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.heavy_hitters import (
+        approx_top_k,
+    )
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+    )
+    return approx_top_k(
+        words, ["source"], "word", k=5, capacity=1_000_000
+    ).orderBy("source", F.col("est_count").desc(), "item")
+
+
+@q(
     "payload_profile",
     """SELECT event_type, count(*) AS cnt,
               CAST(sum(length(props)) AS BIGINT) AS total_payload_chars
