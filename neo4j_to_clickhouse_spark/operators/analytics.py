@@ -368,6 +368,55 @@ def window_funnel(
     return out.select(F.col(key_col), reached.alias("funnel_step"))
 
 
+def window_funnel_strict_order(
+    events: DataFrame,
+    steps: list[Column],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_break_col: str = "event_id",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(... , 'strict_order')``: the funnel only
+    advances while the steps occur as CONSECUTIVE events — any other
+    event between step i and step i+1 stops the chain (the plain funnel
+    allows arbitrary interleaving). Output: (key, funnel_step), keys
+    reaching at least step 1.
+
+    Construction: per key, events sorted by (time, tie-break); for every
+    event matching step 1, the chain's depth is read off ``lead`` columns
+    — step i+1 must match at offset i. That is ``len(steps)-1`` flat lead
+    expressions over ONE window (one hash shuffle of the event log, no
+    joins at all), then a grouped max. The optional ``window_seconds``
+    bound compares the chain's last event time against the step-1 time,
+    double-cast for sub-second exactness like the plain funnel.
+    """
+    order = [F.col(time_col), F.col(tie_break_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    matches = [s.cast("boolean") for s in steps]
+    # depth if a chain starts at this row: innermost-out conditional sum
+    # of consecutive lead matches
+    depth = F.when(matches[0], F.lit(1)).otherwise(F.lit(0))
+    chain_ok = matches[0]
+    for i in range(1, len(steps)):
+        step_here = F.lead(matches[i], i).over(w)
+        in_window = F.lit(True)
+        if window_seconds is not None:
+            t_i = F.lead(F.col(time_col).cast("double"), i).over(w)
+            in_window = (
+                t_i - F.col(time_col).cast("double") <= window_seconds
+            )
+        chain_ok = chain_ok & F.coalesce(
+            step_here & in_window, F.lit(False)
+        )
+        depth = F.when(chain_ok, F.lit(i + 1)).otherwise(depth)
+    return (
+        events.select(F.col(key_col), depth.alias("__d"))
+        .groupBy(key_col)
+        .agg(F.max("__d").alias("funnel_step"))
+        .filter(F.col("funnel_step") >= 1)
+    )
+
+
 def retention_cohort(
     events: DataFrame,
     conditions: list[Column],

@@ -1849,6 +1849,62 @@ def window_funnel_steps(spark, sf_dir):
 
 
 @q(
+    "window_funnel_strict_order_steps",
+    # strict_order mode: signup -> purchase -> error must be CONSECUTIVE
+    # events per user (any interleaved event breaks the chain), within
+    # 48h of the chain's signup. Oracle = the same lead-offset reading in
+    # DuckDB's window engine (cross-engine, not cross-algorithm: the
+    # consecutive-chain semantics pin the construction).
+    """WITH e AS (
+         SELECT user_id, ts,
+                event_type = 'signup' AS m1,
+                lead(event_type, 1) OVER w = 'purchase' AS m2,
+                lead(event_type, 2) OVER w = 'error' AS m3,
+                lead(ts, 1) OVER w AS t2,
+                lead(ts, 2) OVER w AS t3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       d AS (
+         SELECT user_id,
+                CASE WHEN m1
+                      AND coalesce(m2 AND t2 - ts <= INTERVAL 48 HOUR, false)
+                      AND coalesce(m3 AND t3 - ts <= INTERVAL 48 HOUR, false)
+                     THEN 3
+                     WHEN m1
+                      AND coalesce(m2 AND t2 - ts <= INTERVAL 48 HOUR, false)
+                     THEN 2
+                     WHEN m1 THEN 1 ELSE 0 END AS depth
+         FROM e),
+       f AS (SELECT user_id, max(depth) AS funnel_step
+             FROM d GROUP BY user_id HAVING max(depth) >= 1)
+       SELECT funnel_step, count(*) AS n_users
+       FROM f GROUP BY funnel_step ORDER BY funnel_step""",
+    "windowFunnel strict_order parity: consecutive-event funnel via lead "
+    "offsets — one window shuffle, no joins",
+)
+def window_funnel_strict_order_steps(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import (
+        window_funnel_strict_order,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "signup",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+    ]
+    return (
+        window_funnel_strict_order(
+            ev, steps, "user_id", "ts", "event_id",
+            window_seconds=48 * 3600,
+        )
+        .groupBy("funnel_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+@q(
     "retention_cohort_counts",
     # ClickHouse retention() parity: users who signed up; of those, how
     # many purchased; and (cond1 AND condN per CH semantics) how many

@@ -1,0 +1,105 @@
+"""windowFunnel semantics: interleaving tolerance of the plain funnel vs
+strict_order's consecutive-chain requirement, and the window bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.analytics import (
+    window_funnel,
+    window_funnel_strict_order,
+)
+
+def _steps():
+    return [
+        F.col("e") == "A",
+        F.col("e") == "B",
+        F.col("e") == "C",
+    ]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, t string, eid long, e string"
+    ).select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "eid", "e"
+    )
+
+
+def test_strict_order_breaks_on_interleaved_event(spark):
+    ev = _events(
+        spark,
+        [
+            # key 1: A B C consecutive -> depth 3
+            (1, "2024-01-01 00:00:00", 1, "A"),
+            (1, "2024-01-01 00:01:00", 2, "B"),
+            (1, "2024-01-01 00:02:00", 3, "C"),
+            # key 2: A B x C -> x breaks the chain after B -> depth 2
+            (2, "2024-01-01 00:00:00", 1, "A"),
+            (2, "2024-01-01 00:01:00", 2, "B"),
+            (2, "2024-01-01 00:02:00", 3, "x"),
+            (2, "2024-01-01 00:03:00", 4, "C"),
+            # key 3: A x B C -> x right after A -> depth 1, but the later
+            # bare A has no chain either -> stays 1
+            (3, "2024-01-01 00:00:00", 1, "A"),
+            (3, "2024-01-01 00:01:00", 2, "x"),
+            (3, "2024-01-01 00:02:00", 3, "B"),
+            (3, "2024-01-01 00:03:00", 4, "C"),
+            # key 4: no A at all -> excluded from output
+            (4, "2024-01-01 00:00:00", 1, "B"),
+        ],
+    )
+    strict = {
+        r.k: r.funnel_step
+        for r in window_funnel_strict_order(
+            ev, _steps(), "k", "ts", "eid"
+        ).collect()
+    }
+    assert strict == {1: 3, 2: 2, 3: 1}
+    # the PLAIN funnel tolerates the interleaving: keys 2 and 3 reach 3
+    loose = {
+        r.k: r.funnel_step
+        for r in window_funnel(ev, _steps(), "k", "ts").collect()
+    }
+    assert loose == {1: 3, 2: 3, 3: 3}
+
+
+def test_strict_order_window_bound(spark):
+    """The chain's last step must land within window_seconds of its
+    step-1 event — a consecutive but too-slow chain is cut."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "A"),
+            (1, "2024-01-01 00:30:00", 2, "B"),
+            (1, "2024-01-01 02:00:00", 3, "C"),  # 2h after A: outside 1h
+        ],
+    )
+    got = {
+        r.k: r.funnel_step
+        for r in window_funnel_strict_order(
+            ev, _steps(), "k", "ts", "eid", window_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_strict_order_restart_after_break(spark):
+    """A broken chain does not poison a LATER complete chain."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "A"),
+            (1, "2024-01-01 00:01:00", 2, "x"),  # breaks first chain
+            (1, "2024-01-01 00:02:00", 3, "A"),
+            (1, "2024-01-01 00:03:00", 4, "B"),
+            (1, "2024-01-01 00:04:00", 5, "C"),
+        ],
+    )
+    got = {
+        r.k: r.funnel_step
+        for r in window_funnel_strict_order(
+            ev, _steps(), "k", "ts", "eid"
+        ).collect()
+    }
+    assert got == {1: 3}
