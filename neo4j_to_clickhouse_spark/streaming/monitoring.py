@@ -45,12 +45,22 @@ def windowed_event_counts(
             F.window("event_timestamp", window_duration).alias("w"),
             "event_type",
         )
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # HLL++ sketch agg works unchanged inside the watermarked
+            # streaming window (it is a partial-aggregable function):
+            # per-window distinct entities at sketch-size state cost —
+            # the uniqState/uniqMerge rollup's streaming twin
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("entity_id")
+            ).alias("approx_entities"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "cnt",
+            "approx_entities",
         )
     )
 

@@ -140,6 +140,20 @@ def test_windowed_monitoring_counts_batch_semantics(spark, streamed_nodes):
     events = spark.read.parquet(str(streamed_nodes / "events"))
     out = windowed_event_counts(events, window_duration="1 minute").collect()
     by_key = {(r.window_start.isoformat(), r.event_type): r.cnt for r in out}
+    # HLL distinct is exact at the corpus's tiny cardinality: every
+    # window's approx_entities equals its exact per-window distinct count
+    for r in out:
+        exact = (
+            events.filter(
+                (F.col("event_timestamp") >= r.window_start)
+                & (F.col("event_timestamp") < r.window_end)
+                & (F.col("event_type") == r.event_type)
+            )
+            .select("entity_id")
+            .distinct()
+            .count()
+        )
+        assert r.approx_entities == exact
     # conftest corpus: 4 events in the 05:58 minute of 2026-02-14
     # (3 on entity1 + 1 on entity2), including the replayed INSERT pair
     # in the 2026-03-01 00:00 minute
