@@ -417,6 +417,47 @@ def window_funnel_strict_order(
     )
 
 
+def sequence_count(
+    events: DataFrame,
+    cond_a: Column,
+    cond_b: Column,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_break_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')``: per key, the number of
+    non-overlapping greedy A-then-B matches (arbitrary events may sit
+    between the A and its B). Output: (key, n_matches), keys with >= 1
+    match.
+
+    The greedy left-to-right matcher closes a pending A at the first
+    later B, so the match count equals the number of A-run -> B-run
+    transitions in the events filtered to A/B — a FLAT formulation: one
+    filtered window pass with ``lag``, one conditional count. One hash
+    shuffle of only the A/B events, no state machine, no UDF.
+    """
+    letter = (
+        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col), F.col(tie_break_col)
+    )
+    lettered = (
+        events.withColumn("__l", letter)
+        .filter(F.col("__l").isNotNull())
+        .withColumn("__prev", F.lag("__l").over(w))
+    )
+    return (
+        lettered.groupBy(key_col)
+        .agg(
+            F.count_if(
+                (F.col("__l") == "b") & (F.col("__prev") == "a")
+            ).alias("n_matches")
+        )
+        .filter(F.col("n_matches") >= 1)
+    )
+
+
 def retention_cohort(
     events: DataFrame,
     conditions: list[Column],

@@ -1591,6 +1591,51 @@ def range_join_interval_stats(spark, sf_dir):
 
 
 @q(
+    "daily_moving_stats",
+    # ClickHouse runningAccumulate / neighbor() idioms: running cumulative
+    # total and a trailing 7-day moving average over the daily count
+    # series. Scale shape: the window runs over the PRE-AGGREGATED daily
+    # frame (one row per day — hundreds of rows at any corpus size), never
+    # the event log; the only full-data pass is the map-side-combinable
+    # daily count.
+    """WITH d AS (
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                count(*) AS n_events
+         FROM events GROUP BY 1)
+       SELECT day, n_events,
+              CAST(sum(n_events) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total,
+              CAST(avg(CAST(n_events AS DOUBLE)) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS ma7
+       FROM d ORDER BY day""",
+    "running cumulative total + trailing 7-day moving average over daily "
+    "counts (runningAccumulate/neighbor parity; window over the tiny "
+    "pre-aggregate, never the log)",
+)
+def daily_moving_stats(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.sum("n_events")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_total"),
+            F.avg(F.col("n_events").cast("double"))
+            .over(w.rowsBetween(-6, 0))
+            .alias("ma7"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
     "value_percentiles_by_type",
     # EXACT percentiles (Spark `percentile`, DuckDB `quantile_cont` — both
     # linear-interpolation on the sorted set, so values agree bit-for-bit
@@ -1901,6 +1946,51 @@ def window_funnel_strict_order_steps(spark, sf_dir):
         .groupBy("funnel_step")
         .agg(F.count("*").alias("n_users"))
         .orderBy("funnel_step")
+    )
+
+
+@q(
+    "sequence_count_histogram",
+    # sequenceCount('(?1).*(?2)') parity: greedy non-overlapping
+    # signup-then-purchase matches per user == A-run -> B-run transitions
+    # over the A/B-filtered per-user sequence; then the per-count user
+    # histogram. Oracle = the same transition counting in DuckDB.
+    """WITH l AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN event_type = 'signup' THEN 'a'
+                     WHEN event_type = 'purchase' THEN 'b' END AS ltr
+         FROM events
+         WHERE event_type IN ('signup', 'purchase')),
+       p AS (
+         SELECT user_id, ltr,
+                lag(ltr) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+         FROM l),
+       m AS (
+         SELECT user_id,
+                count(*) FILTER (WHERE ltr = 'b' AND prev = 'a') AS n_matches
+         FROM p GROUP BY user_id HAVING n_matches >= 1)
+       SELECT n_matches, count(*) AS n_users
+       FROM m GROUP BY n_matches ORDER BY n_matches""",
+    "sequenceCount parity: greedy non-overlapping signup->purchase chains "
+    "per user (flat lag transition count, one shuffle of A/B events only)",
+)
+def sequence_count_histogram(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import sequence_count
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sequence_count(
+            ev,
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            "user_id",
+            "ts",
+            "event_id",
+        )
+        .groupBy("n_matches")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_matches")
     )
 
 

@@ -84,6 +84,37 @@ def test_strict_order_window_bound(spark):
     assert got == {1: 2}
 
 
+def test_sequence_count_greedy_non_overlapping(spark):
+    """Greedy matcher semantics: A A B B -> 1 (first A takes first B,
+    second B has no open A); A B A B -> 2; interleaved non-step events
+    are ignored; keys with zero matches are excluded."""
+    from neo4j_to_clickhouse_spark.operators.analytics import sequence_count
+
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "A"),
+            (1, "2024-01-01 00:01:00", 2, "A"),
+            (1, "2024-01-01 00:02:00", 3, "B"),
+            (1, "2024-01-01 00:03:00", 4, "B"),
+            (2, "2024-01-01 00:00:00", 1, "A"),
+            (2, "2024-01-01 00:01:00", 2, "x"),  # ignored
+            (2, "2024-01-01 00:02:00", 3, "B"),
+            (2, "2024-01-01 00:03:00", 4, "A"),
+            (2, "2024-01-01 00:04:00", 5, "B"),
+            (3, "2024-01-01 00:00:00", 1, "B"),  # B before any A: no match
+            (3, "2024-01-01 00:01:00", 2, "A"),
+        ],
+    )
+    got = {
+        r.k: r.n_matches
+        for r in sequence_count(
+            ev, F.col("e") == "A", F.col("e") == "B", "k", "ts", "eid"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
 def test_strict_order_restart_after_break(spark):
     """A broken chain does not poison a LATER complete chain."""
     ev = _events(
