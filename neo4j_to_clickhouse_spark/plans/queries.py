@@ -1636,6 +1636,45 @@ def daily_moving_stats(spark, sf_dir):
 
 
 @q(
+    "value_histogram",
+    # ClickHouse histogram()-style distribution report, pinned to fixed
+    # bins so it is deterministic (CH's adaptive bins are not): 10 equal
+    # buckets over [0, 1000) + the overflow bucket. width_bucket exists
+    # in both engines with identical semantics; one map-side-combinable
+    # aggregate, no shuffle beyond the 11-row result.
+    # DuckDB has no width_bucket; the closed form below IS its contract
+    # for (0, 1000, 10): bucket 0 under-range, 11 over-range, else
+    # floor(v/100)+1
+    """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events)
+       SELECT CASE WHEN v < 0 THEN 0
+                   WHEN v >= 1000 THEN 11
+                   ELSE CAST(floor(v / 100) AS BIGINT) + 1 END AS bucket,
+              count(*) AS cnt,
+              CAST(min(v) AS DOUBLE) AS lo,
+              CAST(max(v) AS DOUBLE) AS hi
+       FROM v GROUP BY bucket ORDER BY bucket""",
+    "fixed-bin value histogram via width_bucket (histogram() parity, "
+    "deterministic bins)",
+)
+def value_histogram(spark, sf_dir):
+    v = F.col("value").cast("double")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.width_bucket(v, F.lit(0.0), F.lit(1000.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
     "value_percentiles_by_type",
     # EXACT percentiles (Spark `percentile`, DuckDB `quantile_cont` — both
     # linear-interpolation on the sorted set, so values agree bit-for-bit

@@ -8,6 +8,7 @@ from neo4j_to_clickhouse_spark.streaming.monitoring import (  # noqa: F401
 )
 from neo4j_to_clickhouse_spark.streaming.pipeline import (  # noqa: F401
     StreamConfig,
+    dedup_within_watermark,
     drain,
     start_node_stream,
     start_relationship_stream,

@@ -66,6 +66,29 @@ class StreamConfig:
     coalesce_output: int | None = None  # small-file control per micro-batch
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    id_col: str = "event_id",
+    time_col: str = "event_timestamp",
+    max_lateness: str = "10 minutes",
+) -> DataFrame:
+    """In-flight guard against upstream PRODUCER duplicates (the same
+    event id emitted twice by the source, possibly in different
+    micro-batches) — the failure mode the sink's replay-idempotent
+    rename protocol cannot see, because both copies are legitimate new
+    data to the sink.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per id while the id
+    is inside the watermark, with state EVICTED as the watermark passes —
+    bounded by the duplicate-arrival window, never by history (a plain
+    streaming ``dropDuplicates`` would grow state forever). Batch-side
+    ``dedup_exact_events`` remains the backstop for duplicates arriving
+    farther apart than ``max_lateness``.
+    """
+    return events.withWatermark(time_col, max_lateness)\
+        .dropDuplicatesWithinWatermark([id_col])
+
+
 def _promote_staged(staging: str, dest_root: str, batch_id: int) -> None:
     """Move staged part-files into the table under deterministic
     ``batch-<id>-<i>`` names. Replay-safe: files from a previous (crashed)

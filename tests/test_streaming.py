@@ -198,6 +198,49 @@ def test_windowed_monitoring_stream_appends_finalized_windows(
     assert ("2026-03-02T00:00:00", "DELETE") not in rows
 
 
+def test_dedup_within_watermark_drops_cross_batch_duplicates(
+    spark, tmp_path
+):
+    """A producer duplicate arriving in a LATER micro-batch (inside the
+    watermark) must be dropped in-flight; distinct ids all survive."""
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.streaming import dedup_within_watermark
+
+    src = tmp_path / "src"
+    rows1 = [("e1", "2026-01-01 00:00:00"), ("e2", "2026-01-01 00:00:10")]
+    rows2 = [("e2", "2026-01-01 00:00:11"), ("e3", "2026-01-01 00:00:20")]
+    for name, rows in (("a", rows1), ("b", rows2)):
+        spark.createDataFrame(
+            rows, "event_id string, t string"
+        ).select(
+            "event_id", F.col("t").cast("timestamp").alias("event_timestamp")
+        ).coalesce(1).write.parquet(str(src / name))
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # duplicates cross micro-batches
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        r.event_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == ["e1", "e2", "e3"]
+
+
 def test_session_counts_matches_batch_sessionize(spark):
     """The session_window streaming aggregation, run over the batch event
     table, must agree with the batch lag+running-sum sessionizer: same
