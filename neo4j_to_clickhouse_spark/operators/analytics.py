@@ -436,15 +436,17 @@ def sequence_count(
     filtered window pass with ``lag``, one conditional count. One hash
     shuffle of only the A/B events, no state machine, no UDF.
     """
-    letter = (
-        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b"))
-    )
     w = Window.partitionBy(key_col).orderBy(
         F.col(time_col), F.col(tie_break_col)
     )
+    # filter on the RAW predicates (pushes to the parquet scan as an
+    # Or/In filter), then letter the survivors — filtering on the
+    # case-when letter instead would leave the scan unpruned
     lettered = (
-        events.withColumn("__l", letter)
-        .filter(F.col("__l").isNotNull())
+        events.filter(cond_a | cond_b)
+        .withColumn(
+            "__l", F.when(cond_a, F.lit("a")).otherwise(F.lit("b"))
+        )
         .withColumn("__prev", F.lag("__l").over(w))
     )
     return (

@@ -94,6 +94,13 @@ def test_window_funnel_has_no_forced_broadcast(spark):
                 conf.set(k, v)
 
 
+def test_sequence_count_filter_pushes_to_scan(spark):
+    """sequence_count must filter on the raw step predicates so the scan
+    prunes non-step events (a case-when letter filter would not push)."""
+    plan = _plan(spark, "sequence_count_histogram")
+    assert "Or(EqualTo(event_type,signup),EqualTo(event_type,purchase))" in plan
+
+
 def test_hash_sample_is_scan_side_filter(spark):
     """The Bernoulli hash filter must stay a stateless Filter over the
     scan: no shuffle exchange anywhere in the plan."""
