@@ -287,9 +287,17 @@ def sessionize(
     Pure window composition — lag to detect gaps, running sum to number
     sessions — so it is ONE hash shuffle on the key and two passes over
     each partition's sorted run, no UDFs, no state store. (The streaming
-    analogue is ``F.session_window``; this is the batch/backfill form the
-    reference's event log needs.) Ordering is the (time, tie-break) total
-    order used everywhere else, so replayed logs sessionize identically.
+    analogue is ``streaming.monitoring.session_counts`` via
+    ``F.session_window``; this is the batch/backfill form the reference's
+    event log needs.) Ordering is the (time, tie-break) total order used
+    everywhere else, so replayed logs sessionize identically.
+
+    Known limit: one key is one window task (sessions chain through the
+    whole history, so the per-key scan is inherently sequential — unlike
+    the as-of join, a time-bucketed split cannot cut it without a second
+    sequential stitch over the bucket boundaries). When per-key volume is
+    the bottleneck, aggregate per session via ``session_counts`` instead:
+    the session_window hash aggregate pre-combines map-side.
     """
     order = [F.col(time_col), F.col(tie_break_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
