@@ -146,15 +146,17 @@ def degree_topk(
     """A7/J1: per-node outgoing-edge count, top-k — the interfaces-per-device
     query (`initial-load/scripts/04-optimize-tables.sql:206-218`).
 
-    The filtered node side is broadcast (dimension-sized after its filters);
-    the edge side aggregates on its FK *before* the join when possible. Here
-    we pre-aggregate edges per source — turning a row-level join into a
-    count-level join — which at 100 TB is the difference between shuffling
-    the edge table and shuffling one row per node.
+    The edge side aggregates on its FK *before* the join — turning a
+    row-level join into a count-level join, which at 100 TB is the
+    difference between shuffling the edge table and shuffling one row per
+    node. The node-side join carries NO broadcast hint: both sides are
+    node-cardinality (data-sized, not schema-sized), so the join strategy
+    is AQE's size-based call — a forced broadcast would OOM on a large
+    graph.
     """
     per_source = edges.groupBy(edge_fk).agg(F.count("*").alias("degree"))
     return (
-        F.broadcast(nodes.select(F.col(node_key), F.col("labels")))
+        nodes.select(F.col(node_key), F.col("labels"))
         .join(per_source, F.col(node_key) == F.col(edge_fk), "inner")
         .select(node_key, "degree")
         .orderBy(F.col("degree").desc(), F.col(node_key))

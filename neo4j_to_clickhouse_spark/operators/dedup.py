@@ -501,13 +501,15 @@ def dedup_by_pairs(
 ) -> DataFrame:
     """Materialize the deduplicated corpus: keep one survivor (the minimum
     id) per near-dup cluster, all original columns preserved. The loser
-    set is (ids in clusters) minus (cluster minima) — tiny relative to the
-    corpus — so the removal is a broadcast-friendly left-anti join; the
-    corpus is never shuffled."""
+    set is (ids in clusters) minus (cluster minima), and the removal is a
+    left-anti join of ids only — with NO broadcast hint: the loser count
+    is DATA-sized (a heavily duplicated corpus retires a large fraction
+    of itself), so AQE broadcasts when the set is actually small and
+    falls back to a shuffle join instead of OOMing on a forced hint."""
     losers = duplicate_clusters(pairs).filter(
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias(id_col))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 # --- SimHash -----------------------------------------------------------------
