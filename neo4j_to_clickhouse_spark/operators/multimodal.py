@@ -126,6 +126,77 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def decode_wav(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Decode a PCM WAV payload into (sample_rate, n_channels, mono int16
+    samples) with the stdlib ``wave`` module. Returns None for anything
+    that is not 8/16-bit PCM WAV — the caller falls back to its stub."""
+    import io
+    import wave
+
+    if not payload or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width, nch = w.getsampwidth(), w.getnchannels()
+            if width not in (1, 2) or nch < 1:
+                return None
+            frames = w.readframes(w.getnframes())
+            rate = w.getframerate()
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:  # unsigned 8-bit -> centered int16
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    else:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int16)
+    if nch > 1:
+        samples = (
+            samples[: len(samples) - len(samples) % nch]
+            .reshape(-1, nch)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return (rate, nch, samples)
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Encode int16 samples as 16-bit PCM WAV (test/fixture helper)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _audio_feature(
+    rate: int, samples: np.ndarray, dim: int
+) -> list[float]:
+    """Deterministic audio features in [0,1): duration (capped at 60 s),
+    RMS energy, zero-crossing rate, then an |amplitude| histogram filling
+    the remaining dims — the contract a real embedding model replaces."""
+    n = max(len(samples), 1)
+    x = samples.astype(np.float64) / 32768.0
+    dur = min(n / max(rate, 1), 60.0) / 60.0 * (255.0 / 256.0)
+    rms = float(np.sqrt(np.mean(x * x))) * (255.0 / 256.0)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) * (
+        255.0 / 256.0
+    )
+    feats = [dur, rms, zcr]
+    bins = dim - len(feats)
+    if bins > 0:
+        hist, _ = np.histogram(np.abs(x), bins=bins, range=(0.0, 1.0 + 1e-9))
+        feats += list(hist / n * (255.0 / 256.0))
+    return [float(v) for v in feats[:dim]]
+
+
 def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     h, w, _ = pixels.shape
     yi = (np.arange(height) * h // height).clip(max=h - 1)
@@ -170,6 +241,42 @@ def ingest_binary_assets(
     )
 
 
+def probe_assets(assets: DataFrame) -> DataFrame:
+    """Fill the nullable metadata columns (`width`, `height`,
+    `duration_ms`) from the payloads themselves, for the formats the
+    stdlib codecs can read (BMP/PPM images, PCM WAV audio); everything
+    else keeps NULLs for a real prober to fill. Arrow-batched
+    ``mapInPandas`` over the full asset schema — the metadata becomes
+    queryable WITHOUT any downstream reader touching payload bytes again
+    (column pruning serves metadata-only queries from parquet alone).
+    """
+    schema = assets.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, durations = [], [], []
+            for payload in pdf["payload"]:
+                w = h = d = None
+                img = decode_image(payload)
+                if img is not None:
+                    h, w = int(img[1].shape[0]), int(img[1].shape[1])
+                else:
+                    audio = decode_wav(payload)
+                    if audio is not None:
+                        rate, _, samples = audio
+                        d = int(len(samples) / max(rate, 1) * 1000)
+                widths.append(w)
+                heights.append(h)
+                durations.append(d)
+            pdf = pdf.copy()
+            pdf["width"] = pd.array(widths, dtype="Int32")
+            pdf["height"] = pd.array(heights, dtype="Int32")
+            pdf["duration_ms"] = pd.array(durations, dtype="Int64")
+            yield pdf
+
+    return assets.mapInPandas(run, schema)
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.StringType()),
@@ -211,6 +318,9 @@ def extract_features(
         decoded = decode_image(payload)
         if decoded is not None:
             return _pixel_feature(decoded[1], dim)
+        audio = decode_wav(payload)
+        if audio is not None:
+            return _audio_feature(audio[0], audio[2], dim)
         if decode_stub == "raise":
             raise NotImplementedError(
                 "media codec not available in this environment: "

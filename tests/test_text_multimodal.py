@@ -153,6 +153,59 @@ def test_extract_features_decodes_real_bmp(spark):
     assert feat2 == feat
 
 
+def test_wav_codec_and_audio_features(spark):
+    """A PCM WAV payload must yield REAL audio features (duration, RMS,
+    zero-crossings), not the payload-hash fake, and survive 'raise'."""
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    wav = M.encode_wav(tone, sample_rate=rate)
+    got = M.decode_wav(wav)
+    assert got is not None and got[0] == rate
+    assert np.array_equal(got[2], tone)
+    binary = spark.createDataFrame(
+        [("aud1", bytearray(wav))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "audio")
+    feat = (
+        M.extract_features(assets, dim=8, decode_stub="raise")
+        .collect()[0]
+        .feature
+    )
+    # duration: 1s of 60s cap; RMS of a 10000-amp sine ~ 0.2157
+    assert abs(feat[0] - (1.0 / 60.0) * (255 / 256)) < 1e-6
+    assert abs(feat[1] - (10000 / 32768) / (2**0.5) * (255 / 256)) < 2e-3
+    assert feat[2] > 0  # a 440 Hz tone crosses zero
+
+
+def test_probe_assets_fills_metadata(spark):
+    import numpy as np
+
+    px = _checker(6, 4)
+    tone = (1000 * np.ones(4000)).astype(np.int16)  # 0.5 s at 8 kHz
+    binary = spark.createDataFrame(
+        [
+            ("img", bytearray(M.encode_bmp(px))),
+            ("aud", bytearray(M.encode_wav(tone, sample_rate=8000))),
+            ("opaque", bytearray(b"\x00\x01\x02")),
+        ],
+        "doc_id string, payload binary",
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "mixed")
+    rows = {r.asset_id: r for r in M.probe_assets(assets).collect()}
+    assert (rows["img"].width, rows["img"].height) == (4, 6)
+    assert rows["img"].duration_ms is None
+    assert rows["aud"].duration_ms == 500
+    assert rows["aud"].width is None
+    assert rows["opaque"].width is None and rows["opaque"].duration_ms is None
+    # schema unchanged: probe output is the asset layout itself
+    assert rows["img"].sha256 == assets.filter(
+        "asset_id = 'img'"
+    ).collect()[0].sha256
+
+
 def test_resize_really_resizes_bmp_and_ppm(spark):
     import numpy as np
 
