@@ -1636,6 +1636,38 @@ def daily_moving_stats(spark, sf_dir):
 
 
 @q(
+    "first_events_per_user",
+    # groupArray/groupArraySorted parity: each user's first 5 event types
+    # in (ts, event_id) order as one string. Spark side stays FLAT:
+    # field extraction over a sorted struct array maps natively (no
+    # transform lambda), so collect -> sort -> slice -> join is all
+    # codegen-able expression work over one grouped pass.
+    """SELECT user_id,
+              array_to_string(
+                (list(event_type ORDER BY ts, event_id))[1:5], ','
+              ) AS first5
+       FROM events WHERE user_id < 20
+       GROUP BY user_id ORDER BY user_id""",
+    "groupArraySorted parity: per-user ordered event-type prefix as a "
+    "deterministic joined string",
+)
+def first_events_per_user(spark, sf_dir):
+    seq = (
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        )
+        .getField("event_type")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.concat_ws(",", F.slice(seq, 1, 5)).alias("first5"))
+        .orderBy("user_id")
+    )
+
+
+@q(
     "value_histogram",
     # ClickHouse histogram()-style distribution report, pinned to fixed
     # bins so it is deterministic (CH's adaptive bins are not): 10 equal
