@@ -2094,3 +2094,119 @@ def retention_cohort_counts(spark, sf_dir):
             F.col("event_type") == "error",
         ],
     )
+
+
+# =====================================================================
+# Driver-window ordering (SURVEY.md §8)
+# =====================================================================
+# The verification driver certifies only the FIRST 50 entries of
+# ``queries()`` (CORRECTNESS_r02/r03 each contain exactly the first 50
+# registration-order names).  Registration order above is didactic
+# (reference parity first, north-star ops last), which left the 17
+# queries registered after ``dedup_simhash_planted`` without a driver
+# CORRECTNESS row for two rounds.  Rebuild the registry here in an
+# explicit priority order instead of reshuffling 2 000 lines of code:
+#
+# - ``_DRIVER_WINDOW`` (50 names): every operator family is represented,
+#   with the never-driver-checked as-of / sessionization / funnel /
+#   rollup / percentile family promoted into the window.
+# - ``_ROTATION`` (tail): twice-green redundant siblings (each has a
+#   harder or equivalent sibling inside the window) plus the rows-only
+#   specs whose hard-oracle siblings are in the window.  Rotate these
+#   back into the window in later rounds so every query periodically
+#   re-earns its row.
+
+_DRIVER_WINDOW = [
+    # never driver-checked before round 4 — promote first
+    "asof_user_state",
+    "asof_user_state_bucketed",
+    "range_join_interval_stats",
+    "sessionization",
+    "session_window_counts",
+    "window_funnel_steps",
+    "window_funnel_strict_order_steps",
+    "sequence_count_histogram",
+    "retention_cohort_counts",
+    "rollup_event_counts",
+    "value_percentiles_by_type",
+    "conditional_aggregates",
+    "argmax_event_per_user",
+    "daily_moving_stats",
+    "value_histogram",
+    "first_events_per_user",
+    "dedup_survivors_minhash",
+    # family representatives, all green in r02 AND r03
+    "count_by_event_type",
+    "count_distinct_by_type",
+    "topk_words_approx",
+    "global_totals",
+    "orders_per_customer_topk",
+    "filter_json_path",
+    "filter_time_range",
+    "conjunctive_filters",
+    "latest_state_per_entity",
+    "dedup_validation",
+    "retention_candidates",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "graph_two_hop_topk",
+    "graph_degree_topk",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_planted",
+    "embedding_knn",
+    "embedding_near_duplicates",
+    "embedding_lsh_near_dup",
+    "embedding_ivf_full_probe",
+    "text_stats_by_source",
+    "langid_distribution",
+    "fingerprint_uniqueness",
+    "quality_bands",
+    "repetition_by_source",
+    "multimodal_inventory",
+    "sample_hash_fraction",
+    "sample_stratified_per_source",
+]
+
+_ROTATION = [
+    # twice-green basics whose semantics are covered by an in-window
+    # sibling; rotate back in future rounds
+    "word_distribution",          # explode+count ~ topk_words_approx
+    "payload_profile",            # grouped sum(length) ~ text_stats_by_source
+    "duplicate_keys",             # HAVING dup-detect ~ dedup_validation
+    "summary_stats",              # avg/collect_set ~ pricing_summary
+    "latest_events",              # latest-n ~ latest_state_per_entity
+    "random_sample",              # rows-only; hard sibling sample_hash_fraction
+    "sorted_regions",             # plain sort; every in-window query sorts
+    "union_counts",               # union of counts ~ count_by_event_type
+    "filter_event_type",          # enum filter ~ conjunctive_filters
+    "filter_array_membership",    # array filter ~ conjunctive_filters
+    "filter_json_path_variant",   # VariantType sibling of filter_json_path
+    "order_priority_count",       # TPC-H sibling of pricing_summary
+    "acctbal_by_segment",         # TPC-H sibling of revenue_by_nation
+    "dedup_survivors_by_source",  # sibling of dedup_survivors_minhash
+    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
+    "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
+    "token_count_extremes",       # text sibling of text_stats_by_source
+]
+
+
+def _apply_driver_window() -> None:
+    ordered = _DRIVER_WINDOW + _ROTATION
+    missing = set(QUERIES) - set(ordered)
+    extra = set(ordered) - set(QUERIES)
+    if missing or extra:
+        raise AssertionError(
+            f"driver-window order out of sync: missing={sorted(missing)} "
+            f"extra={sorted(extra)} — every registered query must appear "
+            "exactly once in _DRIVER_WINDOW + _ROTATION"
+        )
+    reordered = {name: QUERIES[name] for name in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_apply_driver_window()
