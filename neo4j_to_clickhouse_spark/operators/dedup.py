@@ -75,14 +75,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization, empty-safe.
 
-    Flat expressions only: after ``trim``, splitting on ``\\s+`` can
-    produce an empty token ONLY for the all-whitespace/empty string (one
-    ``""`` element), so a flat ``when`` guard replaces the previous
+    Flat expressions only: after stripping ALL leading/trailing
+    whitespace, splitting on ``\\s+`` can produce an empty token ONLY for
+    the empty string, so a flat ``when`` guard replaces the previous
     ``F.filter`` lambda — higher-order lambdas run interpreted, outside
     whole-stage codegen, and this expression sits under every shingle,
-    stat, and language-ID scan in the engine."""
+    stat, and language-ID scan in the engine.
+
+    The strip must be ``regexp_replace(^\\s+|\\s+$)``, not ``F.trim``:
+    Spark's trim removes only 0x20 spaces, so tab/newline-led text would
+    otherwise leak a leading ``""`` token into shingles, MinHash
+    signatures, stopword/length denominators, and language ID."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.trim(c)
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

@@ -279,7 +279,10 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
             if f.isFile() and not f.getPath().getName().startswith(("_", ".")):
                 n_files += 1
                 total += f.getLen()
-                file_rows.append((month, f.getPath().toUri().getPath()))
+                # Full URI, scheme included — .toUri().getPath() would
+                # strip file:/hdfs:/s3a: (and the bucket), breaking the
+                # executor-side footer reads anywhere but local disk.
+                file_rows.append((month, f.getPath().toString()))
         part_rows.append((month, n_files, total))
     sizes = spark.createDataFrame(
         part_rows, "event_month string, n_files int, total_bytes long"
@@ -287,11 +290,20 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
 
     def footer_sizes(batches):
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
         for pdf in batches:
             comp, uncomp = [], []
             for path in pdf["path"]:
-                md = pq.ParquetFile(path).metadata
+                # Resolve the filesystem from the URI so the footer read
+                # works on file:/hdfs:/s3a: alike; bare paths (no scheme)
+                # fall back to local.
+                if "://" in path or path.startswith("file:"):
+                    filesystem, local = pafs.FileSystem.from_uri(path)
+                else:
+                    filesystem, local = pafs.LocalFileSystem(), path
+                with filesystem.open_input_file(local) as fh:
+                    md = pq.ParquetFile(fh).metadata
                 c = u = 0
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)

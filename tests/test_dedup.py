@@ -265,3 +265,48 @@ def test_hash_sample_boundary_fractions(spark):
     assert hash_sample(docs, "doc_id", 0.0).count() == 0
     with pytest.raises(ValueError):
         hash_sample(docs, "doc_id", 1.5)
+
+
+def test_tokens_strip_all_whitespace(spark):
+    """Regression (round-4 ADVICE): Spark's trim strips only 0x20 spaces,
+    so tab/newline-led text leaked a leading '' token into shingles,
+    minhash signatures, and stat denominators."""
+    df = spark.createDataFrame(
+        [
+            (1, "\thello world"),
+            (2, "hello world\n"),
+            (3, "\t\t"),
+            (4, " \n \t "),
+            (5, ""),
+            (6, "\r\nhello\t world \r"),
+            (7, "plain text"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", D.tokens("text").alias("toks")
+        ).collect()
+    }
+    assert rows[1] == ["hello", "world"]
+    assert rows[2] == ["hello", "world"]
+    assert rows[3] == []
+    assert rows[4] == []
+    assert rows[5] == []
+    assert rows[6] == ["hello", "world"]
+    assert rows[7] == ["plain", "text"]
+
+
+def test_tokens_whitespace_only_prefix_dedups_identically(spark):
+    """Texts differing only in leading/trailing tabs/newlines must produce
+    identical shingle sets (and therefore identical minhash signatures)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "\n\tthe quick brown fox jumps\t")],
+        ["doc_id", "text"],
+    )
+    sh = D.word_shingles(df, n=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.id, set()).add(r.shingle)
+    assert by_doc[1] == by_doc[2]
