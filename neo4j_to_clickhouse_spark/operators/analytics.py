@@ -30,6 +30,20 @@ def _dec(col: str | Column, scale: int = 2) -> Column:
     return c.cast(f"decimal(18,{scale})")
 
 
+def _epoch(col: str | Column) -> Column:
+    """Fractional epoch seconds of a timestamp, microsecond-exact.
+
+    A true timestamp difference — sub-second gaps are not collapsed the
+    way unix_timestamp's whole-second truncation would collapse them.
+    The intermediate cast to TIMESTAMP makes this total over every
+    flavor the fixtures have shipped: TIMESTAMP (no-op) and
+    TIMESTAMP_NTZ (re-tagged via the session zone; Spark forbids a
+    direct NTZ->double cast).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 # --- Aggregations (SURVEY.md §2.4) -----------------------------------------
 
 def count_by_type(events: DataFrame, type_col: str = "event_type") -> DataFrame:
@@ -304,15 +318,9 @@ def sessionize(
     order = [F.col(time_col), F.col(tie_break_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(F.col(time_col)).over(w)
-    # cast("double") = fractional epoch seconds: a true timestamp
-    # difference, so sub-second gaps are not collapsed the way
-    # unix_timestamp's whole-second truncation would collapse them.
     new_session = (
         prev.isNull()
-        | (
-            F.col(time_col).cast("double") - prev.cast("double")
-            > gap_minutes * 60
-        )
+        | (_epoch(time_col) - _epoch(prev) > gap_minutes * 60)
     ).cast("long")
     return events.withColumn(
         "session_id",
@@ -353,11 +361,9 @@ def window_funnel(
             ev = ev.join(out, key_col)
             cond = step & (F.col(time_col) > F.col(t_prev))
             if window_seconds is not None:
-                # double cast = fractional-second-exact window bound
+                # _epoch = fractional-second-exact window bound
                 cond = cond & (
-                    F.col(time_col).cast("double")
-                    - F.col("__t0").cast("double")
-                    <= window_seconds
+                    _epoch(time_col) - _epoch("__t0") <= window_seconds
                 )
         else:
             cond = step
@@ -411,10 +417,8 @@ def window_funnel_strict_order(
         step_here = F.lead(matches[i], i).over(w)
         in_window = F.lit(True)
         if window_seconds is not None:
-            t_i = F.lead(F.col(time_col).cast("double"), i).over(w)
-            in_window = (
-                t_i - F.col(time_col).cast("double") <= window_seconds
-            )
+            t_i = F.lead(_epoch(time_col), i).over(w)
+            in_window = t_i - _epoch(time_col) <= window_seconds
         chain_ok = chain_ok & F.coalesce(
             step_here & in_window, F.lit(False)
         )

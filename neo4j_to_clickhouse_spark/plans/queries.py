@@ -36,12 +36,28 @@ from neo4j_to_clickhouse_spark.operators import text as TX
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read the raw int64 and truncate to micros —
-        # byte-identical to DuckDB's nanos->TIMESTAMP truncation.
+        # The driver regenerates the fixtures between rounds and the `ts`
+        # physical type has varied: TIMESTAMP(NANOS) (only readable as a
+        # raw int64 via nanosAsLong), timestamp[us] (read as
+        # TIMESTAMP_NTZ), or a plain TIMESTAMP. Adapt to whatever is on
+        # disk and normalize to ONE canonical type — TIMESTAMP (LTZ)
+        # under a UTC session zone — so downstream epoch arithmetic and
+        # the DuckDB oracle (naive TIMESTAMP, same wall clock) agree.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # legacy nanos-as-int64: truncate to micros, byte-identical
+            # to DuckDB's nanos->TIMESTAMP truncation
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type != "timestamp":
+            # TIMESTAMP_NTZ (or date/string): under a UTC session zone
+            # this cast is a pure re-tag of the same wall clock
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
