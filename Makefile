@@ -1,6 +1,11 @@
 # Developer conveniences (the reference drives everything through make too)
 
-.PHONY: test correctness bench bench-ingest smoke
+.PHONY: test correctness bench bench-ingest smoke gate
+
+# The full pre-round-close gate: run this before finishing any round.
+# Catches fixture regenerations (VERDICT r04), oracle drift, and bench
+# crashes in one command.
+gate: test correctness bench
 
 test:
 	python -m pytest tests/ -x -q

@@ -2133,7 +2133,9 @@ def retention_cohort_counts(spark, sf_dir):
 #   re-earns its row.
 
 _DRIVER_WINDOW = [
-    # never driver-checked before round 4 — promote first
+    # promoted in round 4 but every events-table row ERRed on the
+    # regenerated fixture (see VERDICT r04) — they still need their first
+    # driver-green row, so they stay for round 5
     "asof_user_state",
     "asof_user_state_bucketed",
     "range_join_interval_stats",
@@ -2150,8 +2152,17 @@ _DRIVER_WINDOW = [
     "daily_moving_stats",
     "value_histogram",
     "first_events_per_user",
-    "dedup_survivors_minhash",
-    # family representatives, all green in r02 AND r03
+    # round-5 rotation: swapped IN from _ROTATION so they re-earn a
+    # driver row (each was last driver-green in r03)
+    "filter_json_path_variant",
+    "word_distribution",
+    "duplicate_keys",
+    "summary_stats",
+    "latest_events",
+    "union_counts",
+    "order_priority_count",
+    "acctbal_by_segment",
+    # family representatives
     "count_by_event_type",
     "count_distinct_by_type",
     "topk_words_approx",
@@ -2164,7 +2175,6 @@ _DRIVER_WINDOW = [
     "dedup_validation",
     "retention_candidates",
     "pricing_summary",
-    "top_revenue_orders",
     "revenue_by_nation",
     "graph_two_hop_topk",
     "graph_degree_topk",
@@ -2174,35 +2184,31 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "dedup_simhash_planted",
     "embedding_knn",
-    "embedding_near_duplicates",
     "embedding_lsh_near_dup",
     "embedding_ivf_full_probe",
     "text_stats_by_source",
-    "langid_distribution",
-    "fingerprint_uniqueness",
-    "quality_bands",
-    "repetition_by_source",
     "multimodal_inventory",
     "sample_hash_fraction",
-    "sample_stratified_per_source",
 ]
 
 _ROTATION = [
+    # demoted for round 5: driver-green in r02+r03+r04 with an in-window
+    # sibling carrying the family; rotate back in a later round
+    "dedup_survivors_minhash",    # ~ dedup_clusters + dedup_survivors_by_source
+    "embedding_near_duplicates",  # exact baseline of embedding_lsh_near_dup
+    "langid_distribution",        # text family ~ text_stats_by_source
+    "quality_bands",              # text family ~ text_stats_by_source
+    "repetition_by_source",       # text family ~ text_stats_by_source
+    "fingerprint_uniqueness",     # text family ~ text_stats_by_source
+    "sample_stratified_per_source",  # ~ sample_hash_fraction
+    "top_revenue_orders",         # top-k ~ orders_per_customer_topk
     # twice-green basics whose semantics are covered by an in-window
-    # sibling; rotate back in future rounds
-    "word_distribution",          # explode+count ~ topk_words_approx
+    # sibling
     "payload_profile",            # grouped sum(length) ~ text_stats_by_source
-    "duplicate_keys",             # HAVING dup-detect ~ dedup_validation
-    "summary_stats",              # avg/collect_set ~ pricing_summary
-    "latest_events",              # latest-n ~ latest_state_per_entity
     "random_sample",              # rows-only; hard sibling sample_hash_fraction
     "sorted_regions",             # plain sort; every in-window query sorts
-    "union_counts",               # union of counts ~ count_by_event_type
     "filter_event_type",          # enum filter ~ conjunctive_filters
     "filter_array_membership",    # array filter ~ conjunctive_filters
-    "filter_json_path_variant",   # VariantType sibling of filter_json_path
-    "order_priority_count",       # TPC-H sibling of pricing_summary
-    "acctbal_by_segment",         # TPC-H sibling of revenue_by_nation
     "dedup_survivors_by_source",  # sibling of dedup_survivors_minhash
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
     "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
