@@ -269,10 +269,14 @@ def minhash_signatures(
     ]
     return (
         shingle_df.groupBy("id")
-        .agg(*aggs)
+        # n_sh rides along in the same aggregate: callers that also need
+        # per-doc shingle counts (exact-Jaccard verification denominators)
+        # get them without a second pass over the shingle table
+        .agg(*aggs, F.count("*").alias("n_sh"))
         .select(
             "id",
             F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("sig"),
+            "n_sh",
         )
     )
 
@@ -362,13 +366,20 @@ def minhash_lsh_dedup(
     shingle computation feeds both paths; only candidate pairs pay the
     exact-Jaccard cost.
 
-    The shingle table is persisted (memory-and-disk, LRU-evicted): it
-    feeds four plan branches (signatures, both verification sides, sizes)
-    and Catalyst only reuses *identical* subplans, so without the explicit
-    persist the tokenize->ngram->distinct pipeline executes once per
-    branch — measured 6 redundant scans of the corpus in the physical
-    plan. Spark's cache manager keys on the canonicalized plan, so
-    repeated invocations share one entry.
+    Two tables are persisted (memory-and-disk, LRU-evicted), because
+    Catalyst only reuses *identical* subplans:
+
+    - the shingle table — it feeds three branches (signature aggregate +
+      both verification sides); without the persist the
+      tokenize->ngram->distinct pipeline executes once per branch
+      (measured 6 redundant corpus scans in the physical plan);
+    - the signature table — one row of `num_hashes` longs per DOCUMENT
+      (tiny even at corpus scale), feeding the banded-bucket path and
+      both Jaccard-denominator joins; persisting it stops the 64-min
+      aggregate re-running once per branch.  The per-doc shingle count
+      rides along in the same aggregate (see
+      :func:`minhash_signatures`), so the old separate ``sizes`` pass
+      over the full shingle table is gone entirely.
 
     Cache lifetime is caller-owned: unpersisting here is impossible (the
     return value is lazy — the cache must outlive the caller's action).
@@ -381,9 +392,10 @@ def minhash_lsh_dedup(
     sh = word_shingles(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sig, bands, num_hashes)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -392,8 +404,8 @@ def minhash_lsh_dedup(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sig.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
