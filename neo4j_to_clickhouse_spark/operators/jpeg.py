@@ -1,0 +1,444 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The container ships no Pillow/libjpeg, but baseline JPEG — the format of
+essentially every real multimodal corpus — needs only the public T.81
+spec: segment parse, canonical Huffman entropy decode, dequantize,
+separable 2-D IDCT (one numpy matmul pair per block), chroma upsample,
+JFIF YCbCr->RGB. This module is the correctness baseline behind
+:func:`.multimodal.decode_image`; a production deployment swaps in
+Pillow/libjpeg-turbo for throughput (the entropy decode here is
+Python-loop-bound, ~10^5 blocks/s — fine for fixtures and spot decode,
+not for a 100 TB image crawl, which is why the boundary stays pluggable).
+
+Supported: SOF0 (baseline) and SOF1 (extended sequential — identical
+decode path), 8-bit samples, grayscale or YCbCr, any integer-ratio
+subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals. Rejected with
+``ValueError``: progressive (SOF2), arithmetic coding, 12-bit,
+hierarchical — the caller treats that as "not decodable here".
+
+Reference parity: the reference pipeline stores media as opaque blobs
+and defers decode to consumers (docs/ARCHITECTURE.md payload-opacity
+contract); this codec exists for the beyond-reference multimodal
+operators, so their JPEG path is REAL end-to-end instead of a stub.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zig-zag order: ZIGZAG[k] = (row, col) flat index of the k-th
+# transmitted coefficient (T.81 figure 5).
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis M: forward X = M x M^T, inverse
+    x = M^T X M. Row u: c(u)·cos((2n+1)uπ/16)."""
+    n = np.arange(8)
+    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * 0.5
+    m[0, :] = 0.5 / np.sqrt(2)
+    return m
+
+
+_M = _dct_basis()
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _M.T @ coef @ _M
+
+
+class _Huffman:
+    """Canonical Huffman table from DHT counts+symbols; decode walks the
+    (length, code) map one bit at a time (max 16 — T.81 limit)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.map: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.map[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, unstuffing
+    0xFF00 and stopping at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated entropy stream")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("truncated entropy stream")
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+                return 0xFF
+            raise _MarkerHit(0xFF00 | nxt)
+        self.pos = p + 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + expected:
+            raise ValueError("missing restart marker in entropy stream")
+        self.pos = p + 2
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received bits to a signed amplitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to an HxWx3 uint8 RGB array.
+
+    Raises ``ValueError`` for non-JPEG input and for JPEG variants
+    outside the baseline subset documented in the module docstring.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huffman] = {}
+    frame = None  # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    d = payload
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("marker expected in JPEG stream")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        seglen = struct.unpack_from(">H", d, pos + 2)[0]
+        body = d[pos + 4 : pos + 2 + seglen]
+        nxt = pos + 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG is supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended-sequential JPEG is supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
+                symbols = bytes(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _Huffman(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            try:
+                return _decode_scan(
+                    d, nxt, frame, scan, qt, huff, restart_interval
+                )
+            except _MarkerHit as mh:
+                raise ValueError(
+                    f"unexpected marker 0x{mh.marker:04X} in entropy stream"
+                ) from None
+        pos = nxt
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(d, pos, frame, scan, qt, huff, ri) -> np.ndarray:
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _ in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+    for cid, _, _, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+    for cid in scan:
+        if (0, scan[cid][0]) not in huff or (1, scan[cid][1]) not in huff:
+            raise ValueError("missing Huffman table for scan component")
+    br = _BitReader(d, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
+    coef = np.zeros(64, np.int32)
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            pred = dict.fromkeys(pred, 0)
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, tq in comps:
+            dc_t, ac_t = scan[cid]
+            dch, ach = huff[(0, dc_t)], huff[(1, ac_t)]
+            q = qt[tq]
+            for by in range(cv):
+                for bx in range(ch):
+                    coef[:] = 0
+                    t = dch.decode(br)
+                    diff = _extend(br.receive(t), t)
+                    pred[cid] += diff
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = ach.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[k] = _extend(br.receive(s), s)
+                        k += 1
+                    block = np.zeros(64, np.float64)
+                    block[ZIGZAG] = coef * q
+                    px = _idct2(block.reshape(8, 8)) + 128.0
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    out = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:
+            if hmax % ch or vmax % cv:
+                raise ValueError("non-integer subsampling ratio")
+            p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        y = np.clip(out[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    if len(out) != 3:
+        raise ValueError(f"unsupported component count {len(out)}")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- DC-only encoder (test/fixture helper) ----------------------------------
+# Standard T.81 Annex K Huffman tables — enough to emit legal baseline
+# streams whose every block is a flat 8x8 patch (DC coefficient + EOB).
+# With an all-ones quantization table the decode is bit-exact, so tests
+# get analytically-known pixels without any external codec.
+
+_K_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_SYMBOLS = bytes(range(12))
+_K_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_SYMBOLS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _huff_codes(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def encode_jpeg_flat(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int],
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a solid-color baseline JPEG (fixture helper, like
+    :func:`.multimodal.encode_wav`).
+
+    Every block carries only a DC coefficient, the quantization tables
+    are all ones, and the Huffman tables are the T.81 Annex K standards —
+    so :func:`decode_jpeg` (or any conformant decoder) reproduces the
+    YCbCr-rounded color exactly. ``subsampling`` is the luma (h, v)
+    factor: (1, 1) = 4:4:4, (2, 2) = 4:2:0.
+    """
+    r, g, b = rgb
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    levels = [int(round(v)) for v in (y, cb, cr)]
+    sh, sv = subsampling
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    comps = [(1, sh, sv, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"".join(
+        struct.pack(">BBB", cid, (h << 4) | v, tq) for cid, h, v, tq in comps
+    )
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS) + _K_DC_SYMBOLS)
+    seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS) + _K_AC_SYMBOLS)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    seg(
+        0xDA,
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + bytes([0, 63, 0]),
+    )
+    dc_codes = _huff_codes(_K_DC_COUNTS, _K_DC_SYMBOLS)
+    ac_codes = _huff_codes(_K_AC_COUNTS, _K_AC_SYMBOLS)
+    eob_code, eob_len = ac_codes[0x00]
+    bw = _BitWriter()
+    mcux = -(-width // (8 * sh))
+    mcuy = -(-height // (8 * sv))
+    pred = {1: 0, 2: 0, 3: 0}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            out.extend(bw.flush())
+            bw = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            pred = {1: 0, 2: 0, 3: 0}
+        for (cid, ch, cv, _tq), level in zip(comps, levels):
+            dc = 8 * (level - 128)  # orthonormal DCT of a flat block
+            for _blk in range(ch * cv):
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                mag = abs(diff)
+                t = mag.bit_length()
+                code, length = dc_codes[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                bw.write(eob_code, eob_len)
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

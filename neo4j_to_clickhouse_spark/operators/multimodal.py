@@ -30,18 +30,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-# --- pure-stdlib image codecs (BMP / PPM) -----------------------------------
+# --- dependency-free image codecs (BMP / PPM / baseline JPEG) ---------------
 # The container ships no Pillow/ffmpeg, but uncompressed 24-bit BMP and
-# binary PPM (P6) need only `struct` + numpy — so for those two formats the
-# image path is REAL: decode -> pixel features / nearest-neighbor resize ->
-# re-encode. The hash stub remains only for formats that genuinely need
-# external codecs (JPEG, PNG, video).
+# binary PPM (P6) need only `struct` + numpy, and baseline JPEG needs only
+# the public T.81 spec (see the sibling :mod:`.jpeg` module) — so for those
+# formats the image path is REAL: decode -> pixel features /
+# nearest-neighbor resize -> re-encode. The hash stub remains only for
+# formats that genuinely need external codecs (PNG, progressive JPEG,
+# video).
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     """Sniff + decode a payload into (format, HxWx3 uint8 RGB array).
-    Returns None for anything that is not an uncompressed 24-bit BMP or a
-    binary PPM — the caller falls back to its stub for those."""
+    Handles uncompressed 24-bit BMP, binary PPM, and baseline JPEG
+    (pure-Python :mod:`.jpeg`, with Pillow as an optional fast path when
+    importable). Returns None for everything else — the caller falls
+    back to its stub."""
     if not payload or len(payload) < 2:
         return None
     try:
@@ -49,9 +53,28 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             return ("bmp", _decode_bmp(payload))
         if payload[:2] == b"P6":
             return ("ppm", _decode_ppm(payload))
+        if payload[:2] == b"\xff\xd8":
+            return ("jpeg", _decode_jpeg_any(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None
+
+
+def _decode_jpeg_any(payload: bytes) -> np.ndarray:
+    """JPEG decode: Pillow when available (libjpeg-turbo throughput),
+    else the pure-Python baseline decoder (:mod:`.jpeg`). Progressive /
+    arithmetic / 12-bit streams raise ValueError on the pure path, which
+    :func:`decode_image` maps to the stub fallback."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional, not in container
+    except ImportError:
+        from neo4j_to_clickhouse_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def _decode_bmp(buf: bytes) -> np.ndarray:
@@ -363,9 +386,11 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: binary in -> binary out with target dims.
 
-    BMP/PPM payloads are REALLY resized (nearest-neighbor) and re-encoded
-    in their own format; other formats hit the stub ('fake' passes the
-    payload through and stamps the target dims — exercises
+    BMP/PPM/baseline-JPEG payloads are REALLY resized (nearest-neighbor).
+    BMP re-encodes as BMP; PPM and JPEG re-encode as PPM (lossless
+    container — this module has no general JPEG *encoder*, only the
+    flat-block fixture helper). Other formats hit the stub ('fake' passes
+    the payload through and stamps the target dims — exercises
     schema/batching; 'raise' marks the codec hole)."""
 
     def one(payload):

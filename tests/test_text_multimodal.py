@@ -222,3 +222,108 @@ def test_resize_really_resizes_bmp_and_ppm(spark):
         assert back.shape == (2, 4, 3)
         # nearest-neighbor of a 2x-downscale samples every other pixel
         assert np.array_equal(back, px[::4][:, ::2])
+
+
+# --- baseline JPEG codec path ------------------------------------------------
+
+
+def _jpeg_expected(rgb):
+    """RGB after the lossless-for-flat-blocks JPEG trip: YCbCr rounding is
+    the only distortion (all-ones quant tables, DC-only blocks)."""
+    r, g, b = rgb
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    clip = lambda v: min(max(round(v), 0), 255)  # noqa: E731
+    return (
+        clip(y + 1.402 * (cr - 128)),
+        clip(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        clip(y + 1.772 * (cb - 128)),
+    )
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure codec check, no Spark: flat-block encode -> T.81 decode is
+    exact modulo YCbCr rounding, across subsampling modes, non-multiple-
+    of-8 dimensions, and restart intervals."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        for ri in (0, 2):
+            for color in ((255, 0, 0), (40, 200, 90), (128, 128, 128)):
+                buf = J.encode_jpeg_flat(
+                    20, 13, color, subsampling=sub, restart_interval=ri
+                )
+                fmt, img = M.decode_image(buf)
+                assert fmt == "jpeg"
+                assert img.shape == (13, 20, 3)
+                assert (img == img[0, 0]).all(), "flat image must be uniform"
+                got = tuple(int(v) for v in img[0, 0])
+                exp = _jpeg_expected(color)
+                assert max(abs(a - b) for a, b in zip(got, exp)) <= 1, (
+                    sub, ri, color, got, exp,
+                )
+
+
+def test_jpeg_rejects_non_baseline():
+    """Progressive / truncated / garbage streams raise ValueError from the
+    codec and map to None (stub fallback) in decode_image."""
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    buf = J.encode_jpeg_flat(16, 16, (10, 20, 30))
+    prog = bytearray(buf)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(bytes(prog))
+    assert M.decode_image(bytes(prog)) is None
+    for cut in (10, len(buf) // 2, len(buf) - 3):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(buf[:cut])
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xd8junkjunk")
+    assert M.decode_image(b"\xff\xd8 nope") is None
+
+
+def test_extract_features_decodes_real_jpeg(spark):
+    """A baseline JPEG payload must produce PIXEL-derived features and
+    survive decode_stub='raise' — the codec hole no longer covers it."""
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    jpg = J.encode_jpeg_flat(24, 16, (200, 0, 0), subsampling=(2, 2))
+    exp = _jpeg_expected((200, 0, 0))
+    binary = spark.createDataFrame(
+        [("j1", bytearray(jpg))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "image")
+    feat = (
+        M.extract_features(assets, dim=8, decode_stub="raise")
+        .collect()[0]
+        .feature
+    )
+    for i in range(3):  # channel means of a solid color
+        assert abs(feat[i] - exp[i] / 256) < 1e-6, (i, feat[i], exp[i])
+    assert feat[3] == 0.0  # std R of a solid color
+
+
+def test_probe_and_resize_handle_jpeg(spark):
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    jpg = J.encode_jpeg_flat(20, 12, (0, 128, 255))
+    binary = spark.createDataFrame(
+        [("j", bytearray(jpg))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "image")
+    probed = M.probe_assets(assets).collect()[0]
+    assert (probed.width, probed.height) == (20, 12)
+    out = M.resize_images(assets, 5, 3).collect()[0]
+    fmt, back = M.decode_image(bytes(out.payload))
+    assert fmt == "ppm"  # lossless re-encode (no general JPEG encoder)
+    assert back.shape == (3, 5, 3)
+    exp = _jpeg_expected((0, 128, 255))
+    assert np.all(np.abs(back.astype(int) - exp) <= 1)
