@@ -103,6 +103,13 @@ def main() -> None:
             t0 = time.perf_counter()
             n = spec.spark(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
+        # hypervisor-steal spikes have hit SINGLE runs with 2-100x
+        # inflation; when the two runs disagree badly the min is still
+        # suspect, so buy one tie-breaker run before reporting
+        if max(runs) > 2 * min(runs):
+            t0 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
         times[name] = min(runs)
         all_runs[name] = runs
         print(f"# {name}: {runs} ({n} rows)", file=sys.stderr)

@@ -359,3 +359,46 @@ def test_stateful_latest_state_tracker(spark, streamed_nodes, tmp_path):
     # the tie-broken winner at the duplicated millisecond is preserved
     assert got["4:abc:1"] == ("n-004", "UPDATE")
     assert got["4:abc:3"][1] == "DELETE"
+
+
+# --- live Kafka path (gated: needs a broker + spark-sql-kafka) ---------------
+
+
+def test_kafka_end_to_end_smoke(spark, tmp_path):
+    """End-to-end smoke over a REAL broker: producer -> topic ->
+    read_kafka_envelopes -> node stream -> parquet. The sandbox has
+    neither a broker nor the spark-sql-kafka package, so this runs only
+    when SPARK_GRAFT_KAFKA_BROKERS points at one (and skips with the
+    reason otherwise) — the one reference source with no executable
+    coverage anywhere else (clickhouse/init/01-init-tables.sql:40-61).
+    """
+    import os
+
+    brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+    if not brokers:
+        pytest.skip("set SPARK_GRAFT_KAFKA_BROKERS=<host:port> to run")
+    from neo4j_to_clickhouse_spark.sources.kafka import (
+        NODES_TOPIC,
+        read_kafka_envelopes,
+    )
+
+    # produce the node fixture through Spark's own kafka sink so no extra
+    # client library is required
+    (
+        spark.createDataFrame([(s,) for s in NODE_ENVELOPES], ["value"])
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", NODES_TOPIC)
+        .save()
+    )
+    raw = read_kafka_envelopes(spark, brokers, NODES_TOPIC)
+    config = StreamConfig(
+        table_path=str(tmp_path / "events"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        processing_time=None,
+        coalesce_output=1,
+    )
+    drain(start_node_stream(raw, config))
+    got = spark.read.parquet(str(tmp_path / "events"))
+    assert {r.event_id for r in got.collect()} >= {"n-001", "n-002"}
