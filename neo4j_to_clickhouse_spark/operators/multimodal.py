@@ -30,14 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-# --- dependency-free image codecs (BMP / PPM / baseline JPEG) ---------------
+# --- dependency-free image codecs (BMP / PPM / JPEG / PNG) ------------------
 # The container ships no Pillow/ffmpeg, but uncompressed 24-bit BMP and
-# binary PPM (P6) need only `struct` + numpy, and baseline JPEG needs only
-# the public T.81 spec (see the sibling :mod:`.jpeg` module) — so for those
-# formats the image path is REAL: decode -> pixel features /
-# nearest-neighbor resize -> re-encode. The hash stub remains only for
-# formats that genuinely need external codecs (PNG, progressive JPEG,
-# video).
+# binary PPM (P6) need only `struct` + numpy, baseline JPEG needs only the
+# public T.81 spec (sibling :mod:`.jpeg`), and PNG needs only stdlib zlib
+# (sibling :mod:`.png`) — so for those formats the image path is REAL:
+# decode -> pixel features / nearest-neighbor resize -> re-encode. The hash
+# stub remains only for formats that genuinely need external codecs
+# (progressive JPEG, WebP/AVIF, video).
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -55,6 +55,10 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             return ("ppm", _decode_ppm(payload))
         if payload[:2] == b"\xff\xd8":
             return ("jpeg", _decode_jpeg_any(payload))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from neo4j_to_clickhouse_spark.operators.png import decode_png
+
+            return ("png", decode_png(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None
@@ -386,19 +390,26 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: binary in -> binary out with target dims.
 
-    BMP/PPM/baseline-JPEG payloads are REALLY resized (nearest-neighbor).
-    BMP re-encodes as BMP; PPM and JPEG re-encode as PPM (lossless
-    container — this module has no general JPEG *encoder*, only the
-    flat-block fixture helper). Other formats hit the stub ('fake' passes
-    the payload through and stamps the target dims — exercises
-    schema/batching; 'raise' marks the codec hole)."""
+    BMP/PPM/PNG/baseline-JPEG payloads are REALLY resized
+    (nearest-neighbor). BMP and PNG re-encode in their own format; PPM
+    and JPEG re-encode as PPM (lossless container — this module has no
+    general JPEG *encoder*, only the flat-block fixture helper). Other
+    formats hit the stub ('fake' passes the payload through and stamps
+    the target dims — exercises schema/batching; 'raise' marks the codec
+    hole)."""
 
     def one(payload):
         decoded = decode_image(payload)
         if decoded is not None:
             fmt, pixels = decoded
             resized = _resize_nearest(pixels, width, height)
-            return encode_bmp(resized) if fmt == "bmp" else encode_ppm(resized)
+            if fmt == "bmp":
+                return encode_bmp(resized)
+            if fmt == "png":
+                from neo4j_to_clickhouse_spark.operators.png import encode_png
+
+                return encode_png(resized)
+            return encode_ppm(resized)
         if decode_stub == "raise":
             raise NotImplementedError(
                 "image codec not available: plug Pillow here"

@@ -327,3 +327,123 @@ def test_probe_and_resize_handle_jpeg(spark):
     assert back.shape == (3, 5, 3)
     exp = _jpeg_expected((0, 128, 255))
     assert np.all(np.abs(back.astype(int) - exp) <= 1)
+
+
+# --- PNG codec path ----------------------------------------------------------
+
+
+def _png_raw(w, h, depth, color, rows_with_filters, palette=None):
+    """Handcraft a PNG from pre-filtered scanline bytes (test helper)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    body = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+    return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_lossless():
+    """encode_png -> decode_png is byte-identical for arbitrary RGB."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    rng = np.random.default_rng(7)
+    for w, h in ((1, 1), (5, 3), (16, 16)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fmt, back = M.decode_image(P.encode_png(px))
+        assert fmt == "png"
+        assert np.array_equal(back, px), (w, h)
+
+
+def test_png_all_filters_decode():
+    """Sub/Up/Average/Paeth-filtered rows reconstruct the original pixels
+    (reference filterer inlined here, decoder under test)."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    rng = np.random.default_rng(11)
+    w, h, ch = 6, 5, 3
+    px = rng.integers(0, 256, (h, w * ch), dtype=np.uint8).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    rows = []
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        row, filtered = px[y], []
+        prev = px[y - 1] if y else np.zeros(w * ch, int)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            filtered.append((row[i] - pred) % 256)
+        rows.append((f, filtered))
+    buf = _png_raw(w, h, 8, 2, rows)
+    back = P.decode_png(buf)
+    assert np.array_equal(back, px.astype(np.uint8).reshape(h, w, ch))
+
+
+def test_png_color_types_expand_to_rgb():
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    # grayscale (type 0): value replicated across channels
+    g = P.decode_png(_png_raw(2, 1, 8, 0, [(0, [10, 200])]))
+    assert np.array_equal(g, [[[10, 10, 10], [200, 200, 200]]])
+    # palette (type 3)
+    pal = [255, 0, 0, 0, 255, 0]  # idx0=red idx1=green
+    p = P.decode_png(_png_raw(2, 1, 8, 3, [(0, [1, 0])], palette=pal))
+    assert np.array_equal(p, [[[0, 255, 0], [255, 0, 0]]])
+    # RGBA (type 6): alpha dropped
+    a = P.decode_png(_png_raw(1, 1, 8, 6, [(0, [9, 8, 7, 128])]))
+    assert np.array_equal(a, [[[9, 8, 7]]])
+    # gray+alpha (type 4)
+    ga = P.decode_png(_png_raw(1, 1, 8, 4, [(0, [77, 1])]))
+    assert np.array_equal(ga, [[[77, 77, 77]]])
+
+
+def test_png_rejects_unsupported():
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    with pytest.raises(ValueError, match="8-bit"):
+        P.decode_png(_png_raw(1, 1, 16, 2, [(0, [0] * 6)]))
+    buf = bytearray(_png_raw(1, 1, 8, 2, [(0, [1, 2, 3])]))
+    buf[8 + 8 + 12] = 1  # IHDR interlace byte -> Adam7
+    with pytest.raises(ValueError):
+        P.decode_png(bytes(buf))
+    with pytest.raises(ValueError):
+        P.decode_png(b"\x89PNG\r\n\x1a\x0a truncated")
+    assert M.decode_image(b"\x89PNG\r\n\x1a\n junk") is None
+
+
+def test_probe_and_resize_handle_png(spark):
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    px = _checker(8, 8)
+    binary = spark.createDataFrame(
+        [("g", bytearray(P.encode_png(px)))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "image")
+    probed = M.probe_assets(assets).collect()[0]
+    assert (probed.width, probed.height) == (8, 8)
+    out = M.resize_images(assets, 4, 2, decode_stub="raise").collect()[0]
+    fmt, back = M.decode_image(bytes(out.payload))
+    assert fmt == "png"  # re-encoded in its own format
+    assert np.array_equal(back, px[::4][:, ::2])
