@@ -120,23 +120,25 @@ def brute_force_topk(
             C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T  # batch x n_queries
-            nb = pdf[id_col].reset_index(drop=True)
-            for j, qid in enumerate(qids):
-                yield (
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": nb,
-                            "cosine_sim": S[:, j],
-                        }
-                    )
-                    .sort_values(
-                        ["cosine_sim", "neighbor_id"],
-                        ascending=[False, True],
-                        kind="mergesort",
-                    )
-                    .head(kk)
-                )
+            nb = pdf[id_col].to_numpy()
+            take = min(kk, len(nb))
+            # one lexsort per query column — same (sim desc, id asc) tie
+            # rule as the global rank window, so the per-batch cut can
+            # never drop a row the deterministic global top-k needs. An
+            # earlier pandas sort_values-per-query formulation built 25
+            # DataFrames per batch; this emits ONE.
+            picks = [
+                np.lexsort((nb, -S[:, j]))[:take] for j in range(len(qids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "neighbor_id": np.concatenate([nb[p] for p in picks]),
+                    "cosine_sim": np.concatenate(
+                        [S[p, j] for j, p in enumerate(picks)]
+                    ),
+                }
+            )
 
     scored = spread(corpus).select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
