@@ -242,6 +242,52 @@ def jaccard_pairs(
     )
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Training-corpus decontamination: flag documents sharing word
+    n-grams with a benchmark/evaluation set — the overlap check every
+    public LLM training report runs before training (GPT-3 popularized
+    13-gram overlap; n is caller-tuned to the corpus).
+
+    Returns ``(id, n_shingles, n_hits, contamination)`` for every corpus
+    document with at least one distinct n-gram also present in the eval
+    set; ``contamination = n_hits / n_shingles`` over DISTINCT n-grams.
+
+    Scale shape: eval suites are thousands of documents against a corpus
+    of billions, so the eval shingle set is the textbook small join side
+    — left-joined hint-free (AQE broadcasts it when genuinely small and
+    degrades to a shuffle join instead of OOMing if a caller passes a
+    data-sized "benchmark"). The corpus shingle table then shuffles once,
+    on the group key.
+    """
+    doc_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        word_shingles(bench, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(bench_sh, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "contamination", F.col("n_hits") / F.col("n_shingles")
+        )
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(

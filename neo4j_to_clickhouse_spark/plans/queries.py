@@ -883,6 +883,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "decontamination_overlap",
+    # Deterministic eval-set split for the fixture: every 20th doc_id is
+    # the "benchmark"; the rest are the training corpus. Overlap over
+    # DISTINCT 4-gram shingles — the proportional analogue, on these
+    # short fixture docs, of the 13-gram practice public LLM training
+    # reports apply to full documents (beyond-reference op).
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(w[i:i+3], 'string_agg', ' ') AS shingle
+         FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 3),
+       bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+       corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
+       SELECT doc_id,
+              count(*) AS n_shingles,
+              count(b.shingle) AS n_hits,
+              round(CAST(count(b.shingle) AS DOUBLE) / count(*), 6)
+                AS contamination
+       FROM corpus LEFT JOIN bench b USING (shingle)
+       GROUP BY doc_id
+       HAVING count(b.shingle) > 0
+       ORDER BY doc_id""",
+    "eval-set n-gram decontamination: corpus docs sharing 4-grams with bench",
+)
+def decontamination_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        F.round("contamination", 6).alias("contamination"),
+    ).orderBy("doc_id")
+
+
+@q(
     "dedup_minhash_lsh",
     # The minhash signatures are engine-specific (xxhash64), but the
     # OUTPUT is exact verified Jaccard over the LSH candidate set. With
@@ -2157,11 +2200,12 @@ _DRIVER_WINDOW = [
     "filter_json_path_variant",
     "word_distribution",
     "duplicate_keys",
-    "summary_stats",
     "latest_events",
     "union_counts",
     "order_priority_count",
     "acctbal_by_segment",
+    # new in round 5 — needs its first driver row
+    "decontamination_overlap",
     # family representatives
     "count_by_event_type",
     "count_distinct_by_type",
@@ -2204,6 +2248,7 @@ _ROTATION = [
     "top_revenue_orders",         # top-k ~ orders_per_customer_topk
     # twice-green basics whose semantics are covered by an in-window
     # sibling
+    "summary_stats",              # avg/collect_set ~ pricing_summary
     "payload_profile",            # grouped sum(length) ~ text_stats_by_source
     "random_sample",              # rows-only; hard sibling sample_hash_fraction
     "sorted_regions",             # plain sort; every in-window query sorts

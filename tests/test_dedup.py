@@ -310,3 +310,32 @@ def test_tokens_whitespace_only_prefix_dedups_identically(spark):
     for r in sh:
         by_doc.setdefault(r.id, set()).add(r.shingle)
     assert by_doc[1] == by_doc[2]
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    """A corpus doc sharing a 5-gram run with the eval set is flagged
+    with the exact distinct-shingle counts; clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two 5-grams: "the quick brown fox jumps",
+            # "quick brown fox jumps over"
+            (1, "so the quick brown fox jumps over a fence"),
+            (2, "completely unrelated text with many distinct words here"),
+            (3, "the quick brown fox jumps"),  # exactly one shingle, hit
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.id: r
+        for r in D.ngram_contamination(
+            corpus, bench, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert (rows[1].n_shingles, rows[1].n_hits) == (5, 2)
+    assert (rows[3].n_shingles, rows[3].n_hits) == (1, 1)
+    assert abs(rows[3].contamination - 1.0) < 1e-12

@@ -48,11 +48,11 @@ ROTATED_IN_R5 = [
     "filter_json_path_variant",
     "word_distribution",
     "duplicate_keys",
-    "summary_stats",
     "latest_events",
     "union_counts",
     "order_priority_count",
     "acctbal_by_segment",
+    "decontamination_overlap",  # new in r5 — first driver row
 ]
 
 
