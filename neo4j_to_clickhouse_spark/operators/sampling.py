@@ -75,3 +75,51 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted stratified sample: per-stratum quota
+    proportional to ``n_s^alpha``, normalized to ~``target_rows`` total —
+    the source-mixing rule public LLM pipelines use to upweight small,
+    high-quality sources against giant crawls. ``alpha=1`` reduces to
+    proportional sampling, ``alpha=0`` to equal-per-source; quotas are
+    ``max(1, floor(target * n_s^alpha / sum n^alpha))`` so no stratum is
+    ever silenced entirely.
+
+    Deterministic like its siblings: within each stratum the quota is
+    filled by ascending ``md5(key)`` — a pure function of the data. Scale
+    shape: one tiny count aggregate (rows = #strata) rejoined hint-free
+    (AQE broadcasts it), then the same single rank-window shuffle as
+    :func:`stratified_sample`; the quota filter is per-row against the
+    joined column, so no full stratum ever materializes downstream.
+    """
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    z = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"))
+    quotas = counts.crossJoin(z).select(
+        strata_col,
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(target_rows) * F.pow("__n", F.lit(alpha)) / F.col("__z")
+            ),
+        ).alias("__quota"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_key(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(quotas, strata_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

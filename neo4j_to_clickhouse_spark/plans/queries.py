@@ -1387,6 +1387,42 @@ def sample_stratified_per_source(spark, sf_dir):
 
 
 @q(
+    "sample_temperature_weighted",
+    # alpha=0.5 quota ∝ sqrt(n_s): both engines compute the quota with
+    # the same double sqrt/floor; deterministic member fill by md5(key)
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+       q AS (SELECT source,
+                    greatest(1, CAST(floor(120 * pow(n, 0.5) / z) AS BIGINT))
+                      AS quota
+             FROM c, z),
+       ranked AS (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       SELECT doc_id, source FROM ranked JOIN q USING (source)
+       WHERE rn <= quota
+       ORDER BY source, doc_id""",
+    "temperature-weighted source mixing: per-source quota ∝ count^alpha "
+    "(alpha=0.5), deterministic md5 member fill",
+)
+def sample_temperature_weighted(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return (
+        temperature_sample(
+            _t(spark, sf_dir, "documents"), "source", "doc_id", 120, 0.5
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@q(
     "repetition_by_source",
     # corpus-level duplicate-n-gram ratio per source: sum(total-uniq) /
     # sum(total) over docs with at least one 3-gram — exact aggregation of
@@ -2201,11 +2237,11 @@ _DRIVER_WINDOW = [
     "word_distribution",
     "duplicate_keys",
     "latest_events",
-    "union_counts",
     "order_priority_count",
     "acctbal_by_segment",
-    # new in round 5 — needs its first driver row
+    # new in round 5 — need their first driver row
     "decontamination_overlap",
+    "sample_temperature_weighted",
     # family representatives
     "count_by_event_type",
     "count_distinct_by_type",
@@ -2249,6 +2285,7 @@ _ROTATION = [
     # twice-green basics whose semantics are covered by an in-window
     # sibling
     "summary_stats",              # avg/collect_set ~ pricing_summary
+    "union_counts",               # union of counts ~ count_by_event_type
     "payload_profile",            # grouped sum(length) ~ text_stats_by_source
     "random_sample",              # rows-only; hard sibling sample_hash_fraction
     "sorted_regions",             # plain sort; every in-window query sorts

@@ -339,3 +339,32 @@ def test_ngram_contamination_flags_planted_overlap(spark):
     assert (rows[1].n_shingles, rows[1].n_hits) == (5, 2)
     assert (rows[3].n_shingles, rows[3].n_hits) == (1, 1)
     assert abs(rows[3].contamination - 1.0) < 1e-12
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    """alpha=0 -> equal quotas; alpha=1 -> proportional; members are the
+    lowest-md5 keys so reruns are identical."""
+    import pyspark.sql.functions as F
+
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # alpha=1: proportional — quota big=floor(20*90/100)=18, small=2
+    out1 = temperature_sample(df, "source", "doc_id", 20, alpha=1.0)
+    c1 = {r["source"]: r["n"] for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert c1 == {"big": 18, "small": 2}
+    # alpha=0: equal weights — each source floor(20/2)=10 (small has 10 rows)
+    out0 = temperature_sample(df, "source", "doc_id", 20, alpha=0.0)
+    c0 = {r["source"]: r["n"] for r in out0.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert c0 == {"big": 10, "small": 10}
+    # alpha=0.5 upweights the small source vs proportional
+    oh = temperature_sample(df, "source", "doc_id", 20, alpha=0.5)
+    ch = {r["source"]: r["n"] for r in oh.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert ch["small"] > 2 and ch["big"] < 18
+    # deterministic rerun
+    a = sorted(r.doc_id for r in oh.collect())
+    b = sorted(r.doc_id for r in temperature_sample(df, "source", "doc_id", 20, alpha=0.5).collect())
+    assert a == b

@@ -49,10 +49,10 @@ ROTATED_IN_R5 = [
     "word_distribution",
     "duplicate_keys",
     "latest_events",
-    "union_counts",
     "order_priority_count",
     "acctbal_by_segment",
-    "decontamination_overlap",  # new in r5 — first driver row
+    "decontamination_overlap",       # new in r5 — first driver row
+    "sample_temperature_weighted",   # new in r5 — first driver row
 ]
 
 
