@@ -168,3 +168,52 @@ def text_stats(
         detect_language(c).alias("detected_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_by_group(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-level TF-IDF profile: ``(group, term, tfidf)`` where tfidf
+    is the mean, over the group's documents containing the term, of
+    ``(tf / doc_len) * (ln((N+1)/(df+1)) + 1)`` — smoothed IDF over the
+    WHOLE corpus, so group profiles are comparable.
+
+    All flat codegen expressions; the term-frequency aggregate is reused
+    by both the document-frequency branch and the scoring branch through
+    Spark's exchange reuse, and the two scalar/short dimension frames
+    (corpus size, per-term df) join hint-free so AQE broadcasts them.
+    At corpus scale the only big shuffles are the two (id, term)
+    aggregations — both map-side combined.
+    """
+    from neo4j_to_clickhouse_spark.operators.dedup import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("id", "grp", "term").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("id").agg(F.count("*").alias("n_terms"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dlen, "id")
+        .join(dfreq, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "s",
+            (F.col("tf").cast("double") / F.col("n_terms"))
+            * (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    return (
+        scored.groupBy("grp", "term")
+        .agg(F.avg("s").alias("tfidf"))
+        .select(F.col("grp").alias(group_col), "term", "tfidf")
+    )

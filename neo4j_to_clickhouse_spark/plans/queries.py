@@ -1387,6 +1387,38 @@ def sample_stratified_per_source(spark, sf_dir):
 
 
 @q(
+    "tfidf_source_profile",
+    # mean smoothed TF-IDF per (source, term) over the whole corpus: no
+    # top-k cut, so no rank-boundary float risk — every row is compared
+    """WITH toks AS (
+         SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, source, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, source, term),
+       dlen AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT t.source, t.term,
+                (CAST(t.tf AS DOUBLE) / d.n_terms)
+                  * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0) AS s
+         FROM tf t JOIN dlen d USING (doc_id) JOIN dfreq f USING (term), n)
+       SELECT source, term, round(avg(s), 6) AS tfidf
+       FROM scored GROUP BY source, term
+       ORDER BY source, term""",
+    "corpus TF-IDF profile per source: mean smoothed tf-idf per term",
+)
+def tfidf_source_profile(spark, sf_dir):
+    return (
+        TX.tfidf_by_group(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+        )
+        .select("source", "term", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("source", "term")
+    )
+
+
+@q(
     "sample_temperature_weighted",
     # alpha=0.5 quota ∝ sqrt(n_s): both engines compute the quota with
     # the same double sqrt/floor; deterministic member fill by md5(key)
@@ -2234,7 +2266,6 @@ _DRIVER_WINDOW = [
     # round-5 rotation: swapped IN from _ROTATION so they re-earn a
     # driver row (each was last driver-green in r03)
     "filter_json_path_variant",
-    "word_distribution",
     "duplicate_keys",
     "latest_events",
     "order_priority_count",
@@ -2242,6 +2273,7 @@ _DRIVER_WINDOW = [
     # new in round 5 — need their first driver row
     "decontamination_overlap",
     "sample_temperature_weighted",
+    "tfidf_source_profile",
     # family representatives
     "count_by_event_type",
     "count_distinct_by_type",
@@ -2286,6 +2318,7 @@ _ROTATION = [
     # sibling
     "summary_stats",              # avg/collect_set ~ pricing_summary
     "union_counts",               # union of counts ~ count_by_event_type
+    "word_distribution",          # explode+count ~ tfidf_source_profile
     "payload_profile",            # grouped sum(length) ~ text_stats_by_source
     "random_sample",              # rows-only; hard sibling sample_hash_fraction
     "sorted_regions",             # plain sort; every in-window query sorts

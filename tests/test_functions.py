@@ -81,3 +81,34 @@ def test_cluster_conf_arithmetic():
     # 1 TB: core-waves floor dominates (1200 > 1024)
     assert int(small["spark.sql.shuffle.partitions"]) == 1200
     assert c["spark.executor.instances"] == "1000"
+
+
+def test_tfidf_by_group_exact_small_corpus(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus: rarer terms score higher,
+    shared terms lower; smoothing keeps everything finite."""
+    import math
+
+    from neo4j_to_clickhouse_spark.operators.text import tfidf_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "a d", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        (r.source, r.term): r.tfidf
+        for r in tfidf_by_group(docs, "doc_id", "text", "source").collect()
+    }
+    idf = lambda df: math.log(4 / (df + 1)) + 1  # N=3, smoothed  # noqa: E731
+    # 'a' in all 3 docs: df=3; s1 docs: tf/len = 2/3 and 1/2
+    exp_a_s1 = ((2 / 3) * idf(3) + (1 / 2) * idf(3)) / 2
+    assert abs(rows[("s1", "a")] - exp_a_s1) < 1e-12
+    # 'd' only in doc 3 (s2): df=1, tf/len = 1/2
+    assert abs(rows[("s2", "d")] - (1 / 2) * idf(1)) < 1e-12
+    # 'b' once in doc 1 (len 3): df=1, tf/len = 1/3
+    assert abs(rows[("s1", "b")] - (1 / 3) * idf(1)) < 1e-12
+    # the unique terms c and d carry identical profiles by symmetry
+    assert abs(rows[("s1", "c")] - rows[("s2", "d")]) < 1e-12

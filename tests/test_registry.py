@@ -46,13 +46,13 @@ PROMOTED = [
 # row (last driver-green in r03).
 ROTATED_IN_R5 = [
     "filter_json_path_variant",
-    "word_distribution",
     "duplicate_keys",
     "latest_events",
     "order_priority_count",
     "acctbal_by_segment",
     "decontamination_overlap",       # new in r5 — first driver row
     "sample_temperature_weighted",   # new in r5 — first driver row
+    "tfidf_source_profile",          # new in r5 — first driver row
 ]
 
 
