@@ -292,6 +292,16 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                     if audio is not None:
                         rate, _, samples = audio
                         d = int(len(samples) / max(rate, 1) * 1000)
+                    else:
+                        from neo4j_to_clickhouse_spark.operators.avi import (
+                            is_avi,
+                            probe_avi,
+                        )
+
+                        if is_avi(payload):
+                            video = probe_avi(payload)
+                            if video is not None:
+                                d = video[1]
                 widths.append(w)
                 heights.append(h)
                 durations.append(d)
@@ -444,16 +454,48 @@ def sample_frames(
     assets: DataFrame, every_ms: int = 1000,
     decode_stub: Literal["fake", "raise"] = "fake",
 ) -> DataFrame:
-    """Video frame sampling plumbing: one row out per sampled frame.
+    """Video frame sampling: one row out per sampled frame.
 
-    'fake' emits one frame per `every_ms` of (n_bytes-derived) duration
-    with the payload hash as frame bytes — the real operator swaps the
-    loop body for an ffmpeg seek+decode. Row explosion happens inside the
-    executor, so a 2-hour video never materializes as one row downstream.
+    MJPEG-in-AVI payloads are sampled FOR REAL (RIFF parse via
+    :mod:`.avi`; the emitted frame payload is the container's actual
+    JPEG, decodable by :mod:`.jpeg`): one frame per ``every_ms`` of true
+    duration, nearest-frame selection. Other formats hit the stub
+    ('fake' emits one payload-hash frame per `every_ms` of
+    n_bytes-derived duration; 'raise' marks the H.264/VP9 ffmpeg
+    boundary). Row explosion happens inside the executor either way, so
+    a 2-hour video never materializes as one row downstream.
     """
+    from neo4j_to_clickhouse_spark.operators.avi import is_avi, parse_avi_mjpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            real = pdf["payload"].map(lambda p: is_avi(p))
+            for _, row in pdf[real].iterrows():
+                try:
+                    period_ms, frames = parse_avi_mjpeg(row["payload"])
+                except ValueError:
+                    if decode_stub == "raise":
+                        raise NotImplementedError(
+                            "non-MJPEG video codec not available: plug "
+                            "ffmpeg here"
+                        ) from None
+                    continue
+                if not frames:
+                    continue
+                dur = period_ms * len(frames)
+                ticks = range(0, dur, every_ms)
+                idx = [min(t // period_ms, len(frames) - 1) for t in ticks]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": row["asset_id"],
+                        "frame_idx": pd.array(idx, dtype="int32"),
+                        "frame_ms": [i * period_ms for i in idx],
+                        "payload": [frames[i] for i in idx],
+                    }
+                )
+            pdf = pdf[~real]
+            if len(pdf) == 0:
+                continue
             if decode_stub == "raise":
                 raise NotImplementedError("video codec not available: plug ffmpeg here")
             # fake duration: 1 ms per byte, capped — deterministic. The

@@ -447,3 +447,80 @@ def test_probe_and_resize_handle_png(spark):
     fmt, back = M.decode_image(bytes(out.payload))
     assert fmt == "png"  # re-encoded in its own format
     assert np.array_equal(back, px[::4][:, ::2])
+
+
+# --- MJPEG/AVI video path ----------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_probe():
+    from neo4j_to_clickhouse_spark.operators import avi as V
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    frames = [
+        J.encode_jpeg_flat(16, 8, (10 * i, 0, 255 - 10 * i)) for i in range(5)
+    ]
+    buf = V.encode_avi_mjpeg(frames, fps=10)  # 100 ms per frame, 500 ms total
+    period, got = V.parse_avi_mjpeg(buf)
+    assert period == 100 and got == frames
+    assert V.probe_avi(buf) == (5, 500)
+    assert V.probe_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        V.parse_avi_mjpeg(b"not an avi")
+
+
+def test_probe_assets_fills_avi_duration(spark):
+    from neo4j_to_clickhouse_spark.operators import avi as V
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    buf = V.encode_avi_mjpeg(
+        [J.encode_jpeg_flat(8, 8, (1, 2, 3))] * 4, fps=2
+    )  # 500 ms per frame -> 2000 ms
+    binary = spark.createDataFrame(
+        [("v", bytearray(buf))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "video")
+    probed = M.probe_assets(assets).collect()[0]
+    assert probed.duration_ms == 2000
+    assert probed.width is None  # container probe; frame dims via sampling
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """AVI assets sample REAL container frames (decodable JPEGs at the
+    right timestamps); non-AVI assets still take the fake path, and
+    'raise' mode no longer rejects a decodable video."""
+    from neo4j_to_clickhouse_spark.operators import avi as V
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    colors = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (99, 99, 99)]
+    frames = [J.encode_jpeg_flat(8, 8, c) for c in colors]
+    buf = V.encode_avi_mjpeg(frames, fps=10)  # 100 ms/frame, 400 ms total
+    binary = spark.createDataFrame(
+        [("v", bytearray(buf))], "doc_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(binary, "doc_id", "payload", "video")
+    # a decodable MJPEG video must survive 'raise' mode — the codec hole
+    # is only for formats the container parser cannot handle
+    rows = M.sample_frames(assets, every_ms=200, decode_stub="raise")
+    vid = {
+        (r.frame_idx, r.frame_ms): bytes(r.payload) for r in rows.collect()
+    }
+    assert set(vid) == {(0, 0), (2, 200)}  # ticks at 0 and 200 ms
+    for (idx, _), payload in vid.items():
+        fmt, px = M.decode_image(payload)
+        assert fmt == "jpeg"
+        exp = _jpeg_expected(colors[idx])
+        assert max(abs(int(a) - b) for a, b in zip(px[0, 0], exp)) <= 1
+    # fake path intact for an opaque asset in the same (default) mode
+    mixed = spark.createDataFrame(
+        [("v", bytearray(buf)), ("blob", bytearray(b"\x00" * 2048))],
+        "doc_id string, payload binary",
+    )
+    both = M.sample_frames(
+        M.ingest_binary_assets(mixed, "doc_id", "payload", "video"),
+        every_ms=1000,
+    ).collect()
+    fake = [r for r in both if r.asset_id == "blob"]
+    assert len(fake) == 3  # 2048 bytes -> fake 2048 ms -> ceil(2048/1000)
+    assert sum(r.asset_id == "v" for r in both) == 1  # 400 ms -> one tick
