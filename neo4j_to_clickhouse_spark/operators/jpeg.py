@@ -164,6 +164,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         seglen = struct.unpack_from(">H", d, pos + 2)[0]
         body = d[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         nxt = pos + 2 + seglen
         if marker == 0xDB:  # DQT
             i = 0
@@ -178,6 +180,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     i += 128
                 qt[tq] = tbl
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF segment")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG is supported")
@@ -204,10 +208,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = _Huffman(counts, symbols)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             scan = {}
             for c in range(ns):

@@ -524,3 +524,61 @@ def test_sample_frames_real_mjpeg_avi(spark):
     fake = [r for r in both if r.asset_id == "blob"]
     assert len(fake) == 3  # 2048 bytes -> fake 2048 ms -> ceil(2048/1000)
     assert sum(r.asset_id == "v" for r in both) == 1  # 400 ms -> one tick
+
+
+# --- codec robustness: untrusted bytes must never escape ValueError ----------
+
+
+def test_codecs_never_crash_on_fuzzed_bytes():
+    """Decoders run executor-side on untrusted corpus payloads: any input
+    must either decode or raise ValueError — never IndexError/struct.error
+    /infinite loop — and decode_image must map failures to None."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_to_clickhouse_spark.operators import avi as V
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(
+            [b"", b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM", b"P6",
+             b"RIFF", b"RIFFxxxxAVI "]
+        ),
+        junk=st.binary(max_size=512),
+    )
+    def run(prefix, junk):
+        payload = prefix + junk
+        for dec in (J.decode_jpeg, P.decode_png, V.parse_avi_mjpeg):
+            try:
+                dec(payload)
+            except ValueError:
+                pass
+        out = M.decode_image(payload)
+        assert out is None or out[1].ndim == 3
+
+    run()
+
+
+def test_codecs_reject_every_truncation():
+    """Every strict prefix of a valid payload decodes or raises ValueError
+    — no other exception class, across all three codecs."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import avi as V
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    jpg = J.encode_jpeg_flat(16, 16, (9, 99, 199), subsampling=(2, 2))
+    png = P.encode_png(_checker(7, 5))
+    avi = V.encode_avi_mjpeg([J.encode_jpeg_flat(8, 8, (1, 2, 3))] * 2)
+    for buf, dec in ((jpg, J.decode_jpeg), (png, P.decode_png),
+                     (avi, V.parse_avi_mjpeg)):
+        for cut in range(len(buf)):
+            try:
+                dec(buf[:cut])
+            except ValueError:
+                pass
+        # full payload still decodes after the truncation sweep
+        assert dec(bytes(buf)) is not None
