@@ -127,6 +127,30 @@ def count_distinct_by_type(spark, sf_dir):
 
 
 @q(
+    "count_distinct_salted",
+    # exact same semantics as count_distinct_by_type's distinct count —
+    # the salted two-stage formulation changes the SHUFFLE SHAPE, not the
+    # result, so the plain oracle applies verbatim
+    """SELECT event_type, count(DISTINCT user_id) AS unique_entities
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "skew-safe exact count-distinct: value-hash-salted two-stage aggregate "
+    "(operators/skew.py) — bounded rows per key in the merge stage",
+)
+def count_distinct_salted(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.skew import (
+        salted_count_distinct,
+    )
+
+    return salted_count_distinct(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "user_id",
+        buckets=16,
+        out_col="unique_entities",
+    ).orderBy("event_type")
+
+
+@q(
     "word_distribution",
     """SELECT word, count(*) AS cnt
        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
@@ -2328,6 +2352,7 @@ _ROTATION = [
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
     "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
     "token_count_extremes",       # text sibling of text_stats_by_source
+    "count_distinct_salted",      # skew-shape sibling of count_distinct_by_type
 ]
 
 
