@@ -77,6 +77,57 @@ def stratified_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): label each row by
+    which md5(key) range its hash falls into — disjoint, exhaustive, and
+    a pure function of the data, so the same row lands in the same split
+    on any engine, any partitioning, any rerun (the property
+    ``df.randomSplit`` lacks: its per-partition seeding reshuffles
+    membership whenever the physical layout changes).
+
+    ``fractions`` maps label -> fraction; must sum to 1 (±1e-9). Ranges
+    are allocated in the given insertion order over the first 8 hex chars
+    of the hash. Stateless filter, zero shuffle, scan-bound.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    bounds, acc = [], 0.0
+    for label, frac in fractions.items():
+        acc += frac
+        # None = "rest of the hash space": a cumulative bound at/above
+        # 16^8 cannot be compared lexicographically against the 8-char
+        # hash (the 9-char literal breaks char-by-char ordering — same
+        # pitfall hash_sample documents for fraction=1)
+        t = int(round(acc * 16**8))
+        bounds.append((label, format(t, "08x") if t < 16**8 else None))
+    h = F.substring(_hash_key(key_col), 1, 8)
+    # when-chain from the FIRST range up: each row takes the first bound
+    # its hash falls under. The first label whose cumulative bound
+    # saturates the space absorbs everything remaining (later labels are
+    # empty by construction), and any float-rounding sliver at the very
+    # top of the space folds into the terminal label too.
+    expr = None
+    terminal = bounds[-1][0]
+    for label, upper in bounds:
+        if upper is None:
+            terminal = label
+            break
+        cond = h < F.lit(upper)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(
+        label_col,
+        F.lit(terminal) if expr is None else expr.otherwise(terminal),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str,

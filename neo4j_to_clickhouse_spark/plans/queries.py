@@ -1443,6 +1443,44 @@ def tfidf_source_profile(spark, sf_dir):
 
 
 @q(
+    "train_val_test_split_counts",
+    # 80/10/10 by disjoint md5 ranges; the oracle reproduces the exact
+    # member set, so the per-split counts (and hash of them) must match
+    """WITH labeled AS (
+         SELECT doc_id, source,
+                CASE
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccd' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test'
+                END AS split
+         FROM documents)
+       SELECT split, count(*) AS n_docs,
+              count(DISTINCT source) AS n_sources
+       FROM labeled GROUP BY split ORDER BY split""",
+    "deterministic 80/10/10 train/val/test split by md5(doc_id) ranges — "
+    "stable membership on any engine/partitioning, unlike randomSplit",
+)
+def train_val_test_split_counts(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_split
+
+    labeled = hash_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
     "sample_temperature_weighted",
     # alpha=0.5 quota ∝ sqrt(n_s): both engines compute the quota with
     # the same double sqrt/floor; deterministic member fill by md5(key)
@@ -2353,6 +2391,7 @@ _ROTATION = [
     "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
     "token_count_extremes",       # text sibling of text_stats_by_source
     "count_distinct_salted",      # skew-shape sibling of count_distinct_by_type
+    "train_val_test_split_counts",  # split sibling of sample_hash_fraction
 ]
 
 

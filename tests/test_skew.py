@@ -74,3 +74,33 @@ def test_salted_count_distinct_plan_has_no_expand_skew(skewed):
     plan = salted_count_distinct(skewed, ["k"], "v", buckets=16)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "xxhash64" in plan.lower() or "pmod" in plan.lower()
+
+
+def test_hash_split_is_partition_and_deterministic(spark):
+    """Every row gets exactly one label; splits are disjoint/exhaustive;
+    reruns and degenerate fractions behave."""
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    # roughly proportional (Bernoulli-style deviation)
+    assert 1400 < counts["train"] < 1800
+    # determinism
+    a = {(r.k, r.split) for r in out.collect()}
+    b = {
+        (r.k, r.split)
+        for r in hash_split(
+            df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    # a saturating first range absorbs everything, later labels are empty
+    all_a = hash_split(df, "k", {"a": 1.0, "b": 0.0})
+    assert all_a.filter("split <> 'a'").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", {"a": 0.5})
