@@ -217,3 +217,45 @@ def tfidf_by_group(
         .agg(F.avg("s").alias("tfidf"))
         .select(F.col("grp").alias(group_col), "term", "tfidf")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document the
+    training-sequence bin where its first token lands when the shard's
+    documents are concatenated in ``order_col`` order and cut every
+    ``budget`` tokens — the packing model autoregressive training
+    pipelines use to fill fixed-length context windows without padding.
+
+    Adds ``pack_id`` (bin index within the shard) and ``pack_offset``
+    (token offset of the document's start inside its bin). Pure integer
+    window arithmetic: ONE shuffle, partitioned by shard — the running
+    sum parallelizes across shards, so pick shards sized for one task's
+    sort (the same contract as any partitioned window; a single global
+    ordering would serialize the corpus through one task).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(text_col))
+    start = (F.sum(n_tok).over(w) - n_tok).cast("long")
+    return (
+        df.withColumn("__start", start)
+        .withColumn(
+            "pack_id", (F.col("__start") - F.col("__start") % budget) / budget
+        )
+        .withColumn("pack_id", F.col("pack_id").cast("long"))
+        .withColumn("pack_offset", F.col("__start") % budget)
+        .drop("__start")
+    )

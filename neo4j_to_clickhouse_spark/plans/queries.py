@@ -1481,6 +1481,39 @@ def train_val_test_split_counts(spark, sf_dir):
 
 
 @q(
+    "sequence_packing_stats",
+    # concat-and-chunk at 512 tokens per training sequence, packed per
+    # source shard in doc_id order: per-bin doc and token counts
+    """WITH t AS (
+         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT source, n_tok,
+                sum(n_tok) OVER (
+                  PARTITION BY source ORDER BY doc_id) - n_tok AS start
+         FROM t)
+       SELECT source, start // 512 AS pack_id,
+              count(*) AS n_docs, sum(n_tok) AS n_tokens
+       FROM c GROUP BY source, pack_id
+       ORDER BY source, pack_id""",
+    "sequence packing (concat-and-chunk): per-bin fill stats at a "
+    "512-token training budget",
+)
+def sequence_packing_stats(spark, sf_dir):
+    packed = TX.pack_sequences(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", "text", 512
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(TX.tokens("text"))).alias("n_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@q(
     "sample_temperature_weighted",
     # alpha=0.5 quota ∝ sqrt(n_s): both engines compute the quota with
     # the same double sqrt/floor; deterministic member fill by md5(key)
@@ -2392,6 +2425,7 @@ _ROTATION = [
     "token_count_extremes",       # text sibling of text_stats_by_source
     "count_distinct_salted",      # skew-shape sibling of count_distinct_by_type
     "train_val_test_split_counts",  # split sibling of sample_hash_fraction
+    "sequence_packing_stats",     # window running-sum sibling of daily_moving_stats
 ]
 
 

@@ -112,3 +112,25 @@ def test_tfidf_by_group_exact_small_corpus(spark):
     assert abs(rows[("s1", "b")] - (1 / 3) * idf(1)) < 1e-12
     # the unique terms c and d carry identical profiles by symmetry
     assert abs(rows[("s1", "c")] - rows[("s2", "d")]) < 1e-12
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Hand-checked packing: docs of 3/4/2 tokens at budget 5 start at
+    offsets 0/3/7 -> bins 0/0/1; shards pack independently."""
+    from neo4j_to_clickhouse_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # start 0 -> bin 0, offset 0
+            (2, "d e f g", "s1"),      # start 3 -> bin 0, offset 3
+            (3, "h i", "s1"),          # start 7 -> bin 1, offset 2
+            (10, "x y z w v", "s2"),   # start 0 -> bin 0, offset 0
+            (11, "q", "s2"),           # start 5 -> bin 1, offset 0
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "source", "doc_id", "text", 5).collect()
+    }
+    assert rows == {1: (0, 0), 2: (0, 3), 3: (1, 2), 10: (0, 0), 11: (1, 0)}
