@@ -127,6 +127,40 @@ def count_distinct_by_type(spark, sf_dir):
 
 
 @q(
+    "supplier_triangle_count",
+    # co-supply graph: suppliers sharing a high-quantity order line are
+    # linked; triangle count is orientation-independent, so the oracle
+    # uses the plain canonical three-way join while the engine runs the
+    # degree-ordered form (operators/graph.py::triangle_count)
+    """WITH os AS (
+         SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+         FROM lineitem WHERE l_quantity > 45),
+       e AS (
+         SELECT DISTINCT a.s AS x, b.s AS y
+         FROM os a JOIN os b ON a.o = b.o AND a.s < b.s)
+       SELECT count(*) AS n_triangles
+       FROM e e1
+       JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+       JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y""",
+    "exact triangle count of the co-supply graph via degree-ordered "
+    "wedge join — hub-proof at scale",
+)
+def supplier_triangle_count(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.graph import triangle_count
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s1"))
+    b = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2"))
+    edges = a.join(b, "o").filter(F.col("s1") < F.col("s2"))
+    return triangle_count(edges, "s1", "s2")
+
+
+@q(
     "count_distinct_salted",
     # exact same semantics as count_distinct_by_type's distinct count —
     # the salted two-stage formulation changes the SHUFFLE SHAPE, not the
@@ -2426,6 +2460,7 @@ _ROTATION = [
     "count_distinct_salted",      # skew-shape sibling of count_distinct_by_type
     "train_val_test_split_counts",  # split sibling of sample_hash_fraction
     "sequence_packing_stats",     # window running-sum sibling of daily_moving_stats
+    "supplier_triangle_count",    # graph sibling of graph_two_hop_topk
 ]
 
 

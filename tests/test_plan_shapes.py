@@ -107,3 +107,21 @@ def test_hash_sample_is_scan_side_filter(spark):
     plan = _plan(spark, "sample_hash_fraction")
     before_sort = plan.split("Sort", 1)[0]  # output orderBy is test-only
     assert "Exchange hashpartitioning" not in before_sort
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding direction-duplicates/self-loops must not
+    change the count; a hub star has none."""
+    from neo4j_to_clickhouse_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (1, 0)]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)], ["src", "dst"])
+    assert triangle_count(star).collect()[0].n_triangles == 0
+    # two triangles sharing an edge
+    bowtie = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], ["src", "dst"]
+    )
+    assert triangle_count(bowtie).collect()[0].n_triangles == 2
