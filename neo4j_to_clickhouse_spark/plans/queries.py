@@ -127,6 +127,37 @@ def count_distinct_by_type(spark, sf_dir):
 
 
 @q(
+    "embedding_dimension_stats",
+    # per-dimension drift profile over the full corpus. Means/extrema are
+    # rounded to 4dp: each dimension aggregates thousands of floats and
+    # summation order differs between engines (both accumulate in double,
+    # so agreement at 4dp is robust; min/max are exact)
+    """SELECT dim,
+              round(avg(CAST(v AS DOUBLE)), 4) AS mean_v,
+              round(min(CAST(v AS DOUBLE)), 4) AS min_v,
+              round(max(CAST(v AS DOUBLE)), 4) AS max_v
+       FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                    unnest(embedding) AS v
+             FROM embeddings) t
+       GROUP BY dim ORDER BY dim""",
+    "per-dimension embedding stats (drift detection): 64 groups out of a "
+    "corpus-sized explode, map-side combined",
+)
+def embedding_dimension_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
+            F.round(F.min(F.col("v").cast("double")), 4).alias("min_v"),
+            F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+@q(
     "supplier_triangle_count",
     # co-supply graph: suppliers sharing a high-quantity order line are
     # linked; triangle count is orientation-independent, so the oracle
@@ -2461,6 +2492,7 @@ _ROTATION = [
     "train_val_test_split_counts",  # split sibling of sample_hash_fraction
     "sequence_packing_stats",     # window running-sum sibling of daily_moving_stats
     "supplier_triangle_count",    # graph sibling of graph_two_hop_topk
+    "embedding_dimension_stats",  # embedding sibling of embedding_knn
 ]
 
 
