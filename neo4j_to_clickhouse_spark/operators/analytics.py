@@ -340,48 +340,62 @@ def window_funnel(
     window_seconds: int | None = None,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel``: per key, the deepest funnel step
-    reached by strictly-ordered step events, optionally within
-    ``window_seconds`` of the step-1 time. Output: (key, funnel_step).
+    reached by strictly-time-ordered step events, where the chain may
+    start at ANY step-1 event and the optional ``window_seconds`` bound
+    is measured from that chain's own start — the reported depth is the
+    max over chain starts, matching ClickHouse's search over all
+    chains (greedy-from-earliest-signup underestimates whenever a later
+    chain start reaches deeper inside its window). Output:
+    (key, funnel_step).
 
-    Per step i the earliest qualifying time is one grouped min-aggregate
-    over events filtered by step i's predicate AND t > step i-1's time —
-    i.e. ``len(steps)`` aggregate+join rounds, each shuffling one row per
-    key, never the event log. (A per-key sorted-array fold would ship
-    whole event histories; this stays in grouped aggregates.) The
-    inter-step join carries no hint: the per-key frame can have one row
-    per active user, which at 10^8+ keys must NOT be force-broadcast —
-    AQE picks broadcast-hash only when the frame is genuinely small and
-    falls back to a shuffle join otherwise (guarded by a plan test).
+    Per step i the earliest qualifying time per open chain is one
+    grouped min-aggregate over events filtered by step i's predicate AND
+    t > step i-1's time — ``len(steps)-1`` aggregate+join rounds, each
+    shuffling one row per (key, chain-start), bounded by the step-1
+    event count, never the whole event log. (A per-key sorted-array fold
+    would ship full event histories instead.) The inter-step join
+    carries no hint: the chain frame is data-sized at 10^8+ keys and
+    must NOT be force-broadcast — AQE picks broadcast-hash only when
+    genuinely small (guarded by a plan test).
     """
-    t_prev = None
-    out = None
-    for i, step in enumerate(steps):
-        ev = events
-        if t_prev is not None:
-            ev = ev.join(out, key_col)
-            cond = step & (F.col(time_col) > F.col(t_prev))
-            if window_seconds is not None:
-                # _epoch = fractional-second-exact window bound
-                cond = cond & (
-                    _epoch(time_col) - _epoch("__t0") <= window_seconds
-                )
-        else:
-            cond = step
+    # Chains are tracked per (key, chain-start): EVERY step-1 event opens
+    # a candidate chain, and the reported depth is the max over chain
+    # starts — a later step-1 occurrence can reach deeper within ITS
+    # window than the earliest one (greedy-from-earliest, the tempting
+    # one-row-per-key shortcut, underestimates exactly there). Each round
+    # still shuffles only one row per open chain (bounded by the step-1
+    # event count), never the event log.
+    chains = (
+        events.filter(steps[0])
+        .select(F.col(key_col), F.col(time_col).alias("__t0"))
+        .distinct()
+    )
+    out = chains
+    t_prev = "__t0"
+    for i, step in enumerate(steps[1:], start=1):
+        ev = events.join(out, key_col)
+        cond = step & (F.col(time_col) > F.col(t_prev))
+        if window_seconds is not None:
+            # _epoch = fractional-second-exact window bound
+            cond = cond & (
+                _epoch(time_col) - _epoch("__t0") <= window_seconds
+            )
         t_i = f"__t{i}"
-        stage = ev.groupBy(key_col).agg(
+        stage = ev.groupBy(key_col, "__t0").agg(
             F.min(F.when(cond, F.col(time_col))).alias(t_i)
         )
-        if out is None:
-            out = stage.filter(F.col(t_i).isNotNull())
-        else:
-            out = out.join(stage, key_col, "left")
+        out = out.join(stage, [key_col, "__t0"], "left")
         t_prev = t_i
-    step_cols = [f"__t{i}" for i in range(len(steps))]
+    step_cols = ["__t0"] + [f"__t{i}" for i in range(1, len(steps))]
     reached = None
     for i, c in enumerate(step_cols):
         term = F.when(F.col(c).isNotNull(), i + 1).otherwise(0)
         reached = term if reached is None else F.greatest(reached, term)
-    return out.select(F.col(key_col), reached.alias("funnel_step"))
+    return (
+        out.select(F.col(key_col), reached.alias("__depth"))
+        .groupBy(key_col)
+        .agg(F.max("__depth").alias("funnel_step"))
+    )
 
 
 def window_funnel_strict_order(

@@ -2206,31 +2206,35 @@ def rollup_event_counts(spark, sf_dir):
 
 @q(
     "window_funnel_steps",
-    # ClickHouse windowFunnel parity: deepest strictly-ordered
-    # signup -> purchase -> error step per user, then the per-step user
-    # histogram. Oracle = chained earliest-qualifying-time CTEs.
-    """WITH t1 AS (
-         SELECT user_id, min(ts) AS t1 FROM events
-         WHERE event_type = 'signup' GROUP BY user_id),
+    # ClickHouse windowFunnel parity: deepest strictly-time-ordered
+    # signup -> purchase -> error chain per user, where EVERY signup
+    # opens a candidate chain and the 48h window is measured from that
+    # chain's own start (max over chain starts — greedy-from-earliest
+    # underestimates when a later signup's window reaches deeper).
+    """WITH c AS (
+         SELECT DISTINCT user_id, ts AS t0 FROM events
+         WHERE event_type = 'signup'),
        t2 AS (
-         SELECT e.user_id, min(ts) AS t2
-         FROM events e JOIN t1 ON e.user_id = t1.user_id
-         WHERE e.event_type = 'purchase' AND e.ts > t1.t1
-           AND e.ts <= t1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+         SELECT e.user_id, c.t0, min(e.ts) AS t2
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.t0
+           AND e.ts <= c.t0 + INTERVAL 48 HOUR GROUP BY e.user_id, c.t0),
        t3 AS (
-         SELECT e.user_id, min(ts) AS t3
+         SELECT e.user_id, t2.t0, min(e.ts) AS t3
          FROM events e JOIN t2 ON e.user_id = t2.user_id
-         JOIN t1 ON e.user_id = t1.user_id
          WHERE e.event_type = 'error' AND e.ts > t2.t2
-           AND e.ts <= t1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
-       steps AS (
-         SELECT t1.user_id,
-                CASE WHEN t3.t3 IS NOT NULL THEN 3
-                     WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_step
-         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
-                 LEFT JOIN t3 ON t1.user_id = t3.user_id)
+           AND e.ts <= t2.t0 + INTERVAL 48 HOUR GROUP BY e.user_id, t2.t0),
+       depths AS (
+         SELECT c.user_id,
+                max(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                         WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END)
+                  AS funnel_step
+         FROM c
+         LEFT JOIN t2 ON c.user_id = t2.user_id AND c.t0 = t2.t0
+         LEFT JOIN t3 ON c.user_id = t3.user_id AND c.t0 = t3.t0
+         GROUP BY c.user_id)
        SELECT funnel_step, count(*) AS n_users
-       FROM steps GROUP BY funnel_step ORDER BY funnel_step""",
+       FROM depths GROUP BY funnel_step ORDER BY funnel_step""",
     "windowFunnel parity: signup -> purchase -> error ordered funnel "
     "within 48h of signup, users per deepest step reached",
 )

@@ -134,3 +134,22 @@ def test_strict_order_restart_after_break(spark):
         ).collect()
     }
     assert got == {1: 3}
+
+
+def test_funnel_max_over_chain_starts(spark):
+    """ClickHouse windowFunnel searches ALL chain starts: a later step-1
+    event whose window reaches step 2 must win over an earlier step-1
+    event whose window expired (greedy-from-earliest reports 1 here)."""
+    ev = _events(
+        spark,
+        [
+            (1, "2026-01-01 00:00:00", 1, "A"),  # early chain: B out of window
+            (1, "2026-01-01 10:00:00", 2, "A"),  # late chain: B in window
+            (1, "2026-01-01 10:30:00", 3, "B"),
+        ],
+    )
+    got = window_funnel(
+        ev, _steps()[:2], key_col="k", time_col="ts",
+        window_seconds=3600,
+    ).collect()
+    assert [(r.k, r.funnel_step) for r in got] == [(1, 2)]
