@@ -132,10 +132,13 @@ def count_distinct_by_type(spark, sf_dir):
     # rounded to 4dp: each dimension aggregates thousands of floats and
     # summation order differs between engines (both accumulate in double,
     # so agreement at 4dp is robust; min/max are exact)
+    # `+ 0` after round: IEEE -0.0 + 0.0 = +0.0, so a mean that rounds
+    # to negative zero (DuckDB keeps the sign, Spark doesn't) compares
+    # equal across engines
     """SELECT dim,
-              round(avg(CAST(v AS DOUBLE)), 4) AS mean_v,
-              round(min(CAST(v AS DOUBLE)), 4) AS min_v,
-              round(max(CAST(v AS DOUBLE)), 4) AS max_v
+              round(avg(CAST(v AS DOUBLE)), 4) + 0 AS mean_v,
+              round(min(CAST(v AS DOUBLE)), 4) + 0 AS min_v,
+              round(max(CAST(v AS DOUBLE)), 4) + 0 AS max_v
        FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
                     unnest(embedding) AS v
              FROM embeddings) t
@@ -149,9 +152,15 @@ def embedding_dimension_stats(spark, sf_dir):
         emb.select(F.posexplode("embedding").alias("dim", "v"))
         .groupBy("dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
-            F.round(F.min(F.col("v").cast("double")), 4).alias("min_v"),
-            F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"),
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "mean_v"
+            ),
+            (F.round(F.min(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "min_v"
+            ),
+            (F.round(F.max(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "max_v"
+            ),
         )
         .orderBy("dim")
     )
