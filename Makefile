@@ -1,11 +1,19 @@
 # Developer conveniences (the reference drives everything through make too)
 
-.PHONY: test correctness bench bench-ingest smoke gate
+.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full
 
 # The full pre-round-close gate: run this before finishing any round.
 # Catches fixture regenerations (VERDICT r04), oracle drift, and bench
 # crashes in one command.
 gate: test correctness bench
+
+# gate + the sf0.1 oracle sweep: slower, but scale-dependent divergences
+# (float rounding boundaries, negative zero, quota floors) only surface
+# on the bigger fixture
+gate-full: gate correctness-sf01
+
+correctness-sf01:
+	python tools/check_correctness.py /root/testdata/sf0.1
 
 test:
 	python -m pytest tests/ -x -q
