@@ -104,9 +104,9 @@ def main() -> None:
             n = spec.spark(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
         # hypervisor-steal spikes have hit SINGLE runs with 2-100x
-        # inflation; when the two runs disagree badly the min is still
+        # inflation; when the two runs disagree the min is still
         # suspect, so buy one tie-breaker run before reporting
-        if max(runs) > 2 * min(runs):
+        if max(runs) > 1.5 * min(runs):
             t0 = time.perf_counter()
             n = spec.spark(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
