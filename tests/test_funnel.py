@@ -153,3 +153,68 @@ def test_funnel_max_over_chain_starts(spark):
         window_seconds=3600,
     ).collect()
     assert [(r.k, r.funnel_step) for r in got] == [(1, 2)]
+
+
+def test_funnel_matches_bruteforce_on_random_streams(spark):
+    """Property: engine depth == brute-force max-over-chain-starts depth
+    (greedy-earliest within a fixed chain start is optimal by exchange
+    argument, so the reference enumerates starts and greedily extends).
+    Few hypothesis examples, many independent keys per example — one
+    Spark job each."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    types = ["A", "B", "C", "X"]
+    steps = _steps()  # A -> B -> C
+    window = 10
+
+    def ref_depth(rows):  # [(t, e)] for one key
+        rows = sorted(rows)
+        best = 0
+        for t0, e0 in rows:
+            if e0 != "A":
+                continue
+            depth, t_prev = 1, t0
+            for want in ("B", "C"):
+                nxt = min(
+                    (t for t, e in rows
+                     if e == want and t > t_prev and t - t0 <= window),
+                    default=None,
+                )
+                if nxt is None:
+                    break
+                depth, t_prev = depth + 1, nxt
+            best = max(best, depth)
+        return best
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 24),          # key
+                st.integers(0, 30),          # epoch second
+                st.sampled_from(types),
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def run(data):
+        df = spark.createDataFrame(
+            [(k, t, i, e) for i, (k, t, e) in enumerate(data)],
+            "k long, sec long, eid long, e string",
+        ).select("k", F.timestamp_seconds("sec").alias("ts"), "eid", "e")
+        got = {
+            r.k: r.funnel_step
+            for r in window_funnel(
+                df, steps, key_col="k", time_col="ts", window_seconds=window
+            ).collect()
+        }
+        per_key = {}
+        for k, t, e in data:
+            per_key.setdefault(k, []).append((t, e))
+        exp = {k: ref_depth(v) for k, v in per_key.items()}
+        exp = {k: d for k, d in exp.items() if d > 0}
+        assert got == exp, (got, exp)
+
+    run()
