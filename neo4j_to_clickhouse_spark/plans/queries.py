@@ -200,6 +200,74 @@ def supplier_triangle_count(spark, sf_dir):
     return triangle_count(edges, "s1", "s2")
 
 
+def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unroll the fixed-iteration power method into chained CTEs — an
+    iterative algorithm certified against a closed-form SQL oracle. The
+    co-supply edge set is symmetrized, so there are no dangling nodes
+    and the dangling-mass term is identically zero on both sides."""
+    head = f"""WITH os AS (
+         SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+         FROM lineitem WHERE l_quantity > 45),
+       ud AS (
+         SELECT DISTINCT a.s AS x, b.s AS y
+         FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+       e AS (SELECT x AS s, y AS t FROM ud UNION ALL
+             SELECT y AS s, x AS t FROM ud),
+       nodes AS (SELECT DISTINCT s AS node FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       outdeg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+       r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+       r{i} AS (
+         SELECT n.node,
+                (1.0 - {damping}) / nn.n
+                  + {damping} * COALESCE(c.inflow, 0) AS rank
+         FROM nodes n
+         LEFT JOIN (
+           SELECT e.t AS node, sum(r.rank / od.od) AS inflow
+           FROM e JOIN r{i - 1} r ON e.s = r.node
+           JOIN outdeg od ON od.s = e.s
+           GROUP BY e.t) c ON c.node = n.node
+         CROSS JOIN nn)"""
+    return (
+        head
+        + body
+        + f"""
+       SELECT node, round(rank, 5) + 0 AS rank
+       FROM r{iters} ORDER BY node"""
+    )
+
+
+@q(
+    "supplier_pagerank",
+    _pagerank_oracle_sql(4),
+    "PageRank centrality of the co-supply graph (crawl-quality signal): "
+    "4 power iterations, certified against an unrolled-CTE oracle",
+)
+def supplier_pagerank(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.graph import pagerank
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s1"))
+    b = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2"))
+    ud = a.join(b, "o").filter(F.col("s1") < F.col("s2")).distinct()
+    edges = ud.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        ud.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=4)
+        .select("node", (F.round("rank", 5) + F.lit(0.0)).alias("rank"))
+        .orderBy("node")
+    )
+
+
 @q(
     "count_distinct_salted",
     # exact same semantics as count_distinct_by_type's distinct count —
@@ -2506,6 +2574,7 @@ _ROTATION = [
     "sequence_packing_stats",     # window running-sum sibling of daily_moving_stats
     "supplier_triangle_count",    # graph sibling of graph_two_hop_topk
     "embedding_dimension_stats",  # embedding sibling of embedding_knn
+    "supplier_pagerank",          # iterative sibling of supplier_triangle_count
 ]
 
 

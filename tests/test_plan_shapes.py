@@ -125,3 +125,31 @@ def test_triangle_count_known_graphs(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], ["src", "dst"]
     )
     assert triangle_count(bowtie).collect()[0].n_triangles == 2
+
+
+def test_pagerank_analytic_graphs(spark):
+    """Two-node cycle -> equal ranks 0.5; directed star center receives
+    all mass; ranks sum to ~1 with dangling handling."""
+    from neo4j_to_clickhouse_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r = {x.node: x.rank for x in pagerank(cycle, iterations=20).collect()}
+    assert abs(r[1] - 0.5) < 1e-9 and abs(r[2] - 0.5) < 1e-9
+    # star: 1..4 all point at 0; 0 is dangling (its mass spreads evenly)
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)], ["src", "dst"])
+    rs = {x.node: x.rank for x in pagerank(star, iterations=30).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-6
+    assert rs[0] > rs[1]
+    assert all(abs(rs[i] - rs[1]) < 1e-9 for i in (2, 3, 4))
+    # python power-iteration reference on the star, 30 iters, d=0.85
+    import numpy as np
+
+    n, d = 5, 0.85
+    M = np.zeros((n, n))
+    for i in range(1, 5):
+        M[0, i] = 1.0  # i -> 0 with outdeg 1
+    v = np.full(n, 1 / n)
+    for _ in range(30):
+        dangling = v[0]  # node 0 has no out-edges
+        v = (1 - d) / n + d * (M @ v + dangling / n)
+    assert abs(rs[0] - v[0]) < 1e-9
