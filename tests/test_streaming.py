@@ -402,3 +402,59 @@ def test_kafka_end_to_end_smoke(spark, tmp_path):
     drain(start_node_stream(raw, config))
     got = spark.read.parquet(str(tmp_path / "events"))
     assert {r.event_id for r in got.collect()} >= {"n-001", "n-002"}
+
+
+def test_sessionize_matches_bruteforce_on_random_streams(spark):
+    """Property: session boundaries equal a linear-scan reference (new
+    session iff gap > threshold), across random per-key event streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+
+    gap_minutes = 1  # 60 s
+
+    def ref_sessions(times):  # sorted epoch seconds -> session index list
+        out, sid = [], 0
+        for i, t in enumerate(times):
+            if i and t - times[i - 1] > 60:
+                sid += 1
+            out.append(sid)
+        return out
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 600)),
+            min_size=1,
+            max_size=100,
+            unique=True,
+        )
+    )
+    def run(data):
+        df = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(data)],
+            "user_id long, sec long, event_id long",
+        ).select(
+            "user_id", F.timestamp_seconds("sec").alias("ts"), "event_id"
+        )
+        got = {}
+        for r in sessionize(df, gap_minutes=gap_minutes).collect():
+            got.setdefault(r.user_id, []).append(
+                (r.ts.timestamp(), r.session_id)
+            )
+        for k, rows in got.items():
+            rows.sort()
+            times = [t for t, _ in rows]
+            sids = [s for _, s in rows]
+            expect = ref_sessions(times)
+            # session ids need only induce the same partitioning
+            remap, norm = {}, []
+            for s in sids:
+                remap.setdefault(s, len(remap))
+                norm.append(remap[s])
+            assert norm == expect, (k, rows, expect)
+
+    run()
