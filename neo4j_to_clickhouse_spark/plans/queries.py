@@ -269,6 +269,34 @@ def supplier_pagerank(spark, sf_dir):
 
 
 @q(
+    "first_event_salted",
+    # the salted two-stage argmin must reproduce the rank-window answer
+    # exactly: per user, the (ts, event_id)-least event row
+    """WITH ranked AS (
+         SELECT user_id, ts, event_id, event_type,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events)
+       SELECT user_id, ts, event_id, event_type
+       FROM ranked WHERE rn = 1 ORDER BY user_id""",
+    "skew-safe first event per user via salted_min_by (operators/skew.py) "
+    "— bounded merge fan-in where a rank window would sort the hot key "
+    "in one task",
+)
+def first_event_salted(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.skew import salted_min_by
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return (
+        salted_min_by(ev, ["user_id"], "ts", buckets=16)
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@q(
     "count_distinct_salted",
     # exact same semantics as count_distinct_by_type's distinct count —
     # the salted two-stage formulation changes the SHUFFLE SHAPE, not the
@@ -2575,6 +2603,7 @@ _ROTATION = [
     "supplier_triangle_count",    # graph sibling of graph_two_hop_topk
     "embedding_dimension_stats",  # embedding sibling of embedding_knn
     "supplier_pagerank",          # iterative sibling of supplier_triangle_count
+    "first_event_salted",         # skew-shape sibling of first_events_per_user
 ]
 
 
