@@ -1120,6 +1120,48 @@ def decontamination_overlap(spark, sf_dir):
 
 
 @q(
+    "dedup_jaccard_capped",
+    # the stop-shingle skew cap certified: shingles with document
+    # frequency above 3 are dropped from the INTERSECTION join (the
+    # hot-key f^2 blowup guard) while denominators still count them, so
+    # reported Jaccard stays exact for non-boilerplate overlap
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+         FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 2),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       kept AS (SELECT sh.doc_id, sh.shingle
+                FROM sh JOIN freq USING (shingle) WHERE freq.df <= 3),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         FROM kept a JOIN kept b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       ORDER BY id_a, id_b""",
+    "n-gram Jaccard with the max_shingle_freq stop-shingle cap (=3) — "
+    "the hot-shingle hardening path, exactly certified",
+)
+def dedup_jaccard_capped(spark, sf_dir):
+    pairs = D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5, max_shingle_freq=3,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@q(
     "dedup_minhash_lsh",
     # The minhash signatures are engine-specific (xxhash64), but the
     # OUTPUT is exact verified Jaccard over the LSH candidate set. With
@@ -2604,6 +2646,7 @@ _ROTATION = [
     "embedding_dimension_stats",  # embedding sibling of embedding_knn
     "supplier_pagerank",          # iterative sibling of supplier_triangle_count
     "first_event_salted",         # skew-shape sibling of first_events_per_user
+    "dedup_jaccard_capped",       # stop-shingle-cap sibling of dedup_ngram_jaccard
 ]
 
 
