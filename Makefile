@@ -1,11 +1,21 @@
 # Developer conveniences (the reference drives everything through make too)
 
-.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full
+.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full commit-evidence
 
 # The full pre-round-close gate: run this before finishing any round.
 # Catches fixture regenerations (VERDICT r04), oracle drift, and bench
-# crashes in one command.
-gate: test correctness bench
+# crashes in one command.  Ends by committing any driver-written round
+# evidence (BENCH_rNN / CORRECTNESS_rNN) so it can't be left untracked
+# at round close (ADVICE r04 item 2, recurred r05).
+gate: test correctness bench commit-evidence
+
+commit-evidence:
+	@git add BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null; \
+	if ! git diff --cached --quiet; then \
+		git commit -m "Track round evidence artifacts"; \
+	else \
+		echo "round evidence already tracked"; \
+	fi
 
 # gate + the sf0.1 oracle sweep: slower, but scale-dependent divergences
 # (float rounding boundaries, negative zero, quota floors) only surface
