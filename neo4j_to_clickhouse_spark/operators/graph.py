@@ -214,4 +214,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             rank = rank.localCheckpoint(eager=True)
+    # Eagerly checkpoint the final (node, rank) frame — one small row per
+    # node — so the cached ``nodes`` frame can be released here instead
+    # of accumulating silently across calls on distinct graphs in a long
+    # session (ADVICE r05). The returned plan has no lazy reference left.
+    rank = rank.localCheckpoint(eager=True)
+    nodes.unpersist()
     return rank

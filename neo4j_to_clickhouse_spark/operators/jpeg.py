@@ -156,12 +156,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     pos = 2
     d = payload
-    while pos + 4 <= len(d):
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected in JPEG stream")
+        # T.81 B.1.1.2 allows any number of 0xFF fill bytes before the
+        # marker code byte (ADVICE r05) — skip them.
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(d):
+            break
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            # standalone markers carry no length field (T.81 B.1.1.3)
+            pos += 2
+            continue
+        if pos + 4 > len(d):
+            break  # truncated header — falls through to "no SOS" below
         seglen = struct.unpack_from(">H", d, pos + 2)[0]
         body = d[pos + 4 : pos + 2 + seglen]
         if seglen < 2 or len(body) != seglen - 2:
@@ -221,6 +233,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
+            # every frame component must appear in this scan — a legal
+            # T.81 non-interleaved (multi-scan) layout lists fewer, which
+            # this baseline decoder does not support (ADVICE r05: a
+            # KeyError here escaped decode_image's ValueError contract)
+            missing = [cid for cid, *_ in frame[2] if cid not in scan]
+            if missing:
+                raise ValueError(
+                    "non-interleaved/multi-scan JPEG is not supported "
+                    f"(scan omits component ids {missing})"
+                )
             try:
                 return _decode_scan(
                     d, nxt, frame, scan, qt, huff, restart_interval

@@ -77,8 +77,14 @@ def _decode_jpeg_any(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     import io
 
-    with Image.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("RGB"))
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception as exc:  # PIL raises UnidentifiedImageError/OSError
+        # map to the decode-or-ValueError contract so decode_image falls
+        # back to the stub instead of failing the executor task
+        # (ADVICE r05)
+        raise ValueError(f"Pillow failed to decode JPEG payload: {exc}") from exc
 
 
 def _decode_bmp(buf: bytes) -> np.ndarray:

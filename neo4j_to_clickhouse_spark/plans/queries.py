@@ -2555,9 +2555,43 @@ def retention_cohort_counts(spark, sf_dir):
 #   re-earns its row.
 
 _DRIVER_WINDOW = [
-    # promoted in round 4 but every events-table row ERRed on the
-    # regenerated fixture (see VERDICT r04) — they still need their first
-    # driver-green row, so they stay for round 5
+    # round-6 promotions: every round-5 _ROTATION member lacked an r05
+    # driver row (VERDICT r05 items 1+4 — 8 operators have NEVER had one,
+    # and the rest were last driver-green before the r04 fixture
+    # regeneration), so the whole rotation tail swaps into the window.
+    #
+    # -- never driver-certified (debuted in _ROTATION in round 5) --
+    "count_distinct_salted",
+    "first_event_salted",
+    "train_val_test_split_counts",
+    "sequence_packing_stats",
+    "supplier_triangle_count",
+    "supplier_pagerank",
+    "embedding_dimension_stats",
+    "dedup_jaccard_capped",
+    # -- last driver row predates the r04 fixture regeneration --
+    "dedup_survivors_minhash",
+    "embedding_near_duplicates",
+    "langid_distribution",
+    "quality_bands",
+    "repetition_by_source",
+    "fingerprint_uniqueness",
+    "sample_stratified_per_source",
+    "top_revenue_orders",
+    "summary_stats",
+    "union_counts",
+    "word_distribution",
+    "payload_profile",
+    "random_sample",              # rows-only by design
+    "sorted_regions",
+    "filter_event_type",
+    "filter_array_membership",
+    "dedup_survivors_by_source",
+    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
+    "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
+    "token_count_extremes",
+    # round-6 keeps: first (and only) driver green earned in r05 on the
+    # current fixture — hold one more round before rotating out
     "asof_user_state",
     "asof_user_state_bucketed",
     "range_join_interval_stats",
@@ -2574,79 +2608,48 @@ _DRIVER_WINDOW = [
     "daily_moving_stats",
     "value_histogram",
     "first_events_per_user",
-    # round-5 rotation: swapped IN from _ROTATION so they re-earn a
-    # driver row (each was last driver-green in r03)
-    "filter_json_path_variant",
-    "duplicate_keys",
-    "latest_events",
-    "order_priority_count",
-    "acctbal_by_segment",
-    # new in round 5 — need their first driver row
     "decontamination_overlap",
     "sample_temperature_weighted",
     "tfidf_source_profile",
-    # family representatives
-    "count_by_event_type",
-    "count_distinct_by_type",
-    "topk_words_approx",
-    "global_totals",
-    "orders_per_customer_topk",
-    "filter_json_path",
-    "filter_time_range",
-    "conjunctive_filters",
-    "latest_state_per_entity",
-    "dedup_validation",
-    "retention_candidates",
-    "pricing_summary",
-    "revenue_by_nation",
-    "graph_two_hop_topk",
-    "graph_degree_topk",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    # complex high-regression-risk representatives kept under continuous
+    # driver certification
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash_planted",
-    "embedding_knn",
-    "embedding_lsh_near_dup",
     "embedding_ivf_full_probe",
-    "text_stats_by_source",
     "multimodal_inventory",
-    "sample_hash_fraction",
 ]
 
 _ROTATION = [
-    # demoted for round 5: driver-green in r02+r03+r04 with an in-window
-    # sibling carrying the family; rotate back in a later round
-    "dedup_survivors_minhash",    # ~ dedup_clusters + dedup_survivors_by_source
-    "embedding_near_duplicates",  # exact baseline of embedding_lsh_near_dup
-    "langid_distribution",        # text family ~ text_stats_by_source
-    "quality_bands",              # text family ~ text_stats_by_source
-    "repetition_by_source",       # text family ~ text_stats_by_source
-    "fingerprint_uniqueness",     # text family ~ text_stats_by_source
-    "sample_stratified_per_source",  # ~ sample_hash_fraction
-    "top_revenue_orders",         # top-k ~ orders_per_customer_topk
-    # twice-green basics whose semantics are covered by an in-window
-    # sibling
-    "summary_stats",              # avg/collect_set ~ pricing_summary
-    "union_counts",               # union of counts ~ count_by_event_type
-    "word_distribution",          # explode+count ~ tfidf_source_profile
-    "payload_profile",            # grouped sum(length) ~ text_stats_by_source
-    "random_sample",              # rows-only; hard sibling sample_hash_fraction
-    "sorted_regions",             # plain sort; every in-window query sorts
-    "filter_event_type",          # enum filter ~ conjunctive_filters
-    "filter_array_membership",    # array filter ~ conjunctive_filters
-    "dedup_survivors_by_source",  # sibling of dedup_survivors_minhash
-    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
-    "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
-    "token_count_extremes",       # text sibling of text_stats_by_source
-    "count_distinct_salted",      # skew-shape sibling of count_distinct_by_type
-    "train_val_test_split_counts",  # split sibling of sample_hash_fraction
-    "sequence_packing_stats",     # window running-sum sibling of daily_moving_stats
-    "supplier_triangle_count",    # graph sibling of graph_two_hop_topk
-    "embedding_dimension_stats",  # embedding sibling of embedding_knn
-    "supplier_pagerank",          # iterative sibling of supplier_triangle_count
-    "first_event_salted",         # skew-shape sibling of first_events_per_user
-    "dedup_jaccard_capped",       # stop-shingle-cap sibling of dedup_ngram_jaccard
+    # demoted for round 6: driver-green in r05 (most also r02-r03) on the
+    # current fixture, with an in-window sibling carrying the family;
+    # rotate back in a later round per SURVEY §8 policy
+    "filter_json_path_variant",   # ~ filter_json_path family (r05 green)
+    "duplicate_keys",             # HAVING dup ~ dedup_survivors_by_source
+    "latest_events",              # latest-n ~ first_events_per_user
+    "order_priority_count",       # count-by ~ summary_stats
+    "acctbal_by_segment",         # avg-by ~ summary_stats
+    "count_by_event_type",        # ~ union_counts / word_distribution
+    "count_distinct_by_type",     # exact sibling of count_distinct_salted
+    "topk_words_approx",          # ~ word_distribution / top_revenue_orders
+    "global_totals",              # scalar aggs ~ summary_stats
+    "orders_per_customer_topk",   # top-k ~ top_revenue_orders
+    "filter_json_path",           # JSON filter (triple-green)
+    "filter_time_range",          # ~ filter_event_type
+    "conjunctive_filters",        # ~ filter_event_type + filter_array_membership
+    "latest_state_per_entity",    # window ~ first_event_salted
+    "dedup_validation",           # ~ dedup_survivors_by_source
+    "retention_candidates",       # ~ filter_time_range family
+    "pricing_summary",            # scan+agg ~ summary_stats (triple-green)
+    "revenue_by_nation",          # dim joins (triple-green)
+    "graph_two_hop_topk",         # graph ~ supplier_triangle_count
+    "graph_degree_topk",          # graph ~ supplier_pagerank
+    "dedup_exact_docs",           # ~ dedup_survivors_by_source
+    "dedup_ngram_jaccard",        # exact sibling of dedup_jaccard_capped
+    "dedup_clusters",             # ~ dedup_survivors_minhash
+    "dedup_simhash_planted",      # hard sibling of in-window dedup_simhash
+    "embedding_knn",              # ~ embedding_near_duplicates (exact GEMM)
+    "embedding_lsh_near_dup",     # ~ embedding_near_duplicates
+    "text_stats_by_source",       # ~ langid/quality/repetition/fingerprint four
+    "sample_hash_fraction",       # ~ sample_stratified_per_source + splits
 ]
 
 

@@ -17,48 +17,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_to_clickhouse_spark.plans import queries as Q
 
-# Queries still waiting on their first driver-green CORRECTNESS row:
-# registered after position 50 in rounds 2-3, then ERRed in round 4 when
-# the regenerated events fixture broke the loader (VERDICT r04).  They
-# must stay inside the window until certified.  (dedup_survivors_minhash
-# from the original promotion earned its green row in r04 and has been
-# rotated out.)
-PROMOTED = [
-    "asof_user_state",
-    "asof_user_state_bucketed",
-    "range_join_interval_stats",
-    "sessionization",
-    "session_window_counts",
-    "window_funnel_steps",
-    "window_funnel_strict_order_steps",
-    "sequence_count_histogram",
-    "retention_cohort_counts",
-    "rollup_event_counts",
-    "value_percentiles_by_type",
-    "conditional_aggregates",
-    "argmax_event_per_user",
-    "daily_moving_stats",
-    "value_histogram",
-    "first_events_per_user",
+# Round-6 window (VERDICT r05 items 1+4): the 8 operators that have
+# NEVER had a driver CORRECTNESS row (debuted in _ROTATION in round 5)
+# must sit inside the first 50 until certified, together with the
+# rotation members whose last driver row predates the r04 fixture
+# regeneration.
+NEVER_CERTIFIED = [
+    "count_distinct_salted",
+    "first_event_salted",
+    "train_val_test_split_counts",
+    "sequence_packing_stats",
+    "supplier_triangle_count",
+    "supplier_pagerank",
+    "embedding_dimension_stats",
+    "dedup_jaccard_capped",
 ]
 
-# Round-5 rotation: swapped in from _ROTATION so each re-earns a driver
-# row (last driver-green in r03).
-ROTATED_IN_R5 = [
-    "filter_json_path_variant",
-    "duplicate_keys",
-    "latest_events",
-    "order_priority_count",
-    "acctbal_by_segment",
-    "decontamination_overlap",       # new in r5 — first driver row
-    "sample_temperature_weighted",   # new in r5 — first driver row
-    "tfidf_source_profile",          # new in r5 — first driver row
+# Last driver-green before the r04 fixture regeneration — re-earning
+# their row in round 6.
+STALE_FIXTURE_GREENS = [
+    "dedup_survivors_minhash",
+    "embedding_near_duplicates",
+    "langid_distribution",
+    "quality_bands",
+    "repetition_by_source",
+    "fingerprint_uniqueness",
+    "sample_stratified_per_source",
+    "top_revenue_orders",
+    "summary_stats",
+    "union_counts",
+    "word_distribution",
+    "payload_profile",
+    "sorted_regions",
+    "filter_event_type",
+    "filter_array_membership",
+    "dedup_survivors_by_source",
+    "token_count_extremes",
 ]
 
 
 def test_promoted_queries_inside_driver_window():
     first_50 = list(Q.QUERIES)[:50]
-    missing = [n for n in PROMOTED + ROTATED_IN_R5 if n not in first_50]
+    missing = [n for n in NEVER_CERTIFIED + STALE_FIXTURE_GREENS if n not in first_50]
     assert not missing, (
         f"queries without a driver CORRECTNESS row fell outside the first 50 "
         f"registry positions: {missing}"

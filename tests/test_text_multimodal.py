@@ -288,6 +288,69 @@ def test_jpeg_rejects_non_baseline():
     assert M.decode_image(b"\xff\xd8 nope") is None
 
 
+def test_jpeg_sos_missing_component_raises_valueerror():
+    """A scan listing fewer components than the frame (legal T.81
+    non-interleaved layout) must raise ValueError, not KeyError, so
+    decode_image maps it to the stub fallback (ADVICE r05)."""
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    buf = J.encode_jpeg_flat(8, 8, (10, 20, 30))
+    i = buf.index(b"\xff\xda")
+    seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+    body = buf[i + 4 : i + 2 + seglen]
+    ns = body[0]
+    assert ns == 3
+    # keep only the first component spec; spectral-selection bytes stay
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns :]
+    new_seg = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+    mutated = buf[:i] + new_seg + buf[i + 2 + seglen :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.decode_jpeg(mutated)
+    assert M.decode_image(mutated) is None
+
+
+def test_jpeg_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 allows 0xFF fill bytes before a marker and length-less
+    standalone markers (TEM); both must parse, not ValueError
+    (ADVICE r05)."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    buf = J.encode_jpeg_flat(8, 8, (44, 55, 66))
+    base = J.decode_jpeg(buf)
+    # two fill bytes before the first post-SOI marker
+    filled = buf[:2] + b"\xff\xff" + buf[2:]
+    np.testing.assert_array_equal(J.decode_jpeg(filled), base)
+    # a standalone TEM marker between segments
+    tem = buf[:2] + b"\xff\x01" + buf[2:]
+    np.testing.assert_array_equal(J.decode_jpeg(tem), base)
+
+
+def test_pillow_fast_path_maps_errors_to_valueerror(monkeypatch):
+    """With Pillow importable, a corrupt payload must surface as the
+    contract ValueError (stub fallback), not an executor-killing
+    OSError/UnidentifiedImageError (ADVICE r05)."""
+    import sys
+    import types
+
+    import pytest
+
+    class _FakeImage:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    with pytest.raises(ValueError, match="Pillow failed"):
+        M._decode_jpeg_any(b"\xff\xd8 nope")
+    assert M.decode_image(b"\xff\xd8 nope") is None
+
+
 def test_extract_features_decodes_real_jpeg(spark):
     """A baseline JPEG payload must produce PIXEL-derived features and
     survive decode_stub='raise' — the codec hole no longer covers it."""
