@@ -35,6 +35,31 @@ BENCH_QUERIES = [
 ]
 
 
+def _wait_for_quiet_host(threshold: float = 2.0, max_wait_s: int = 180) -> float:
+    """Block until 1-min loadavg < threshold, up to max_wait_s.
+
+    Round-5 recorded 4-5x "regressions" on pricing_summary /
+    dedup_exact_docs at loadavg 11.6 that a quiet-host re-measure
+    (r06 probes: 0.43s / 0.29s warm, prelude pinned) showed were pure
+    exogenous noise — the signature-cache-pinning suspect was
+    exonerated by a with/without A-B. Waiting is strictly better than
+    refusing to run (a refusal loses the round's data, as r04's crash
+    did); if the host never quiets we proceed and the recorded
+    host_noise numbers flag the run as suspect.
+    Returns seconds waited so the JSON can self-document."""
+    waited = 0.0
+    while waited < max_wait_s:
+        try:
+            load = float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            return waited
+        if load < threshold:
+            return waited
+        time.sleep(10)
+        waited += 10
+    return waited
+
+
 def _host_noise() -> dict:
     """Load + hypervisor-steal snapshot so a noisy run is self-documenting:
     this host has measured 100x wall-clock swings on identical plans from
@@ -101,6 +126,7 @@ def main() -> None:
     # noisy (hypervisor steal: identical queries measured 0.3s and 31s
     # hours apart, ~2500s accumulated steal in /proc/stat), so the min is
     # also the best defense against a noise spike landing on one run.
+    waited = _wait_for_quiet_host()
     noise_before = _host_noise()
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -133,7 +159,11 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": all_runs,
-                "host_noise": {"before": noise_before, "after": noise_after},
+                "host_noise": {
+                    "before": noise_before,
+                    "after": noise_after,
+                    "quiet_wait_sec": waited,
+                },
             }
         )
     )
