@@ -32,6 +32,7 @@ from neo4j_to_clickhouse_spark.operators import dedup as D
 from neo4j_to_clickhouse_spark.operators import graph as G
 from neo4j_to_clickhouse_spark.operators import similarity as S
 from neo4j_to_clickhouse_spark.operators import text as TX
+from neo4j_to_clickhouse_spark.session import ensure_session_time_confs
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,8 +44,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # disk and normalize to ONE canonical type — TIMESTAMP (LTZ)
         # under a UTC session zone — so downstream epoch arithmetic and
         # the DuckDB oracle (naive TIMESTAMP, same wall clock) agree.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Conf application lives in session.ensure_session_time_confs
+        # (idempotent; needed only for sessions not built by get_spark,
+        # e.g. the verification driver's own).
+        ensure_session_time_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type in ("bigint", "long"):

