@@ -9,10 +9,17 @@
 # at round close (ADVICE r04 item 2, recurred r05).
 gate: test correctness bench commit-evidence
 
+# Stage each evidence file independently: an atomic `git add glob1 glob2`
+# exits 128 and stages NOTHING if either glob matches no files (e.g. a
+# round that wrote only CORRECTNESS after a bench crash — ADVICE r06).
+# Both the staged-diff check and the commit are scoped to the evidence
+# paths so a developer's unrelated staged files are never swept in.
 commit-evidence:
-	@git add BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null; \
-	if ! git diff --cached --quiet; then \
-		git commit -m "Track round evidence artifacts"; \
+	@for f in BENCH_r*.json CORRECTNESS_r*.json; do \
+		[ -e "$$f" ] && git add "$$f"; \
+	done; \
+	if ! git diff --cached --quiet -- 'BENCH_r*.json' 'CORRECTNESS_r*.json'; then \
+		git commit -m "Track round evidence artifacts" -- BENCH_r*.json CORRECTNESS_r*.json; \
 	else \
 		echo "round evidence already tracked"; \
 	fi

@@ -1698,17 +1698,29 @@ def train_val_test_split_counts(spark, sf_dir):
 @q(
     "sequence_packing_stats",
     # concat-and-chunk at 512 tokens per training sequence, packed per
-    # source shard in doc_id order: per-bin doc and token counts
-    """WITH t AS (
-         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+    # source shard in doc_id order: per-bin doc and token counts.
+    # n_tok mirrors tokens() (dedup.py:75): strip, empty -> 0, split \s+
+    # — string_split(text, ' ') would silently diverge on tabs/double
+    # spaces (VERDICT r06 item 4).  The window sum and its // quotient
+    # are DuckDB HUGEINT; CAST both to BIGINT or the driver's value hash
+    # sees a different canonical type than Spark's LongType (VERDICT r06
+    # item 1 — house style at queries.py sum(length(...)) sites).
+    r"""WITH t AS (
+         SELECT doc_id, source,
+                CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                     THEN 0
+                     ELSE len(regexp_split_to_array(
+                            regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\s+'))
+                END AS n_tok
          FROM documents),
        c AS (
          SELECT source, n_tok,
                 sum(n_tok) OVER (
                   PARTITION BY source ORDER BY doc_id) - n_tok AS start
          FROM t)
-       SELECT source, start // 512 AS pack_id,
-              count(*) AS n_docs, sum(n_tok) AS n_tokens
+       SELECT source, CAST(start // 512 AS BIGINT) AS pack_id,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        FROM c GROUP BY source, pack_id
        ORDER BY source, pack_id""",
     "sequence packing (concat-and-chunk): per-bin fill stats at a "

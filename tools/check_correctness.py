@@ -1,17 +1,30 @@
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
 Runs every QuerySpec's Spark program and oracle SQL side-by-side on the same
-parquet tables, then compares row count, column names, and order-insensitive
-values. Usage:
+parquet tables, then compares column names in DECLARED order and exact
+type-tagged cell values (rows order-insensitive). Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Driver fidelity (VERDICT r06 item 2): the previous gate sorted columns,
+``str()``-ed every cell, and collapsed floats to 9 significant digits —
+which passed ``sequence_packing_stats`` while the driver failed it.  The
+driver materializes the oracle through Arrow, where a bare DuckDB
+``sum(bigint)`` or ``//`` quotient is HUGEINT → ``decimal128(38,0)`` →
+``Decimal``, hashed differently from Spark's LongType ``int`` even when
+numerically equal.  This gate therefore (a) fetches the oracle via
+``fetch_arrow_table()`` so those types survive, and (b) tags every cell
+with its Python type class, so an int/Decimal/float divergence is fatal
+here exactly as it is in the driver's value hash.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import os
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,20 +36,50 @@ from neo4j_to_clickhouse_spark.session import get_spark
 
 
 def norm_cell(v):
+    """Exact, type-tagged canonical repr of one result cell.
+
+    No precision collapse: ``repr(float)`` is the shortest round-trip
+    form, so two floats normalize equal iff they are bit-equal (modulo
+    NaN).  The tag prefix makes cross-type numeric equality (int 3 vs
+    Decimal('3') vs 3.0) a mismatch, matching the driver's hash.
+    """
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "b:1" if v else "b:0"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
+        return "f:nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, dt.datetime):  # before date: datetime is a date
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, dict):  # arrow struct/map
+        return (
+            "{"
+            + ",".join(f"{k}={norm_cell(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    if isinstance(v, (list, tuple)):  # incl. pyspark Row (tuple subclass)
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+    return f"s:{v}"
 
 
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(norm_cell(r[i]) for i in idx) for r in rows
-    )
+def norm_rows(rows):
+    """Rows (iterables in declared column order) -> sorted tag tuples.
+
+    Row order stays insensitive — ORDER BY ties are legitimately
+    engine-ambiguous — but column order does NOT: it must already be
+    declared-identical before this is called.
+    """
+    return sorted(tuple(norm_cell(v) for v in r) for r in rows)
 
 
 def main() -> int:
@@ -64,29 +107,39 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            ocols = tbl.column_names
+            orows = [
+                [row[c] for c in ocols] for row in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL  {name}: schema mismatch spark={scols} oracle={ocols}")
+        if scols != ocols:
+            print(
+                f"FAIL  {name}: column mismatch (declared order) "
+                f"spark={scols} oracle={ocols}"
+            )
             failures += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             failures += 1
             continue
-        s_n = norm_rows(scols, [[r[c] for c in scols] for r in srows])
-        o_n = norm_rows(ocols, orows)
+        s_n = norm_rows(srows)
+        o_n = norm_rows(orows)
         if s_n != o_n:
             diff = [i for i, (a, b) in enumerate(zip(s_n, o_n)) if a != b][:3]
             print(f"FAIL  {name}: value mismatch at sorted rows {diff}")
             for i in diff[:2]:
-                print(f"      spark : {s_n[i]}")
-                print(f"      oracle: {o_n[i]}")
+                srow, orow = s_n[i], o_n[i]
+                cells = [
+                    f"{scols[j]}: {a} != {b}"
+                    for j, (a, b) in enumerate(zip(srow, orow))
+                    if a != b
+                ]
+                print(f"      row {i}: " + "; ".join(cells[:4]))
             failures += 1
             continue
         print(f"ok    {name}: {len(srows)} rows")
