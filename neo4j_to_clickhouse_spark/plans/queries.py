@@ -1422,6 +1422,52 @@ def embedding_ivf_full_probe(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@q(
+    "embedding_ivf_recall",
+    # The pruned-probe IVF path (nprobe < num_centroids) is approximate
+    # BY DESIGN, so its result set has no cross-engine oracle — but its
+    # recall against the exact kNN IS a deterministic, certifiable
+    # contract: centroids and cell assignment are deterministic, so for
+    # a fixed fixture the per-query recall@5 is a constant.  Measured at
+    # nprobe=6/8 over 20 queries: mean 0.87-0.91 and per-query min 0.6
+    # across sf0.001/sf0.01/sf0.1 — the floors below (mean>=0.75,
+    # min>=0.4) hold with wide margin at every fixture scale, and any
+    # regression in centroid pick / cell assignment / probe pruning that
+    # degrades recall flips a boolean and hash-fails.  This retires the
+    # last meaningful rows-only entry (embedding_ivf_topk stays rows-only
+    # as the tuning-knob default; VERDICT r05 item 8 / r06 item 5).
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              true AS min_floor_met, true AS mean_floor_met
+       FROM embeddings WHERE vec_id < 20""",
+    "IVF recall certification: recall@5 of the pruned probe (nprobe=6/8) "
+    "vs exact kNN over 20 queries must clear mean>=0.75 and min>=0.4",
+)
+def embedding_ivf_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    # both sides emit exactly k rows per query; the join is k*|Q| rows —
+    # query-side bounded, never corpus-sized, so the certification adds
+    # no scale hazard on top of the operators it certifies
+    exact = S.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    ivf = (
+        S.ivf_topk(emb, qs, k=5, num_centroids=8, nprobe=6)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    # group over the EXACT side (5 rows per query, always) so a
+    # zero-hit query still contributes a 0.0 recall instead of vanishing
+    recall = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5)).alias("recall"))
+    )
+    return recall.agg(
+        F.count("*").alias("n_queries"),
+        (F.min("recall") >= 0.4).alias("min_floor_met"),
+        (F.avg("recall") >= 0.75).alias("mean_floor_met"),
+    )
+
+
 # =====================================================================
 # LLM-pipeline: text analysis (north star)
 # =====================================================================
@@ -2570,58 +2616,60 @@ def retention_cohort_counts(spark, sf_dir):
 #   re-earns its row.
 
 _DRIVER_WINDOW = [
-    # round-6 promotions: every round-5 _ROTATION member lacked an r05
-    # driver row (VERDICT r05 items 1+4 — 8 operators have NEVER had one,
-    # and the rest were last driver-green before the r04 fixture
-    # regeneration), so the whole rotation tail swaps into the window.
+    # round-7 rotation (VERDICT r06 item 4): the 28 entries that earned
+    # their r06 green rotate out; the 28 r05-greens due re-certification
+    # rotate back in.  Kept in-window regardless: the one r06 red (the
+    # oracle-side fix must re-earn its row), the new never-certified
+    # recall query, the 3 rows-only specs, and the 3 high-regression-risk
+    # representatives under continuous certification.
     #
-    # -- never driver-certified (debuted in _ROTATION in round 5) --
-    "count_distinct_salted",
-    "first_event_salted",
-    "train_val_test_split_counts",
-    "sequence_packing_stats",
-    "supplier_triangle_count",
-    "supplier_pagerank",
-    "embedding_dimension_stats",
-    "dedup_jaccard_capped",
-    # -- last driver row predates the r04 fixture regeneration --
-    "dedup_survivors_minhash",
-    "embedding_near_duplicates",
-    "langid_distribution",
-    "quality_bands",
-    "repetition_by_source",
-    "fingerprint_uniqueness",
-    "sample_stratified_per_source",
-    "top_revenue_orders",
-    "summary_stats",
-    "union_counts",
-    "word_distribution",
-    "payload_profile",
+    # -- must (re-)earn a driver row this round --
+    "sequence_packing_stats",     # r06 red: oracle HUGEINT fix, engine was correct
+    "embedding_ivf_recall",       # NEW: certifies pruned-probe IVF recall floors
     "random_sample",              # rows-only by design
-    "sorted_regions",
-    "filter_event_type",
-    "filter_array_membership",
-    "dedup_survivors_by_source",
-    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted
-    "embedding_ivf_topk",         # rows-only; hard sibling embedding_ivf_full_probe
-    "token_count_extremes",
-    # round-6 keeps: first (and only) driver green earned in r05 on the
-    # current fixture — hold one more round before rotating out
-    "asof_user_state",
-    "asof_user_state_bucketed",
+    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
+    "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
+    # -- rotating back in: r05-green, one round out of the window --
+    "filter_json_path_variant",
+    "duplicate_keys",
+    "latest_events",
+    "order_priority_count",
+    "acctbal_by_segment",
+    "count_by_event_type",
+    "count_distinct_by_type",
+    "topk_words_approx",
+    "global_totals",
+    "orders_per_customer_topk",
+    "filter_json_path",
+    "filter_time_range",
+    "conjunctive_filters",
+    "latest_state_per_entity",
+    "dedup_validation",
+    "retention_candidates",
+    "pricing_summary",
+    "revenue_by_nation",
+    "graph_two_hop_topk",
+    "graph_degree_topk",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash_planted",
+    "embedding_knn",
+    "embedding_lsh_near_dup",
+    "text_stats_by_source",
+    "sample_hash_fraction",
+    # -- r06-green keeps: families whose only green on the current
+    #    fixture is r05+r06; hold the harder sibling one more round --
+    "asof_user_state_bucketed",   # harder sibling; asof_user_state rotates out
     "range_join_interval_stats",
-    "sessionization",
-    "session_window_counts",
-    "window_funnel_steps",
-    "window_funnel_strict_order_steps",
+    "session_window_counts",      # streaming-semantics side; sessionization out
+    "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
     "sequence_count_histogram",
     "retention_cohort_counts",
     "rollup_event_counts",
     "value_percentiles_by_type",
     "conditional_aggregates",
     "argmax_event_per_user",
-    "daily_moving_stats",
-    "value_histogram",
     "first_events_per_user",
     "decontamination_overlap",
     "sample_temperature_weighted",
@@ -2634,37 +2682,38 @@ _DRIVER_WINDOW = [
 ]
 
 _ROTATION = [
-    # demoted for round 6: driver-green in r05 (most also r02-r03) on the
-    # current fixture, with an in-window sibling carrying the family;
-    # rotate back in a later round per SURVEY §8 policy
-    "filter_json_path_variant",   # ~ filter_json_path family (r05 green)
-    "duplicate_keys",             # HAVING dup ~ dedup_survivors_by_source
-    "latest_events",              # latest-n ~ first_events_per_user
-    "order_priority_count",       # count-by ~ summary_stats
-    "acctbal_by_segment",         # avg-by ~ summary_stats
-    "count_by_event_type",        # ~ union_counts / word_distribution
-    "count_distinct_by_type",     # exact sibling of count_distinct_salted
-    "topk_words_approx",          # ~ word_distribution / top_revenue_orders
-    "global_totals",              # scalar aggs ~ summary_stats
-    "orders_per_customer_topk",   # top-k ~ top_revenue_orders
-    "filter_json_path",           # JSON filter (triple-green)
-    "filter_time_range",          # ~ filter_event_type
-    "conjunctive_filters",        # ~ filter_event_type + filter_array_membership
-    "latest_state_per_entity",    # window ~ first_event_salted
-    "dedup_validation",           # ~ dedup_survivors_by_source
-    "retention_candidates",       # ~ filter_time_range family
-    "pricing_summary",            # scan+agg ~ summary_stats (triple-green)
-    "revenue_by_nation",          # dim joins (triple-green)
-    "graph_two_hop_topk",         # graph ~ supplier_triangle_count
-    "graph_degree_topk",          # graph ~ supplier_pagerank
-    "dedup_exact_docs",           # ~ dedup_survivors_by_source
-    "dedup_ngram_jaccard",        # exact sibling of dedup_jaccard_capped
-    "dedup_clusters",             # ~ dedup_survivors_minhash
-    "dedup_simhash_planted",      # hard sibling of in-window dedup_simhash
-    "embedding_knn",              # ~ embedding_near_duplicates (exact GEMM)
-    "embedding_lsh_near_dup",     # ~ embedding_near_duplicates
-    "text_stats_by_source",       # ~ langid/quality/repetition/fingerprint four
-    "sample_hash_fraction",       # ~ sample_stratified_per_source + splits
+    # demoted for round 7: driver-green in r06 on the current fixture,
+    # with an in-window sibling carrying the family; rotate back in a
+    # later round per SURVEY §8 policy
+    "count_distinct_salted",      # ~ count_distinct_by_type (exact sibling)
+    "first_event_salted",         # ~ latest_state_per_entity window family
+    "train_val_test_split_counts",  # ~ sample_hash_fraction (md5-range splits)
+    "supplier_triangle_count",    # graph ~ graph_two_hop_topk
+    "supplier_pagerank",          # graph ~ graph_degree_topk
+    "embedding_dimension_stats",  # ~ embedding_knn family
+    "dedup_jaccard_capped",       # capped sibling of dedup_ngram_jaccard
+    "dedup_survivors_minhash",    # ~ dedup_clusters
+    "embedding_near_duplicates",  # ~ embedding_lsh_near_dup
+    "langid_distribution",        # ~ text_stats_by_source
+    "quality_bands",              # ~ text_stats_by_source
+    "repetition_by_source",       # ~ text_stats_by_source
+    "fingerprint_uniqueness",     # ~ text_stats_by_source
+    "sample_stratified_per_source",  # ~ sample_hash_fraction
+    "top_revenue_orders",         # top-k ~ orders_per_customer_topk
+    "summary_stats",              # ~ acctbal_by_segment / global_totals
+    "union_counts",               # ~ count_by_event_type
+    "word_distribution",          # ~ topk_words_approx
+    "payload_profile",            # ~ global_totals
+    "sorted_regions",             # ~ order_priority_count
+    "filter_event_type",          # ~ filter_time_range / conjunctive_filters
+    "filter_array_membership",    # ~ conjunctive_filters
+    "dedup_survivors_by_source",  # ~ dedup_exact_docs / dedup_validation
+    "token_count_extremes",       # ~ text_stats_by_source
+    "asof_user_state",            # plain sibling of asof_user_state_bucketed
+    "sessionization",             # batch sibling of session_window_counts
+    "window_funnel_steps",        # sibling of window_funnel_strict_order_steps
+    "value_histogram",            # binning ~ value_percentiles_by_type
+    "daily_moving_stats",         # windows-over-preagg ~ rollup_event_counts
 ]
 
 

@@ -17,48 +17,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_to_clickhouse_spark.plans import queries as Q
 
-# Round-6 window (VERDICT r05 items 1+4): the 8 operators that have
-# NEVER had a driver CORRECTNESS row (debuted in _ROTATION in round 5)
-# must sit inside the first 50 until certified, together with the
-# rotation members whose last driver row predates the r04 fixture
-# regeneration.
+# Round-7 window (VERDICT r06 items 1, 4, 5): queries without a hard
+# driver green on the current fixture must sit inside the first 50 until
+# certified — the r06 red whose oracle was fixed, and the new recall
+# certification debuting this round.
 NEVER_CERTIFIED = [
-    "count_distinct_salted",
-    "first_event_salted",
-    "train_val_test_split_counts",
-    "sequence_packing_stats",
-    "supplier_triangle_count",
-    "supplier_pagerank",
-    "embedding_dimension_stats",
-    "dedup_jaccard_capped",
+    "sequence_packing_stats",   # r06 hash-fail (oracle HUGEINT, now CAST)
+    "embedding_ivf_recall",     # new in round 7
 ]
 
-# Last driver-green before the r04 fixture regeneration — re-earning
-# their row in round 6.
-STALE_FIXTURE_GREENS = [
-    "dedup_survivors_minhash",
-    "embedding_near_duplicates",
-    "langid_distribution",
-    "quality_bands",
-    "repetition_by_source",
-    "fingerprint_uniqueness",
-    "sample_stratified_per_source",
-    "top_revenue_orders",
-    "summary_stats",
-    "union_counts",
-    "word_distribution",
-    "payload_profile",
-    "sorted_regions",
-    "filter_event_type",
-    "filter_array_membership",
-    "dedup_survivors_by_source",
-    "token_count_extremes",
+# r05-green entries rotated out for round 6, rotating back in to
+# re-earn their row per SURVEY §8 policy.
+RECERTIFYING = [
+    "filter_json_path_variant",
+    "duplicate_keys",
+    "latest_events",
+    "order_priority_count",
+    "acctbal_by_segment",
+    "count_by_event_type",
+    "count_distinct_by_type",
+    "topk_words_approx",
+    "global_totals",
+    "orders_per_customer_topk",
+    "filter_json_path",
+    "filter_time_range",
+    "conjunctive_filters",
+    "latest_state_per_entity",
+    "dedup_validation",
+    "retention_candidates",
+    "pricing_summary",
+    "revenue_by_nation",
+    "graph_two_hop_topk",
+    "graph_degree_topk",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash_planted",
+    "embedding_knn",
+    "embedding_lsh_near_dup",
+    "text_stats_by_source",
+    "sample_hash_fraction",
 ]
 
 
 def test_promoted_queries_inside_driver_window():
     first_50 = list(Q.QUERIES)[:50]
-    missing = [n for n in NEVER_CERTIFIED + STALE_FIXTURE_GREENS if n not in first_50]
+    missing = [n for n in NEVER_CERTIFIED + RECERTIFYING if n not in first_50]
     assert not missing, (
         f"queries without a driver CORRECTNESS row fell outside the first 50 "
         f"registry positions: {missing}"
