@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "filter_json_path",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    # the scale-safe headline (VERDICT r06 item 7): the capped form is
+    # what survives a mass-duplicated shingle at 100x — the uncapped
+    # exact form above stays benched as the oracle-baseline reference
+    "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "embedding_knn",
     "text_stats_by_source",
@@ -50,7 +54,8 @@ def _wait_for_quiet_host(threshold: float = 2.0, max_wait_s: int = 180) -> float
     waited = 0.0
     while waited < max_wait_s:
         try:
-            load = float(open("/proc/loadavg").read().split()[0])
+            with open("/proc/loadavg") as f:
+                load = float(f.read().split()[0])
         except OSError:
             return waited
         if load < threshold:
@@ -67,11 +72,13 @@ def _host_noise() -> dict:
     BENCH rounds only after checking these numbers."""
     out: dict = {}
     try:
-        out["loadavg"] = float(open("/proc/loadavg").read().split()[0])
+        with open("/proc/loadavg") as f:
+            out["loadavg"] = float(f.read().split()[0])
     except OSError:
         pass
     try:
-        cpu = open("/proc/stat").readline().split()
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()
         out["steal_cs"] = int(cpu[8])  # centisec since boot, all cpus
     except (OSError, IndexError, ValueError):
         pass

@@ -1703,6 +1703,93 @@ def tfidf_source_profile(spark, sf_dir):
     )
 
 
+# PII patterns shared verbatim with the oracle (redact.py restricts them
+# to the Java-regex/RE2 common subset, so the one constant serves both
+# engines and cannot drift).  Interpolated via .replace() because the
+# patterns contain regex braces that f-strings would eat.
+from neo4j_to_clickhouse_spark.operators.redact import PII_PATTERNS as _PII
+
+_PII_ORACLE = (
+    """WITH planted AS (
+         SELECT source,
+                CASE WHEN doc_id % 10 < 3
+                     THEN text || ' contact user'
+                          || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567 at 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                     ELSE text END AS text
+         FROM documents),
+       r AS (
+         SELECT source, text,
+                len(regexp_extract_all(text, '@EM@')) AS n_email,
+                len(regexp_extract_all(text, '@PH@')) AS n_phone,
+                len(regexp_extract_all(text, '@IP@')) AS n_ip,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text, '@EM@', '<EMAIL>', 'g'),
+                  '@PH@', '<PHONE>', 'g'),
+                  '@IP@', '<IP>', 'g') AS redacted
+         FROM planted)
+       SELECT source, count(*) AS n_docs,
+              count(*) FILTER (WHERE n_email + n_phone + n_ip > 0)
+                AS n_docs_with_pii,
+              CAST(sum(n_email) AS BIGINT) AS total_emails,
+              CAST(sum(n_phone) AS BIGINT) AS total_phones,
+              CAST(sum(n_ip) AS BIGINT) AS total_ips,
+              CAST(sum(length(text) - length(redacted)) AS BIGINT)
+                AS chars_removed
+       FROM r GROUP BY source ORDER BY source"""
+    .replace("@EM@", _PII[0][1])
+    .replace("@PH@", _PII[1][1])
+    .replace("@IP@", _PII[2][1])
+)
+
+
+@q(
+    "pii_redaction_stats",
+    # the fixture word-salads contain no digits or '@', so PII is planted
+    # deterministically (30% of docs get one email + one phone + one IP)
+    # and the redaction outcome has a closed form both engines compute
+    # independently with the SAME pattern constants
+    _PII_ORACLE,
+    "pattern-based PII redaction (email/phone/IPv4 -> placeholder "
+    "tokens): per-source redaction audit — pure regexp codegen, "
+    "scan-bound, zero shuffle before the rollup",
+)
+def pii_redaction_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.redact import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_pii(planted, "text")
+    has_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(has_pii).alias("n_docs_with_pii"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum("n_ip").cast("long").alias("total_ips"),
+            F.sum(F.length("text") - F.length("text_redacted"))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "train_val_test_split_counts",
     # 80/10/10 by disjoint md5 ranges; the oracle reproduces the exact
@@ -2626,6 +2713,7 @@ _DRIVER_WINDOW = [
     # -- must (re-)earn a driver row this round --
     "sequence_packing_stats",     # r06 red: oracle HUGEINT fix, engine was correct
     "embedding_ivf_recall",       # NEW: certifies pruned-probe IVF recall floors
+    "pii_redaction_stats",        # NEW: pattern-based PII redaction audit
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -2664,7 +2752,6 @@ _DRIVER_WINDOW = [
     "range_join_interval_stats",
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "sequence_count_histogram",
     "retention_cohort_counts",
     "rollup_event_counts",
     "value_percentiles_by_type",
@@ -2712,6 +2799,7 @@ _ROTATION = [
     "asof_user_state",            # plain sibling of asof_user_state_bucketed
     "sessionization",             # batch sibling of session_window_counts
     "window_funnel_steps",        # sibling of window_funnel_strict_order_steps
+    "sequence_count_histogram",   # lag-window family ~ funnel strict-order
     "value_histogram",            # binning ~ value_percentiles_by_type
     "daily_moving_stats",         # windows-over-preagg ~ rollup_event_counts
 ]

@@ -24,6 +24,7 @@ from neo4j_to_clickhouse_spark.plans import queries as Q
 NEVER_CERTIFIED = [
     "sequence_packing_stats",   # r06 hash-fail (oracle HUGEINT, now CAST)
     "embedding_ivf_recall",     # new in round 7
+    "pii_redaction_stats",      # new in round 7
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
