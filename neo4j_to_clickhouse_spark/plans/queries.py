@@ -1791,6 +1791,97 @@ def pii_redaction_stats(spark, sf_dir):
 
 
 @q(
+    "curation_funnel_report",
+    # the C4/Gopher/Dolma pipeline shape: ordered stages with cumulative
+    # doc+token retention.  Clones are planted (one per doc_id%50==0,
+    # re-keyed +10^6) so the exact-dedup stage demonstrably drops rows on
+    # the clone-free fixture; stage 3 requires all 3-grams distinct
+    # (drops the fixture's naturally repetitive docs); survivor choice is
+    # min doc_id per normalized-text fingerprint among stage-3 survivors.
+    r"""WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+       t AS (
+         SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> list_contains(
+                      ['the','and','of','to','a','in','is','it'], t))) > 0
+                  AS lang_ok
+         FROM base),
+       sh AS (
+         SELECT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base) d,
+              (SELECT unnest(range(1, 100000)) AS i) idx
+         WHERE i <= len(w) - 2),
+       rep AS (SELECT doc_id, count(*) AS total,
+                      count(DISTINCT shingle) AS uniq
+               FROM sh GROUP BY doc_id),
+       c AS (
+         SELECT t.doc_id, t.text, t.n_tok,
+                t.lang_ok AS cum1,
+                t.lang_ok AND t.n_tok BETWEEN 20 AND 10000 AS cum2,
+                t.lang_ok AND t.n_tok BETWEEN 20 AND 10000
+                  AND coalesce(rep.uniq = rep.total, true) AS cum3
+         FROM t LEFT JOIN rep USING (doc_id)),
+       d AS (
+         SELECT *, cum3 AND doc_id = min(CASE WHEN cum3 THEN doc_id END)
+                OVER (PARTITION BY
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+                AS cum4
+         FROM c)
+       SELECT * FROM (
+         SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d
+         UNION ALL
+         SELECT 1, 'lang_en', count(*) FILTER (WHERE cum1),
+                CAST(coalesce(sum(n_tok) FILTER (WHERE cum1), 0) AS BIGINT)
+         FROM d
+         UNION ALL
+         SELECT 2, 'token_range', count(*) FILTER (WHERE cum2),
+                CAST(coalesce(sum(n_tok) FILTER (WHERE cum2), 0) AS BIGINT)
+         FROM d
+         UNION ALL
+         SELECT 3, 'low_repetition', count(*) FILTER (WHERE cum3),
+                CAST(coalesce(sum(n_tok) FILTER (WHERE cum3), 0) AS BIGINT)
+         FROM d
+         UNION ALL
+         SELECT 4, 'exact_unique', count(*) FILTER (WHERE cum4),
+                CAST(coalesce(sum(n_tok) FILTER (WHERE cum4), 0) AS BIGINT)
+         FROM d)
+       ORDER BY stage_idx""",
+    "curation funnel (langid -> length -> repetition -> exact dedup): "
+    "cumulative per-stage doc+token retention in one scan + one "
+    "fingerprint shuffle",
+)
+def curation_funnel_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.curate import curation_funnel
+    from neo4j_to_clickhouse_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(clones)
+    toks = tokens("text")
+    markers = F.array(
+        *[F.lit(m) for m in ("the", "and", "of", "to", "a", "in", "is", "it")]
+    )
+    total, uniq = TX.ngram_repetition("text", 3)
+    return curation_funnel(
+        base,
+        predicates=[
+            ("lang_en", F.arrays_overlap(tokens(F.lower(F.col("text"))), markers)),
+            ("token_range", F.size(toks).between(20, 10_000)),
+            ("low_repetition", uniq == total),
+        ],
+        token_count=F.size(toks),
+        dedup_stage=("exact_unique", TX.fingerprint("text")),
+        dedup_order="doc_id",
+    )
+
+
+@q(
     "train_val_test_split_counts",
     # 80/10/10 by disjoint md5 ranges; the oracle reproduces the exact
     # member set, so the per-split counts (and hash of them) must match
@@ -2714,6 +2805,7 @@ _DRIVER_WINDOW = [
     "sequence_packing_stats",     # r06 red: oracle HUGEINT fix, engine was correct
     "embedding_ivf_recall",       # NEW: certifies pruned-probe IVF recall floors
     "pii_redaction_stats",        # NEW: pattern-based PII redaction audit
+    "curation_funnel_report",     # NEW: staged curation retention funnel
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -2752,7 +2844,6 @@ _DRIVER_WINDOW = [
     "range_join_interval_stats",
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "retention_cohort_counts",
     "rollup_event_counts",
     "value_percentiles_by_type",
     "conditional_aggregates",
@@ -2800,6 +2891,7 @@ _ROTATION = [
     "sessionization",             # batch sibling of session_window_counts
     "window_funnel_steps",        # sibling of window_funnel_strict_order_steps
     "sequence_count_histogram",   # lag-window family ~ funnel strict-order
+    "retention_cohort_counts",    # conditional counts ~ conditional_aggregates
     "value_histogram",            # binning ~ value_percentiles_by_type
     "daily_moving_stats",         # windows-over-preagg ~ rollup_event_counts
 ]

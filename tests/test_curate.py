@@ -1,0 +1,97 @@
+"""curation_funnel semantics (operators/curate.py).
+
+The oracle certifies the registered funnel on the fixture; these pin the
+operator contract on adversarial micro-corpora: cumulative (not
+independent) stage semantics, deterministic min-order dedup survivors,
+dedup scoped to prior-stage survivors, and the degenerate
+no-scan-stages form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.curate import curation_funnel
+
+
+def _rows(df):
+    return {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in df.collect()}
+
+
+def test_stages_are_cumulative(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "a b", 0), (3, "x y", 1), (4, "x y", 0)],
+        ["doc_id", "text", "flag"],
+    )
+    out = _rows(
+        curation_funnel(
+            df,
+            predicates=[
+                ("has_a", F.col("text").startswith("a")),
+                ("flagged", F.col("flag") == 1),
+            ],
+            token_count=F.lit(2),
+        )
+    )
+    assert out["input"] == (4, 8)
+    assert out["has_a"] == (2, 4)
+    # doc 3 is flagged but failed has_a: cumulative semantics keep only doc 1
+    assert out["flagged"] == (1, 2)
+
+
+def test_dedup_keeps_min_order_among_survivors(spark):
+    # docs 1,2,3 share a fingerprint; doc 1 fails the scan stage, so the
+    # survivor must be doc 2 (min order among stage survivors), never the
+    # already-dropped doc 1 shadowing it
+    df = spark.createDataFrame(
+        [(1, "dup", False), (2, "dup", True), (3, "dup", True),
+         (4, "uniq", True)],
+        ["doc_id", "text", "keep"],
+    )
+    out = curation_funnel(
+        df,
+        predicates=[("keep", F.col("keep"))],
+        token_count=F.lit(1),
+        dedup_stage=("uniq", F.col("text")),
+    )
+    by_stage = _rows(out)
+    assert by_stage["keep"] == (3, 3)
+    assert by_stage["uniq"] == (2, 2)  # doc 2 survives for "dup", doc 4 for "uniq"
+
+
+def test_zero_survivor_stage_reports_zero_tokens(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    out = _rows(
+        curation_funnel(
+            df,
+            predicates=[("none", F.lit(False))],
+            token_count=F.lit(7),
+        )
+    )
+    assert out["input"] == (1, 7)
+    assert out["none"] == (0, 0)
+
+
+def test_dedup_only_funnel(spark):
+    df = spark.createDataFrame(
+        [(2, "same"), (1, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    out = _rows(
+        curation_funnel(
+            df,
+            predicates=[],
+            token_count=F.lit(1),
+            dedup_stage=("uniq", F.col("text")),
+        )
+    )
+    assert out["input"] == (3, 3)
+    assert out["uniq"] == (2, 2)
+
+
+def test_report_row_order_and_schema(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    out = curation_funnel(
+        df, predicates=[("p", F.lit(True))], token_count=F.lit(1)
+    )
+    assert out.columns == ["stage_idx", "stage", "n_docs", "n_tokens"]
+    assert [r["stage_idx"] for r in out.collect()] == [0, 1]

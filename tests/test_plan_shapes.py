@@ -153,3 +153,18 @@ def test_pagerank_analytic_graphs(spark):
         dangling = v[0]  # node 0 has no out-edges
         v = (1 - d) / n + d * (M @ v + dangling / n)
     assert abs(rs[0] - v[0]) < 1e-9
+
+
+def test_pii_redaction_is_scan_bound(spark):
+    """The redaction rollup must be regexp expressions over the scan plus
+    ONE aggregate exchange — no Python evaluator, no extra shuffle, and
+    only the columns it needs read from parquet."""
+    plan = _plan(spark, "pii_redaction_stats")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python in the redaction hot path: {marker}"
+    assert plan.count("Exchange") <= 2, (
+        "redaction rollup should shuffle once for the groupBy "
+        "(+ optional final sort), found more exchanges"
+    )
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "lang" not in read and "n_chars" not in read

@@ -25,6 +25,7 @@ NEVER_CERTIFIED = [
     "sequence_packing_stats",   # r06 hash-fail (oracle HUGEINT, now CAST)
     "embedding_ivf_recall",     # new in round 7
     "pii_redaction_stats",      # new in round 7
+    "curation_funnel_report",   # new in round 7
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
