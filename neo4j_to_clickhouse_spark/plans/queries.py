@@ -1079,14 +1079,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@q(
-    "decontamination_overlap",
-    # Deterministic eval-set split for the fixture: every 20th doc_id is
-    # the "benchmark"; the rest are the training corpus. Overlap over
-    # DISTINCT 4-gram shingles — the proportional analogue, on these
-    # short fixture docs, of the 13-gram practice public LLM training
-    # reports apply to full documents (beyond-reference op).
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Deterministic eval-set split for the fixture: every 20th doc_id is
+# the "benchmark"; the rest are the training corpus. Overlap over
+# DISTINCT 4-gram shingles — the proportional analogue, on these
+# short fixture docs, of the 13-gram practice public LLM training
+# reports apply to full documents (beyond-reference op).  Shared by the
+# exact operator and its Bloom-reduced scale path: the Bloom probe has
+# no false negatives and is followed by an exact verify join, so BOTH
+# plans must reproduce this oracle bit-for-bit.
+_DECON_ORACLE = """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (
          SELECT DISTINCT doc_id,
                 list_aggregate(w[i:i+3], 'string_agg', ' ') AS shingle
@@ -1102,12 +1103,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
        FROM corpus LEFT JOIN bench b USING (shingle)
        GROUP BY doc_id
        HAVING count(b.shingle) > 0
-       ORDER BY doc_id""",
+       ORDER BY doc_id"""
+
+
+@q(
+    "decontamination_overlap",
+    _DECON_ORACLE,
     "eval-set n-gram decontamination: corpus docs sharing 4-grams with bench",
 )
 def decontamination_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = D.ngram_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        F.round("contamination", 6).alias("contamination"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "decontamination_bloom",
+    _DECON_ORACLE,
+    "Bloom-reduced decontamination (scale path): scan-side bitmap probe "
+    "+ exact verify — shuffle scales with contamination rate, not corpus "
+    "size; certified against the exact operator's oracle",
+)
+def decontamination_bloom(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.bloom import (
+        ngram_contamination_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_contamination_bloom(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
         "doc_id",
@@ -2806,6 +2840,7 @@ _DRIVER_WINDOW = [
     "embedding_ivf_recall",       # NEW: certifies pruned-probe IVF recall floors
     "pii_redaction_stats",        # NEW: pattern-based PII redaction audit
     "curation_funnel_report",     # NEW: staged curation retention funnel
+    "decontamination_bloom",      # NEW: Bloom-reduced decontamination scale path
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -2844,7 +2879,6 @@ _DRIVER_WINDOW = [
     "range_join_interval_stats",
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "rollup_event_counts",
     "value_percentiles_by_type",
     "conditional_aggregates",
     "argmax_event_per_user",
@@ -2892,6 +2926,7 @@ _ROTATION = [
     "window_funnel_steps",        # sibling of window_funnel_strict_order_steps
     "sequence_count_histogram",   # lag-window family ~ funnel strict-order
     "retention_cohort_counts",    # conditional counts ~ conditional_aggregates
+    "rollup_event_counts",        # subtotal hierarchy ~ conditional_aggregates
     "value_histogram",            # binning ~ value_percentiles_by_type
     "daily_moving_stats",         # windows-over-preagg ~ rollup_event_counts
 ]

@@ -26,6 +26,7 @@ NEVER_CERTIFIED = [
     "embedding_ivf_recall",     # new in round 7
     "pii_redaction_stats",      # new in round 7
     "curation_funnel_report",   # new in round 7
+    "decontamination_bloom",    # new in round 7
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
