@@ -288,6 +288,84 @@ def ngram_contamination(
     )
 
 
+# --- cross-document repeated spans (substring-level dedup signal) ------------
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    w: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplication audit: the fraction of each
+    group's ``w``-token span *occurrences* that also appear in at least
+    one OTHER document — the signal behind substring deduplication
+    (repeated boilerplate/template spans inflate memorization even when
+    whole-document dedup passes).  Beyond-reference op; the reference
+    pipeline ships payloads without content analysis.
+
+    Per group: ``total_spans``, ``repeated_spans`` (occurrences whose
+    span text occurs in >= 2 distinct documents), ``repeated_ratio``,
+    and ``flagged_docs`` (documents where repeated occurrences are at
+    least half of their spans — integer comparison, no float
+    threshold).  Documents shorter than ``w`` tokens contribute no
+    spans and cannot be flagged.
+
+    Scale shape: spans travel as md5 digests, never as the ``w``-token
+    strings, so both shuffles move 32-byte keys: (1) the per-span
+    distinct-doc count (map-side combined), (2) the equi-join of
+    occurrences against the *repeated-only* span set — a small fraction
+    of all spans in a healthy corpus, and the join key is the digest.
+    No window over an unpartitioned frame, no driver-side state.
+    """
+    grams = ngram_array(tokens(text_col), w)
+    occ = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(grams).alias("span_text"),
+    ).filter(F.col("span_text").isNotNull()).select(
+        "id", "grp", F.md5("span_text").alias("span")
+    )
+    repeated = (
+        occ.groupBy("span")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span", F.lit(1).alias("__rep"))
+    )
+    per_doc = (
+        occ.join(repeated, "span", "left")
+        .groupBy("id", "grp")
+        .agg(
+            F.count("*").alias("n_sp"),
+            F.sum(F.coalesce(F.col("__rep"), F.lit(0))).alias("n_rep"),
+        )
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.sum("n_sp").alias("total_spans"),
+            F.sum("n_rep").alias("repeated_spans"),
+            (
+                F.round(
+                    F.sum("n_rep").cast("double") / F.sum("n_sp"), 6
+                )
+                + F.lit(0.0)
+            ).alias("repeated_ratio"),
+            F.sum(
+                (F.col("n_rep") * 2 >= F.col("n_sp")).cast("long")
+            ).alias("flagged_docs"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_spans",
+            "repeated_spans",
+            "repeated_ratio",
+            "flagged_docs",
+        )
+        .orderBy(group_col)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(

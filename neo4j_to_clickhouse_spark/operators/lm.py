@@ -1,0 +1,139 @@
+"""Unigram language-model scoring for corpus quality filtering (north star).
+
+CCNet-class pre-training pipelines score every document against a
+reference language model and keep/bucket by perplexity; the unigram LM
+is the dependency-free, fully deterministic member of that family, and
+its negative-log-likelihood-per-token is the standard cheap quality
+signal (high = unusual vocabulary = likely junk/noise, extremely low =
+degenerate repetition).  Reference scope: the CDC pipeline has no
+model-based scoring surface (`initial-load/scripts/03-bulk-import.py`
+ships payloads through unmodified); this is the curation-side extension
+a training-data consumer of the reference would bolt on.
+
+Model: Laplace-smoothed corpus unigram with a top-V vocabulary cap —
+``p(term) = (vocab_count(term) + 1) / (N + V)`` where ``N`` is the
+corpus token count, ``V`` the corpus distinct-term count, and
+``vocab_count`` is the corpus frequency for the ``top_v`` most frequent
+terms and 0 (out-of-vocabulary) for the tail.  The cap is the
+real-pipeline move — open-vocab web corpora have unbounded typo tails —
+and is what makes the scoring join broadcastable at any corpus size.
+
+Determinism contract (cross-engine certifiable): ``p`` is a ratio of
+exact integers evaluated in one IEEE double division, and each token's
+``ln(p)`` is rounded to 6 decimals and cast to DECIMAL *before*
+summation, so every aggregate is exact and ordering-independent; see
+the house rule in ``plans/queries.py`` module docstring.
+
+Scale design: one token-count shuffle (map-side combined) builds the
+vocabulary; the top-V vocab and the 1-row totals frame are tiny by
+construction, so AQE broadcasts both joins hint-free; the report is a
+second map-side-combined shuffle on the group key.  No per-document
+shuffle exists at all — the per-source metrics aggregate straight off
+the scored token scan.  At 100 TB the cost is two scans of the token
+stream (count pass + score pass) and two small-key shuffles, with the
+vocabulary build reusable across runs via ``persist_vocab``-style
+checkpointing by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.dedup import spread, tokens
+
+#: ln(p) is rounded to this many decimals and summed as DECIMAL — exact,
+#: ordering-independent, and wide enough that a 1-ulp libm difference
+#: between engines cannot flip the rounded value except on astronomically
+#: unlikely boundaries.
+_LOG_SCALE = 6
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term-frequency table ``(term, cnt)`` — one map-side-combined
+    shuffle over the exploded token stream."""
+    return (
+        spread(df)
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def top_vocab(counts: DataFrame, top_v: int) -> DataFrame:
+    """The ``top_v`` most frequent terms under a total order (count desc,
+    term asc) — deterministic regardless of partition layout."""
+    return counts.orderBy(F.col("cnt").desc(), "term").limit(top_v)
+
+
+def corpus_totals(counts: DataFrame) -> DataFrame:
+    """One row: ``(n_total, v_distinct)`` — the smoothing denominator."""
+    return counts.agg(
+        F.sum("cnt").alias("n_total"),
+        F.count("*").alias("v_distinct"),
+    )
+
+
+def lm_quality_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 256,
+) -> DataFrame:
+    """Per-group unigram-LM quality rollup.
+
+    Columns: ``n_docs``, ``n_tokens``, ``oov_tokens``, ``oov_rate``
+    (fraction of tokens outside the top-V vocabulary), ``avg_nll``
+    (mean negative ln-likelihood per token, nats — the perplexity
+    exponent).  Higher ``avg_nll`` = less corpus-typical text.
+    """
+    counts = term_counts(df, text_col)
+    vocab = top_vocab(counts, top_v)
+    totals = corpus_totals(counts)
+
+    toks = spread(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    # p = (vocab_cnt + 1) / (N + V): exact-integer ratio, one double
+    # division; per-token ln rounded to DECIMAL before any summation.
+    scored = (
+        toks.join(vocab, "term", "left")
+        .crossJoin(totals)
+        .select(
+            "grp",
+            F.col("cnt").isNull().cast("long").alias("oov"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_total") + F.col("v_distinct")).cast("double")
+                ),
+                _LOG_SCALE,
+            )
+            .cast(f"decimal(28,{_LOG_SCALE})")
+            .alias("nll"),
+        )
+    )
+    per_grp = scored.groupBy("grp").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").alias("oov_tokens"),
+        (F.round(F.sum("oov").cast("double") / F.count("*"), 6) + F.lit(0.0))
+        .alias("oov_rate"),
+        (
+            F.round(-F.sum("nll").cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("avg_nll"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return docs.join(per_grp, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "oov_tokens",
+        "oov_rate",
+        "avg_nll",
+    )

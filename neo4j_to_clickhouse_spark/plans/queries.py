@@ -2807,6 +2807,181 @@ def retention_cohort_counts(spark, sf_dir):
     )
 
 
+@q(
+    "lm_quality_by_source",
+    # CCNet-style unigram-LM quality scoring: Laplace-smoothed corpus
+    # unigram with a top-256 vocabulary cap; per-source OOV rate and
+    # mean negative ln-likelihood per token.  Determinism: p is an
+    # exact-integer ratio in one double division; per-token ln(p) is
+    # rounded to 6 decimals and summed as DECIMAL (ordering-exact);
+    # the single double division per output cell happens once, after
+    # the exact aggregate (house rule, module docstring).
+    r"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+       counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                      count(*) AS v_distinct FROM counts),
+       vocab AS (SELECT term, cnt FROM counts
+                 ORDER BY cnt DESC, term LIMIT 256),
+       scored AS (
+         SELECT t.source,
+                CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+                CAST(round(ln(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE)
+                              / CAST(tot.n_total + tot.v_distinct
+                                     AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS nll
+         FROM tok t LEFT JOIN vocab v USING (term) CROSS JOIN tot),
+       per_src AS (
+         SELECT source, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS oov_tokens,
+                round(CAST(sum(oov) AS DOUBLE) / count(*), 6) + 0
+                  AS oov_rate,
+                round(-CAST(sum(nll) AS DOUBLE) / count(*), 6) + 0
+                  AS avg_nll
+         FROM scored GROUP BY source),
+       docs AS (SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source)
+       SELECT d.source, d.n_docs, p.n_tokens, p.oov_tokens,
+              p.oov_rate, p.avg_nll
+       FROM docs d LEFT JOIN per_src p USING (source)
+       ORDER BY d.source""",
+    "unigram-LM quality scoring (CCNet-class): per-source OOV rate and "
+    "mean NLL/token against a top-V Laplace-smoothed corpus unigram",
+)
+def lm_quality_by_source(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.lm import lm_quality_report
+
+    return lm_quality_report(
+        _t(spark, sf_dir, "documents"), "source", "text", top_v=256
+    ).orderBy("source")
+
+
+@q(
+    "repeated_span_stats",
+    # Exact substring-dedup signal: 8-token span occurrences appearing
+    # in >= 2 distinct documents, rolled up per source; flagging uses
+    # the integer comparison n_rep*2 >= n_sp (no float threshold).
+    # Spans travel as md5 digests in both engines.
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+       sp AS (SELECT doc_id, source,
+                     md5(list_aggregate(w[i:i+7], 'string_agg', ' '))
+                       AS span
+              FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+              WHERE i <= len(w) - 7),
+       rep AS (SELECT span FROM sp GROUP BY span
+               HAVING count(DISTINCT doc_id) >= 2),
+       occ AS (SELECT s.doc_id, s.source,
+                      CASE WHEN r.span IS NULL THEN 0 ELSE 1 END AS is_rep
+               FROM sp s LEFT JOIN rep r USING (span)),
+       per_doc AS (SELECT doc_id, source, count(*) AS n_sp,
+                          CAST(sum(is_rep) AS BIGINT) AS n_rep
+                   FROM occ GROUP BY doc_id, source)
+       SELECT source,
+              CAST(sum(n_sp) AS BIGINT) AS total_spans,
+              CAST(sum(n_rep) AS BIGINT) AS repeated_spans,
+              round(CAST(sum(n_rep) AS DOUBLE) / sum(n_sp), 6) + 0
+                AS repeated_ratio,
+              CAST(sum(CASE WHEN n_rep * 2 >= n_sp THEN 1 ELSE 0 END)
+                   AS BIGINT) AS flagged_docs
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "substring-level dedup audit: cross-document repeated 8-token spans "
+    "per source, with majority-repeated document flags",
+)
+def repeated_span_stats(spark, sf_dir):
+    return D.repeated_span_report(
+        _t(spark, sf_dir, "documents"), "doc_id", "source", "text", w=8
+    )
+
+
+@q(
+    "shard_balance_report",
+    # Deterministic training-shard export audit: md5-derived shard ids
+    # (first 8 hex chars as an integer, mod 8 — the same hash both
+    # engines compute), per-shard doc/token loads, deviation from mean.
+    """WITH s AS (
+         SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 8 AS INTEGER)
+                  AS shard,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       per AS (SELECT shard, count(*) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS n_tokens
+               FROM s GROUP BY shard),
+       tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) / 8 AS mean_docs
+               FROM per)
+       SELECT shard, n_docs, n_tokens,
+              round(CAST(n_docs AS DOUBLE) / mean_docs - 1, 6) + 0
+                AS dev_from_mean
+       FROM per CROSS JOIN tot ORDER BY shard""",
+    "deterministic global-shuffle export: per-shard balance audit over "
+    "md5-assigned shards",
+)
+def shard_balance_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.export import (
+        shard_balance_report as report,
+    )
+
+    return report(
+        _t(spark, sf_dir, "documents"), "doc_id", num_shards=8
+    )
+
+
+# Pre-tokenizer piece pattern: letter runs, digit runs, single
+# non-alphanumeric marks — the GPT-2-family pre-tokenizer shape
+# restricted (like redact.py) to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB).  Interpolated into BOTH programs
+# so the two sides cannot drift.
+_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@q(
+    "tokenizer_comparison_by_source",
+    # Corpus accounting needs token counts before the tokenizer exists;
+    # compare the three standard estimators per source: whitespace
+    # tokens, regex pre-tokenizer pieces, chars/4 subword heuristic.
+    rf"""SELECT source, count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS ws_tokens,
+              CAST(sum(len(regexp_extract_all(text,
+                     '{_PRETOKEN_PATTERN}'))) AS BIGINT) AS regex_pieces,
+              CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                   AS BIGINT) AS subword_est,
+              round(CAST(sum(len(regexp_extract_all(text,
+                       '{_PRETOKEN_PATTERN}'))) AS DOUBLE)
+                    / sum(len(string_split(text, ' '))), 6) + 0
+                AS pieces_per_ws_token
+       FROM documents GROUP BY source ORDER BY source""",
+    "pre-tokenizer sizing: whitespace vs regex-piece vs chars/4 token "
+    "estimates per source",
+)
+def tokenizer_comparison_by_source(spark, sf_dir):
+    c = F.col("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count(c)).alias("ws_tokens"),
+            F.sum(F.regexp_count(c, F.lit(_PRETOKEN_PATTERN))).alias(
+                "regex_pieces"
+            ),
+            F.sum(TX.subword_estimate(c)).alias("subword_est"),
+            (
+                F.round(
+                    F.sum(
+                        F.regexp_count(c, F.lit(_PRETOKEN_PATTERN))
+                    ).cast("double")
+                    / F.sum(TX.token_count(c)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pieces_per_ws_token"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -2841,6 +3016,10 @@ _DRIVER_WINDOW = [
     "pii_redaction_stats",        # NEW: pattern-based PII redaction audit
     "curation_funnel_report",     # NEW: staged curation retention funnel
     "decontamination_bloom",      # NEW: Bloom-reduced decontamination scale path
+    "lm_quality_by_source",       # NEW: unigram-LM quality scoring (CCNet-class)
+    "repeated_span_stats",        # NEW: substring-level cross-doc dedup audit
+    "shard_balance_report",       # NEW: deterministic training-shard export
+    "tokenizer_comparison_by_source",  # NEW: pre-tokenizer sizing estimators
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -2879,10 +3058,6 @@ _DRIVER_WINDOW = [
     "range_join_interval_stats",
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "value_percentiles_by_type",
-    "conditional_aggregates",
-    "argmax_event_per_user",
-    "first_events_per_user",
     "decontamination_overlap",
     "sample_temperature_weighted",
     "tfidf_source_profile",
@@ -2897,6 +3072,10 @@ _ROTATION = [
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
+    "value_percentiles_by_type",  # r06-green; ~ value_histogram family
+    "conditional_aggregates",     # r06-green; ~ retention_cohort_counts
+    "argmax_event_per_user",      # r06-green; ~ latest_state_per_entity
+    "first_events_per_user",      # r06-green; ~ latest_events window family
     "count_distinct_salted",      # ~ count_distinct_by_type (exact sibling)
     "first_event_salted",         # ~ latest_state_per_entity window family
     "train_val_test_split_counts",  # ~ sample_hash_fraction (md5-range splits)

@@ -368,3 +368,55 @@ def test_temperature_sample_quotas_and_determinism(spark):
     a = sorted(r.doc_id for r in oh.collect())
     b = sorted(r.doc_id for r in temperature_sample(df, "source", "doc_id", 20, alpha=0.5).collect())
     assert a == b
+
+
+# --- repeated spans (substring-level dedup signal) ---------------------------
+
+def _span_report(spark, rows, w=2):
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    from neo4j_to_clickhouse_spark.operators.dedup import repeated_span_report
+
+    return {
+        r["source"]: r.asDict()
+        for r in repeated_span_report(df, "doc_id", "source", "text", w=w).collect()
+    }
+
+
+def test_repeated_spans_cross_doc_only(spark):
+    # "x y" occurs in docs 1 and 2 -> repeated; every other span unique.
+    out = _span_report(
+        spark,
+        [(1, "s", "x y z"), (2, "s", "x y q"), (3, "s", "u v w")],
+    )["s"]
+    assert out["total_spans"] == 6
+    assert out["repeated_spans"] == 2
+    assert out["repeated_ratio"] == round(2 / 6, 6)
+    # docs 1 and 2 are half-repeated (1*2 >= 2) -> flagged; doc 3 not
+    assert out["flagged_docs"] == 2
+
+
+def test_within_doc_repetition_does_not_count(spark):
+    # "p q" appears twice but only in ONE document -> not cross-doc repeated
+    out = _span_report(spark, [(1, "s", "p q p q")])["s"]
+    assert out["repeated_spans"] == 0
+    assert out["flagged_docs"] == 0
+
+
+def test_docs_shorter_than_window_emit_no_spans(spark):
+    out = _span_report(
+        spark, [(1, "s", "solo"), (2, "s", "a b"), (3, "s", "a b")]
+    )["s"]
+    # doc 1 has 0 spans (1 token < w=2) and cannot be flagged
+    assert out["total_spans"] == 2
+    assert out["repeated_spans"] == 2
+    assert out["flagged_docs"] == 2
+
+
+def test_span_groups_roll_up_per_source(spark):
+    out = _span_report(
+        spark,
+        [(1, "a", "dup span here"), (2, "b", "dup span there")],
+    )
+    # "dup span" crosses sources; occurrences counted in each source
+    assert out["a"]["repeated_spans"] == 1
+    assert out["b"]["repeated_spans"] == 1
