@@ -2982,6 +2982,67 @@ def tokenizer_comparison_by_source(spark, sf_dir):
     )
 
 
+# Unrolled-CTE k-means oracle (the PageRank certification trick applied
+# to Lloyd iteration): label-mean init -> 2 assignment/update rounds ->
+# final assignment.  Plain double sums both sides: ordering noise
+# (~1e-13) is 7+ orders below the fixture's measured minimum
+# best-vs-second-best assignment margin (>= 3.2e-6 at every iteration,
+# sf0.001/0.01/0.1), and the certified outputs are integers plus one
+# 4-decimal rounded mean.  `pos` is 1-based here and 0-based in Spark —
+# it is only ever an intra-engine join key, never an output.
+_KMEANS_ORACLE = """WITH dims AS (
+         SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       lab AS (SELECT vec_id AS id, label AS lbl FROM embeddings),
+       c0 AS (SELECT l.lbl AS cell, d.pos, sum(d.v) / count(*) AS c
+              FROM dims d JOIN lab l USING (id) GROUP BY l.lbl, d.pos),
+       d0 AS (SELECT d.id, c.cell, sum((d.v - c.c) * (d.v - c.c)) AS dist
+              FROM dims d JOIN c0 c USING (pos) GROUP BY d.id, c.cell),
+       a0 AS (SELECT id, cell FROM (
+                SELECT id, cell, row_number() OVER (
+                         PARTITION BY id ORDER BY dist, cell) AS rn
+                FROM d0) WHERE rn = 1),
+       c1 AS (SELECT a.cell, d.pos, sum(d.v) / count(*) AS c
+              FROM dims d JOIN a0 a USING (id) GROUP BY a.cell, d.pos),
+       d1 AS (SELECT d.id, c.cell, sum((d.v - c.c) * (d.v - c.c)) AS dist
+              FROM dims d JOIN c1 c USING (pos) GROUP BY d.id, c.cell),
+       a1 AS (SELECT id, cell FROM (
+                SELECT id, cell, row_number() OVER (
+                         PARTITION BY id ORDER BY dist, cell) AS rn
+                FROM d1) WHERE rn = 1),
+       c2 AS (SELECT a.cell, d.pos, sum(d.v) / count(*) AS c
+              FROM dims d JOIN a1 a USING (id) GROUP BY a.cell, d.pos),
+       d2 AS (SELECT d.id, c.cell, sum((d.v - c.c) * (d.v - c.c)) AS dist
+              FROM dims d JOIN c2 c USING (pos) GROUP BY d.id, c.cell),
+       fin AS (SELECT id, cell, dist FROM (
+                 SELECT id, cell, dist, row_number() OVER (
+                          PARTITION BY id ORDER BY dist, cell) AS rn
+                 FROM d2) WHERE rn = 1)
+       SELECT f.cell, count(*) AS n_vecs,
+              CAST(sum(CASE WHEN l.lbl = f.cell THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_own_label,
+              round(avg(f.dist), 4) + 0 AS mean_dist
+       FROM fin f JOIN lab l USING (id)
+       GROUP BY f.cell ORDER BY f.cell"""
+
+
+@q(
+    "embedding_kmeans_cells",
+    _KMEANS_ORACLE,
+    "SemDeDup-style semantic clustering: 2 Lloyd iterations from "
+    "label-mean init, certified against an unrolled-CTE oracle",
+)
+def embedding_kmeans_cells(spark, sf_dir):
+    return S.kmeans_cells_report(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        iterations=2,
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -3020,6 +3081,7 @@ _DRIVER_WINDOW = [
     "repeated_span_stats",        # NEW: substring-level cross-doc dedup audit
     "shard_balance_report",       # NEW: deterministic training-shard export
     "tokenizer_comparison_by_source",  # NEW: pre-tokenizer sizing estimators
+    "embedding_kmeans_cells",     # NEW: Lloyd k-means vs unrolled-CTE oracle
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -3055,7 +3117,6 @@ _DRIVER_WINDOW = [
     # -- r06-green keeps: families whose only green on the current
     #    fixture is r05+r06; hold the harder sibling one more round --
     "asof_user_state_bucketed",   # harder sibling; asof_user_state rotates out
-    "range_join_interval_stats",
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
     "decontamination_overlap",
@@ -3073,6 +3134,7 @@ _ROTATION = [
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
     "value_percentiles_by_type",  # r06-green; ~ value_histogram family
+    "range_join_interval_stats",  # r06-green; as-of family held by bucketed sibling
     "conditional_aggregates",     # r06-green; ~ retention_cohort_counts
     "argmax_event_per_user",      # r06-green; ~ latest_state_per_entity
     "first_events_per_user",      # r06-green; ~ latest_events window family

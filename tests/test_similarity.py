@@ -167,3 +167,90 @@ def test_refine_centroids_converges_to_cluster_means(spark):
     )
     assert all(r.n_truths == 1 for r in purity)
     assert len(purity) == 3  # no cluster lost
+
+
+# --- certified Lloyd k-means (flat twin vs GEMM path) ------------------------
+
+def _np_kmeans(V, lab, iterations):
+    import numpy as np
+
+    cells = sorted(set(lab.tolist()))
+    C = np.array([V[lab == c].mean(axis=0) for c in cells])
+    assign = None
+    for _ in range(iterations + 1):
+        D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.array(cells)[np.argmin(D, axis=1)]
+        C = np.array(
+            [
+                V[assign == c].mean(axis=0) if (assign == c).any() else C[i]
+                for i, c in enumerate(cells)
+            ]
+        )
+    return assign
+
+
+def _fixture_embeddings(spark):
+    import numpy as np
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = df.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    lab = np.array([r["label"] for r in rows])
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return df, ids, lab, V
+
+
+def test_kmeans_report_matches_numpy_reference(spark):
+    import numpy as np
+
+    df, ids, lab, V = _fixture_embeddings(spark)
+    assign = _np_kmeans(V, lab, iterations=2)
+    out = {
+        r["cell"]: (r["n_vecs"], r["n_own_label"])
+        for r in S.kmeans_cells_report(
+            df, "vec_id", "embedding", "label", iterations=2
+        ).collect()
+    }
+    for c in sorted(set(lab.tolist())):
+        n = int((assign == c).sum())
+        own = int(((assign == c) & (lab == c)).sum())
+        assert out[c] == (n, own), f"cell {c}"
+
+
+def test_gemm_euclidean_path_matches_flat_assignments(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df, ids, lab, V = _fixture_embeddings(spark)
+    expected = dict(zip(ids.tolist(), _np_kmeans(V, lab, 0).tolist()))
+    # label-mean centroids as the GEMM path consumes them
+    cent = (
+        df.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(F.col("label").alias("cell"), "pos")
+        .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("__a")
+        )
+        .select(
+            "cell",
+            F.transform("__a", lambda x: x["m"].cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+    assigned = S.assign_cells(df, cent, metric="euclidean")
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    # float32 centroid truncation shifts distances ~1e-8, far below the
+    # fixture's measured >=1.2e-4 assignment margin — must agree exactly
+    assert got == expected
+
+
+def test_assign_cells_rejects_unknown_metric(spark):
+    df, *_ = _fixture_embeddings(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.assign_cells(df, df.limit(1), metric="manhattan")
