@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "embedding_knn",
     "text_stats_by_source",
+    # round-7 additions: the two new token-stream shapes — broadcast-
+    # vocab LM scoring (two scans + two small-key shuffles) and the
+    # digest-keyed span self-join (the substring-dedup shuffle)
+    "lm_quality_by_source",
+    "repeated_span_stats",
 ]
 
 
