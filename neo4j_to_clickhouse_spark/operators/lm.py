@@ -129,11 +129,13 @@ def lm_quality_report(
     docs = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count("*").alias("n_docs")
     )
+    # a group whose documents are all empty has no token rows: counts
+    # coalesce to 0; the per-token rates stay NULL (0/0 is undefined)
     return docs.join(per_grp, "grp", "left").select(
         F.col("grp").alias(group_col),
         "n_docs",
-        "n_tokens",
-        "oov_tokens",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("oov_tokens", F.lit(0)).alias("oov_tokens"),
         "oov_rate",
         "avg_nll",
     )

@@ -2841,7 +2841,9 @@ def retention_cohort_counts(spark, sf_dir):
          FROM scored GROUP BY source),
        docs AS (SELECT source, count(*) AS n_docs
                 FROM documents GROUP BY source)
-       SELECT d.source, d.n_docs, p.n_tokens, p.oov_tokens,
+       SELECT d.source, d.n_docs,
+              coalesce(p.n_tokens, 0) AS n_tokens,
+              coalesce(p.oov_tokens, 0) AS oov_tokens,
               p.oov_rate, p.avg_nll
        FROM docs d LEFT JOIN per_src p USING (source)
        ORDER BY d.source""",

@@ -1,0 +1,145 @@
+"""Property-based tests for the round-7 corpus operators (hypothesis).
+
+Each new operator is pinned against a pure-Python brute-force oracle
+over randomized micro-corpora with collision-forcing domains (tiny
+vocabularies make spans repeat and vocab caps bite), plus a Java-vs-RE2
+regex-compat canary for the interpolated pre-tokenizer pattern.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary -> forced span repeats and OOV collisions
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_text = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=8)
+
+
+def _py_spans(text, w):
+    toks = text.split() if text.strip() else []
+    return [
+        " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+    ]
+
+
+@given(_corpus)
+@settings(**_SETTINGS)
+def test_repeated_span_report_matches_bruteforce(spark, corpus):
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        repeated_span_report,
+    )
+
+    w = 2
+    rows = [(i, "s", t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["source"]: r.asDict()
+        for r in repeated_span_report(df, "doc_id", "source", "text", w=w)
+        .collect()
+    }
+    span_docs = {}
+    for i, t in enumerate(corpus):
+        for sp in set(_py_spans(t, w)):
+            span_docs.setdefault(sp, set()).add(i)
+    total = rep = flagged = 0
+    any_spans = False
+    for i, t in enumerate(corpus):
+        sps = _py_spans(t, w)
+        if not sps:
+            continue
+        any_spans = True
+        n_rep = sum(1 for sp in sps if len(span_docs[sp]) >= 2)
+        total += len(sps)
+        rep += n_rep
+        flagged += 1 if n_rep * 2 >= len(sps) else 0
+    if not any_spans:
+        assert got == {}
+        return
+    out = got["s"]
+    assert out["total_spans"] == total
+    assert out["repeated_spans"] == rep
+    assert out["flagged_docs"] == flagged
+    assert out["repeated_ratio"] == round(rep / total, 6)
+
+
+@given(_corpus, st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_lm_report_matches_bruteforce(spark, corpus, top_v):
+    from neo4j_to_clickhouse_spark.operators.lm import lm_quality_report
+
+    rows = [(i, "s", t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["source"]: r.asDict()
+        for r in lm_quality_report(df, "source", "text", top_v=top_v)
+        .collect()
+    }["s"]
+    toks = [w for t in corpus for w in t.split()]
+    assert out["n_docs"] == len(corpus)
+    assert out["n_tokens"] == len(toks)
+    if not toks:
+        # 0/0 rates are NULL by contract
+        assert out["oov_tokens"] == 0
+        assert out["oov_rate"] is None and out["avg_nll"] is None
+        return
+    counts = Counter(toks)
+    n_total, v_distinct = sum(counts.values()), len(counts)
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    )
+    oov = sum(1 for w in toks if w not in vocab)
+    assert out["oov_tokens"] == oov
+    assert out["oov_rate"] == round(oov / len(toks), 6)
+    nll = [
+        round(
+            math.log((vocab.get(w, 0) + 1) / (n_total + v_distinct)), 6
+        )
+        for w in toks
+    ]
+    assert out["avg_nll"] == round(-sum(nll) / len(toks), 6)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=0x2FF
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pretoken_pattern_java_matches_python_re(spark, texts):
+    """The interpolated pre-tokenizer regex must count identically under
+    Java regex (Spark side) and Python re (a proxy pinning the restricted
+    syntax the oracle's RE2 also implements)."""
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.plans.queries import _PRETOKEN_PATTERN
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", F.regexp_count("t", F.lit(_PRETOKEN_PATTERN)).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(_PRETOKEN_PATTERN, t)), repr(t)
