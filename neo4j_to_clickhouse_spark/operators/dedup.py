@@ -371,6 +371,94 @@ def repeated_span_report(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+) -> DataFrame:
+    """Exact substring deduplication REWRITE (the Lee et al. 2022 move:
+    don't just audit repeated spans — emit the corpus with them removed).
+
+    Contract: for every distinct ``w``-token span text, the globally
+    first occurrence (minimum ``(id, start)``) is canonical; every other
+    occurrence is a duplicate, and ALL token positions covered by at
+    least one duplicate occurrence are dropped.  The document is then
+    re-joined from its surviving tokens in position order.  Aggressive
+    by design (overlap with a duplicate span kills a token even if some
+    other span covering it is canonical) — deterministic, integer-exact,
+    and expressible in any SQL engine, which is what the driver oracle
+    certifies via the rewrite-stats rollup.
+
+    Returns ``(id, text, n_tokens_before, n_tokens_after)``.
+
+    Scale shape: three narrow scans of the corpus (token table, span
+    table, per-doc counts) — scan-bound, no document bodies in any
+    shuffle; spans shuffle once as md5 digests for the
+    canonical-occurrence window; duplicate coverage explodes to at most
+    ``w`` (id, pos) rows per duplicate occurrence and distincts
+    map-side; the anti-join and the rebuild groupBy both key on the doc
+    id.  Documents shorter than ``w`` tokens pass through untouched.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    grams = ngram_array(tokens(text_col), w)
+    spans = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(grams).alias("start", "span_text"),
+        )
+        .filter(F.col("span_text").isNotNull())
+        .select("id", "start", F.md5("span_text").alias("span"))
+    )
+    w_span = Window.partitionBy("span").orderBy("id", "start")
+    dup_occ = (
+        spans.withColumn("__rn", F.row_number().over(w_span))
+        .filter(F.col("__rn") > 1)
+        .select("id", "start")
+    )
+    covered = (
+        dup_occ.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("__new_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens_before"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).alias(
+                "n_tokens_after"
+            ),
+        )
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(

@@ -2933,8 +2933,12 @@ def shard_balance_report(spark, sf_dir):
 # non-alphanumeric marks — the GPT-2-family pre-tokenizer shape
 # restricted (like redact.py) to syntax with identical semantics in
 # Java regex (Spark) and RE2 (DuckDB).  Interpolated into BOTH programs
-# so the two sides cannot drift.
-_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# so the two sides cannot drift.  The whitespace set is an EXPLICIT
+# ASCII class, not `\s`: shorthand `\s` is ASCII in Java/RE2 but
+# Unicode-aware in Python `re` (U+0085 NEL flipped a hypothesis canary)
+# and Java additionally includes \x0B where RE2 does not — an explicit
+# class is the only spelling all three engines read identically.
+_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 
 @q(
@@ -2979,6 +2983,72 @@ def tokenizer_comparison_by_source(spark, sf_dir):
                 )
                 + F.lit(0.0)
             ).alias("pieces_per_ws_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "span_dedup_rewrite_stats",
+    # Exact substring-dedup REWRITE accounting (Lee et al. 2022): the
+    # globally first occurrence of each 8-token span is canonical; all
+    # token positions covered by any later occurrence are dropped.
+    # Integer-exact; `start` is 0-based both sides (oracle: i-1).
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS wl
+                  FROM documents),
+       tb AS (SELECT doc_id, source, len(wl) AS n_before FROM d),
+       sp AS (SELECT doc_id, i - 1 AS start,
+                     md5(list_aggregate(wl[i:i+7], 'string_agg', ' '))
+                       AS span
+              FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+              WHERE i <= len(wl) - 7),
+       dup AS (SELECT doc_id, start FROM (
+                 SELECT doc_id, start, row_number() OVER (
+                          PARTITION BY span ORDER BY doc_id, start) AS rn
+                 FROM sp) WHERE rn > 1),
+       cov AS (SELECT DISTINCT doc_id, pos FROM (
+                 SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                 FROM dup)),
+       rem AS (SELECT doc_id, count(*) AS n_removed
+               FROM cov GROUP BY doc_id),
+       per_doc AS (SELECT t.doc_id, t.source, t.n_before,
+                          t.n_before - coalesce(r.n_removed, 0) AS n_after
+                   FROM tb t LEFT JOIN rem r USING (doc_id))
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(n_before) AS BIGINT) AS tokens_before,
+              CAST(sum(n_after) AS BIGINT) AS tokens_after,
+              CAST(sum(CASE WHEN n_after < n_before THEN 1 ELSE 0 END)
+                   AS BIGINT) AS docs_modified,
+              round(1 - CAST(sum(n_after) AS DOUBLE) / sum(n_before), 6)
+                + 0 AS removal_ratio
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "substring-dedup rewrite accounting: per-source token retention "
+    "after removing every non-canonical 8-token span occurrence",
+)
+def span_dedup_rewrite_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.remove_repeated_spans(docs, "doc_id", "text", w=8)
+    return (
+        out.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_before").alias("tokens_before"),
+            F.sum("n_tokens_after").alias("tokens_after"),
+            F.sum(
+                (F.col("n_tokens_after") < F.col("n_tokens_before")).cast(
+                    "long"
+                )
+            ).alias("docs_modified"),
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.sum("n_tokens_after").cast("double")
+                    / F.sum("n_tokens_before"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("removal_ratio"),
         )
         .orderBy("source")
     )
@@ -3084,6 +3154,7 @@ _DRIVER_WINDOW = [
     "shard_balance_report",       # NEW: deterministic training-shard export
     "tokenizer_comparison_by_source",  # NEW: pre-tokenizer sizing estimators
     "embedding_kmeans_cells",     # NEW: Lloyd k-means vs unrolled-CTE oracle
+    "span_dedup_rewrite_stats",   # NEW: substring-dedup rewrite accounting
     "random_sample",              # rows-only by design
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
     "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
@@ -3123,7 +3194,6 @@ _DRIVER_WINDOW = [
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
     "decontamination_overlap",
     "sample_temperature_weighted",
-    "tfidf_source_profile",
     # complex high-regression-risk representatives kept under continuous
     # driver certification
     "dedup_minhash_lsh",
@@ -3137,6 +3207,7 @@ _ROTATION = [
     # later round per SURVEY §8 policy
     "value_percentiles_by_type",  # r06-green; ~ value_histogram family
     "range_join_interval_stats",  # r06-green; as-of family held by bucketed sibling
+    "tfidf_source_profile",       # r05+r06 double green; text family in window
     "conditional_aggregates",     # r06-green; ~ retention_cohort_counts
     "argmax_event_per_user",      # r06-green; ~ latest_state_per_entity
     "first_events_per_user",      # r06-green; ~ latest_events window family

@@ -21,6 +21,20 @@ _SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+
+def _r6(x):
+    """Engine-faithful 6-decimal rounding: Spark's round() is
+    BigDecimal.valueOf(x).setScale(6, HALF_UP) — i.e. HALF_UP on the
+    shortest decimal repr — where Python's round() is half-even on the
+    binary value. Micro-corpora hit exact .5 boundaries (sums of
+    6-decimal values divided by small counts), so the reference must
+    mirror the engine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+
 # tiny vocabulary -> forced span repeats and OOV collisions
 _word = st.sampled_from(["aa", "bb", "cc", "dd"])
 _text = st.lists(_word, min_size=0, max_size=6).map(" ".join)
@@ -71,7 +85,7 @@ def test_repeated_span_report_matches_bruteforce(spark, corpus):
     assert out["total_spans"] == total
     assert out["repeated_spans"] == rep
     assert out["flagged_docs"] == flagged
-    assert out["repeated_ratio"] == round(rep / total, 6)
+    assert out["repeated_ratio"] == _r6(rep / total)
 
 
 @given(_corpus, st.integers(min_value=1, max_value=5))
@@ -101,14 +115,12 @@ def test_lm_report_matches_bruteforce(spark, corpus, top_v):
     )
     oov = sum(1 for w in toks if w not in vocab)
     assert out["oov_tokens"] == oov
-    assert out["oov_rate"] == round(oov / len(toks), 6)
+    assert out["oov_rate"] == _r6(oov / len(toks))
     nll = [
-        round(
-            math.log((vocab.get(w, 0) + 1) / (n_total + v_distinct)), 6
-        )
+        _r6(math.log((vocab.get(w, 0) + 1) / (n_total + v_distinct)))
         for w in toks
     ]
-    assert out["avg_nll"] == round(-sum(nll) / len(toks), 6)
+    assert out["avg_nll"] == _r6(-sum(nll) / len(toks))
 
 
 @given(
@@ -143,3 +155,47 @@ def test_pretoken_pattern_java_matches_python_re(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(_PRETOKEN_PATTERN, t)), repr(t)
+
+
+def _py_rewrite(corpus, w):
+    first = {}
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        for s in range(max(len(toks) - w + 1, 0)):
+            sp = " ".join(toks[s : s + w])
+            first.setdefault(sp, (i, s))
+    out = []
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        covered = set()
+        for s in range(max(len(toks) - w + 1, 0)):
+            sp = " ".join(toks[s : s + w])
+            if first[sp] != (i, s):
+                covered.update(range(s, s + w))
+        out.append(" ".join(tok for p, tok in enumerate(toks) if p not in covered))
+    return out
+
+
+@given(_corpus)
+@settings(**_SETTINGS)
+def test_remove_repeated_spans_matches_bruteforce(spark, corpus):
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    w = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_before"], r["n_tokens_after"])
+        for r in remove_repeated_spans(df, "doc_id", "text", w=w).collect()
+    }
+    expect = _py_rewrite(corpus, w)
+    for i, t in enumerate(corpus):
+        toks_before = len(t.split())
+        assert got[i] == (
+            expect[i],
+            toks_before,
+            len(expect[i].split()),
+        ), f"doc {i}"
