@@ -508,3 +508,59 @@ def retention_cohort(
             ).alias(f"r{i + 1}")
         )
     return per_key.agg(*aggs)
+
+
+# --- SCD2 state history (the interval complement of latest_state) ----------
+
+def state_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    state_col: str = "event_type",
+    tie_break_col: str = "event_id",
+) -> DataFrame:
+    """SCD type-2 history build: collapse each key's event stream into
+    state-validity intervals — consecutive events with the same state
+    merge into one interval ``[valid_from, valid_to)``; the key's last
+    run is open (``valid_to`` NULL, ``is_current`` true). This is the
+    warehouse-history complement of ``latest_state.current_state``
+    (which keeps only the final row): the reference's CDC consumers
+    rebuild exactly this when they audit how an entity's state evolved
+    (`clickhouse/init/01-init-tables.sql:8-20` event log).
+
+    Gaps-and-islands in pure window algebra: change-flag via lag, run
+    numbering via running sum, one group-by per run, then a lead over
+    runs for the interval close. Every window and the final group share
+    the SAME partitioning key, so the whole operator is ONE hash
+    shuffle on the key — no UDFs, no state store, and runs-per-key is
+    bounded by events-per-key, so task memory scales with a key's
+    history exactly like any per-key window.
+
+    Output: ``(key, state, valid_from, valid_to, n_events,
+    is_current)``.
+    """
+    order = [F.col(time_col), F.col(tie_break_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = (
+        F.lag(F.col(state_col)).over(w).isNull()
+        | (F.lag(F.col(state_col)).over(w) != F.col(state_col))
+    ).cast("long")
+    runs = events.withColumn(
+        "__run",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_run = runs.groupBy(key_col, "__run").agg(
+        F.first(state_col).alias("state"),
+        F.min(time_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        per_run.withColumn(
+            "valid_to", F.lead("valid_from").over(w_run)
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )

@@ -219,6 +219,85 @@ def tfidf_by_group(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Fixed-window overlapping chunking — the complement of
+    ``pack_sequences``: split each document that exceeds the context
+    window into overlapping ``window``-token chunks advancing by
+    ``stride`` tokens (sliding-window long-document handling for
+    training and retrieval indexing).
+
+    Contract: chunk starts are ``0, stride, 2*stride, …`` with exactly
+    ``ceil(max(n - window, 0) / stride) + 1`` chunks for an ``n``-token
+    document (0 chunks for an empty one) — every token is covered when
+    ``stride <= window``, every chunk except possibly the last is
+    exactly ``window`` tokens, and the last is never longer than
+    ``window``. Emits one row per chunk:
+    ``(id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)``.
+
+    Scale shape: per-document integer arithmetic + posexplode — NO
+    shuffle at all; output size is input tokens × (window/stride)
+    amplification, produced scan-side so downstream aggregations
+    map-side combine. Integer-exact, so any SQL engine reproduces the
+    accounting bit-for-bit.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1: {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would skip tokens"
+        )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.ceil(
+                F.greatest(n - window, F.lit(0))
+                / F.lit(float(stride))
+            ).cast("long")
+            + 1
+        )
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            (n_chunks - 1) * stride,
+            F.lit(stride).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "chunk_start",
+            F.least(
+                F.lit(window).cast("long"),
+                F.size("__toks") - F.col("chunk_start"),
+            ).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    "__toks",
+                    (F.col("chunk_start") + 1).cast("int"),
+                    window,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str = "source",

@@ -3054,6 +3054,201 @@ def span_dedup_rewrite_stats(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_quantization_report",
+    # uint8 scalar quantization (SQ8) accounting. The code expression is
+    # pure IEEE-double arithmetic (sub/div/mul correctly rounded, floor
+    # exact) with the SAME association order both sides —
+    # ((x-min)/span)*255 + 0.5 — so codes are integer-exact
+    # cross-engine; sums/extrema of integer codes are then exact too.
+    """WITH flat AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                            CAST(unnest(embedding) AS DOUBLE) AS x
+                     FROM embeddings),
+       r AS (SELECT dim, min(x) AS vmin, max(x) AS vmax
+             FROM flat GROUP BY dim),
+       c AS (SELECT f.dim,
+                    CASE WHEN vmax = vmin THEN 0
+                         ELSE CAST(floor((x - vmin) / (vmax - vmin) * 255
+                                         + 0.5) AS BIGINT)
+                    END AS code
+             FROM flat f JOIN r USING (dim))
+       SELECT dim, count(*) AS n_values,
+              count(DISTINCT code) AS distinct_codes,
+              CAST(min(code) AS BIGINT) AS code_min,
+              CAST(max(code) AS BIGINT) AS code_max,
+              CAST(sum(code) AS BIGINT) AS code_sum
+       FROM c GROUP BY dim ORDER BY dim""",
+    "uint8 scalar-quantization (SQ8) profile: per-dimension code "
+    "occupancy, extrema, and exact code mass",
+)
+def embedding_quantization_report(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = S.quantize_embeddings(emb, "vec_id", "embedding")
+    return (
+        codes.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.countDistinct("code").alias("distinct_codes"),
+            F.min("code").alias("code_min"),
+            F.max("code").alias("code_max"),
+            F.sum("code").alias("code_sum"),
+        )
+        .orderBy("dim")
+    )
+
+
+@q(
+    "approx_distinct_users_bound",
+    # Certification-pattern oracle (like embedding_ivf_recall): the HLL++
+    # estimate itself is engine-specific, so the driver-checkable claim
+    # is the BOUND — |approx - exact| / exact <= 5% at rsd=0.01 (5
+    # relative-sigma; HLL++ error is tightly concentrated, so this
+    # certifies deterministically) — alongside the exact counts.
+    """SELECT event_type,
+              count(DISTINCT user_id) AS exact_users,
+              TRUE AS within_bound
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "approximate-distinct certification: exact per-type user counts + "
+    "HLL++ (rsd=0.01) relative error certified under 5%",
+)
+def approx_distinct_users_bound(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    ).orderBy("event_type")
+
+
+@q(
+    "state_interval_stats",
+    # SCD type-2 history accounting over the event log: consecutive
+    # same-state events per user collapse into validity intervals;
+    # the last run per user is open (valid_to NULL). Durations are
+    # integer microseconds (epoch_us diff) — exact both sides.
+    """WITH o AS (SELECT user_id, ts, event_type, event_id,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       r AS (SELECT user_id, ts, event_type, chg,
+                    sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+             FROM o),
+       p AS (SELECT user_id, run, min(event_type) AS state,
+                    min(ts) AS valid_from, count(*) AS n_events
+             FROM r GROUP BY user_id, run),
+       iv AS (SELECT user_id, state, valid_from, n_events,
+                     lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY run) AS valid_to
+              FROM p)
+       SELECT state, count(*) AS n_intervals,
+              CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS open_intervals,
+              CAST(sum(CASE WHEN valid_to IS NULL THEN 0
+                            ELSE epoch_us(valid_to) - epoch_us(valid_from)
+                       END) AS BIGINT) AS closed_duration_us,
+              CAST(max(n_events) AS BIGINT) AS max_run_events
+       FROM iv GROUP BY state ORDER BY state""",
+    "SCD2 state-history accounting: per-state interval counts, open "
+    "intervals, closed validity duration (µs), longest run",
+)
+def state_interval_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import (
+        state_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = state_intervals(ev, "user_id", "ts", "event_type", "event_id")
+    dur = F.unix_micros(F.col("valid_to")) - F.unix_micros(
+        F.col("valid_from")
+    )
+    return (
+        iv.groupBy("state")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("is_current").cast("long")).alias(
+                "open_intervals"
+            ),
+            F.sum(
+                F.when(F.col("valid_to").isNull(), F.lit(0)).otherwise(dur)
+            ).alias("closed_duration_us"),
+            F.max("n_events").alias("max_run_events"),
+        )
+        .orderBy("state")
+    )
+
+
+@q(
+    "chunking_stats",
+    # Sliding-window long-document chunking accounting (window=32,
+    # stride=24): starts 0,24,48,… with ceil(max(n-32,0)/24)+1 chunks
+    # per n-token doc; all non-last chunks are exactly `window` tokens,
+    # the last is n - last_start. Integer-exact both sides.
+    """WITH d AS (SELECT doc_id, source,
+                         len(string_split(text, ' ')) AS n
+                  FROM documents),
+       c AS (SELECT doc_id, source, n,
+                    CASE WHEN n = 0 THEN 0
+                         ELSE (greatest(n - 32, 0) + 23) // 24 + 1
+                    END AS k
+             FROM d),
+       ch AS (SELECT doc_id, source, n,
+                     unnest(range(0, k)) * 24 AS start
+              FROM c WHERE k > 0),
+       t AS (SELECT doc_id, source,
+                    least(32, n - start) AS ct
+             FROM ch),
+       per_doc AS (SELECT doc_id, source,
+                          count(*) AS kd,
+                          CAST(sum(ct) AS BIGINT) AS toks,
+                          CAST(sum(CASE WHEN ct < 32 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS short
+                   FROM t GROUP BY doc_id, source)
+       SELECT source,
+              count(*) AS n_docs_chunked,
+              CAST(sum(kd) AS BIGINT) AS n_chunks,
+              CAST(sum(toks) AS BIGINT) AS chunk_tokens,
+              CAST(sum(short) AS BIGINT) AS short_chunks,
+              CAST(max(kd) AS BIGINT) AS max_chunks_per_doc
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "sliding-window chunking accounting: per-source chunk counts, token "
+    "amplification, and short-tail chunks at window=32/stride=24",
+)
+def chunking_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(
+        docs, "doc_id", "text", window=32, stride=24
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("kd"),
+        F.sum("n_chunk_tokens").alias("toks"),
+        F.sum((F.col("n_chunk_tokens") < 32).cast("long")).alias("short"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_chunked"),
+            F.sum("kd").alias("n_chunks"),
+            F.sum("toks").alias("chunk_tokens"),
+            F.sum("short").alias("short_chunks"),
+            F.max("kd").alias("max_chunks_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # Unrolled-CTE k-means oracle (the PageRank certification trick applied
 # to Lloyd iteration): label-mean init -> 2 assignment/update rounds ->
 # final assignment.  Plain double sums both sides: ordering noise
@@ -3155,9 +3350,10 @@ _DRIVER_WINDOW = [
     "tokenizer_comparison_by_source",  # NEW: pre-tokenizer sizing estimators
     "embedding_kmeans_cells",     # NEW: Lloyd k-means vs unrolled-CTE oracle
     "span_dedup_rewrite_stats",   # NEW: substring-dedup rewrite accounting
-    "random_sample",              # rows-only by design
-    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
-    "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall now
+    "chunking_stats",             # NEW: sliding-window chunking accounting
+    "state_interval_stats",       # NEW: SCD2 validity-interval accounting
+    "embedding_quantization_report",  # NEW: SQ8 integer-exact code profile
+    "approx_distinct_users_bound",    # NEW: HLL++ error-bound certification
     # -- rotating back in: r05-green, one round out of the window --
     "filter_json_path_variant",
     "duplicate_keys",
@@ -3192,7 +3388,6 @@ _DRIVER_WINDOW = [
     "asof_user_state_bucketed",   # harder sibling; asof_user_state rotates out
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "decontamination_overlap",
     "sample_temperature_weighted",
     # complex high-regression-risk representatives kept under continuous
     # driver certification
@@ -3205,6 +3400,10 @@ _ROTATION = [
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
+    "decontamination_overlap",    # r05+r06 double green; scale sibling decontamination_bloom in window
+    "random_sample",              # rows-only by design; hard sibling sample_hash_fraction in window
+    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
+    "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall (in window)
     "value_percentiles_by_type",  # r06-green; ~ value_histogram family
     "range_join_interval_stats",  # r06-green; as-of family held by bucketed sibling
     "tfidf_source_profile",       # r05+r06 double green; text family in window

@@ -120,7 +120,14 @@ def test_lm_report_matches_bruteforce(spark, corpus, top_v):
         _r6(math.log((vocab.get(w, 0) + 1) / (n_total + v_distinct)))
         for w in toks
     ]
-    assert out["avg_nll"] == _r6(-sum(nll) / len(toks))
+    # the engine sums per-token nll as exact DECIMAL, casts the SUM to
+    # double once, then divides — a Python float sum accumulates error
+    # the decimal sum doesn't, which flips .5e-6 round boundaries
+    # (observed: sum -10.865396 exact vs -10.865395999999999 chained)
+    from decimal import Decimal
+
+    nll_sum = float(sum(Decimal(repr(v)) for v in nll))
+    assert out["avg_nll"] == _r6(-nll_sum / len(toks))
 
 
 @given(
@@ -199,3 +206,34 @@ def test_remove_repeated_spans_matches_bruteforce(spark, corpus):
             toks_before,
             len(expect[i].split()),
         ), f"doc {i}"
+
+
+def _py_chunks(text, w, s):
+    toks = text.split()
+    n = len(toks)
+    if n == 0:
+        return []
+    k = -(-max(n - w, 0) // s) + 1
+    return [
+        (i, i * s, min(w, n - i * s), " ".join(toks[i * s : i * s + w]))
+        for i in range(k)
+    ]
+
+
+@given(_corpus, st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_bruteforce(spark, corpus, w):
+    from neo4j_to_clickhouse_spark.operators.text import chunk_documents
+
+    s = max(w - 1, 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, "doc_id", "text", window=w, stride=s).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    for i, t in enumerate(corpus):
+        assert sorted(got.get(i, [])) == _py_chunks(t, w, s), f"doc {i}"

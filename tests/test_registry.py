@@ -27,6 +27,17 @@ NEVER_CERTIFIED = [
     "pii_redaction_stats",      # new in round 7
     "curation_funnel_report",   # new in round 7
     "decontamination_bloom",    # new in round 7
+    # round-7 second wave
+    "lm_quality_by_source",
+    "repeated_span_stats",
+    "shard_balance_report",
+    "tokenizer_comparison_by_source",
+    "embedding_kmeans_cells",
+    "span_dedup_rewrite_stats",
+    "chunking_stats",
+    "state_interval_stats",
+    "embedding_quantization_report",
+    "approx_distinct_users_bound",
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
