@@ -168,3 +168,42 @@ def test_pii_redaction_is_scan_bound(spark):
     )
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in read and "lang" not in read and "n_chars" not in read
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """The chunking operator is a pure scan-side posexplode — any
+    Exchange in its plan means a refactor added a shuffle to what must
+    stay an embarrassingly-parallel map at 100 TB."""
+    from neo4j_to_clickhouse_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_state_intervals_single_key_shuffle(spark):
+    """SCD2 interval build: both windows and the run-aggregate must ride
+    ONE hashpartitioning(user_id) exchange — a second key shuffle means
+    the window/group partitioning stopped lining up."""
+    plan = _plan(spark, "state_interval_stats")
+    key_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(key_shuffles) == 1, plan
+
+
+def test_quantization_shuffles_only_dim_rows(spark):
+    """SQ8: the corpus-sized explode must never hit a shuffle — only the
+    dims-sized range table exchanges (hash on dim + one broadcast back)."""
+    plan = _plan(spark, "embedding_quantization_report")
+    assert "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "dim" in ln.split("Exchange hashpartitioning", 1)[1].split(",")[0], ln
