@@ -3055,6 +3055,83 @@ def span_dedup_rewrite_stats(spark, sf_dir):
 
 
 @q(
+    "cross_source_span_overlap",
+    # Corpus-governance overlap matrix: which sources share verbatim
+    # 8-token spans (contamination/copy detection between corpus
+    # slices). Distinct (source, span-digest) pairs equi-join on the
+    # digest — bodies never shuffle; output is sources² bounded.
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS wl
+                  FROM documents),
+       sp AS (SELECT DISTINCT source,
+                     md5(list_aggregate(wl[i:i+7], 'string_agg', ' '))
+                       AS h
+              FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+              WHERE i <= len(wl) - 7),
+       n AS (SELECT source, count(*) AS n_spans FROM sp GROUP BY source),
+       pair AS (SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS shared_spans
+                FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+                GROUP BY a.source, b.source)
+       SELECT source_a, source_b, shared_spans,
+              round(CAST(shared_spans AS DOUBLE)
+                    / (na.n_spans + nb.n_spans - shared_spans), 6) + 0
+                AS jaccard
+       FROM pair
+       JOIN n na ON na.source = pair.source_a
+       JOIN n nb ON nb.source = pair.source_b
+       ORDER BY source_a, source_b""",
+    "cross-source verbatim-span overlap matrix: shared distinct 8-token "
+    "spans and span-set Jaccard per source pair",
+)
+def cross_source_span_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grams = D.ngram_array(D.tokens("text"), 8)
+    sp = (
+        D.spread(docs)
+        .select("source", F.explode(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    n = sp.groupBy("source").agg(F.count("*").alias("n_spans"))
+    a = sp.alias("a")
+    b = sp.alias("b")
+    pair = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_spans"))
+    )
+    na = n.select(
+        F.col("source").alias("source_a"), F.col("n_spans").alias("na")
+    )
+    nb = n.select(
+        F.col("source").alias("source_b"), F.col("n_spans").alias("nb")
+    )
+    return (
+        pair.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            (
+                F.round(
+                    F.col("shared_spans").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("shared_spans")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@q(
     "embedding_quantization_report",
     # uint8 scalar quantization (SQ8) accounting. The code expression is
     # pure IEEE-double arithmetic (sub/div/mul correctly rounded, floor
@@ -3352,6 +3429,7 @@ _DRIVER_WINDOW = [
     "span_dedup_rewrite_stats",   # NEW: substring-dedup rewrite accounting
     "chunking_stats",             # NEW: sliding-window chunking accounting
     "state_interval_stats",       # NEW: SCD2 validity-interval accounting
+    "cross_source_span_overlap",  # NEW: source-pair verbatim-span matrix
     "embedding_quantization_report",  # NEW: SQ8 integer-exact code profile
     "approx_distinct_users_bound",    # NEW: HLL++ error-bound certification
     # -- rotating back in: r05-green, one round out of the window --
@@ -3388,7 +3466,6 @@ _DRIVER_WINDOW = [
     "asof_user_state_bucketed",   # harder sibling; asof_user_state rotates out
     "session_window_counts",      # streaming-semantics side; sessionization out
     "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    "sample_temperature_weighted",
     # complex high-regression-risk representatives kept under continuous
     # driver certification
     "dedup_minhash_lsh",
@@ -3400,6 +3477,7 @@ _ROTATION = [
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
+    "sample_temperature_weighted",  # r05+r06 double green; sampling family held by sample_hash_fraction
     "decontamination_overlap",    # r05+r06 double green; scale sibling decontamination_bloom in window
     "random_sample",              # rows-only by design; hard sibling sample_hash_fraction in window
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window

@@ -38,6 +38,7 @@ NEVER_CERTIFIED = [
     "state_interval_stats",
     "embedding_quantization_report",
     "approx_distinct_users_bound",
+    "cross_source_span_overlap",
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
