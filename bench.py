@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     # digest-keyed span self-join (the substring-dedup shuffle)
     "lm_quality_by_source",
     "repeated_span_stats",
+    # the substring-dedup REWRITE: heaviest new shuffle shape of round 7
+    # (span window + coverage distinct + anti-join + per-doc rebuild)
+    "span_dedup_rewrite_stats",
 ]
 
 

@@ -668,3 +668,37 @@ def quantize_embeddings(
             code.cast("long").alias("code"),
         )
     )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): a
+    vector is DROPPED when some lower-id vector sits within the cosine
+    threshold — i.e. of every near-duplicate pair ``(id_a < id_b)`` the
+    higher id loses, so the minimum id of each similarity neighborhood
+    survives. Deterministic and order-free (same keep-lowest rule the
+    text-side ``dedup.survivors`` family uses).
+
+    ``pairs`` defaults to the exact all-pairs baseline
+    (``cosine_near_duplicates`` — documented O(n²) contract); at corpus
+    scale pass the LSH (``lsh_near_duplicates``) or IVF-cell candidate
+    pairs instead — the survivor algebra is identical, only candidate
+    generation changes.
+
+    Returns the input rows + ``is_survivor`` boolean (anti-join
+    semantics without losing the dropped rows, so retention accounting
+    stays one scan).
+    """
+    if pairs is None:
+        pairs = cosine_near_duplicates(df, threshold=threshold)
+    dropped = pairs.select(F.col("id_b").alias("__drop_id")).distinct()
+    return df.join(
+        dropped, df[id_col] == F.col("__drop_id"), "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.col("__drop_id").isNull().alias("is_survivor"),
+    )

@@ -1372,6 +1372,46 @@ def embedding_near_duplicates(spark, sf_dir):
 
 
 @q(
+    "semantic_dedup_survivors",
+    # SemDeDup (keep-lowest-id within cosine threshold) retention
+    # accounting per label: of every near-dup pair (id_a < id_b) the
+    # higher id is dropped. Reuses the certified exact-pairs predicate;
+    # the survivor algebra is an anti-join, integer-exact.
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id),
+       dr AS (SELECT DISTINCT id_b FROM p WHERE sim >= 0.4)
+       SELECT label,
+              count(*) AS n_vectors,
+              CAST(sum(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_survivors,
+              CAST(sum(CASE WHEN d.id_b IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_dropped
+       FROM embeddings e LEFT JOIN dr d ON e.vec_id = d.id_b
+       GROUP BY label ORDER BY label""",
+    "SemDeDup retention accounting: per-label survivor/drop counts "
+    "under keep-lowest-id cosine dedup (threshold 0.4)",
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup_survivors(emb, threshold=0.4)
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("is_survivor").cast("long")).alias("n_survivors"),
+            F.sum((~F.col("is_survivor")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
     "embedding_lsh_near_dup",
     # The planted-clone construction has a closed-form answer: scaling
     # preserves cosine exactly, so the only pairs at cosine>=0.9 are each
@@ -3430,6 +3470,7 @@ _DRIVER_WINDOW = [
     "chunking_stats",             # NEW: sliding-window chunking accounting
     "state_interval_stats",       # NEW: SCD2 validity-interval accounting
     "cross_source_span_overlap",  # NEW: source-pair verbatim-span matrix
+    "semantic_dedup_survivors",   # NEW: SemDeDup keep-lowest-id accounting
     "embedding_quantization_report",  # NEW: SQ8 integer-exact code profile
     "approx_distinct_users_bound",    # NEW: HLL++ error-bound certification
     # -- rotating back in: r05-green, one round out of the window --
@@ -3470,7 +3511,6 @@ _DRIVER_WINDOW = [
     # driver certification
     "dedup_minhash_lsh",
     "embedding_ivf_full_probe",
-    "multimodal_inventory",
 ]
 
 _ROTATION = [
@@ -3478,6 +3518,7 @@ _ROTATION = [
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
     "sample_temperature_weighted",  # r05+r06 double green; sampling family held by sample_hash_fraction
+    "multimodal_inventory",       # r05+r06 double green; metadata-only scan, heaviest pytest coverage (codec suites)
     "decontamination_overlap",    # r05+r06 double green; scale sibling decontamination_bloom in window
     "random_sample",              # rows-only by design; hard sibling sample_hash_fraction in window
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window

@@ -39,6 +39,7 @@ NEVER_CERTIFIED = [
     "embedding_quantization_report",
     "approx_distinct_users_bound",
     "cross_source_span_overlap",
+    "semantic_dedup_survivors",
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to
