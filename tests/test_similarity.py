@@ -254,3 +254,46 @@ def test_assign_cells_rejects_unknown_metric(spark):
 
     with _pytest.raises(ValueError):
         S.assign_cells(df, df.limit(1), metric="manhattan")
+
+
+def test_semantic_dedup_survivors_keep_lowest(emb):
+    """Every near-dup pair's higher id is dropped; lowest id of each
+    neighborhood survives — pinned against numpy pairwise cosine."""
+    thr = 0.9
+    vecs = {i: np.array(v) for i, v in VECTORS}
+    dropped = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                sim = float(
+                    vecs[a] @ vecs[b]
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                )
+                if sim >= thr:
+                    dropped.add(b)
+    out = {
+        r["vec_id"]: r["is_survivor"]
+        for r in S.semantic_dedup_survivors(emb, threshold=thr).collect()
+    }
+    assert set(out) == set(vecs)
+    for i in vecs:
+        assert out[i] == (i not in dropped), f"vec {i}"
+
+
+def test_quantize_embeddings_matches_numpy(emb):
+    rows = S.quantize_embeddings(emb, "vec_id", "embedding").collect()
+    V = np.array([v for _, v in VECTORS], dtype=float)
+    ids = [i for i, _ in VECTORS]
+    vmin, vmax = V.min(axis=0), V.max(axis=0)
+    got = {(r["vec_id"], r["dim"]): r["code"] for r in rows}
+    assert len(got) == V.size
+    for r_i, i in enumerate(ids):
+        for d in range(V.shape[1]):
+            span = vmax[d] - vmin[d]
+            exp = (
+                0
+                if span == 0
+                else int(np.floor((V[r_i, d] - vmin[d]) / span * 255 + 0.5))
+            )
+            assert got[(i, d)] == exp, f"vec {i} dim {d}"
+            assert 0 <= got[(i, d)] <= 255
