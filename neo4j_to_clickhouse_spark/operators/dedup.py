@@ -213,13 +213,21 @@ def jaccard_pairs(
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
-        sh = (
-            sh.withColumn(
-                "__df", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("__df") <= max_shingle_freq)
-            .drop("__df")
+        # Stop-list form, NOT a count-over-window: the window would
+        # shuffle AND SORT every shingle occurrence by its string —
+        # a corpus-wide sort far costlier than the f² blowup it guards
+        # (measured 4x the uncapped join at sf0.1). A hash aggregate
+        # map-side-combines to one row per distinct shingle, the
+        # over-cap survivors are by construction a TINY hot-shingle
+        # list (each represents > max_shingle_freq documents), and the
+        # anti-join against it broadcasts.
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_freq)
+            .select("shingle")
         )
+        sh = sh.join(stop, "shingle", "left_anti")
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -1159,9 +1159,12 @@ def decontamination_bloom(spark, sf_dir):
 @q(
     "dedup_jaccard_capped",
     # the stop-shingle skew cap certified: shingles with document
-    # frequency above 3 are dropped from the INTERSECTION join (the
+    # frequency above 20 are dropped from the INTERSECTION join (the
     # hot-key f^2 blowup guard) while denominators still count them, so
-    # reported Jaccard stays exact for non-boilerplate overlap
+    # reported Jaccard stays exact for non-boilerplate overlap. Cap 20
+    # bounds per-shingle join fan-in at 190 pairs yet keeps every true
+    # pair at sf0.1 (clone clusters run larger than the old cap of 3,
+    # which zeroed the sf0.1 result set)
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (
          SELECT DISTINCT doc_id,
@@ -1171,7 +1174,7 @@ def decontamination_bloom(spark, sf_dir):
        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
        kept AS (SELECT sh.doc_id, sh.shingle
-                FROM sh JOIN freq USING (shingle) WHERE freq.df <= 3),
+                FROM sh JOIN freq USING (shingle) WHERE freq.df <= 20),
        inter AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
          FROM kept a JOIN kept b
@@ -1185,13 +1188,13 @@ def decontamination_bloom(spark, sf_dir):
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b""",
-    "n-gram Jaccard with the max_shingle_freq stop-shingle cap (=3) — "
+    "n-gram Jaccard with the max_shingle_freq stop-shingle cap (=20) — "
     "the hot-shingle hardening path, exactly certified",
 )
 def dedup_jaccard_capped(spark, sf_dir):
     pairs = D.jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.5, max_shingle_freq=3,
+        n=3, threshold=0.5, max_shingle_freq=20,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
