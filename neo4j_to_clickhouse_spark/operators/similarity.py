@@ -702,3 +702,97 @@ def semantic_dedup_survivors(
         *[df[c] for c in df.columns],
         F.col("__drop_id").isNull().alias("is_survivor"),
     )
+
+
+def pq_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_col: str = "label",
+    m: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """Product quantization (PQ, Jegou et al. 2011 — FAISS's other
+    compression): split each vector into ``m`` contiguous dimension
+    blocks and run an independent Lloyd codebook per block; a vector's
+    code is its nearest centroid per subspace, so storage falls to
+    ``m`` codes while distances remain per-subspace refinable.
+
+    Same certifiable algebra as :func:`kmeans_cells_report` with a
+    ``sub`` key threaded through: centroids init to per-``init_col``
+    means, refine for ``iterations`` Lloyd steps under per-subspace
+    squared-euclidean assignment. Report:
+    ``(sub, cell, n_vecs, n_own_label, mean_dist)``.
+
+    Cross-engine float stability follows the k-means argument — plain
+    double sums whose ordering noise sits far below the per-(id, sub)
+    assignment margin (measured at both SFs before registration); the
+    certified outputs are integers plus one 4-decimal rounded mean.
+
+    Scale shape: identical to ``kmeans_cells_report`` per iteration —
+    centroid tables are m*k*dim/m = k*dim rows (AQE-broadcast), the
+    distance aggregate map-combines n*m*k partials, the assignment
+    window partitions by (id, sub). O(n*k*dim) per iteration total,
+    independent of m.
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.size(vec_col).alias("D"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    dims = base.select(
+        "id",
+        F.expr(f"(pos * {m}) div D").cast("long").alias("sub"),
+        "pos",
+        F.col("v").cast("double").alias("v"),
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(init_col).alias("lbl")
+    )
+    cent = (
+        dims.join(labels, "id")
+        .groupBy(F.col("lbl").alias("cell"), "sub", "pos")
+        .agg((F.sum("v") / F.count("*")).alias("c"))
+    )
+
+    def _assign(cent_df):
+        d = (
+            dims.drop("sub")
+            .join(cent_df, "pos")
+            .groupBy("id", "sub", "cell")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("id", "sub").orderBy("dist", "cell")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "sub", "cell", "dist")
+        )
+
+    for _ in range(iterations):
+        assigned = _assign(cent)
+        cent = (
+            dims.join(
+                assigned.select("id", "sub", "cell"), ["id", "sub"]
+            )
+            .groupBy("cell", "sub", "pos")
+            .agg((F.sum("v") / F.count("*")).alias("c"))
+            .localCheckpoint()
+        )
+    final = _assign(cent)
+    return (
+        final.join(labels, "id")
+        .groupBy("sub", "cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum((F.col("lbl") == F.col("cell")).cast("long")).alias(
+                "n_own_label"
+            ),
+            (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("mean_dist"),
+        )
+        .orderBy("sub", "cell")
+    )

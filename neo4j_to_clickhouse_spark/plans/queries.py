@@ -3414,6 +3414,65 @@ _KMEANS_ORACLE = """WITH dims AS (
        GROUP BY f.cell ORDER BY f.cell"""
 
 
+# PQ oracle: the k-means unrolled-CTE trick with a subspace key threaded
+# through (1 Lloyd iteration). Float-stability: min per-(id, sub)
+# assignment margin measured 1.5e-7 at sf0.1 (6.9e-6 / 2.7e-6 at the
+# smaller SFs, both iterations) — ~6 orders above double-sum ordering
+# noise; certified outputs are integers + one 4-decimal rounded mean.
+_PQ_ORACLE = """WITH dims AS (
+         SELECT id, ((pos - 1) * 4) // D AS sub, pos, v FROM (
+           SELECT vec_id AS id, len(embedding) AS D,
+                  generate_subscripts(embedding, 1) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings) t),
+       lab AS (SELECT vec_id AS id, label AS lbl FROM embeddings),
+       c0 AS (SELECT l.lbl AS cell, d.sub, d.pos, sum(d.v) / count(*) AS c
+              FROM dims d JOIN lab l USING (id)
+              GROUP BY l.lbl, d.sub, d.pos),
+       d0 AS (SELECT d.id, c.sub, c.cell,
+                     sum((d.v - c.c) * (d.v - c.c)) AS dist
+              FROM dims d JOIN c0 c USING (pos)
+              GROUP BY d.id, c.sub, c.cell),
+       a0 AS (SELECT id, sub, cell FROM (
+                SELECT id, sub, cell, row_number() OVER (
+                         PARTITION BY id, sub ORDER BY dist, cell) AS rn
+                FROM d0) WHERE rn = 1),
+       c1 AS (SELECT a.cell, d.sub, d.pos, sum(d.v) / count(*) AS c
+              FROM dims d JOIN a0 a ON a.id = d.id AND a.sub = d.sub
+              GROUP BY a.cell, d.sub, d.pos),
+       d1 AS (SELECT d.id, c.sub, c.cell,
+                     sum((d.v - c.c) * (d.v - c.c)) AS dist
+              FROM dims d JOIN c1 c USING (pos)
+              GROUP BY d.id, c.sub, c.cell),
+       fin AS (SELECT id, sub, cell, dist FROM (
+                 SELECT id, sub, cell, dist, row_number() OVER (
+                          PARTITION BY id, sub ORDER BY dist, cell) AS rn
+                 FROM d1) WHERE rn = 1)
+       SELECT f.sub, f.cell, count(*) AS n_vecs,
+              CAST(sum(CASE WHEN l.lbl = f.cell THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_own_label,
+              round(avg(f.dist), 4) + 0 AS mean_dist
+       FROM fin f JOIN lab l USING (id)
+       GROUP BY f.sub, f.cell ORDER BY f.sub, f.cell"""
+
+
+@q(
+    "embedding_pq_codes",
+    _PQ_ORACLE,
+    "product quantization (PQ): per-subspace Lloyd codebooks from "
+    "label-mean init, certified against an unrolled-CTE oracle",
+)
+def embedding_pq_codes(spark, sf_dir):
+    return S.pq_report(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        m=4,
+        iterations=1,
+    )
+
+
 @q(
     "embedding_kmeans_cells",
     _KMEANS_ORACLE,
@@ -3475,6 +3534,7 @@ _DRIVER_WINDOW = [
     "cross_source_span_overlap",  # NEW: source-pair verbatim-span matrix
     "semantic_dedup_survivors",   # NEW: SemDeDup keep-lowest-id accounting
     "embedding_quantization_report",  # NEW: SQ8 integer-exact code profile
+    "embedding_pq_codes",             # NEW: PQ codebooks vs unrolled oracle
     "approx_distinct_users_bound",    # NEW: HLL++ error-bound certification
     # -- rotating back in: r05-green, one round out of the window --
     "filter_json_path_variant",
@@ -3513,7 +3573,6 @@ _DRIVER_WINDOW = [
     # complex high-regression-risk representatives kept under continuous
     # driver certification
     "dedup_minhash_lsh",
-    "embedding_ivf_full_probe",
 ]
 
 _ROTATION = [
@@ -3522,6 +3581,7 @@ _ROTATION = [
     # later round per SURVEY §8 policy
     "sample_temperature_weighted",  # r05+r06 double green; sampling family held by sample_hash_fraction
     "multimodal_inventory",       # r05+r06 double green; metadata-only scan, heaviest pytest coverage (codec suites)
+    "embedding_ivf_full_probe",   # r05-green; IVF family held in-window by the harder embedding_ivf_recall certification
     "decontamination_overlap",    # r05+r06 double green; scale sibling decontamination_bloom in window
     "random_sample",              # rows-only by design; hard sibling sample_hash_fraction in window
     "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window

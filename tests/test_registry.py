@@ -40,6 +40,7 @@ NEVER_CERTIFIED = [
     "approx_distinct_users_bound",
     "cross_source_span_overlap",
     "semantic_dedup_survivors",
+    "embedding_pq_codes",
 ]
 
 # r05-green entries rotated out for round 6, rotating back in to

@@ -297,3 +297,45 @@ def test_quantize_embeddings_matches_numpy(emb):
             )
             assert got[(i, d)] == exp, f"vec {i} dim {d}"
             assert 0 <= got[(i, d)] <= 255
+
+
+def _np_pq(V, lab, m, iterations):
+    import numpy as np
+
+    n, D = V.shape
+    w = D // m
+    assigns = np.zeros((n, m), dtype=int)
+    for s in range(m):
+        X = V[:, s * w : (s + 1) * w]
+        cells = sorted(set(lab.tolist()))
+        cent = {c: X[lab == c].mean(axis=0) for c in cells}
+        a = None
+        for _ in range(iterations + 1):
+            dist = np.stack(
+                [((X - cent[c]) ** 2).sum(axis=1) for c in cells], axis=1
+            )
+            a = np.array([cells[i] for i in dist.argmin(axis=1)])
+            cent = {
+                c: X[a == c].mean(axis=0) for c in cells if (a == c).any()
+            }
+            cells = sorted(cent)
+        assigns[:, s] = a
+    return assigns
+
+
+def test_pq_report_matches_numpy_reference(spark):
+    import numpy as np
+
+    df, ids, lab, V = _fixture_embeddings(spark)
+    assigns = _np_pq(V, lab, m=4, iterations=1)
+    out = {
+        (r["sub"], r["cell"]): (r["n_vecs"], r["n_own_label"])
+        for r in S.pq_report(
+            df, "vec_id", "embedding", "label", m=4, iterations=1
+        ).collect()
+    }
+    for s in range(4):
+        for c in sorted(set(assigns[:, s].tolist())):
+            n = int((assigns[:, s] == c).sum())
+            own = int(((assigns[:, s] == c) & (lab == c)).sum())
+            assert out[(s, c)] == (n, own), f"sub {s} cell {c}"
