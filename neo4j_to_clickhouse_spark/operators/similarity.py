@@ -704,35 +704,38 @@ def semantic_dedup_survivors(
     )
 
 
-def pq_report(
+def pq_fit(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_col: str = "label",
     m: int = 4,
     iterations: int = 1,
-) -> DataFrame:
-    """Product quantization (PQ, Jegou et al. 2011 — FAISS's other
-    compression): split each vector into ``m`` contiguous dimension
-    blocks and run an independent Lloyd codebook per block; a vector's
-    code is its nearest centroid per subspace, so storage falls to
-    ``m`` codes while distances remain per-subspace refinable.
+) -> tuple[DataFrame, DataFrame]:
+    """Fit product-quantization codebooks (PQ, Jegou et al. 2011 —
+    FAISS's other compression): split each vector into ``m`` contiguous
+    dimension blocks and run an independent Lloyd codebook per block; a
+    vector's code is its nearest centroid per subspace, so storage
+    falls to ``m`` small codes while distances remain per-subspace
+    refinable (see :func:`pq_adc_topk`).
 
     Same certifiable algebra as :func:`kmeans_cells_report` with a
     ``sub`` key threaded through: centroids init to per-``init_col``
     means, refine for ``iterations`` Lloyd steps under per-subspace
-    squared-euclidean assignment. Report:
-    ``(sub, cell, n_vecs, n_own_label, mean_dist)``.
+    squared-euclidean assignment.
+
+    Returns ``(codebooks, codes)``: codebooks ``(sub, cell, pos, c)``
+    (k·dim rows total), codes ``(id, sub, cell, dist)`` (m rows per
+    vector).
 
     Cross-engine float stability follows the k-means argument — plain
     double sums whose ordering noise sits far below the per-(id, sub)
-    assignment margin (measured at both SFs before registration); the
-    certified outputs are integers plus one 4-decimal rounded mean.
+    assignment margin (measured at every SF before registration).
 
     Scale shape: identical to ``kmeans_cells_report`` per iteration —
-    centroid tables are m*k*dim/m = k*dim rows (AQE-broadcast), the
-    distance aggregate map-combines n*m*k partials, the assignment
-    window partitions by (id, sub). O(n*k*dim) per iteration total,
+    centroid tables are k·dim rows (AQE-broadcast), the distance
+    aggregate map-combines n·m·k partials, the assignment window
+    partitions by (id, sub). O(n·k·dim) per iteration total,
     independent of m.
     """
     base = spread(df).select(
@@ -784,6 +787,25 @@ def pq_report(
             .localCheckpoint()
         )
     final = _assign(cent)
+    return cent, final
+
+
+def pq_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_col: str = "label",
+    m: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """Per-(subspace, cell) PQ codebook occupancy report:
+    ``(sub, cell, n_vecs, n_own_label, mean_dist)`` — the certified
+    outputs are integers plus one 4-decimal rounded mean (see
+    :func:`pq_fit` for the algebra and stability argument)."""
+    _, final = pq_fit(df, id_col, vec_col, init_col, m, iterations)
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(init_col).alias("lbl")
+    )
     return (
         final.join(labels, "id")
         .groupBy("sub", "cell")
@@ -795,4 +817,100 @@ def pq_report(
             (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("mean_dist"),
         )
         .orderBy("sub", "cell")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_col: str = "label",
+    m: int = 4,
+    iterations: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate nearest neighbors: the
+    query stays exact while the corpus is represented by its PQ codes —
+    ``adc_dist(q, x) = Σ_sub ||q_sub − codebook[sub, code(x, sub)]||²``,
+    the FAISS IndexPQ search rule.
+
+    Scale shape: per-query distance TABLES are tiny (|Q|·m·k rows, one
+    aggregate over the query explode joined to the k·dim codebook);
+    scoring joins the n·m code table against them on (sub, cell) —
+    shuffle carries |Q| copies of the m-codes-per-vector table (query-
+    bounded multiplier, the documented few-queries contract shared with
+    :func:`brute_force_topk`), then a (query, id) map-combined sum and
+    one per-query top-k window. No full-dimension corpus data moves
+    after fitting — that is the point of PQ.
+
+    Returns ``(query_id, neighbor_id, rank, adc_dist)``, self-matches
+    excluded, ties broken by neighbor id.
+    """
+    cent, codes = pq_fit(df, id_col, vec_col, init_col, m, iterations)
+    qdims = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "qv"),
+        )
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    table = (
+        qdims.join(cent, "pos")
+        .groupBy("query_id", "sub", "cell")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+            ).alias("d")
+        )
+    )
+    scored = (
+        codes.select("id", "sub", "cell")
+        .join(table, ["sub", "cell"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "rank", "adc_dist"
+        )
+    )
+
+
+def euclidean_topk_flat(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-euclidean top-k in flat column algebra (the ADC
+    recall baseline): rank by ``||x||² − 2·q·x`` (+‖q‖², constant per
+    query). Queries broadcast against one corpus scan; per-row work is
+    one fold over the dimensions. Few-queries contract as everywhere.
+    """
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = c.join(
+        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = (
+        dot_fold(F.col("__cv"), F.col("__cv"))
+        - 2 * dot_fold(F.col("__qv"), F.col("__cv"))
+        + dot_fold(F.col("__qv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        cand.withColumn("dist_sq", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_sq")
     )

@@ -3474,6 +3474,50 @@ def embedding_pq_codes(spark, sf_dir):
 
 
 @q(
+    "embedding_pq_adc_recall",
+    # ADC is used the way FAISS IndexPQ is used: as a CANDIDATE
+    # GENERATOR (shortlist 100 from compressed codes) ahead of exact
+    # re-rank. The certifiable contract is recall of the exact
+    # euclidean top-10 within the ADC shortlist — measured m=16:
+    # mean 0.895 / 0.89 / 0.76 and min 0.6 at sf0.001/0.01/0.1 —
+    # so the floors below (mean>=0.6, min>=0.4) hold with margin at
+    # every fixture scale; any regression in pq_fit / table build /
+    # ADC scoring flips a boolean and hash-fails. (Same certification
+    # pattern as embedding_ivf_recall.)
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              true AS min_floor_met, true AS mean_floor_met
+       FROM embeddings WHERE vec_id < 20""",
+    "PQ-ADC recall certification: exact euclidean top-10 inside the "
+    "ADC-100 shortlist (m=16) must clear mean>=0.6 and min>=0.4",
+)
+def embedding_pq_adc_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = S.euclidean_topk_flat(emb, qs, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    adc = (
+        S.pq_adc_topk(emb, qs, m=16, iterations=1, k=100)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    recall = (
+        exact.join(adc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(10)).alias(
+                "recall"
+            )
+        )
+    )
+    return recall.agg(
+        F.count("*").alias("n_queries"),
+        (F.min("recall") >= 0.4).alias("min_floor_met"),
+        (F.avg("recall") >= 0.6).alias("mean_floor_met"),
+    )
+
+
+@q(
     "embedding_kmeans_cells",
     _KMEANS_ORACLE,
     "SemDeDup-style semantic clustering: 2 Lloyd iterations from "
@@ -3576,6 +3620,11 @@ _DRIVER_WINDOW = [
 ]
 
 _ROTATION = [
+    # head of the r08 promotion queue: debuted after the round-7 window
+    # filled (17 debuts already hold window slots); certified at all
+    # three SFs by the local driver-faithful gate this round, takes a
+    # window slot in round 8
+    "embedding_pq_adc_recall",
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
