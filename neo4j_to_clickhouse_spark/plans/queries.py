@@ -2484,6 +2484,54 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "approx_percentile_bound",
+    # Certification pattern for the KLL/GK sketch (the 100 TB percentile
+    # path, engine-specific by construction — cf. approx_distinct_users_
+    # bound / topk_words_approx): exact p50/p90 oracle-matched, plus a
+    # driver-checkable claim that the approx_percentile(accuracy=10000)
+    # estimate lands inside the exact [q-0.01, q+0.01] quantile envelope
+    # — rank error <= 1e-4 by the sketch contract, 100x inside the
+    # envelope, so the boolean is deterministic.
+    """SELECT event_type,
+              round(quantile_cont(value, 0.5), 6) AS p50_exact,
+              round(quantile_cont(value, 0.9), 6) AS p90_exact,
+              TRUE AS p50_within_bound, TRUE AS p90_within_bound
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "approximate-percentile certification: exact p50/p90 plus the "
+    "sketch estimate certified inside the +-0.01 quantile envelope",
+)
+def approx_percentile_bound(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        F.percentile("value", F.lit(0.49)).alias("__p50_lo"),
+        F.percentile("value", F.lit(0.51)).alias("__p50_hi"),
+        F.percentile("value", F.lit(0.89)).alias("__p90_lo"),
+        F.percentile("value", F.lit(0.91)).alias("__p90_hi"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+            "__a50"
+        ),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias(
+            "__a90"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.col("__a50") >= F.col("__p50_lo"))
+            & (F.col("__a50") <= F.col("__p50_hi"))
+        ).alias("p50_within_bound"),
+        (
+            (F.col("__a90") >= F.col("__p90_lo"))
+            & (F.col("__a90") <= F.col("__p90_hi"))
+        ).alias("p90_within_bound"),
+    ).orderBy("event_type")
+
+
+@q(
     "conditional_aggregates",
     # ClickHouse's countIf/sumIf/avgIf idiom (ubiquitous in its dashboards)
     # = ANSI FILTER clause = Spark count_if / sum(when). One pass, one
@@ -3625,6 +3673,7 @@ _ROTATION = [
     # three SFs by the local driver-faithful gate this round, takes a
     # window slot in round 8
     "embedding_pq_adc_recall",
+    "approx_percentile_bound",
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
