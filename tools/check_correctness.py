@@ -85,6 +85,12 @@ def norm_rows(rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # a typo'd (or flag-style) name silently filters NOTHING and prints a
+    # vacuous ALL OK — fail fast instead
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
