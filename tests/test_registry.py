@@ -131,3 +131,22 @@ def test_entry_contract_exposes_reordered_registry():
     for name in Q._DRIVER_WINDOW:
         if name not in rows_only:
             assert name in oracles, f"in-window query {name} lost its oracle"
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md is generated from the registry — regenerate with
+    `python tools/gen_operator_index.py` after registering a query."""
+    import pathlib
+
+    sys.path.insert(
+        0,
+        str(pathlib.Path(__file__).resolve().parent.parent / "tools"),
+    )
+    from gen_operator_index import render
+
+    on_disk = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "docs", "OPERATORS.md"
+    ).read_text()
+    assert on_disk == render(), (
+        "docs/OPERATORS.md is stale — run python tools/gen_operator_index.py"
+    )
