@@ -2484,6 +2484,100 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "cube_event_counts",
+    # CUBE sibling of the ROLLUP query: all four grouping combinations
+    # in one pass. NULLS FIRST ordering spelled on both sides (Spark's
+    # asc default is nulls-first, DuckDB's is nulls-last).
+    """SELECT event_type, user_id % 5 AS bucket,
+              count(*) AS cnt
+       FROM events GROUP BY CUBE (event_type, user_id % 5)
+       ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""",
+    "CUBE over (event_type, user bucket): every subtotal combination "
+    "plus the grand total in one pass",
+)
+def cube_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", (F.col("user_id") % 5).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("bucket").asc_nulls_first(),
+        )
+    )
+
+
+@q(
+    "value_deciles_by_type",
+    # ntile(10) deciles with a TOTAL order (value, event_id) so tile
+    # boundaries are engine-independent even for equal values.
+    """WITH t AS (SELECT event_type, value,
+                         ntile(10) OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id)
+                           AS decile
+                  FROM events)
+       SELECT event_type, decile, count(*) AS cnt,
+              round(min(value), 6) AS min_v,
+              round(max(value), 6) AS max_v
+       FROM t GROUP BY event_type, decile
+       ORDER BY event_type, decile""",
+    "ntile(10) value deciles per event type with total-order tie-break",
+)
+def value_deciles_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        t.groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+@q(
+    "event_type_pivot",
+    # Spark's native pivot with an EXPLICIT value list (implicit-list
+    # pivot collects the domain on the driver — the explicit list keeps
+    # the plan static and the 100 TB path one pass). The oracle spells
+    # the same contract as portable conditional aggregation.
+    """SELECT user_id % 10 AS bucket,
+              CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                AS click,
+              CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                AS error,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                AS purchase,
+              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                AS signup,
+              CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                AS view
+       FROM events GROUP BY user_id % 10 ORDER BY bucket""",
+    "pivot event-type counts into columns per user bucket (explicit "
+    "value list: one pass, no driver-side domain collect)",
+)
+def event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        )
+        .count()
+    )
+    cols = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cols],
+    ).orderBy("bucket")
+
+
+@q(
     "approx_percentile_bound",
     # Certification pattern for the KLL/GK sketch (the 100 TB percentile
     # path, engine-specific by construction — cf. approx_distinct_users_
@@ -3674,6 +3768,9 @@ _ROTATION = [
     # window slot in round 8
     "embedding_pq_adc_recall",
     "approx_percentile_bound",
+    "cube_event_counts",
+    "value_deciles_by_type",
+    "event_type_pivot",
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
