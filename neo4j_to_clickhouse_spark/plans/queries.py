@@ -2484,6 +2484,185 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "customers_inactive_since",
+    # NOT EXISTS as a left ANTI join (never a correlated re-scan):
+    # customers with no order on/after 2000-01-01. The filter pushes to
+    # the orders scan before the join.
+    """SELECT c.c_custkey, c.c_name,
+              round(c.c_acctbal, 2) AS acctbal
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       ORDER BY c.c_custkey""",
+    "anti-join churn probe: customers with no order since 2000",
+)
+def customers_inactive_since(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(recent, "c_custkey", "left_anti")
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "urgent_customers_by_segment",
+    # EXISTS as a left SEMI join: per market segment, how many customers
+    # placed at least one 1-URGENT order. The semi join deduplicates on
+    # the build side — no fan-out, no distinct afterwards.
+    """SELECT c.c_mktsegment AS segment,
+              count(*) AS n_customers
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c.c_mktsegment ORDER BY segment""",
+    "semi-join segmentation: customers with at least one urgent order",
+)
+def urgent_customers_by_segment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(urgent, "c_custkey", "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@q(
+    "user_halves_churn",
+    # FULL OUTER join of per-user activity in the two halves of the
+    # event-log time range: retained / churned / new / reactivation-free
+    # accounting. COALESCE carries the key through the outer join.
+    """WITH b AS (SELECT CAST(min(ts) AS TIMESTAMP) AS lo,
+                         CAST(max(ts) AS TIMESTAMP) AS hi FROM events),
+       h1 AS (SELECT user_id, count(*) AS n1 FROM events, b
+              WHERE ts < lo + (hi - lo) / 2 GROUP BY user_id),
+       h2 AS (SELECT user_id, count(*) AS n2 FROM events, b
+              WHERE ts >= lo + (hi - lo) / 2 GROUP BY user_id),
+       j AS (SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
+                    coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+             FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id)
+       SELECT CAST(sum(CASE WHEN n1 > 0 AND n2 > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS retained,
+              CAST(sum(CASE WHEN n1 > 0 AND n2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS churned,
+              CAST(sum(CASE WHEN n1 = 0 AND n2 > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS new_users,
+              CAST(sum(n1 + n2) AS BIGINT) AS total_events
+       FROM j""",
+    "full-outer churn accounting: users retained / churned / new "
+    "between the two halves of the log's time range",
+)
+def user_halves_churn(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("ts").cast("timestamp").alias("lo"),
+        F.max("ts").cast("timestamp").alias("hi"),
+    )
+    with_mid = ev.crossJoin(b).withColumn(
+        "__mid",
+        F.timestamp_micros(
+            (
+                F.unix_micros(F.col("lo"))
+                + (F.unix_micros(F.col("hi")) - F.unix_micros(F.col("lo")))
+                / 2
+            ).cast("long")
+        ),
+    )
+    h1 = (
+        with_mid.filter(F.col("ts") < F.col("__mid"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n1"))
+    )
+    h2 = (
+        with_mid.filter(F.col("ts") >= F.col("__mid"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n2"))
+    )
+    j = (
+        h1.join(h2, "user_id", "full_outer")
+        .select(
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+        )
+    )
+    return j.agg(
+        F.sum(((F.col("n1") > 0) & (F.col("n2") > 0)).cast("long")).alias(
+            "retained"
+        ),
+        F.sum(((F.col("n1") > 0) & (F.col("n2") == 0)).cast("long")).alias(
+            "churned"
+        ),
+        F.sum(((F.col("n1") == 0) & (F.col("n2") > 0)).cast("long")).alias(
+            "new_users"
+        ),
+        F.sum(F.col("n1") + F.col("n2")).alias("total_events"),
+    )
+
+
+@q(
+    "shipping_priority",
+    # TPC-H Q3 shape: segment-filtered customer x date-bracketed orders
+    # x lineitem revenue, top 10 by revenue. DECIMAL-exact revenue sum
+    # (house determinism rule), orderkey tie-break.
+    """SELECT l.l_orderkey,
+              CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+              o.o_orderdate, o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         AND l.l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+    "TPC-H Q3 shipping priority: top unshipped-revenue orders for one "
+    "market segment",
+)
+def shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
     "cube_event_counts",
     # CUBE sibling of the ROLLUP query: all four grouping combinations
     # in one pass. NULLS FIRST ordering spelled on both sides (Spark's
@@ -3771,6 +3950,10 @@ _ROTATION = [
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
+    "customers_inactive_since",
+    "urgent_customers_by_segment",
+    "user_halves_churn",
+    "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
     # with an in-window sibling carrying the family; rotate back in a
     # later round per SURVEY §8 policy
