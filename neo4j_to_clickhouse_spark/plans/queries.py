@@ -2484,6 +2484,99 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "clicker_purchaser_intersect",
+    # INTERSECT / EXCEPT set-op surface (§2.7): users who both clicked
+    # and purchased, and users who viewed but never purchased. Both
+    # compile to semi/anti joins over pre-aggregated key sets — the
+    # set ops see one row per user, never the event log.
+    """WITH ck AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+       pu AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase'),
+       vw AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'view')
+       SELECT CAST((SELECT count(*) FROM (SELECT * FROM ck
+                    INTERSECT SELECT * FROM pu)) AS BIGINT)
+                AS click_and_purchase,
+              CAST((SELECT count(*) FROM (SELECT * FROM vw
+                    EXCEPT SELECT * FROM pu)) AS BIGINT)
+                AS view_never_purchase""",
+    "set-op funnel: INTERSECT (clicked AND purchased) and EXCEPT "
+    "(viewed but never purchased) user counts",
+)
+def clicker_purchaser_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+        )
+
+    both = (
+        users("click")
+        .intersect(users("purchase"))
+        .agg(F.count("*").alias("click_and_purchase"))
+    )
+    never = (
+        users("view")
+        .subtract(users("purchase"))
+        .agg(F.count("*").alias("view_never_purchase"))
+    )
+    # 1-row x 1-row crossJoin — the same scalar-combine shape as the
+    # graph/global-totals queries
+    return both.crossJoin(never)
+
+
+@q(
+    "daily_counts_gapfilled",
+    # ClickHouse `WITH FILL` analogue: the calendar spine is generated
+    # from the log's min/max day (a 1-row aggregate exploded — never a
+    # driver loop), left-joined to the daily pre-aggregate, zeros
+    # filled. Output is days-sized regardless of log size.
+    """WITH days AS (
+         SELECT unnest(generate_series(
+                  date_trunc('day', (SELECT min(ts) FROM events)),
+                  date_trunc('day', (SELECT max(ts) FROM events)),
+                  INTERVAL 1 DAY)) AS day),
+       daily AS (SELECT date_trunc('day', ts) AS day,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1)
+       SELECT CAST(d.day AS TIMESTAMP) AS day,
+              CAST(coalesce(daily.cnt, 0) AS BIGINT) AS cnt,
+              coalesce(daily.cnt, 0) = 0 AS gap_filled
+       FROM days d LEFT JOIN daily ON daily.day = d.day
+       ORDER BY day""",
+    "gap-filled daily event counts (WITH FILL analogue): calendar "
+    "spine from the log range, missing days zero-filled and flagged",
+)
+def daily_counts_gapfilled(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            (F.coalesce(F.col("cnt"), F.lit(0)) == 0).alias("gap_filled"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
     "customers_inactive_since",
     # NOT EXISTS as a left ANTI join (never a correlated re-scan):
     # customers with no order on/after 2000-01-01. The filter pushes to
@@ -3952,6 +4045,8 @@ _ROTATION = [
     "event_type_pivot",
     "customers_inactive_since",
     "urgent_customers_by_segment",
+    "clicker_purchaser_intersect",
+    "daily_counts_gapfilled",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
