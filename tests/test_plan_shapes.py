@@ -207,3 +207,19 @@ def test_quantization_shuffles_only_dim_rows(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "dim" in ln.split("Exchange hashpartitioning", 1)[1].split(",")[0], ln
+
+
+def test_exists_shapes_compile_to_semi_and_anti_joins(spark):
+    """EXISTS/NOT EXISTS must plan as single semi/anti hash joins with
+    the predicate pushed to the orders scan — never a correlated
+    re-scan or a distinct + inner join."""
+    anti = _plan(spark, "customers_inactive_since")
+    assert "LeftAnti" in anti
+    semi = _plan(spark, "urgent_customers_by_segment")
+    assert "LeftSemi" in semi
+    assert "EqualTo(o_orderpriority,1-URGENT)" in semi  # pushed filter
+
+
+def test_shipping_priority_pushes_segment_filter(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
