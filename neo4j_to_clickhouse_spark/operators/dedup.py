@@ -175,6 +175,43 @@ def dedup_exact(
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop new-batch documents whose content
+    hash already exists in the historical fingerprint store, THEN dedup
+    the batch against itself (keep-lowest-id) — the daily-ingest
+    pattern where a batch joins a corpus that was already deduped.
+
+    ``seen_hashes`` is a one-column ``(content_hash)`` DataFrame — the
+    persisted fingerprint side of previous runs (store hashes, never
+    bodies). Returns the surviving rows of ``new_df`` plus the batch's
+    own hash column (``__content_hash``) so the caller can append the
+    survivors' hashes back to the store — the loop closes without ever
+    re-reading historical text.
+
+    Scale shape: one anti-join keyed on the 128-bit hash (the store
+    side is hash-only — at 10^12 documents it is ~32 TB of hex text vs
+    the corpus' 100+ TB of bodies, and bucketing the store by hash
+    makes the anti-join co-located), then the standard one-shuffle
+    in-batch window dedup over batch-sized data only.
+    """
+    hashed = new_df.withColumn("__content_hash", content_hash(text_col))
+    store = seen_hashes.select(
+        F.col(seen_hashes.columns[0]).alias("__content_hash")
+    )
+    fresh = hashed.join(store, "__content_hash", "left_anti")
+    w = Window.partitionBy("__content_hash").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def jaccard_pairs(

@@ -2484,6 +2484,72 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "dedup_incremental_batch",
+    # Daily-ingest dedup pattern: a new batch (doc_id % 3 = 0) dedups
+    # against the HISTORICAL fingerprint store (hashes of everything
+    # else — hashes only, bodies never re-read), then against itself
+    # keep-lowest-id. Reported per source: batch size, store-survivor
+    # count, final survivors.
+    """WITH b AS (SELECT doc_id, source, md5(text) AS h
+                  FROM documents WHERE doc_id % 3 = 0),
+       hist AS (SELECT DISTINCT md5(text) AS h
+                FROM documents WHERE doc_id % 3 <> 0),
+       fresh AS (SELECT b.doc_id, b.source, b.h
+                 FROM b LEFT JOIN hist ON b.h = hist.h
+                 WHERE hist.h IS NULL),
+       surv AS (SELECT doc_id, source FROM (
+                  SELECT doc_id, source, row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id) AS rn
+                  FROM fresh) WHERE rn = 1),
+       bc AS (SELECT source, count(*) AS n_batch FROM b GROUP BY source),
+       fc AS (SELECT source, count(*) AS n_fresh FROM fresh
+              GROUP BY source),
+       sc AS (SELECT source, count(*) AS n_survivors FROM surv
+              GROUP BY source)
+       SELECT bc.source, CAST(bc.n_batch AS BIGINT) AS n_batch,
+              CAST(coalesce(fc.n_fresh, 0) AS BIGINT) AS n_fresh,
+              CAST(coalesce(sc.n_survivors, 0) AS BIGINT) AS n_survivors
+       FROM bc
+       LEFT JOIN fc ON fc.source = bc.source
+       LEFT JOIN sc ON sc.source = bc.source
+       ORDER BY bc.source""",
+    "incremental dedup accounting: new batch vs historical fingerprint "
+    "store (hash-only anti-join), then in-batch keep-lowest-id",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(D.content_hash("text").alias("h"))
+        .distinct()
+    )
+    hashed = batch.withColumn("__content_hash", D.content_hash("text"))
+    fresh = hashed.join(
+        store.select(F.col("h").alias("__content_hash")),
+        "__content_hash",
+        "left_anti",
+    )
+    surv = D.dedup_incremental(batch, store, "doc_id", "text")
+    bc = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
+    fc = fresh.groupBy("source").agg(F.count("*").alias("n_fresh"))
+    sc = surv.groupBy("source").agg(F.count("*").alias("n_survivors"))
+    return (
+        bc.join(fc, "source", "left")
+        .join(sc, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce(F.col("n_fresh"), F.lit(0)).alias("n_fresh"),
+            F.coalesce(F.col("n_survivors"), F.lit(0)).alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "clicker_purchaser_intersect",
     # INTERSECT / EXCEPT set-op surface (§2.7): users who both clicked
     # and purchased, and users who viewed but never purchased. Both
@@ -4047,6 +4113,7 @@ _ROTATION = [
     "urgent_customers_by_segment",
     "clicker_purchaser_intersect",
     "daily_counts_gapfilled",
+    "dedup_incremental_batch",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
