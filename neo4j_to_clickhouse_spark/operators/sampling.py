@@ -174,3 +174,37 @@ def temperature_sample(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each row gets priority ``q = w / u`` with a
+    deterministic hash uniform ``u ∈ (0, 1]``, and the k highest
+    priorities win — heavy rows are proportionally likelier, every run
+    and every engine draws the SAME sample (u comes from md5(key), not
+    an RNG), and the scheme supports unbiased subset-sum estimation.
+
+    All arithmetic is cross-engine exact: the first 8 md5 hex chars
+    parse to one 32-bit integer, and ``(hx + 1) / 2^32`` and ``w / u``
+    are single correctly-rounded IEEE divisions.
+
+    Scale shape: priorities are scan-side expressions; the top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    merge) — no sort, no shuffle of the corpus.
+
+    Returns the winning rows plus ``priority``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hx = F.conv(
+        F.substring(_hash_key(key_col), 1, 8), 16, 10
+    ).cast("double")
+    u = (hx + F.lit(1.0)) / F.lit(float(16**8))
+    q = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", q)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -2484,6 +2484,43 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
+    "priority_sample_by_length",
+    # Priority sampling (Duffield-Lund-Thorup) with a deterministic
+    # hash uniform: q = w / ((hx+1)/2^32), top-200 by q. Single
+    # correctly-rounded IEEE divisions both sides, so the member set is
+    # engine-exact; per-source accounting certified.
+    """WITH p AS (SELECT doc_id, source, n_chars,
+                         CAST(n_chars AS DOUBLE)
+                           / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))::BIGINT + 1.0)
+                              / 4294967296.0) AS priority
+                  FROM documents),
+       win AS (SELECT * FROM p
+               ORDER BY priority DESC, doc_id LIMIT 200)
+       SELECT source, count(*) AS n_sampled,
+              CAST(sum(n_chars) AS BIGINT) AS weight_sampled
+       FROM win GROUP BY source ORDER BY source""",
+    "priority sampling (weighted, without replacement, deterministic): "
+    "length-weighted top-200 draw, per-source accounting",
+)
+def priority_sample_by_length(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    win = priority_sample(docs, "doc_id", "n_chars", k=200)
+    return (
+        win.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("weight_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "dedup_incremental_batch",
     # Daily-ingest dedup pattern: a new batch (doc_id % 3 = 0) dedups
     # against the HISTORICAL fingerprint store (hashes of everything
@@ -4114,6 +4151,7 @@ _ROTATION = [
     "clicker_purchaser_intersect",
     "daily_counts_gapfilled",
     "dedup_incremental_batch",
+    "priority_sample_by_length",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
