@@ -2521,6 +2521,101 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "priority_sample_estimator",
+    # The priority-sampling subset-sum estimator (Horvitz-Thompson with
+    # threshold tau = the (k+1)-th priority): sum(max(w, tau)) over the
+    # top-k is unbiased for the true total. Everything is hash-
+    # deterministic, so the ORACLE REPRODUCES THE ESTIMATE EXACTLY —
+    # a value-certified estimator, not just a bound.
+    """WITH p AS (SELECT doc_id, n_chars,
+                         CAST(n_chars AS DOUBLE)
+                           / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))::BIGINT + 1.0)
+                              / 4294967296.0) AS priority
+                  FROM documents),
+       r AS (SELECT doc_id, n_chars, priority,
+                    row_number() OVER (ORDER BY priority DESC, doc_id)
+                      AS rn
+             FROM p),
+       tau AS (SELECT priority AS t FROM r WHERE rn = 201),
+       win AS (SELECT n_chars FROM r WHERE rn <= 200)
+       SELECT CAST((SELECT count(*) FROM win) AS BIGINT) AS k,
+              CAST((SELECT sum(n_chars) FROM documents) AS BIGINT)
+                AS true_total,
+              round((SELECT sum(greatest(CAST(n_chars AS DOUBLE),
+                                         (SELECT t FROM tau)))
+                     FROM win), 4) + 0 AS ht_estimate""",
+    "priority-sampling subset-sum estimator: Horvitz-Thompson estimate "
+    "of total corpus weight from the top-200 draw, value-certified",
+)
+def priority_sample_estimator(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (hx + F.lit(1.0)) / F.lit(float(16**8))
+    p = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    # top-201 FIRST via TakeOrderedAndProject (per-partition heaps) —
+    # the global rank window then runs over 201 rows, never the corpus
+    top = p.orderBy(F.col("priority").desc(), F.col("doc_id")).limit(201)
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    r = top.withColumn("rn", F.row_number().over(w))
+    tau = r.filter(F.col("rn") == 201).select(
+        F.col("priority").alias("t")
+    )
+    win = r.filter(F.col("rn") <= 200).crossJoin(F.broadcast(tau))
+    true_total = docs.agg(F.sum("n_chars").alias("true_total"))
+    est = win.agg(
+        F.count("*").alias("k"),
+        (
+            F.round(
+                F.sum(
+                    F.greatest(F.col("n_chars").cast("double"), F.col("t"))
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("ht_estimate"),
+    )
+    return est.crossJoin(true_total).select("k", "true_total", "ht_estimate")
+
+
+@q(
+    "hourly_event_windows",
+    # Batch tumbling-window aggregation (the batch twin of the
+    # streaming monitoring agg): Spark window(ts, '1 hour') == DuckDB
+    # time_bucket. Top-24 busiest hours, window-start tie-break.
+    """WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                         count(*) AS n_events,
+                         count(DISTINCT user_id) AS n_users
+                  FROM events GROUP BY 1)
+       SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+              n_events, CAST(n_users AS BIGINT) AS n_users
+       FROM w ORDER BY n_events DESC, window_start LIMIT 24""",
+    "tumbling 1-hour windows over the event log (batch twin of the "
+    "streaming monitoring aggregate): top-24 busiest hours",
+)
+def hourly_event_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_users"
+        )
+        .orderBy(F.col("n_events").desc(), "window_start")
+        .limit(24)
+    )
+
+
+@q(
     "dedup_incremental_batch",
     # Daily-ingest dedup pattern: a new batch (doc_id % 3 = 0) dedups
     # against the HISTORICAL fingerprint store (hashes of everything
@@ -4152,6 +4247,8 @@ _ROTATION = [
     "daily_counts_gapfilled",
     "dedup_incremental_batch",
     "priority_sample_by_length",
+    "priority_sample_estimator",
+    "hourly_event_windows",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
