@@ -2521,6 +2521,72 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "ngram_diversity_by_source",
+    # n-gram diversity (distinct-N / type-token ratio at n = 1,2,3):
+    # the standard repetitiveness probe for detecting low-diversity or
+    # machine-generated corpus slices. Integer counts + one 6-decimal
+    # ratio per n; one scan per n over the same token table.
+    """WITH d AS (SELECT source, string_split(text, ' ') AS wl
+                  FROM documents),
+       u AS (SELECT source, 1 AS n, count(*) AS total,
+                    count(DISTINCT w) AS uniq
+             FROM (SELECT source, unnest(wl) AS w FROM d) GROUP BY source),
+       b AS (SELECT source, 2 AS n, count(*) AS total,
+                    count(DISTINCT g) AS uniq
+             FROM (SELECT source,
+                          list_aggregate(wl[i:i+1], 'string_agg', ' ') AS g
+                   FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+                   WHERE i <= len(wl) - 1) GROUP BY source),
+       t AS (SELECT source, 3 AS n, count(*) AS total,
+                    count(DISTINCT g) AS uniq
+             FROM (SELECT source,
+                          list_aggregate(wl[i:i+2], 'string_agg', ' ') AS g
+                   FROM d, (SELECT unnest(range(1, 100000)) AS i) idx
+                   WHERE i <= len(wl) - 2) GROUP BY source)
+       SELECT source, n, CAST(total AS BIGINT) AS total_ngrams,
+              CAST(uniq AS BIGINT) AS distinct_ngrams,
+              round(CAST(uniq AS DOUBLE) / total, 6) + 0 AS diversity
+       FROM (SELECT * FROM u UNION ALL SELECT * FROM b
+             UNION ALL SELECT * FROM t)
+       ORDER BY source, n""",
+    "n-gram diversity (distinct-N at n=1,2,3) per source: the "
+    "repetitiveness probe for low-diversity corpus slices",
+)
+def ngram_diversity_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+
+    def level(n):
+        toks = D.tokens("text")
+        grams = toks if n == 1 else D.ngram_array(toks, n)
+        occ = (
+            D.spread(docs)
+            .select("source", F.explode(grams).alias("g"))
+            .filter(F.col("g").isNotNull())
+        )
+        return occ.groupBy("source").agg(
+            F.lit(n).alias("n"),
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
+
+    out = level(1).unionByName(level(2)).unionByName(level(3))
+    return out.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.round(
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("diversity"),
+    ).orderBy("source", "n")
+
+
+@q(
     "priority_sample_estimator",
     # The priority-sampling subset-sum estimator (Horvitz-Thompson with
     # threshold tau = the (k+1)-th priority): sum(max(w, tau)) over the
@@ -4249,6 +4315,7 @@ _ROTATION = [
     "priority_sample_by_length",
     "priority_sample_estimator",
     "hourly_event_windows",
+    "ngram_diversity_by_source",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,

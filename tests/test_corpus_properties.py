@@ -237,3 +237,70 @@ def test_chunk_documents_matches_bruteforce(spark, corpus, w):
         )
     for i, t in enumerate(corpus):
         assert sorted(got.get(i, [])) == _py_chunks(t, w, s), f"doc {i}"
+
+
+@given(_corpus)
+@settings(**_SETTINGS)
+def test_dedup_incremental_matches_bruteforce(spark, corpus):
+    import hashlib
+
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        content_hash,
+        dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    # even ids are the batch, odd ids are history
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = df.filter(F.col("doc_id") % 2 == 0)
+    store = (
+        df.filter(F.col("doc_id") % 2 != 0)
+        .select(content_hash("text").alias("h"))
+        .distinct()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(batch, store, "doc_id", "text").collect()
+    )
+    seen = {
+        hashlib.md5(t.encode()).hexdigest()
+        for i, t in rows
+        if i % 2 != 0
+    }
+    expect = []
+    batch_seen = set()
+    for i, t in rows:
+        if i % 2 != 0:
+            continue
+        h = hashlib.md5(t.encode()).hexdigest()
+        if h in seen or h in batch_seen:
+            continue
+        batch_seen.add(h)
+        expect.append(i)
+    assert got == sorted(expect)
+
+
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=30), st.integers(1, 8))
+@settings(**_SETTINGS)
+def test_priority_sample_matches_bruteforce(spark, weights, k):
+    import hashlib
+
+    from neo4j_to_clickhouse_spark.operators.sampling import priority_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in priority_sample(df, "doc_id", "w", k=k).collect()
+    ]
+
+    def prio(i, w):
+        hx = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return w / ((hx + 1.0) / 16**8)
+
+    expect = sorted(
+        ((i, prio(i, w)) for i, w in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    assert got == expect
