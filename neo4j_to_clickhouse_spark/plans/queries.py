@@ -2521,6 +2521,71 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "events_by_dow_hour",
+    # BI heatmap staple: activity by day-of-week x hour. Engines number
+    # weekdays differently (DuckDB dow 0=Sunday, Spark dayofweek
+    # 1=Sunday), so both sides are normalized to ISO 1=Monday..7=Sunday
+    # explicitly.
+    """SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+              CAST(hour(ts) AS INTEGER) AS hod,
+              count(*) AS cnt,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users
+       FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
+    "day-of-week x hour activity heatmap (ISO weekday numbering "
+    "normalized on both engines)",
+)
+def events_by_dow_hour(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        ev.groupBy(
+            iso.alias("dow"), F.hour("ts").cast("int").alias("hod")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@q(
+    "doc_length_magnitude_histogram",
+    # order-of-magnitude length histogram with INTEGER-EXACT bins: the
+    # bin is the token count's decimal digit count (log10 buckets
+    # without touching floating-point log, which is not correctly
+    # rounded and can flip exact-power boundaries across libms).
+    """SELECT length(CAST(len(string_split(text, ' ')) AS VARCHAR))
+                AS magnitude,
+              count(*) AS n_docs,
+              CAST(min(len(string_split(text, ' '))) AS BIGINT)
+                AS min_tokens,
+              CAST(max(len(string_split(text, ' '))) AS BIGINT)
+                AS max_tokens
+       FROM documents GROUP BY 1 ORDER BY magnitude""",
+    "document-length histogram in order-of-magnitude (digit-count) "
+    "bins — integer-exact, no floating log",
+)
+def doc_length_magnitude_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(D.tokens("text"))
+    return (
+        docs.select(
+            F.length(n.cast("string")).alias("magnitude"),
+            n.alias("__n"),
+        )
+        .groupBy("magnitude")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("__n").cast("long").alias("min_tokens"),
+            F.max("__n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("magnitude")
+    )
+
+
+@q(
     "ngram_diversity_by_source",
     # n-gram diversity (distinct-N / type-token ratio at n = 1,2,3):
     # the standard repetitiveness probe for detecting low-diversity or
@@ -4316,6 +4381,8 @@ _ROTATION = [
     "priority_sample_estimator",
     "hourly_event_windows",
     "ngram_diversity_by_source",
+    "events_by_dow_hour",
+    "doc_length_magnitude_histogram",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
