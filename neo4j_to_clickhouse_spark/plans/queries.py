@@ -2521,6 +2521,67 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "user_entropy_bands",
+    # Per-user Shannon entropy of the event-type mix (behavioral
+    # diversity), banded around the fixture's quartiles (near-uniform
+    # 5-type mixes sit in [1.50, 1.61] nats). Float determinism via the
+    # lm.py pattern:
+    # each -p*ln(p) term rounds to 6dp and sums as DECIMAL, so the
+    # per-user entropy is exact and ordering-independent; the band
+    # comparison then happens on an exact value.
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY user_id, event_type),
+       t AS (SELECT user_id, CAST(sum(n) AS DOUBLE) AS tot
+             FROM c GROUP BY user_id),
+       e AS (SELECT c.user_id,
+                    CAST(sum(CAST(round(
+                        -(n / tot) * ln(n / tot), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS h
+             FROM c JOIN t ON t.user_id = c.user_id
+             GROUP BY c.user_id)
+       SELECT CASE WHEN h < 1.568 THEN 'low'
+                   WHEN h < 1.597 THEN 'mid'
+                   ELSE 'high' END AS band,
+              count(*) AS n_users,
+              round(min(h), 6) + 0 AS min_h,
+              round(max(h), 6) + 0 AS max_h
+       FROM e GROUP BY 1 ORDER BY band""",
+    "behavioral diversity: per-user event-type Shannon entropy, "
+    "banded (decimal-exact term summation)",
+)
+def user_entropy_bands(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").cast("double").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    e = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    band = (
+        F.when(F.col("h") < 1.568, "low")
+        .when(F.col("h") < 1.597, "mid")
+        .otherwise("high")
+    )
+    return (
+        e.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.round(F.min("h"), 6) + F.lit(0.0)).alias("min_h"),
+            (F.round(F.max("h"), 6) + F.lit(0.0)).alias("max_h"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
     "events_by_dow_hour",
     # BI heatmap staple: activity by day-of-week x hour. Engines number
     # weekdays differently (DuckDB dow 0=Sunday, Spark dayofweek
@@ -4383,6 +4444,7 @@ _ROTATION = [
     "ngram_diversity_by_source",
     "events_by_dow_hour",
     "doc_length_magnitude_histogram",
+    "user_entropy_bands",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
