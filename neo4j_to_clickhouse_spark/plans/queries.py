@@ -2521,6 +2521,120 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "value_mad_by_type",
+    # Robust dispersion: median absolute deviation per event type.
+    # Both engines interpolate the exact median identically
+    # (percentile == quantile_cont), so MAD is deterministic; one
+    # 6-decimal round at the boundary.
+    """WITH m AS (SELECT event_type,
+                         quantile_cont(value, 0.5) AS med
+                  FROM events GROUP BY event_type)
+       SELECT e.event_type,
+              round(min(m.med), 6) + 0 AS median_v,
+              round(quantile_cont(abs(e.value - m.med), 0.5), 6) + 0
+                AS mad
+       FROM events e JOIN m ON m.event_type = e.event_type
+       GROUP BY e.event_type ORDER BY e.event_type""",
+    "median absolute deviation of value per event type (robust "
+    "dispersion; exact interpolated medians)",
+)
+def value_mad_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        ev.join(m, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.min("med"), 6) + F.lit(0.0)).alias("median_v"),
+            (
+                F.round(
+                    F.percentile(
+                        F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "orders_monthly_growth",
+    # runningDifference / neighbor idiom: month-over-month growth of
+    # order counts via lag over the tiny monthly pre-aggregate (the
+    # window never sees the fact table). Growth is an exact integer
+    # difference; the rate is one rounded division.
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                         count(*) AS n_orders
+                  FROM orders GROUP BY 1)
+       SELECT CAST(month AS TIMESTAMP) AS month, n_orders,
+              CAST(n_orders - lag(n_orders) OVER (ORDER BY month)
+                   AS BIGINT) AS mom_delta,
+              round(CAST(n_orders AS DOUBLE)
+                    / lag(n_orders) OVER (ORDER BY month) - 1, 6) + 0
+                AS mom_rate
+       FROM m ORDER BY month""",
+    "month-over-month order growth: lag over the monthly pre-aggregate "
+    "(the neighbor idiom; fact table never enters the window)",
+)
+def orders_monthly_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        (F.col("n_orders") - prev).cast("long").alias("mom_delta"),
+        (
+            F.round(
+                F.col("n_orders").cast("double") / prev - 1, 6
+            )
+            + F.lit(0.0)
+        ).alias("mom_rate"),
+    ).orderBy("month")
+
+
+@q(
+    "event_share_of_total",
+    # ratio_to_report analogue: each type's share of all events — the
+    # total rides a 1-row broadcast cross join, not a window over the
+    # fact table.
+    """SELECT event_type, count(*) AS cnt,
+              round(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM events), 6) + 0 AS share
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "percent-of-total per event type (ratio_to_report analogue via "
+    "1-row broadcast total)",
+)
+def event_share_of_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("__tot"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt",
+            (
+                F.round(
+                    F.col("cnt").cast("double") / F.col("__tot"), 6
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "user_entropy_bands",
     # Per-user Shannon entropy of the event-type mix (behavioral
     # diversity), banded around the fixture's quartiles (near-uniform
@@ -4445,6 +4559,9 @@ _ROTATION = [
     "events_by_dow_hour",
     "doc_length_magnitude_histogram",
     "user_entropy_bands",
+    "value_mad_by_type",
+    "orders_monthly_growth",
+    "event_share_of_total",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
