@@ -2521,6 +2521,78 @@ def priority_sample_by_length(spark, sf_dir):
 
 
 @q(
+    "duplicate_metadata_conflicts",
+    # Label-noise audit over exact-duplicate groups: identical text
+    # should not carry conflicting metadata. Counts duplicate hash
+    # groups and how many disagree on lang / source (fixture truth:
+    # duplicates are within-source, so the conflict counts certify 0 —
+    # a regression that plants conflicting clones flips them).
+    """WITH g AS (SELECT md5(text) AS h, count(*) AS n,
+                         count(DISTINCT lang) AS n_lang,
+                         count(DISTINCT source) AS n_src
+                  FROM documents GROUP BY md5(text))
+       SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_groups,
+              CAST(sum(CASE WHEN n > 1 AND n_lang > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS lang_conflicts,
+              CAST(sum(CASE WHEN n > 1 AND n_src > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS source_conflicts
+       FROM g""",
+    "label-noise audit: exact-duplicate groups with conflicting lang "
+    "or source metadata",
+)
+def duplicate_metadata_conflicts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(D.content_hash("text").alias("h")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    return g.agg(
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(((F.col("n") > 1) & (F.col("n_lang") > 1)).cast("long")).alias(
+            "lang_conflicts"
+        ),
+        F.sum(((F.col("n") > 1) & (F.col("n_src") > 1)).cast("long")).alias(
+            "source_conflicts"
+        ),
+    )
+
+
+@q(
+    "revenue_by_part_type",
+    # Q14-shape dimension join: lineitem revenue rolled up by part
+    # type; the part dimension broadcasts (hint-free, AQE size-based).
+    # DECIMAL-exact revenue per the house determinism rule.
+    """SELECT p.p_type,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       GROUP BY p.p_type ORDER BY p.p_type""",
+    "revenue by part type: fact-to-dimension broadcast join with "
+    "decimal-exact revenue",
+)
+def revenue_by_part_type(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@q(
     "value_mad_by_type",
     # Robust dispersion: median absolute deviation per event type.
     # Both engines interpolate the exact median identically
@@ -4562,6 +4634,8 @@ _ROTATION = [
     "value_mad_by_type",
     "orders_monthly_growth",
     "event_share_of_total",
+    "duplicate_metadata_conflicts",
+    "revenue_by_part_type",
     "user_halves_churn",
     "shipping_priority",
     # demoted for round 7: driver-green in r06 on the current fixture,
