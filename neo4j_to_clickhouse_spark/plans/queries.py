@@ -4524,6 +4524,406 @@ def embedding_kmeans_cells(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 4 — curation-rule filters, warehouse profiling, and
+# mixture planning (north-star LLM-pipeline surface)
+# =====================================================================
+
+# Gopher-style document-quality rules (Rae et al. 2021 §A1.1, C4-class
+# heuristics), spelled INTEGER-EXACT so both engines agree bit-for-bit:
+# - mean token length in [3, 10] is compared multiplicatively
+#   (sum_tok_len < 3*n, > 10*n) — no division;
+# - the symbol-ratio > 0.1 test is 10*symbols > chars;
+# - per-doc token-length sum uses the single-spaced fixture contract
+#   (tests/test_fixture_contract.py): sum(len(tok)) == len(text)-(n-1);
+# - "low stopword" counts DISTINCT stop-list hits (< 2) via the deduped
+#   array intersection both engines implement identically.
+_GOPHER_STOPS = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "in", "it",
+)
+
+
+@q(
+    "gopher_quality_flags",
+    f"""SELECT source, count(*) AS n_docs,
+              count(*) FILTER (WHERE n_tok < 50 OR n_tok > 2500)
+                AS bad_length,
+              count(*) FILTER (WHERE sum_tok < 3 * n_tok
+                               OR sum_tok > 10 * n_tok) AS bad_mean_len,
+              count(*) FILTER (WHERE 10 * symbols > n_chars)
+                AS high_symbol,
+              count(*) FILTER (WHERE stop_hits < 2) AS low_stopword,
+              count(*) FILTER (WHERE NOT (n_tok < 50 OR n_tok > 2500)
+                               AND NOT (sum_tok < 3 * n_tok
+                                        OR sum_tok > 10 * n_tok)
+                               AND NOT (10 * symbols > n_chars)
+                               AND NOT (stop_hits < 2)) AS n_clean
+       FROM (SELECT source,
+                    len(string_split(text, ' ')) AS n_tok,
+                    length(text) AS n_chars,
+                    length(text) - (len(string_split(text, ' ')) - 1)
+                      AS sum_tok,
+                    length(text)
+                      - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                              '', 'g')) AS symbols,
+                    len(list_intersect(
+                        string_split(lower(text), ' '),
+                        {list(_GOPHER_STOPS)!r})) AS stop_hits
+             FROM documents)
+       GROUP BY source ORDER BY source""",
+    "Gopher/C4-class quality-rule filter report per source — every "
+    "rule integer-exact (multiplicative mean-length + symbol-ratio "
+    "bounds, distinct stop-list hits)",
+)
+def gopher_quality_flags(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.tokens("text")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    # single-spaced fixture contract: token lengths sum to
+    # len(text) - (n_tok - 1); pinned in tests/test_fixture_contract.py
+    sum_tok = n_chars - (n_tok - F.lit(1))
+    symbols = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.split(F.lower(F.col("text")), " "),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    bad_length = (n_tok < 50) | (n_tok > 2500)
+    bad_mean = (sum_tok < 3 * n_tok) | (sum_tok > 10 * n_tok)
+    high_sym = 10 * symbols > n_chars
+    low_stop = stop_hits < 2
+    flagged = docs.select(
+        "source",
+        bad_length.alias("f_len"),
+        bad_mean.alias("f_mean"),
+        high_sym.alias("f_sym"),
+        low_stop.alias("f_stop"),
+    )
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt(F.col("f_len")).alias("bad_length"),
+            cnt(F.col("f_mean")).alias("bad_mean_len"),
+            cnt(F.col("f_sym")).alias("high_symbol"),
+            cnt(F.col("f_stop")).alias("low_stopword"),
+            cnt(
+                ~F.col("f_len") & ~F.col("f_mean")
+                & ~F.col("f_sym") & ~F.col("f_stop")
+            ).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "column_profile_events",
+    # ANALYZE-style one-pass column profiler. Canonical min/max reprs:
+    # integers as decimal strings, timestamps as epoch MICROSECONDS
+    # (integer-exact; no strftime formatting divergence), doubles
+    # rounded to 6dp through DECIMAL(28,6) whose VARCHAR form both
+    # engines print identically ("1.500000"), raw strings compared
+    # under binary collation on both engines.
+    """SELECT * FROM (
+       SELECT 'event_id' AS column_name,
+              count(*) - count(event_id) AS null_count,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_count,
+              CAST(min(event_id) AS VARCHAR) AS min_repr,
+              CAST(max(event_id) AS VARCHAR) AS max_repr FROM events
+       UNION ALL
+       SELECT 'event_type', count(*) - count(event_type),
+              CAST(count(DISTINCT event_type) AS BIGINT),
+              min(event_type), max(event_type) FROM events
+       UNION ALL
+       SELECT 'props', count(*) - count(props),
+              CAST(count(DISTINCT props) AS BIGINT),
+              min(props), max(props) FROM events
+       UNION ALL
+       SELECT 'ts', count(*) - count(ts),
+              CAST(count(DISTINCT ts) AS BIGINT),
+              CAST(epoch_us(min(ts)) AS VARCHAR),
+              CAST(epoch_us(max(ts)) AS VARCHAR) FROM events
+       UNION ALL
+       SELECT 'user_id', count(*) - count(user_id),
+              CAST(count(DISTINCT user_id) AS BIGINT),
+              CAST(min(user_id) AS VARCHAR),
+              CAST(max(user_id) AS VARCHAR) FROM events
+       UNION ALL
+       SELECT 'value', count(*) - count(value),
+              CAST(count(DISTINCT value) AS BIGINT),
+              CAST(CAST(round(min(value), 6) AS DECIMAL(28,6)) AS VARCHAR),
+              CAST(CAST(round(max(value), 6) AS DECIMAL(28,6)) AS VARCHAR)
+       FROM events
+       ) ORDER BY column_name""",
+    "ANALYZE-style column profiler over the event log: null count, "
+    "exact distinct count, canonical min/max repr per column — ONE "
+    "scan, one aggregate row unpivoted driver-side-free via stack()",
+)
+def column_profile_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    total = F.count("*")
+
+    def prof(col, min_expr, max_expr, tag):
+        return [
+            (total - F.count(col)).alias(f"__n_{tag}"),
+            F.countDistinct(col).alias(f"__d_{tag}"),
+            min_expr.alias(f"__lo_{tag}"),
+            max_expr.alias(f"__hi_{tag}"),
+        ]
+
+    dec_s = lambda c: F.round(c, 6).cast("decimal(28,6)").cast("string")  # noqa: E731
+    aggs = (
+        prof("event_id", F.min("event_id").cast("string"),
+             F.max("event_id").cast("string"), "event_id")
+        + prof("event_type", F.min("event_type"), F.max("event_type"),
+               "event_type")
+        + prof("props", F.min("props"), F.max("props"), "props")
+        + prof("ts", F.unix_micros(F.min("ts")).cast("string"),
+               F.unix_micros(F.max("ts")).cast("string"), "ts")
+        + prof("user_id", F.min("user_id").cast("string"),
+               F.max("user_id").cast("string"), "user_id")
+        + prof("value", dec_s(F.min("value")), dec_s(F.max("value")),
+               "value")
+    )
+    one = ev.agg(*aggs)
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}, __lo_{c}, __hi_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, null_count, distinct_count, min_repr, max_repr)"
+    ).orderBy("column_name")
+
+
+@q(
+    "revenue_forecast",
+    # TPC-H Q6 shape: the canonical predicate-pushdown showcase — a
+    # one-row answer whose scan must push the shipdate range + discount
+    # band + quantity cap down to parquet (plan-guarded in
+    # tests/test_plan_shapes.py).
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS n_rows
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    "TPC-H Q6-style revenue forecast: tight multi-predicate scan, "
+    "decimal-exact revenue, one-row answer (pushdown showcase)",
+)
+def revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "token_zipf_coverage",
+    # Zipf head audit: the top-20 corpus tokens with rank and CUMULATIVE
+    # share of all token occurrences — the standard head-coverage probe
+    # for tokenizer/vocab sizing. The corpus-wide count is a 1-row
+    # broadcast; the rank/cumsum window runs over the 20 surviving rows
+    # only (TakeOrderedAndProject, never a full sort).
+    """WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+       c AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+       t AS (SELECT count(*) AS tot FROM occ),
+       top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20)
+       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER)
+                AS rank,
+              tok, cnt,
+              round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                        ROWS UNBOUNDED PRECEDING)
+                         AS DOUBLE) / (SELECT tot FROM t), 6) + 0
+                AS cum_share
+       FROM top ORDER BY rank""",
+    "Zipf head coverage: top-20 tokens with rank and cumulative share "
+    "of all occurrences (vocab-sizing probe)",
+)
+def token_zipf_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    occ = D.spread(docs).select(F.explode(D.tokens("text")).alias("tok"))
+    counts = occ.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = occ.agg(F.count("*").alias("__tot"))
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(20)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "cnt",
+            (
+                F.round(
+                    F.sum("cnt").over(cum).cast("double") / F.col("__tot"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+@q(
+    "mixture_epochs_plan",
+    # Temperature-weighted domain-mixture plan (the data-mixing step of
+    # an LLM training pipeline): per source, available whitespace
+    # tokens, the alpha=0.5 temperature share, the token allocation out
+    # of a 1M budget, and the epoch (repeat) factor that allocation
+    # implies. Cross-engine float rule: sqrt shares round to 6dp and
+    # normalize/allocate through exact DECIMAL arithmetic, so token
+    # targets are integer-identical on both engines.
+    """WITH s AS (SELECT source,
+                         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS toks
+                  FROM documents GROUP BY source),
+       t AS (SELECT CAST(sum(toks) AS DOUBLE) AS tot FROM s),
+       w AS (SELECT source, toks,
+                    CAST(round(sqrt(toks / tot), 6) AS DECIMAL(18,6))
+                      AS w_raw
+             FROM s, t),
+       n AS (SELECT CAST(sum(w_raw) AS DECIMAL(18,6)) AS w_tot FROM w)
+       SELECT source, toks AS tokens_available,
+              round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) + 0
+                AS weight,
+              CAST(CAST(round(CAST(w_raw AS DOUBLE)
+                              / CAST(w_tot AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                AS tokens_target,
+              round(CAST(CAST(round(CAST(w_raw AS DOUBLE)
+                                    / CAST(w_tot AS DOUBLE), 6)
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                    / CAST(toks AS DOUBLE), 4) + 0 AS epochs_needed
+       FROM w, n ORDER BY source""",
+    "temperature (alpha=0.5) domain-mixture plan: per-source token "
+    "budget allocation and epoch factors, decimal-exact integer targets",
+)
+def mixture_epochs_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(D.tokens("text"))).alias("tokens_available")
+    )
+    t = s.agg(F.sum("tokens_available").cast("double").alias("__tot"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "__w_raw",
+        F.round(
+            F.sqrt(F.col("tokens_available") / F.col("__tot")), 6
+        ).cast("decimal(18,6)"),
+    )
+    n = w.agg(F.sum("__w_raw").cast("decimal(18,6)").alias("__w_tot"))
+    share = F.round(
+        F.col("__w_raw").cast("double") / F.col("__w_tot").cast("double"),
+        6,
+    )
+    target = (share.cast("decimal(18,6)") * 1000000).cast("long")
+    return (
+        w.crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "tokens_available",
+            (share + F.lit(0.0)).alias("weight"),
+            target.alias("tokens_target"),
+            (
+                F.round(
+                    target / F.col("tokens_available").cast("double"), 4
+                )
+                + F.lit(0.0)
+            ).alias("epochs_needed"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "value_corr_by_type",
+    # Pearson correlation between event value and hour-of-day per type,
+    # WITHOUT corr(): engine corr() accumulates doubles in partition
+    # order (non-deterministic across engines/layouts), so the five
+    # moment sums are decimal-exact (terms rounded to 6dp first) and
+    # the closed-form combines them in ONE fixed double expression tree
+    # — identical inputs, identical operation order, identical result.
+    """WITH m AS (SELECT event_type, count(*) AS n,
+                         sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+                           AS sx,
+                         CAST(sum(hour(ts)) AS BIGINT) AS sy,
+                         sum(CAST(round(value * hour(ts), 6)
+                                  AS DECIMAL(28,6))) AS sxy,
+                         sum(CAST(round(value * value, 6)
+                                  AS DECIMAL(28,6))) AS sxx,
+                         CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS syy
+                  FROM events GROUP BY event_type)
+       SELECT event_type, n,
+              round((n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sy)
+                    / (sqrt(n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                              * CAST(sy AS DOUBLE))), 6) + 0
+                AS corr_value_hour
+       FROM m ORDER BY event_type""",
+    "deterministic Pearson corr(value, hour) per event type via "
+    "decimal-exact moment sums + one fixed closed-form double tree",
+)
+def value_corr_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias("sx"),
+        F.sum(h).alias("sy"),
+        F.sum(
+            F.round(F.col("value") * h, 6).cast("decimal(28,6)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("sxx"),
+        F.sum(h * h).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx)
+        * F.sqrt((n * syy).cast("double") - sy.cast("double") * sy.cast("double"))
+    )
+    return m.select(
+        "event_type", "n", (F.round(corr, 6) + F.lit(0.0)).alias("corr_value_hour")
+    ).orderBy("event_type")
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -4616,6 +5016,12 @@ _ROTATION = [
     # window slot in round 8
     "embedding_pq_adc_recall",
     "approx_percentile_bound",
+    "gopher_quality_flags",
+    "column_profile_events",
+    "revenue_forecast",
+    "token_zipf_coverage",
+    "mixture_epochs_plan",
+    "value_corr_by_type",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",

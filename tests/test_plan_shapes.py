@@ -223,3 +223,47 @@ def test_exists_shapes_compile_to_semi_and_anti_joins(spark):
 def test_shipping_priority_pushes_segment_filter(spark):
     plan = _plan(spark, "shipping_priority")
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_revenue_forecast_pushes_all_predicates(spark):
+    """Q6 shape: all four range predicates must reach the parquet scan
+    (PushedFilters), and the scan schema must carry only the 4 touched
+    columns — this is the query whose 100 TB cost is pure scan bytes.
+
+    Uses formatted explain: executedPlan().toString() truncates long
+    PushedFilters lists, hiding exactly the filters under test."""
+    df = QUERIES["revenue_forecast"].spark(spark, SF)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_orderkey", "l_returnflag", "l_tax"):
+        assert col not in read
+
+
+def test_token_zipf_top20_is_take_ordered(spark):
+    """The Zipf head must come out of TakeOrderedAndProject (partial
+    top-k per partition); the rank/cumsum window then runs over 20 rows
+    only — a full corpus sort here would be a 100 TB string sort."""
+    plan = _plan(spark, "token_zipf_coverage")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_profile_is_single_scan(spark):
+    """The ANALYZE-style profiler must read the events parquet ONCE —
+    36 aggregates in one pass, unpivoted via stack(), never one scan
+    per column."""
+    plan = _plan(spark, "column_profile_events")
+    assert plan.count("Scan parquet") == 1, plan
