@@ -4924,6 +4924,267 @@ def value_corr_by_type(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 5 — TPC-H join breadth, inequality/lag analytics, and
+# the language-ID evaluation matrix
+# =====================================================================
+
+@q(
+    "returned_item_revenue",
+    # TPC-H Q10 shape: revenue lost to returned items per customer over
+    # one half-year — the 3-table join where the fact table streams and
+    # both dims broadcast under AQE; top-20 via TakeOrderedAndProject.
+    """SELECT c.c_custkey, c.c_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_returnflag = 'R'
+         AND o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY c.c_custkey, c.c_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+    "TPC-H Q10-style returned-item revenue per customer: date-pruned "
+    "orders + returnflag-pruned fact scan, decimal-exact revenue, "
+    "top-20 heap",
+)
+def returned_item_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "large_order_customers",
+    # TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    # exceeds the threshold, with their customer. The HAVING runs on the
+    # pre-aggregated per-order sums (orders-sized, not lineitem-sized)
+    # and only the few survivors join the dims — the anti-pattern this
+    # replaces is windowing the raw fact table.
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+              CAST(t.total_qty AS DOUBLE) AS total_qty
+       FROM (SELECT l_orderkey,
+                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) t
+       JOIN orders o ON o.o_orderkey = t.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY total_qty DESC, o.o_orderkey""",
+    "TPC-H Q18-style large-volume orders (sum(qty) > 250) joined back "
+    "to their customers — pre-aggregate + HAVING before any dim join",
+)
+def large_order_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                "__qty"
+            )
+        )
+        .filter(F.col("__qty") > 250)
+    )
+    return (
+        t.join(o, t.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+@q(
+    "user_activity_gini",
+    # Inequality audit of the event log: Gini coefficient of events per
+    # user, INTEGER-EXACT to the final division — with counts x_i
+    # ascending (rank i of n), gini = sum((2i - n - 1) * x_i)
+    # / (n * sum(x)); the numerator is invariant within value ties, so
+    # the user_id tie-break is for determinism of the rank only. The
+    # rank window runs over USER-sized rows (the per-user pre-aggregate),
+    # never the fact table; at extreme user cardinality the mergeable
+    # fallback is binned Lorenz approximation.
+    """WITH u AS (SELECT user_id, count(*) AS cnt
+                  FROM events GROUP BY user_id),
+       r AS (SELECT cnt,
+                    row_number() OVER (ORDER BY cnt, user_id) AS i,
+                    count(*) OVER () AS n,
+                    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+             FROM u)
+       SELECT CAST(max(n) AS BIGINT) AS n_users,
+              max(tot) AS total_events,
+              round(CAST(CAST(sum((2 * i - n - 1) * cnt) AS BIGINT)
+                         AS DOUBLE)
+                    / (CAST(max(n) AS DOUBLE) * max(tot)), 6) + 0
+                AS gini
+       FROM r""",
+    "Gini coefficient of per-user event counts — integer-exact "
+    "numerator over the users-sized pre-aggregate",
+)
+def user_activity_gini(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    r = u.select(
+        "cnt",
+        F.row_number().over(w).alias("i"),
+    )
+    return (
+        r.agg(
+            F.count("*").alias("__n"),
+            F.sum("cnt").alias("__tot"),
+            F.sum(
+                (2 * F.col("i") - 1).cast("long") * F.col("cnt")
+            ).alias("__s2i"),
+            F.sum("cnt").alias("__s"),
+        )
+        # sum((2i - n - 1) x) = sum((2i - 1) x) - n * sum(x): keeps the
+        # aggregate single-pass (n is not known until the agg itself)
+        .select(
+            F.col("__n").alias("n_users"),
+            F.col("__tot").alias("total_events"),
+            (
+                F.round(
+                    (
+                        F.col("__s2i") - F.col("__n") * F.col("__s")
+                    ).cast("double")
+                    / (
+                        F.col("__n").cast("double")
+                        * F.col("__tot").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gini"),
+        )
+    )
+
+
+@q(
+    "ship_lag_stats",
+    # Order-fulfilment lag: days between order date and each line's ship
+    # date, grouped by order priority. DATE-cast on both sides so both
+    # engines count calendar days (timestamp diff semantics differ);
+    # integer min/max/count plus an exact decimal-sum average.
+    """SELECT o.o_orderpriority, count(*) AS n_lines,
+              CAST(min(CAST(l.l_shipdate AS DATE)
+                       - CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                AS min_lag_days,
+              CAST(max(CAST(l.l_shipdate AS DATE)
+                       - CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                AS max_lag_days,
+              round(CAST(sum(CAST(l.l_shipdate AS DATE)
+                             - CAST(o.o_orderdate AS DATE)) AS DOUBLE)
+                    / count(*), 6) + 0 AS avg_lag_days
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "fulfilment-lag stats (ship date - order date, calendar days) per "
+    "order priority — integer-exact lags, decimal-exact average",
+)
+def ship_lag_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min(lag).cast("long").alias("min_lag_days"),
+            F.max(lag).cast("long").alias("max_lag_days"),
+            (
+                F.round(
+                    F.sum(lag).cast("double") / F.count("*"), 6
+                )
+                + F.lit(0.0)
+            ).alias("avg_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# The oracle must reproduce detect_language()'s argmax EXACTLY: marker
+# OCCURRENCE counts per language, max wins, ties to the alphabetically
+# first language (the (hits, -index) sort key over sorted codes), zero
+# hits -> 'und'. Interpolated from TX.LANG_MARKERS so the two sides can
+# never drift.
+def _langid_confusion_oracle() -> str:
+    from neo4j_to_clickhouse_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n                    ".join(
+        "len(list_filter(toks, t -> list_contains("
+        f"{list(LANG_MARKERS[lg])!r}, t))) AS h_{lg}"
+        for lg in langs
+    )
+    m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {m} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""WITH d AS (SELECT lang,
+                    string_split(lower(text), ' ') AS toks
+             FROM documents),
+       h AS (SELECT lang,
+                    {hit_cols}
+             FROM d)
+       SELECT lang AS label, {case} AS predicted,
+              count(*) AS n_docs
+       FROM h GROUP BY 1, 2 ORDER BY label, predicted"""
+
+
+@q(
+    "langid_confusion",
+    _langid_confusion_oracle(),
+    "language-ID evaluation: confusion matrix of the corpus lang label "
+    "vs the marker-lexicon argmax prediction (oracle interpolated from "
+    "the same LANG_MARKERS constant)",
+)
+def langid_confusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("label"),
+            TX.detect_language("text").alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("label", "predicted")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5022,6 +5283,11 @@ _ROTATION = [
     "token_zipf_coverage",
     "mixture_epochs_plan",
     "value_corr_by_type",
+    "returned_item_revenue",
+    "large_order_customers",
+    "user_activity_gini",
+    "ship_lag_stats",
+    "langid_confusion",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",

