@@ -5185,6 +5185,178 @@ def langid_confusion(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 6 — dedup/partition/embedding audit surface
+# =====================================================================
+
+@q(
+    "dedup_cluster_size_histogram",
+    # The dedup planner's first question: HOW duplicated is the corpus?
+    # Exact-dup groups by md5(text), then the distribution of group
+    # sizes (size 1 = unique) with the share of total documents each
+    # size class holds. Two small aggregations over the hash keys —
+    # document bodies shuffle as 32-hex digests only.
+    """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+                  FROM documents GROUP BY md5(text)),
+       t AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM g)
+       SELECT sz AS cluster_size, count(*) AS n_clusters,
+              CAST(sz * count(*) AS BIGINT) AS n_docs,
+              round(CAST(sz * count(*) AS DOUBLE)
+                    / (SELECT total FROM t), 6) + 0 AS doc_share
+       FROM g GROUP BY sz ORDER BY sz""",
+    "exact-duplicate cluster-size histogram: how many docs sit in "
+    "groups of 1, 2, 3... (bodies travel as md5 digests only)",
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("sz")
+    )
+    t = g.agg(F.sum("sz").alias("__total"))
+    return (
+        g.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    (F.col("sz") * F.col("n_clusters")).cast("double")
+                    / F.col("__total"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@q(
+    "partition_skew_report",
+    # The partition-health audit behind M1/M3 maintenance: per day
+    # partition, row count, payload bytes, share of rows, and the skew
+    # factor vs the mean partition (the number that says whether the
+    # partitioning survives at 100 TB). Fact table aggregates once;
+    # the share/skew math runs over the days-sized pre-aggregate with
+    # a 1-row broadcast of the totals.
+    """WITH m AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                         count(*) AS n_rows,
+                         CAST(sum(length(props)) AS BIGINT)
+                           AS payload_bytes
+                  FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+                    count(*) AS nparts FROM m)
+       SELECT day, n_rows, payload_bytes,
+              round(CAST(n_rows AS DOUBLE) / (SELECT tot FROM t), 6) + 0
+                AS row_share,
+              round(CAST(n_rows AS DOUBLE)
+                    / (CAST((SELECT tot FROM t) AS DOUBLE)
+                       / (SELECT nparts FROM t)), 4) + 0 AS skew_factor
+       FROM m ORDER BY day""",
+    "partition-health audit: per-day rows, payload bytes, row share, "
+    "and skew factor vs the mean partition",
+)
+def partition_skew_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("props")).alias("payload_bytes"),
+    )
+    t = m.agg(
+        F.sum("n_rows").alias("__tot"), F.count("*").alias("__nparts")
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "n_rows",
+            "payload_bytes",
+            (
+                F.round(
+                    F.col("n_rows").cast("double") / F.col("__tot"), 6
+                )
+                + F.lit(0.0)
+            ).alias("row_share"),
+            (
+                F.round(
+                    F.col("n_rows").cast("double")
+                    / (
+                        F.col("__tot").cast("double")
+                        / F.col("__nparts")
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("skew_factor"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "embedding_centroid_spread",
+    # Embedding-quality audit: squared-euclidean distance of every
+    # vector to its OWN label centroid — per label: count, mean and max
+    # spread. The flat certified form shares the kmeans oracle's float
+    # argument (per-vec distances agree cross-engine to ~1e-13 against
+    # a 4-decimal output rounding); the production assigner for the
+    # argmin variant is the BLAS GEMM path (similarity.assign_cells).
+    """WITH dims AS (
+         SELECT vec_id AS id, label AS lbl,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       c AS (SELECT lbl, pos, sum(v) / count(*) AS c
+             FROM dims GROUP BY lbl, pos),
+       d AS (SELECT d.id, d.lbl,
+                    sum((d.v - c.c) * (d.v - c.c)) AS dist
+             FROM dims d JOIN c ON c.lbl = d.lbl AND c.pos = d.pos
+             GROUP BY d.id, d.lbl)
+       SELECT lbl AS label, count(*) AS n_vecs,
+              round(avg(dist), 4) + 0 AS mean_dist,
+              round(max(dist), 4) + 0 AS max_dist
+       FROM d GROUP BY lbl ORDER BY label""",
+    "embedding drift audit: per-label spread (mean/max squared "
+    "distance to the label centroid)",
+)
+def embedding_centroid_spread(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lbl"),
+        F.posexplode("embedding").alias("pos0", "v_f"),
+    ).select(
+        "id", "lbl", (F.col("pos0") + 1).alias("pos"),
+        F.col("v_f").cast("double").alias("v"),
+    )
+    c = dims.groupBy("lbl", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    d = (
+        dims.join(F.broadcast(c), ["lbl", "pos"])
+        .groupBy("id", "lbl")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("dist")
+        )
+    )
+    return (
+        d.groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("mean_dist"),
+            (F.round(F.max("dist"), 4) + F.lit(0.0)).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5288,6 +5460,9 @@ _ROTATION = [
     "user_activity_gini",
     "ship_lag_stats",
     "langid_confusion",
+    "dedup_cluster_size_histogram",
+    "partition_skew_report",
+    "embedding_centroid_spread",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
