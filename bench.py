@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     # the substring-dedup REWRITE: heaviest new shuffle shape of round 7
     # (span window + coverage distinct + anti-join + per-doc rebuild)
     "span_dedup_rewrite_stats",
+    # round-7 wave-4 shapes: the scan-bound rule filter (pure codegen
+    # expressions, zero joins) and the explode-heavy token frequency
+    # head (map-combined token agg + TakeOrdered heap)
+    "gopher_quality_flags",
+    "token_zipf_coverage",
 ]
 
 

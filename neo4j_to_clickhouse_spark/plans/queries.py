@@ -5357,6 +5357,178 @@ def embedding_centroid_spread(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 7 — JSON aggregation, growth accounting, transitions,
+# and grouped top-k
+# =====================================================================
+
+@q(
+    "json_value_stats_by_type",
+    # F1-F4 family widened from predicates to AGGREGATION over the
+    # extracted value: per event type, integer-exact stats of props.k
+    # (the JSONExtract -> toInt64 -> sum/min/max/avg chain a ClickHouse
+    # user writes daily). Extraction stays in the scan stage.
+    """SELECT event_type, count(*) AS n,
+              CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS INTEGER) AS min_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS INTEGER) AS max_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS BIGINT) AS sum_k,
+              round(CAST(sum(CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER)) AS DOUBLE) / count(*), 6)
+                + 0 AS avg_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "JSON-extracted value aggregation per event type (F1-F4 surface: "
+    "extract -> int -> min/max/sum/avg, integer-exact)",
+)
+def json_value_stats_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).alias("sum_k"),
+            (
+                F.round(F.sum(k).cast("double") / F.count("*"), 6)
+                + F.lit(0.0)
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "user_growth_accounting",
+    # Growth-accounting staple: per day, how many users appeared for the
+    # FIRST time, plus the running total of ever-seen users. Two
+    # pre-aggregations (users-sized, then days-sized) and a cumulative
+    # window over the days-sized table only.
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                  FROM events GROUP BY user_id),
+       d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+       SELECT day, new_users,
+              CAST(sum(new_users) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cumulative_users
+       FROM d ORDER BY day""",
+    "user growth accounting: first-seen users per day + cumulative "
+    "ever-seen total (windows touch the days-sized pre-aggregate only)",
+)
+def user_growth_accounting(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    d = f.groupBy("day").agg(F.count("*").alias("new_users"))
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(cum).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+@q(
+    "event_transition_matrix",
+    # First-order Markov transition counts over each user's event
+    # stream: lag() under the (ts, event_id) total order — ONE shuffle
+    # on user_id, output event-type² rows.
+    """WITH s AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                  FROM events)
+       SELECT prev_type AS from_type, event_type AS to_type,
+              count(*) AS cnt
+       FROM s WHERE prev_type IS NOT NULL
+       GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "behavioral transition matrix: per-user consecutive event-type "
+    "pairs under a total (ts, event_id) order",
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@q(
+    "top_brands_per_nation",
+    # Grouped top-k (top-3 part brands by revenue within each supplier
+    # nation): the per-group rank prunes in the shuffle read
+    # (WindowGroupLimit, plan-guarded) — a giant group is never fully
+    # sorted. Dims broadcast; revenue is decimal-exact so the rank
+    # order is engine-identical.
+    """WITH r AS (SELECT n.n_name, p.p_brand,
+                         CAST(sum(CAST(l.l_extendedprice
+                              * (1 - l.l_discount) AS DECIMAL(18,4)))
+                              AS DOUBLE) AS revenue
+                  FROM lineitem l
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN nation n ON n.n_nationkey = s.s_nationkey
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  GROUP BY n.n_name, p.p_brand),
+       k AS (SELECT n_name, p_brand, revenue,
+                    row_number() OVER (PARTITION BY n_name
+                      ORDER BY revenue DESC, p_brand) AS rk
+             FROM r)
+       SELECT n_name, p_brand, revenue, CAST(rk AS INTEGER) AS rk
+       FROM k WHERE rk <= 3 ORDER BY n_name, rk""",
+    "grouped top-k: top-3 part brands by decimal-exact revenue per "
+    "supplier nation (WindowGroupLimit pruning)",
+)
+def top_brands_per_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "p_brand")
+    return (
+        r.select(
+            "n_name",
+            "p_brand",
+            "revenue",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("n_name", "rk")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5463,6 +5635,10 @@ _ROTATION = [
     "dedup_cluster_size_histogram",
     "partition_skew_report",
     "embedding_centroid_spread",
+    "json_value_stats_by_type",
+    "user_growth_accounting",
+    "event_transition_matrix",
+    "top_brands_per_nation",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",

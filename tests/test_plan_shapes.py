@@ -285,3 +285,25 @@ def test_large_order_customers_aggregates_before_join(spark):
     not above a join."""
     plan = _plan(spark, "large_order_customers")
     assert "SortMergeJoin" not in plan
+
+
+def test_top_brands_per_nation_prunes_per_group(spark):
+    """Grouped top-k: the rank filter must reach WindowGroupLimit so a
+    giant nation group heap-prunes in the shuffle read; all three dims
+    broadcast (no SortMergeJoin on the fact path)."""
+    plan = _plan(spark, "top_brands_per_nation")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_transition_single_user_shuffle(spark):
+    """The Markov transition matrix must shuffle the log ONCE on
+    user_id (lag window); the type-pair rollup is map-side combined on
+    top of the windowed stream plus its own small exchange."""
+    plan = _plan(spark, "event_transition_matrix")
+    user_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_shuffles) == 1, plan
