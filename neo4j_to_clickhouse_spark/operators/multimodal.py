@@ -30,11 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-# --- dependency-free image codecs (BMP / PPM / JPEG / PNG) ------------------
+# --- dependency-free image codecs (BMP / PPM / JPEG / PNG / GIF) ------------
 # The container ships no Pillow/ffmpeg, but uncompressed 24-bit BMP and
 # binary PPM (P6) need only `struct` + numpy, baseline JPEG needs only the
-# public T.81 spec (sibling :mod:`.jpeg`), and PNG needs only stdlib zlib
-# (sibling :mod:`.png`) — so for those formats the image path is REAL:
+# public T.81 spec (sibling :mod:`.jpeg`), PNG needs only stdlib zlib
+# (sibling :mod:`.png`), and GIF LZW is pure arithmetic (sibling
+# :mod:`.gif`) — so for those formats the image path is REAL:
 # decode -> pixel features / nearest-neighbor resize -> re-encode. The hash
 # stub remains only for formats that genuinely need external codecs
 # (progressive JPEG, WebP/AVIF, video).
@@ -42,10 +43,10 @@ from pyspark.sql import types as T
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     """Sniff + decode a payload into (format, HxWx3 uint8 RGB array).
-    Handles uncompressed 24-bit BMP, binary PPM, and baseline JPEG
+    Handles uncompressed 24-bit BMP, binary PPM, baseline JPEG
     (pure-Python :mod:`.jpeg`, with Pillow as an optional fast path when
-    importable). Returns None for everything else — the caller falls
-    back to its stub."""
+    importable), PNG, and GIF87a/89a first frames. Returns None for
+    everything else — the caller falls back to its stub."""
     if not payload or len(payload) < 2:
         return None
     try:
@@ -59,6 +60,10 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             from neo4j_to_clickhouse_spark.operators.png import decode_png
 
             return ("png", decode_png(payload))
+        if payload[:4] == b"GIF8":
+            from neo4j_to_clickhouse_spark.operators.gif import decode_gif
+
+            return ("gif", decode_gif(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None

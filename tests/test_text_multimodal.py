@@ -645,3 +645,135 @@ def test_codecs_reject_every_truncation():
                 pass
         # full payload still decodes after the truncation sweep
         assert dec(bytes(buf)) is not None
+
+
+# --- GIF codec (operators/gif.py) ------------------------------------------
+
+def _gif_raw(sw, sh, palette, frames):
+    """Hand-assemble a GIF89a container: `palette` is a list of RGB
+    tuples (power-of-two length), `frames` a list of
+    (left, top, w, h, interlace, indices_row_major_in_STORED_order)."""
+    import struct as _s
+
+    from neo4j_to_clickhouse_spark.operators.gif import _lzw_encode
+
+    bits = max((len(palette) - 1).bit_length(), 1)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0)
+    for rgb in palette:
+        out += bytes(rgb)
+    for left, top, w, h, interlace, idx in frames:
+        out += b"\x2c" + _s.pack(
+            "<HHHHB", left, top, w, h, 0x40 if interlace else 0
+        )
+        mcs = max(bits, 2)
+        out.append(mcs)
+        stream = _lzw_encode(bytes(idx), mcs)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_lossless():
+    """encode_gif -> decode_gif is exact for any <=256-color image,
+    including palettes that force 12-bit codes and dictionary resets."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import gif as GIF
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (3, 5), (64, 64), (127, 200)]:
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 7, shape)]
+        fmt, back = M.decode_image(GIF.encode_gif(px))
+        assert fmt == "gif"
+        assert np.array_equal(back, px)
+    # 256-color 300x400 random noise: maximal dictionary churn
+    pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    px = pal[rng.integers(0, pal.shape[0], (300, 400))]
+    assert np.array_equal(GIF.decode_gif(GIF.encode_gif(px)), px)
+    # structured gradient: long LZW matches + >4096 entries -> resets
+    x = np.arange(512)
+    px = pal[(x[None, :] + x[:, None]) % pal.shape[0]]
+    buf = GIF.encode_gif(px)
+    assert len(buf) < px.size  # actually compresses
+    assert np.array_equal(GIF.decode_gif(buf), px)
+    # single-color image: minimum palette
+    flat = np.full((9, 9, 3), 42, np.uint8)
+    assert np.array_equal(GIF.decode_gif(GIF.encode_gif(flat)), flat)
+
+
+def test_gif_known_public_pixel():
+    """The canonical 43-byte 1x1 transparent-GIF constant (publicly
+    ubiquitous tracking pixel) decodes to a 1x1 black canvas."""
+    import base64
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import decode_gif
+
+    buf = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    px = decode_gif(buf)
+    assert px.shape == (1, 1, 3)
+    assert np.array_equal(px, np.zeros((1, 1, 3), np.uint8))
+
+
+def test_gif_interlace_and_frame_offset():
+    """Interlaced rows come back in display order; a frame smaller than
+    the logical screen lands at its offset on a background-color canvas."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        decode_gif,
+    )
+
+    # 8 rows x 2 cols, row y filled with palette index y
+    pal = [(i * 10, i * 20 % 256, 255 - i * 10) for i in range(8)]
+    h, w = 8, 2
+    stored_order = [
+        y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
+    ]
+    stored = [y for y in stored_order for _ in range(w)]
+    img = decode_gif(_gif_raw(w, h, pal, [(0, 0, w, h, True, stored)]))
+    expect = np.array(
+        [[pal[y]] * w for y in range(h)], dtype=np.uint8
+    )
+    assert np.array_equal(img, expect)
+
+    # 1x1 frame at (2,1) on a 4x3 screen; background = palette[0]
+    img = decode_gif(_gif_raw(4, 3, pal, [(2, 1, 1, 1, False, [5])]))
+    assert img.shape == (3, 4, 3)
+    assert tuple(img[1, 2]) == pal[5]
+    others = np.ones((3, 4), bool)
+    others[1, 2] = False
+    assert (img[others] == np.array(pal[0], np.uint8)).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import gif as GIF
+
+    with pytest.raises(ValueError):
+        GIF.decode_gif(b"GIF89a truncated")
+    with pytest.raises(ValueError):
+        GIF.decode_gif(b"NOTGIF" + b"\x00" * 20)
+    # no image block before trailer
+    with pytest.raises(ValueError, match="no image"):
+        GIF.decode_gif(
+            b"GIF89a" + bytes([2, 0, 2, 0, 0x00, 0, 0]) + b"\x3b"
+        )
+    # >256-color encode refused
+    rng = np.random.default_rng(3)
+    with pytest.raises(ValueError, match="256"):
+        GIF.encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    # sniff path: garbage after a GIF magic falls back to the stub
+    assert M.decode_image(b"GIF89a junk") is None
