@@ -5529,6 +5529,122 @@ def top_brands_per_nation(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 8 — cross-nation trade flows and per-slice dup rates
+# =====================================================================
+
+@q(
+    "nation_trade_volume",
+    # TPC-H Q7 shape: trade volume between supplier nation and customer
+    # nation per ship year. Five tables; the fact scan streams once,
+    # every dim (orders->customer hop included) reaches it broadcast-
+    # shaped; the (supp_nation, cust_nation, year) rollup is tiny.
+    """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+              count(*) AS n_lines,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS volume
+       FROM lineitem l
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+       WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+         AND nc.n_name IN ('NATION_1', 'NATION_2')
+         AND ns.n_name <> nc.n_name
+       GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""",
+    "TPC-H Q7-style cross-nation trade volume per ship year "
+    "(NATION_1<->NATION_2), decimal-exact, 5-table broadcast-dim join",
+)
+def nation_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ns = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    # supplier/customer sides pre-filtered to the two nations so the
+    # fact join discards non-matching lines as early as possible
+    sup = s.join(F.broadcast(ns), s.s_nationkey == ns.ns_key).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(nc), c.c_nationkey == nc.nc_key).select(
+        "c_custkey", "cust_nation"
+    )
+    ord_n = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(ord_n), li.l_orderkey == ord_n.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@q(
+    "dup_rate_by_lang",
+    # Per-language duplicate pressure: docs vs distinct bodies (md5
+    # digests, bodies never shuffle) and the implied removal rate — the
+    # slice-level view the corpus-wide cluster histogram can't give.
+    """SELECT lang, count(*) AS n_docs,
+              CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                AS n_removable,
+              round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                    / count(*), 6) + 0 AS dup_rate
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "per-language exact-duplicate rate: docs, distinct bodies (as md5 "
+    "digests), removable count and rate",
+)
+def dup_rate_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(h).alias("n_unique"),
+            (F.count("*") - F.countDistinct(h)).alias("n_removable"),
+            (
+                F.round(
+                    (F.count("*") - F.countDistinct(h)).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5639,6 +5755,8 @@ _ROTATION = [
     "user_growth_accounting",
     "event_transition_matrix",
     "top_brands_per_nation",
+    "nation_trade_volume",
+    "dup_rate_by_lang",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
