@@ -777,3 +777,36 @@ def test_gif_rejects_malformed():
         GIF.encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
     # sniff path: garbage after a GIF magic falls back to the stub
     assert M.decode_image(b"GIF89a junk") is None
+
+
+def test_gif_lzw_fuzz_roundtrip():
+    """Property fuzz of the raw LZW pair: random index streams at every
+    legal minimum code size survive encode->decode exactly (hypothesis
+    drives dict growth, KwKwK self-references, and 12-bit resets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        mcs=st.integers(min_value=2, max_value=8),
+        data=st.data(),
+    )
+    def check(mcs, data):
+        n = data.draw(st.integers(min_value=1, max_value=400))
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, (1 << mcs) - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+    check()
