@@ -5645,6 +5645,83 @@ def dup_rate_by_lang(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 10 — cross-split leakage audit
+# =====================================================================
+
+@q(
+    "split_leakage_report",
+    # The evaluation-integrity check a training pipeline must run on its
+    # OWN splits: verbatim 8-token spans shared between train and each
+    # held-out split (Lee et al. 2022 find such leakage inflates eval).
+    # Spans travel as md5 digests; per split the distinct span set is
+    # computed once; train membership is a digest equi-join (AQE decides
+    # broadcast vs shuffle — leakage-rate-sized, not corpus-sized).
+    """WITH labeled AS (
+         SELECT doc_id, text,
+                CASE
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccd' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test'
+                END AS split
+         FROM documents),
+       sp AS (SELECT DISTINCT split,
+                     md5(list_aggregate(wl[i:i+7], 'string_agg', ' '))
+                       AS d
+              FROM (SELECT split, string_split(text, ' ') AS wl
+                    FROM labeled),
+                   (SELECT unnest(range(1, 100000)) AS i) idx
+              WHERE i <= len(wl) - 7),
+       tr AS (SELECT d FROM sp WHERE split = 'train')
+       SELECT s.split, count(*) AS n_spans,
+              count(t.d) AS n_leaked,
+              round(CAST(count(t.d) AS DOUBLE) / count(*), 6) + 0
+                AS leak_rate
+       FROM sp s LEFT JOIN tr t ON t.d = s.d
+       WHERE s.split <> 'train'
+       GROUP BY s.split ORDER BY s.split""",
+    "cross-split leakage audit: distinct 8-token spans of each held-out "
+    "split that also appear in train (digest equi-join, bodies never "
+    "shuffle)",
+)
+def split_leakage_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    grams = D.ngram_array(D.tokens("text"), 8)
+    sp = (
+        D.spread(labeled)
+        .select("split", F.explode(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("split", F.md5("g").alias("d"))
+        .distinct()
+    )
+    tr = sp.filter(F.col("split") == "train").select(
+        F.col("d").alias("td")
+    )
+    ev = sp.filter(F.col("split") != "train")
+    return (
+        ev.join(tr, ev.d == tr.td, "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("td").alias("n_leaked"),
+            (
+                F.round(
+                    F.count("td").cast("double") / F.count("*"), 6
+                )
+                + F.lit(0.0)
+            ).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5757,6 +5834,7 @@ _ROTATION = [
     "top_brands_per_nation",
     "nation_trade_volume",
     "dup_rate_by_lang",
+    "split_leakage_report",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
