@@ -5722,6 +5722,103 @@ def split_leakage_report(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 11 — integer-exact anomaly flags and linkage coverage
+# =====================================================================
+
+@q(
+    "daily_anomaly_flags",
+    # 3-sigma anomaly detection over daily event counts with the flag
+    # spelled INTEGER-EXACT: with integer daily counts x, day count n,
+    # sums sx/sxx, the test (x-mean)^2 > 9*var is cross-multiplied to
+    #   (n*x - sx)^2 * (n-1)  >  9 * n * (n*sxx - sx^2)
+    # — pure BIGINT arithmetic, no float boundary to disagree on. The
+    # reported deviation is informational (rounded double). Stats ride
+    # a 1-row broadcast over the days-sized pre-aggregate.
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                         count(*) AS x
+                  FROM events GROUP BY 1),
+       s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(x * x) AS BIGINT) AS sxx FROM d)
+       SELECT day, x AS n_events,
+              ((n * x - sx) * (n * x - sx) * (n - 1)
+               > 9 * n * (n * sxx - sx * sx)) AS is_anomaly,
+              round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                    / sqrt((CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)
+                           / (CAST(n AS DOUBLE) * (n - 1))), 4) + 0
+                AS z_score
+       FROM d, s ORDER BY day""",
+    "3-sigma daily-count anomaly flags, integer-exact via "
+    "cross-multiplied variance test (no float boundary)",
+)
+def daily_anomaly_flags(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, x, sx, sxx = F.col("n"), F.col("x"), F.col("sx"), F.col("sxx")
+    dev = n * x - sx
+    flag = (dev * dev * (n - 1)) > (9 * n * (n * sxx - sx * sx))
+    z = (x.cast("double") - sx.cast("double") / n) / F.sqrt(
+        (n.cast("double") * sxx - sx.cast("double") * sx)
+        / (n.cast("double") * (n - 1))
+    )
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select(
+            "day",
+            x.alias("n_events"),
+            flag.alias("is_anomaly"),
+            (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "embedding_coverage_report",
+    # Referential-integrity governance between the document corpus and
+    # its embedding table: coverage both ways via id anti-joins (the
+    # multimodal/RAG pipeline's "is every doc embedded?" check). One
+    # row; both sides shuffle ids only.
+    """SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT count(*) FROM embeddings) AS n_vecs,
+              (SELECT count(*) FROM documents d
+               WHERE EXISTS (SELECT 1 FROM embeddings e
+                             WHERE e.vec_id = d.doc_id)) AS n_docs_with_vec,
+              (SELECT count(*) FROM embeddings e
+               WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.doc_id = e.vec_id))
+                AS n_orphan_vecs""",
+    "docs<->embeddings referential coverage: embedded-doc count and "
+    "orphan vectors via id semi/anti joins",
+)
+def embedding_coverage_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_vecs = emb.agg(F.count("*").alias("n_vecs"))
+    with_vec = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_semi")
+        .agg(F.count("*").alias("n_docs_with_vec"))
+    )
+    orphans = (
+        emb.join(docs, emb.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count("*").alias("n_orphan_vecs"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_vecs))
+        .crossJoin(F.broadcast(with_vec))
+        .crossJoin(F.broadcast(orphans))
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5835,6 +5932,8 @@ _ROTATION = [
     "nation_trade_volume",
     "dup_rate_by_lang",
     "split_leakage_report",
+    "daily_anomaly_flags",
+    "embedding_coverage_report",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
