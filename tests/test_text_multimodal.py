@@ -485,13 +485,48 @@ def test_png_rejects_unsupported():
 
     with pytest.raises(ValueError, match="8-bit"):
         P.decode_png(_png_raw(1, 1, 16, 2, [(0, [0] * 6)]))
-    buf = bytearray(_png_raw(1, 1, 8, 2, [(0, [1, 2, 3])]))
-    buf[8 + 8 + 12] = 1  # IHDR interlace byte -> Adam7
-    with pytest.raises(ValueError):
-        P.decode_png(bytes(buf))
     with pytest.raises(ValueError):
         P.decode_png(b"\x89PNG\r\n\x1a\x0a truncated")
     assert M.decode_image(b"\x89PNG\r\n\x1a\n junk") is None
+
+
+def test_png_adam7_interlace_decodes():
+    """An Adam7 stream (each pass its own filter-0 sub-image) decodes
+    to the same pixels as the straight form — including a 1x1 image,
+    whose interlaced layout is byte-identical to non-interlaced."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    rng = np.random.default_rng(5)
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 11)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        passes = []
+        for x0, y0, dx, dy in P._ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                passes.append(b"\x00" + row.tobytes())
+        body = b"".join(passes)
+
+        def chunk(ctype, data):
+            crc = _z.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                _s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", crc)
+            )
+
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", _z.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(P.decode_png(buf), px), (w, h)
 
 
 def test_probe_and_resize_handle_png(spark):
