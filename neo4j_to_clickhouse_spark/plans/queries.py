@@ -5819,6 +5819,148 @@ def embedding_coverage_report(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 12 — rolling actives, behavioral gaps, market baskets
+# =====================================================================
+
+@q(
+    "rolling_weekly_active_users",
+    # Rolling 7-day distinct actives (WAU) per day WITHOUT a sliding
+    # count-distinct window (not mergeable): each distinct (day, user)
+    # contributes to <= 7 window days via a scan-side sequence explode,
+    # then one exact count-distinct per window day, restricted to real
+    # activity days. DAU rides the same distinct table.
+    """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                          AS day, user_id FROM events),
+       spine AS (SELECT DISTINCT day FROM du),
+       contrib AS (SELECT user_id,
+                          CAST(unnest(generate_series(day, day + 6,
+                               INTERVAL 1 DAY)) AS DATE) AS win_day
+                   FROM du),
+       wau AS (SELECT c.win_day AS day,
+                      count(DISTINCT c.user_id) AS wau
+               FROM contrib c JOIN spine s ON s.day = c.win_day
+               GROUP BY 1),
+       dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+       SELECT d.day, d.dau, w.wau,
+              round(CAST(d.dau AS DOUBLE) / w.wau, 6) + 0 AS stickiness
+       FROM dau d JOIN wau w ON w.day = d.day ORDER BY d.day""",
+    "rolling 7-day active users per day (scan-side window-day explode, "
+    "never a sliding count-distinct) + DAU/WAU stickiness",
+)
+def rolling_weekly_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    wau = (
+        contrib.join(spine, contrib.win_day == spine.day)
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.win_day)
+        .select(
+            dau.day,
+            "dau",
+            "wau",
+            (
+                F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+                + F.lit(0.0)
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "purchase_gap_histogram",
+    # Inter-purchase interval distribution: consecutive purchase gaps
+    # per user (lag under the (ts, event_id) total order), bucketed in
+    # INTEGER hours from exact epoch-microsecond differences — one
+    # shuffle on user_id, output bucket-sized.
+    """WITH p AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase'),
+       g AS (SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))
+                      // 3600000000 AS gap_h
+             FROM p)
+       SELECT CAST(gap_h AS BIGINT) AS gap_bucket_hours,
+              count(*) AS n_gaps
+       FROM g WHERE gap_h IS NOT NULL
+       GROUP BY 1 ORDER BY gap_bucket_hours""",
+    "inter-purchase gap histogram in integer-hour buckets (exact epoch "
+    "micros, one user_id shuffle)",
+)
+def purchase_gap_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.floor(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        )
+        / F.lit(3600000000)
+    )
+    return (
+        p.select(gap.alias("gap_bucket_hours"))
+        .filter(F.col("gap_bucket_hours").isNotNull())
+        .groupBy("gap_bucket_hours")
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("gap_bucket_hours")
+    )
+
+
+@q(
+    "basket_cooccurrence_topk",
+    # Market-basket co-occurrence: part pairs bought within the same
+    # order. The self-join keys on order id, so fan-out is bounded by
+    # lines-per-order squared (a per-basket constant, never corpus²);
+    # top-20 via the TakeOrdered heap.
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              count(*) AS n_orders
+       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    "market-basket part-pair co-occurrence (order-bounded self-join "
+    "fan-out), top-20 pairs",
+)
+def basket_cooccurrence_topk(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -5934,6 +6076,9 @@ _ROTATION = [
     "split_leakage_report",
     "daily_anomaly_flags",
     "embedding_coverage_report",
+    "rolling_weekly_active_users",
+    "purchase_gap_histogram",
+    "basket_cooccurrence_topk",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
