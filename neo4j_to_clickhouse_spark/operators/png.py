@@ -5,13 +5,14 @@ zlib), and the five scanline filters. This module is the baseline codec
 behind :func:`.multimodal.decode_image`, same contract as the sibling
 :mod:`.jpeg` module — decode to HxWx3 uint8 RGB.
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
-(each of the seven passes is its own filtered sub-image; filters reset
-per pass). Alpha is dropped (the RGB contract downstream has no alpha
-lane; compositing policy belongs to the consumer). Rejected with
-``ValueError``: other bit depths — the caller treats that as "not
-decodable here".
+Supported: every legal (color type, bit depth) combination of the spec
+— gray 1/2/4/8/16, palette 1/2/4/8, RGB / gray+alpha / RGBA 8/16 —
+both non-interlaced and Adam7-interlaced (each of the seven passes is
+its own filtered sub-image; filters reset per pass). 16-bit samples
+keep the high byte (libpng strip-16); sub-byte gray scales exactly to
+full range (255 divides by every 2^d - 1). Alpha is dropped (the RGB
+contract downstream has no alpha lane; compositing policy belongs to
+the consumer).
 
 Filters None/Sub/Up are vectorized (Sub is a per-byte-lane prefix sum);
 Average/Paeth fall back to a per-byte loop — correct first, and encoders
@@ -37,37 +38,38 @@ _ADAM7 = (
 )
 
 
-def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse the five scanline filters over an (h, w*ch) sub-image
-    whose serialized form is h rows of 1 filter byte + w*ch data bytes
-    (a whole image, or one Adam7 pass — filters reset per pass)."""
-    stride = w * ch
-    rows = np.frombuffer(raw, np.uint8, (stride + 1) * h).reshape(
-        h, stride + 1
+def _unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse the five scanline filters over h rows of
+    1 filter byte + `rowbytes` data bytes (a whole image, or one Adam7
+    pass — filters reset per pass). `bpp` is the FILTER byte distance:
+    bytes per complete pixel, floored to 1 for sub-byte depths (spec
+    §9.2 — filters always operate on bytes)."""
+    rows = np.frombuffer(raw, np.uint8, (rowbytes + 1) * h).reshape(
+        h, rowbytes + 1
     )
     filters = rows[:, 0]
     data = rows[:, 1:].astype(np.int64)
-    prev = np.zeros(stride, np.int64)
-    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(rowbytes, np.int64)
+    out = np.empty((h, rowbytes), np.uint8)
     for y in range(h):
         f = filters[y]
         row = data[y]
         if f == 0:
             pass
-        elif f == 1:  # Sub: prefix sum within each byte lane (stride ch)
-            for lane in range(ch):
-                row[lane::ch] = np.cumsum(row[lane::ch]) % 256
+        elif f == 1:  # Sub: prefix sum within each byte lane (stride bpp)
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
         elif f == 2:  # Up
             row = (row + prev) % 256
         elif f in (3, 4):  # Average / Paeth: sequential per byte
             row = row.copy()
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
+            for i in range(rowbytes):
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 if f == 3:
                     row[i] = (row[i] + (a + b) // 2) % 256
                 else:
-                    c = prev[i - ch] if i >= ch else 0
+                    c = prev[i - bpp] if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
@@ -77,6 +79,50 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         out[y] = row
         prev = row.astype(np.int64)
     return out
+
+
+def _expand_samples(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """(h, rowbytes) filtered bytes -> (h, w, ch) uint8 samples.
+    16-bit samples keep the high byte (libpng's strip-16); sub-byte
+    depths unpack MSB-first per spec §7.2 (single-channel only)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(
+        h, w, depth
+    )
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(
+        np.uint8
+    )[:, :, None]
+
+
+def _decode_subimage(
+    raw: bytes, h: int, w: int, ch: int, depth: int
+) -> np.ndarray:
+    rowbytes = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
+    return _expand_samples(
+        _unfilter(raw, h, rowbytes, bpp), w, ch, depth
+    )
+
+
+def _subimage_bytes(h: int, w: int, ch: int, depth: int) -> int:
+    return ((w * ch * depth + 7) // 8 + 1) * h
+
+
+# legal (color type -> bit depths) combinations, spec §11.2.2
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -107,10 +153,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG is supported (depth {depth})")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
+    if depth not in _DEPTHS[color]:
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {color}"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace not in (0, 1):
@@ -123,10 +171,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt IDAT stream: {e}") from None
     ch = _CHANNELS[color]
     if interlace == 0:
-        stride = w * ch
-        if len(raw) != (stride + 1) * h:
+        if len(raw) != _subimage_bytes(h, w, ch, depth):
             raise ValueError("IDAT size does not match dimensions")
-        px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+        px = _decode_subimage(raw, h, w, ch, depth)
     else:
         px = np.empty((h, w, ch), np.uint8)
         off = 0
@@ -135,14 +182,19 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = (pw * ch + 1) * ph
+            need = _subimage_bytes(ph, pw, ch, depth)
             if len(raw) < off + need:
                 raise ValueError("IDAT size does not match Adam7 passes")
-            sub = _unfilter(raw[off : off + need], ph, pw, ch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = _decode_subimage(
+                raw[off : off + need], ph, pw, ch, depth
+            )
             off += need
         if off != len(raw):
             raise ValueError("trailing bytes after the final Adam7 pass")
+    if color == 0 and depth < 8:
+        # scale sub-byte gray to full range: 255 is divisible by every
+        # (2^d - 1) for d in {1,2,4}, so the scale factor is exact
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")

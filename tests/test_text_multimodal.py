@@ -483,8 +483,8 @@ def test_png_rejects_unsupported():
 
     from neo4j_to_clickhouse_spark.operators import png as P
 
-    with pytest.raises(ValueError, match="8-bit"):
-        P.decode_png(_png_raw(1, 1, 16, 2, [(0, [0] * 6)]))
+    with pytest.raises(ValueError, match="illegal"):
+        P.decode_png(_png_raw(1, 1, 3, 2, [(0, [0] * 6)]))
     with pytest.raises(ValueError):
         P.decode_png(b"\x89PNG\r\n\x1a\x0a truncated")
     assert M.decode_image(b"\x89PNG\r\n\x1a\n junk") is None
@@ -845,3 +845,62 @@ def test_gif_lzw_fuzz_roundtrip():
         assert _lzw_decode(_lzw_encode(idx, mcs), mcs, len(idx)) == idx
 
     check()
+
+
+def test_png_16bit_and_subbyte_depths():
+    """16-bit samples keep the high byte (strip-16); 1/2/4-bit gray
+    scales exactly to full range; sub-byte palette indices unpack
+    MSB-first; the Sub filter uses the 16-bit byte-per-pixel distance."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import png as P
+
+    # 16-bit RGB 2x2, filter 0: high bytes survive
+    hi = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    rows = []
+    for y in range(2):
+        b = []
+        for x in range(2):
+            for c in range(3):
+                b += [int(hi[y, x, c]), 0xAB]  # hi, lo
+        rows.append((0, b))
+    assert np.array_equal(P.decode_png(_png_raw(2, 2, 16, 2, rows)), hi)
+
+    # same image, second row Sub-filtered at bpp=6
+    raw0 = bytes(rows[0][1])
+    raw1 = bytes(rows[1][1])
+    deltas = [
+        (raw1[i] - (raw1[i - 6] if i >= 6 else 0)) % 256
+        for i in range(len(raw1))
+    ]
+    px = P.decode_png(_png_raw(2, 2, 16, 2, [(0, list(raw0)), (1, deltas)]))
+    assert np.array_equal(px, hi)
+
+    # 4-bit palette, 3 px wide: nibbles 1,0,2 -> bytes 0x10 0x20
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    px = P.decode_png(
+        _png_raw(3, 1, 4, 3, [(0, [0x10, 0x20])], palette=pal)
+    )
+    assert np.array_equal(
+        px, np.array([[[0, 255, 0], [255, 0, 0], [0, 0, 255]]], np.uint8)
+    )
+
+    # 1-bit gray, 10 px: 1010101010 11xxxx -> 255/0 alternating
+    px = P.decode_png(_png_raw(10, 1, 1, 0, [(0, [0b10101010, 0b10000000])]))
+    expect = np.repeat(
+        np.array([[255, 0] * 5], np.uint8)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(px, expect)
+
+    # 2-bit gray: values 0..3 -> 0,85,170,255
+    px = P.decode_png(_png_raw(4, 1, 2, 0, [(0, [0b00011011])]))
+    assert list(px[0, :, 0]) == [0, 85, 170, 255]
+
+    # illegal combination still rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="illegal"):
+        P.decode_png(_png_raw(1, 1, 4, 2, [(0, [0])]))
