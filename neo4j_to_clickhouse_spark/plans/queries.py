@@ -5961,6 +5961,149 @@ def basket_cooccurrence_topk(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 13 — drift audits and vocabulary growth
+# =====================================================================
+
+@q(
+    "distribution_shift_by_type",
+    # Data-drift audit: event-type mix of the log's first half vs
+    # second half (split at the midpoint timestamp, epoch-micros
+    # integer compare) with per-type share deltas on 6-decimal DECIMAL
+    # values — the L1 terms are exact, so the drift ranking is
+    # engine-identical. Two small aggregates + a types-sized join.
+    """WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                    AS mid FROM events),
+       h AS (SELECT event_type,
+                    CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                         THEN 'first' ELSE 'second' END AS half
+             FROM events),
+       c AS (SELECT event_type, half, count(*) AS n
+             FROM h GROUP BY 1, 2),
+       t AS (SELECT half, CAST(sum(n) AS BIGINT) AS tot
+             FROM c GROUP BY half),
+       s AS (SELECT c.event_type, c.half,
+                    CAST(round(CAST(c.n AS DOUBLE) / t.tot, 6)
+                         AS DECIMAL(18,6)) AS share
+             FROM c JOIN t USING (half))
+       SELECT f.event_type,
+              CAST(f.share AS DOUBLE) + 0 AS share_first,
+              CAST(s.share AS DOUBLE) + 0 AS share_second,
+              CAST(abs(f.share - s.share) AS DOUBLE) + 0 AS abs_delta
+       FROM (SELECT * FROM s WHERE half = 'first') f
+       JOIN (SELECT * FROM s WHERE half = 'second') s
+         ON s.event_type = f.event_type
+       ORDER BY f.event_type""",
+    "event-type distribution shift between the log's two time halves: "
+    "6-decimal-exact shares and L1 delta terms",
+)
+def distribution_shift_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    h = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") < F.col("mid"), "first")
+        .otherwise("second")
+        .alias("half"),
+    )
+    c = h.groupBy("event_type", "half").agg(F.count("*").alias("n"))
+    t = c.groupBy("half").agg(F.sum("n").alias("tot"))
+    s = c.join(t, "half").select(
+        "event_type",
+        "half",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6)
+        .cast("decimal(18,6)")
+        .alias("share"),
+    )
+    f = s.filter(F.col("half") == "first").select(
+        "event_type", F.col("share").alias("sf")
+    )
+    sec = s.filter(F.col("half") == "second").select(
+        F.col("event_type").alias("et2"), F.col("share").alias("ss")
+    )
+    return (
+        f.join(sec, f.event_type == sec.et2)
+        .select(
+            "event_type",
+            (F.col("sf").cast("double") + F.lit(0.0)).alias("share_first"),
+            (F.col("ss").cast("double") + F.lit(0.0)).alias("share_second"),
+            (
+                F.abs(F.col("sf") - F.col("ss")).cast("double")
+                + F.lit(0.0)
+            ).alias("abs_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "vocab_growth_curve",
+    # Heaps-law probe: how the distinct-token vocabulary grows as the
+    # corpus is consumed in doc_id order. Each token's FIRST document
+    # (min doc_id over one token agg) buckets into corpus deciles;
+    # cumulative sum over the 10-row decile table gives the curve —
+    # no repeated scans, no set-union window.
+    """WITH bounds AS (SELECT min(doc_id) AS lo,
+                              max(doc_id) + 1 AS hi FROM documents),
+       ft AS (SELECT tok, min(doc_id) AS first_doc
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents) GROUP BY tok),
+       d AS (SELECT CAST(least(9, ((first_doc - lo) * 10) // (hi - lo))
+                         AS INTEGER) AS decile,
+                    count(*) AS new_tokens
+             FROM ft, bounds GROUP BY 1)
+       SELECT decile, new_tokens,
+              CAST(sum(new_tokens) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cumulative_vocab
+       FROM d ORDER BY decile""",
+    "Heaps-law vocabulary growth: first-appearance decile of every "
+    "distinct token + cumulative vocabulary curve",
+)
+def vocab_growth_curve(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") + 1).alias("hi"),
+    )
+    ft = (
+        D.spread(docs)
+        .select("doc_id", F.explode(D.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    d = (
+        ft.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(9).cast("long"),
+                F.expr("((first_doc - lo) * 10) div (hi - lo)"),
+            )
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(cum).cast("long").alias(
+            "cumulative_vocab"
+        ),
+    ).orderBy("decile")
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6079,6 +6222,8 @@ _ROTATION = [
     "rolling_weekly_active_users",
     "purchase_gap_histogram",
     "basket_cooccurrence_topk",
+    "distribution_shift_by_type",
+    "vocab_growth_curve",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
