@@ -6104,6 +6104,48 @@ def vocab_growth_curve(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 14 — grouped top-k over exploded tokens
+# =====================================================================
+
+@q(
+    "topk_words_per_source",
+    # Per-source top-5 tokens: the grouped-top-k idiom applied to an
+    # exploded token stream — counts map-side combine on (source, tok),
+    # then the rank window heap-prunes per source in the shuffle read
+    # (WindowGroupLimit); a giant source never fully sorts.
+    """WITH c AS (SELECT source, tok, count(*) AS cnt
+                  FROM (SELECT source,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY source, tok),
+       r AS (SELECT source, tok, cnt,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY cnt DESC, tok) AS rk
+             FROM c)
+       SELECT source, tok, cnt, CAST(rk AS INTEGER) AS rk
+       FROM r WHERE rk <= 5 ORDER BY source, rk""",
+    "per-source top-5 tokens (grouped top-k over the exploded token "
+    "stream, WindowGroupLimit pruning)",
+)
+def topk_words_per_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        D.spread(docs)
+        .select("source", F.explode(D.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
+    return (
+        c.select(
+            "source", "tok", "cnt", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6224,6 +6266,7 @@ _ROTATION = [
     "basket_cooccurrence_topk",
     "distribution_shift_by_type",
     "vocab_growth_curve",
+    "topk_words_per_source",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",

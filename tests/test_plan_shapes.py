@@ -307,3 +307,10 @@ def test_event_transition_single_user_shuffle(spark):
         if "Exchange hashpartitioning(user_id" in ln
     ]
     assert len(user_shuffles) == 1, plan
+
+
+def test_topk_words_per_source_window_group_limit(spark):
+    """Grouped top-k over the exploded token stream must heap-prune per
+    source (WindowGroupLimit) — a giant source never fully sorts."""
+    plan = _plan(spark, "topk_words_per_source")
+    assert "WindowGroupLimit" in plan
