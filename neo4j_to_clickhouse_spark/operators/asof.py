@@ -101,6 +101,65 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    events: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    probe_time_col: str,
+    value_cols: list[str],
+    tie_break_col: str | None = None,
+) -> DataFrame:
+    """For every probe row, attach the value columns of the EARLIEST
+    event with ``event_time >= probe_time`` for the same key — the
+    forward as-of ("what happens next": time-to-event features, next-
+    touchpoint attribution). NULLs when nothing follows.
+
+    Mirror image of :func:`asof_join` with the same one-shuffle scale
+    shape: probes sort BEFORE same-time events (equality matches), the
+    carry window looks forward (``first(ignorenulls)`` over
+    current-row..unbounded-following), and among same-time events the
+    LOWEST ``tie_break_col`` wins — the first one the forward scan sees.
+    """
+    from pyspark.sql import types as T
+
+    tb = tie_break_col
+    struct_t = T.StructType(
+        [T.StructField(c, events.schema[c].dataType) for c in value_cols]
+    )
+    ev = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_time_col).alias("__t"),
+        F.lit(1).alias("__kind"),
+        (F.col(tb) if tb else F.lit(None).cast("string")).alias("__tb"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+    )
+    tb_type = events.schema[tb].dataType if tb else T.StringType()
+    pr = probes.select(
+        F.col(key_col).alias("__k"),
+        F.col(probe_time_col).alias("__t"),
+        F.lit(0).alias("__kind"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(struct_t).alias("__v"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__kind", "__tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = ev.unionByName(pr).select(
+        "__k",
+        "__t",
+        "__kind",
+        F.first("__v", ignorenulls=True).over(w).alias("__c"),
+    )
+    return carried.filter(F.col("__kind") == 0).select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(probe_time_col),
+        *[F.col("__c")[c].alias(c) for c in value_cols],
+    )
+
+
 def asof_join_bucketed(
     events: DataFrame,
     probes: DataFrame,

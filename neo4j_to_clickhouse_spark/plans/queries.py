@@ -6146,6 +6146,64 @@ def topk_words_per_source(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 15 — forward as-of
+# =====================================================================
+
+@q(
+    "asof_next_event",
+    # Forward as-of cross-validated against DuckDB's NATIVE ASOF JOIN
+    # with the inequality reversed (e.ts >= probe) — a structurally
+    # different algorithm from the Spark union + carry-BACKWARD window.
+    # Same-timestamp ties pin to the LOWEST event_id on both sides
+    # (min/arg_min pre-dedup in the oracle, tie_break_col in Spark).
+    """WITH probes AS (
+         SELECT DISTINCT user_id, t AS probe_time
+         FROM events,
+              (SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+                              TIMESTAMP '2024-01-16 00:00:00',
+                              TIMESTAMP '2024-01-24 00:00:00']) AS t)),
+       ev AS (
+         SELECT user_id, ts, min(event_id) AS event_id,
+                arg_min(event_type, event_id) AS event_type
+         FROM events GROUP BY user_id, ts)
+       SELECT p.user_id, p.probe_time, e.event_id, e.event_type
+       FROM probes p ASOF LEFT JOIN ev e
+         ON p.user_id = e.user_id AND e.ts >= p.probe_time
+       ORDER BY p.user_id, p.probe_time""",
+    "forward as-of: each user's NEXT event at three probe instants "
+    "(union + carry-backward window, one shuffle for any probe count)",
+)
+def asof_next_event(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_forward
+
+    events = _t(spark, sf_dir, "events")
+    probes = events.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("timestamp")
+                    for t in (
+                        "2024-01-08 00:00:00",
+                        "2024-01-16 00:00:00",
+                        "2024-01-24 00:00:00",
+                    )
+                ]
+            )
+        ).alias("probe_time"),
+    )
+    return asof_join_forward(
+        events,
+        probes,
+        key_col="user_id",
+        event_time_col="ts",
+        probe_time_col="probe_time",
+        value_cols=["event_id", "event_type"],
+        tie_break_col="event_id",
+    ).orderBy("user_id", "probe_time")
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6267,6 +6325,7 @@ _ROTATION = [
     "distribution_shift_by_type",
     "vocab_growth_curve",
     "topk_words_per_source",
+    "asof_next_event",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",

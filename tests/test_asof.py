@@ -217,3 +217,33 @@ def test_range_join_is_equi_join_plan(spark):
     assert "CartesianProduct" not in plan
     # any equi-join strategy on __bin is fine; nested-loop is the failure
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_asof_forward_edges(spark):
+    """Forward as-of: exact-time events match; same-time ties take the
+    LOWEST tie-break; keys with nothing after the probe get NULLs."""
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_forward
+
+    ev = spark.createDataFrame(
+        [
+            (1, 5, 100, "a"),
+            (1, 5, 101, "b"),   # same-time tie: id 100 must win
+            (1, 9, 102, "c"),
+            (2, 3, 200, "d"),
+        ],
+        "k long, t long, eid long, val string",
+    )
+    pr = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 10), (2, 1), (3, 4)], "k long, pt long"
+    )
+    out = {
+        (r.k, r.pt): (r.eid, r.val)
+        for r in asof_join_forward(
+            ev, pr, "k", "t", "pt", ["eid", "val"], "eid"
+        ).collect()
+    }
+    assert out[(1, 5)] == (100, "a")   # equality matches, lowest tie
+    assert out[(1, 6)] == (102, "c")   # next later event
+    assert out[(1, 10)] == (None, None)  # nothing after
+    assert out[(2, 1)] == (200, "d")
+    assert out[(3, 4)] == (None, None)   # key with no events
