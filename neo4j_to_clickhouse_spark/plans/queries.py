@@ -6204,6 +6204,132 @@ def asof_next_event(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 16 — session path mining and audience overlap
+# =====================================================================
+
+@q(
+    "session_path_topk",
+    # Sequence mining: the most common session-opening paths (first 5
+    # event types per gap-based session, joined with '>'). Reuses the
+    # certified sessionize window; the path string builds from an
+    # ordered list aggregate truncated to 5 — session-sized state, and
+    # the path rollup shuffles path strings, not events.
+    """WITH s AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM (SELECT user_id, ts, event_id, event_type,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events)),
+       p AS (SELECT user_id, session_id,
+                    list_aggregate(
+                      (list(event_type ORDER BY ts, event_id))[1:5],
+                      'string_agg', '>') AS path
+             FROM s GROUP BY user_id, session_id)
+       SELECT path, count(*) AS n_sessions
+       FROM p GROUP BY path
+       ORDER BY n_sessions DESC, path LIMIT 10""",
+    "top session-opening paths: first 5 event types per 30-min-gap "
+    "session, '>'-joined; top-10 paths by frequency",
+)
+def session_path_topk(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", "event_id", gap_minutes=30)
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_sess = (
+        s.withColumn("__types", F.collect_list("event_type").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.first("__types").alias("types"))
+        .select(
+            F.array_join(F.slice("types", 1, 5), ">").alias("path")
+        )
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+@q(
+    "audience_overlap_by_type",
+    # Audience overlap: user-set Jaccard between event-type pairs. The
+    # intersection join keys on user_id over the DISTINCT (type, user)
+    # table — fan-out bounded by types-per-user (<= 5 here), never
+    # users²; set sizes broadcast back onto the types²-sized result.
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+       inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        count(*) AS n_common
+                 FROM du a JOIN du b ON a.user_id = b.user_id
+                                    AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+       SELECT i.type_a, i.type_b, i.n_common,
+              round(CAST(i.n_common AS DOUBLE)
+                    / (sa.n + sb.n - i.n_common), 6) + 0 AS jaccard
+       FROM inter i
+       JOIN sz sa ON sa.event_type = i.type_a
+       JOIN sz sb ON sb.event_type = i.type_b
+       ORDER BY i.type_a, i.type_b""",
+    "audience overlap: user-set Jaccard per event-type pair "
+    "(per-user bounded self-join, never users²)",
+)
+def audience_overlap_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.alias("a")
+    b = du.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(
+        F.col("event_type").alias("__ta"), F.col("n").alias("na")
+    )
+    sb = sz.select(
+        F.col("event_type").alias("__tb"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), inter.type_a == sa.__ta)
+        .join(F.broadcast(sb), inter.type_b == sb.__tb)
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6326,6 +6452,8 @@ _ROTATION = [
     "vocab_growth_curve",
     "topk_words_per_source",
     "asof_next_event",
+    "session_path_topk",
+    "audience_overlap_by_type",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
