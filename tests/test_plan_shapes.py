@@ -314,3 +314,44 @@ def test_topk_words_per_source_window_group_limit(spark):
     source (WindowGroupLimit) — a giant source never fully sorts."""
     plan = _plan(spark, "topk_words_per_source")
     assert "WindowGroupLimit" in plan
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered query's physical plan, linted in one sweep:
+
+    - NO CartesianProduct anywhere (the 1-row scalar crossJoins plan as
+      broadcast nested-loop over a single row, never a cartesian of
+      data-sized inputs);
+    - Python evaluators (Arrow/pandas exchanges) appear ONLY in the
+      documented vectorized-math operators — a stray per-row UDF in any
+      other query is a 10-100x scale regression that no result-
+      correctness test would catch.
+    """
+    allowed_python = {
+        # Arrow-batched GEMM / sketch operators (docs/SCALING.md)
+        "embedding_knn",
+        "embedding_near_duplicates",
+        "embedding_lsh_near_dup",
+        "embedding_ivf_topk",
+        "embedding_ivf_full_probe",
+        "embedding_ivf_recall",
+        "semantic_dedup_survivors",
+        "topk_words_approx",
+    }
+    py_markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    )
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.spark(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_python:
+            for m in py_markers:
+                assert m not in plan, f"{name}: unexpected {m}"
