@@ -6330,6 +6330,120 @@ def audience_overlap_by_type(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 17 — out-of-orderness and template detection
+# =====================================================================
+
+@q(
+    "late_arrival_audit",
+    # The watermark-tuning statistic for §2.10 streaming: how out of
+    # order is each user's stream when consumed in arrival (event_id)
+    # order? An event is LATE if its ts precedes the running max ts of
+    # earlier-arriving events; lateness = that max - ts, exact epoch
+    # micros. One user_id shuffle; per-type rollup output.
+    """WITH s AS (SELECT event_type, ts,
+                         max(ts) OVER (PARTITION BY user_id
+                                       ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prior_max
+                  FROM events)
+       SELECT event_type, count(*) AS n_events,
+              count(*) FILTER (WHERE ts < prior_max) AS n_late,
+              round(CAST(count(*) FILTER (WHERE ts < prior_max)
+                         AS DOUBLE) / count(*), 6) + 0 AS late_rate,
+              CAST(coalesce(max(CASE WHEN ts < prior_max
+                             THEN epoch_us(prior_max) - epoch_us(ts)
+                             END) // 1000000, 0) AS BIGINT)
+                AS max_lateness_s
+       FROM s GROUP BY event_type ORDER BY event_type""",
+    "out-of-orderness audit for watermark tuning: late events vs the "
+    "running max ts in arrival order, exact max lateness seconds",
+)
+def late_arrival_audit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("prior_max")
+    )
+    late = F.col("ts") < F.col("prior_max")
+    lateness = F.floor(
+        (
+            F.unix_micros("prior_max") - F.unix_micros("ts")
+        )
+        / F.lit(1000000)
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(late, F.lit(1))).alias("n_late"),
+            (
+                F.round(
+                    F.count(F.when(late, F.lit(1))).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("late_rate"),
+            F.coalesce(
+                F.max(F.when(late, lateness)), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "template_prefix_audit",
+    # Template/boilerplate detection the whole-doc hash misses: docs
+    # sharing their FIRST 16 tokens with at least one other doc. The
+    # prefix travels as an md5 digest; two digest-keyed aggregations.
+    """WITH p AS (SELECT source,
+                         md5(list_aggregate(
+                             (string_split(text, ' '))[1:16],
+                             'string_agg', ' ')) AS d
+                  FROM documents),
+       g AS (SELECT d, count(*) AS sz FROM p GROUP BY d)
+       SELECT p.source, count(*) AS n_docs,
+              count(*) FILTER (WHERE g.sz > 1) AS n_templated,
+              round(CAST(count(*) FILTER (WHERE g.sz > 1) AS DOUBLE)
+                    / count(*), 6) + 0 AS templated_rate
+       FROM p JOIN g ON g.d = p.d
+       GROUP BY p.source ORDER BY p.source""",
+    "template-prefix audit: docs sharing their first 16 tokens with "
+    "another doc, per source (prefix digests only)",
+)
+def template_prefix_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = F.md5(F.array_join(F.slice(D.tokens("text"), 1, 16), " "))
+    p = docs.select("source", d.alias("d"))
+    g = p.groupBy("d").agg(F.count("*").alias("sz"))
+    t = F.col("sz") > 1
+    return (
+        p.join(g, "d")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(t, F.lit(1))).alias("n_templated"),
+            (
+                F.round(
+                    F.count(F.when(t, F.lit(1))).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("templated_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6454,6 +6568,8 @@ _ROTATION = [
     "asof_next_event",
     "session_path_topk",
     "audience_overlap_by_type",
+    "late_arrival_audit",
+    "template_prefix_audit",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
