@@ -6444,6 +6444,70 @@ def template_prefix_audit(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 18 — cohort conversion
+# =====================================================================
+
+@q(
+    "conversion_by_signup_cohort",
+    # Cohorted conversion: users grouped by first-signup week, the
+    # fraction who purchase AFTER that signup. Three users-sized
+    # pre-aggregates; the purchase check is a (user, first-signup)
+    # join against the purchase min-times — never a per-user subquery.
+    """WITH su AS (SELECT user_id, min(ts) AS first_signup
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id),
+       pu AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
+              FROM events e JOIN su ON su.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > su.first_signup
+              GROUP BY e.user_id)
+       SELECT CAST(date_trunc('week', su.first_signup) AS DATE)
+                AS cohort_week,
+              count(*) AS n_users,
+              count(pu.user_id) AS n_converted,
+              round(CAST(count(pu.user_id) AS DOUBLE) / count(*), 6) + 0
+                AS conversion_rate
+       FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+       GROUP BY 1 ORDER BY cohort_week""",
+    "signup-cohort conversion: per first-signup week, users who later "
+    "purchase (users-sized pre-aggregates, no correlated scan)",
+)
+def conversion_by_signup_cohort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_after"))
+        .select(F.col("user_id").alias("pu_user"))
+    )
+    return (
+        su.join(pu, su.user_id == pu.pu_user, "left")
+        .groupBy(
+            F.date_trunc("week", "first_signup")
+            .cast("date")
+            .alias("cohort_week")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("pu_user").alias("n_converted"),
+            (
+                F.round(
+                    F.count("pu_user").cast("double") / F.count("*"), 6
+                )
+                + F.lit(0.0)
+            ).alias("conversion_rate"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6570,6 +6634,7 @@ _ROTATION = [
     "audience_overlap_by_type",
     "late_arrival_audit",
     "template_prefix_audit",
+    "conversion_by_signup_cohort",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
