@@ -12,9 +12,12 @@ not for a 100 TB image crawl, which is why the boundary stays pluggable).
 
 Supported: SOF0 (baseline) and SOF1 (extended sequential — identical
 decode path), 8-bit samples, grayscale or YCbCr, any integer-ratio
-subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals. Rejected with
-``ValueError``: progressive (SOF2), arithmetic coding, 12-bit,
-hierarchical — the caller treats that as "not decodable here".
+subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals, and BOTH
+sequential scan layouts — fully interleaved (one SOS, MCU raster) and
+non-interleaved (T.81 A.2.2: one SOS per component, block raster).
+Rejected with ``ValueError``: progressive (SOF2), arithmetic coding,
+12-bit, hierarchical, partially-interleaved component subsets — the
+caller treats that as "not decodable here".
 
 Reference parity: the reference pipeline stores media as opaque blobs
 and defers decode to consumers (docs/ARCHITECTURE.md payload-opacity
@@ -154,6 +157,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _Huffman] = {}
     frame = None  # (height, width, [(cid, h, v, tq), ...])
     restart_interval = 0
+    planes = None  # shared across scans (non-interleaved layouts)
+    decoded: set[int] = set()
     pos = 2
     d = payload
     while pos + 2 <= len(d):
@@ -233,84 +238,146 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            # every frame component must appear in this scan — a legal
-            # T.81 non-interleaved (multi-scan) layout lists fewer, which
-            # this baseline decoder does not support (ADVICE r05: a
-            # KeyError here escaped decode_image's ValueError contract)
-            missing = [cid for cid, *_ in frame[2] if cid not in scan]
-            if missing:
+            all_cids = {cid for cid, *_ in frame[2]}
+            # legal sequential layouts: all components interleaved in
+            # one scan, or one component per scan (T.81 A.2.2/A.2.3).
+            # A partially-interleaved subset is possible in the spec but
+            # unseen in practice; a component repeating across scans is
+            # the progressive signature — both rejected explicitly.
+            if not set(scan) <= all_cids:
+                raise ValueError("scan references unknown component ids")
+            if len(scan) not in (1, len(all_cids)):
                 raise ValueError(
-                    "non-interleaved/multi-scan JPEG is not supported "
-                    f"(scan omits component ids {missing})"
+                    "partially interleaved JPEG scans are not supported"
                 )
+            if decoded & set(scan):
+                raise ValueError(
+                    "component repeated across scans (progressive?)"
+                )
+            if planes is None:
+                planes = _alloc_planes(frame)
             try:
-                return _decode_scan(
-                    d, nxt, frame, scan, qt, huff, restart_interval
+                end = _decode_entropy(
+                    d, nxt, frame, scan, qt, huff, restart_interval,
+                    planes,
                 )
             except _MarkerHit as mh:
                 raise ValueError(
                     f"unexpected marker 0x{mh.marker:04X} in entropy stream"
                 ) from None
+            decoded |= set(scan)
+            if decoded == all_cids:
+                return _assemble(frame, planes)
+            pos = end
+            continue
         pos = nxt
-    raise ValueError("no SOS segment found")
+    raise ValueError(
+        "no SOS segment found"
+        if not decoded
+        else "JPEG ended before every component was scanned"
+    )
 
 
-def _decode_scan(d, pos, frame, scan, qt, huff, ri) -> np.ndarray:
+def _alloc_planes(frame) -> dict[int, np.ndarray]:
     height, width, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    planes = {}
-    for cid, ch, cv, _ in comps:
-        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
-    for cid, _, _, tq in comps:
+    return {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+        for cid, ch, cv, _ in comps
+    }
+
+
+def _decode_entropy(d, pos, frame, scan, qt, huff, ri, planes) -> int:
+    """Decode ONE scan's entropy stream into the shared component
+    planes. Handles the fully-interleaved layout (all frame components,
+    MCU raster) and the non-interleaved layout (single component, 8x8
+    blocks in the component's own raster — T.81 A.2.2, where the "MCU"
+    is one block). Returns the byte offset just past the scan."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    for cid in scan:
+        tq = by_id[cid][3]
         if tq not in qt:
             raise ValueError(f"missing quantization table {tq}")
-    for cid in scan:
         if (0, scan[cid][0]) not in huff or (1, scan[cid][1]) not in huff:
             raise ValueError("missing Huffman table for scan component")
     br = _BitReader(d, pos)
-    pred = {cid: 0 for cid, *_ in comps}
+    pred = {cid: 0 for cid in scan}
     rst = 0
     coef = np.zeros(64, np.int32)
-    for m in range(mcux * mcuy):
-        if ri and m and m % ri == 0:
-            br.restart(rst)
-            rst = (rst + 1) & 7
-            pred = dict.fromkeys(pred, 0)
-        my, mx = divmod(m, mcux)
-        for cid, ch, cv, tq in comps:
-            dc_t, ac_t = scan[cid]
-            dch, ach = huff[(0, dc_t)], huff[(1, ac_t)]
-            q = qt[tq]
-            for by in range(cv):
-                for bx in range(ch):
-                    coef[:] = 0
-                    t = dch.decode(br)
-                    diff = _extend(br.receive(t), t)
-                    pred[cid] += diff
-                    coef[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = ach.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        coef[k] = _extend(br.receive(s), s)
-                        k += 1
-                    block = np.zeros(64, np.float64)
-                    block[ZIGZAG] = coef * q
-                    px = _idct2(block.reshape(8, 8)) + 128.0
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    def decode_block(cid, y0, x0):
+        dc_t, ac_t = scan[cid]
+        dch, ach = huff[(0, dc_t)], huff[(1, ac_t)]
+        q = qt[by_id[cid][3]]
+        coef[:] = 0
+        t = dch.decode(br)
+        diff = _extend(br.receive(t), t)
+        pred[cid] += diff
+        coef[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = ach.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coef[k] = _extend(br.receive(s), s)
+            k += 1
+        block = np.zeros(64, np.float64)
+        block[ZIGZAG] = coef * q
+        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = (
+            _idct2(block.reshape(8, 8)) + 128.0
+        )
+
+    if len(scan) == len(comps):  # interleaved: MCU raster
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                pred = dict.fromkeys(pred, 0)
+            my, mx = divmod(m, mcux)
+            for cid, ch, cv, _tq in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        decode_block(
+                            cid, (my * cv + by) * 8, (mx * ch + bx) * 8
+                        )
+    else:  # non-interleaved: one component, block raster (MCU = block)
+        (cid,) = scan
+        _, ch, cv, _tq = by_id[cid]
+        w_i = -(-width * ch // hmax)
+        h_i = -(-height * cv // vmax)
+        bw_, bh_ = -(-w_i // 8), -(-h_i // 8)
+        for m in range(bw_ * bh_):
+            if ri and m and m % ri == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                pred = dict.fromkeys(pred, 0)
+            by, bx = divmod(m, bw_)
+            decode_block(cid, by * 8, bx * 8)
+    # byte-align: any partially-read byte was already consumed into the
+    # accumulator, so br.pos is the first byte of the next marker (or of
+    # its 0xFF lead-in)
+    return br.pos
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
     for cid, ch, cv, _ in comps:
         p = planes[cid]
@@ -404,6 +471,7 @@ def encode_jpeg_flat(
     rgb: tuple[int, int, int],
     subsampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    multiscan: bool = False,
 ) -> bytes:
     """Encode a solid-color baseline JPEG (fixture helper, like
     :func:`.multimodal.encode_wav`).
@@ -436,6 +504,47 @@ def encode_jpeg_flat(
     seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS) + _K_AC_SYMBOLS)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
+    if multiscan:
+        # T.81 A.2.2 non-interleaved layout: one SOS per component,
+        # blocks in the component's own raster (MCU = one block)
+        dc_codes = _huff_codes(_K_DC_COUNTS, _K_DC_SYMBOLS)
+        ac_codes = _huff_codes(_K_AC_COUNTS, _K_AC_SYMBOLS)
+        eob_code, eob_len = ac_codes[0x00]
+        for (cid, ch, cv, _tq), level in zip(comps, levels):
+            seg(
+                0xDA,
+                struct.pack(">B", 1)
+                + struct.pack(">BB", cid, 0x00)
+                + bytes([0, 63, 0]),
+            )
+            w_i = -(-width * ch // sh)
+            h_i = -(-height * cv // sv)
+            bw_, bh_ = -(-w_i // 8), -(-h_i // 8)
+            bw = _BitWriter()
+            dc = 8 * (level - 128)
+            pred_v = 0
+            rst = 0
+            for m in range(bw_ * bh_):
+                if restart_interval and m and m % restart_interval == 0:
+                    out.extend(bw.flush())
+                    bw = _BitWriter()
+                    out.extend(bytes([0xFF, 0xD0 + rst]))
+                    rst = (rst + 1) & 7
+                    pred_v = 0
+                diff = dc - pred_v
+                pred_v = dc
+                mag = abs(diff)
+                t = mag.bit_length()
+                code, length = dc_codes[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+                bw.write(eob_code, eob_len)
+            out.extend(bw.flush())
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
     seg(
         0xDA,
         struct.pack(">B", 3)

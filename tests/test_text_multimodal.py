@@ -288,10 +288,11 @@ def test_jpeg_rejects_non_baseline():
     assert M.decode_image(b"\xff\xd8 nope") is None
 
 
-def test_jpeg_sos_missing_component_raises_valueerror():
-    """A scan listing fewer components than the frame (legal T.81
-    non-interleaved layout) must raise ValueError, not KeyError, so
-    decode_image maps it to the stub fallback (ADVICE r05)."""
+def test_jpeg_truncated_multiscan_raises_valueerror():
+    """A single-component scan is now DECODED (non-interleaved layout);
+    a stream that ends before every component has had its scan must
+    still raise ValueError — never KeyError or a silent partial image —
+    so decode_image maps it to the stub fallback (ADVICE r05)."""
     import pytest
 
     from neo4j_to_clickhouse_spark.operators import jpeg as J
@@ -302,13 +303,47 @@ def test_jpeg_sos_missing_component_raises_valueerror():
     body = buf[i + 4 : i + 2 + seglen]
     ns = body[0]
     assert ns == 3
-    # keep only the first component spec; spectral-selection bytes stay
+    # rewrite the scan header to list ONLY component 1: the entropy
+    # stream still interleaves all three, so the lone scan either
+    # desyncs (ValueError) or decodes and then hits EOI with two
+    # components never scanned (ValueError) — asserted both paths
     new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns :]
     new_seg = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
     mutated = buf[:i] + new_seg + buf[i + 2 + seglen :]
-    with pytest.raises(ValueError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         J.decode_jpeg(mutated)
     assert M.decode_image(mutated) is None
+
+
+def test_jpeg_multiscan_equals_interleaved():
+    """The T.81 A.2.2 non-interleaved layout (one scan per component)
+    must decode pixel-identical to the interleaved form, across
+    subsampling modes, non-multiple-of-8 geometries, and restart
+    intervals inside single-component scans."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    for sub in [(1, 1), (2, 2), (2, 1)]:
+        for wh in [(8, 8), (20, 12), (17, 9)]:
+            a = M.decode_image(
+                J.encode_jpeg_flat(*wh, (200, 30, 90), subsampling=sub)
+            )
+            b = M.decode_image(
+                J.encode_jpeg_flat(
+                    *wh, (200, 30, 90), subsampling=sub, multiscan=True
+                )
+            )
+            assert a[0] == b[0] == "jpeg"
+            assert np.array_equal(a[1], b[1]), (sub, wh)
+    withr = J.encode_jpeg_flat(
+        40, 24, (10, 180, 60), subsampling=(2, 2),
+        multiscan=True, restart_interval=2,
+    )
+    plain = J.encode_jpeg_flat(40, 24, (10, 180, 60), subsampling=(2, 2))
+    assert np.array_equal(
+        M.decode_image(withr)[1], M.decode_image(plain)[1]
+    )
 
 
 def test_jpeg_fill_bytes_and_standalone_markers_tolerated():
