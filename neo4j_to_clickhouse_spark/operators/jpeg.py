@@ -10,14 +10,16 @@ Pillow/libjpeg-turbo for throughput (the entropy decode here is
 Python-loop-bound, ~10^5 blocks/s — fine for fixtures and spot decode,
 not for a 100 TB image crawl, which is why the boundary stays pluggable).
 
-Supported: SOF0 (baseline) and SOF1 (extended sequential — identical
-decode path), 8-bit samples, grayscale or YCbCr, any integer-ratio
-subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals, and BOTH
-sequential scan layouts — fully interleaved (one SOS, MCU raster) and
-non-interleaved (T.81 A.2.2: one SOS per component, block raster).
-Rejected with ``ValueError``: progressive (SOF2), arithmetic coding,
-12-bit, hierarchical, partially-interleaved component subsets — the
-caller treats that as "not decodable here".
+Supported: SOF0 (baseline), SOF1 (extended sequential — identical
+decode path) and SOF2 (progressive: DC-first/refine and AC
+spectral-selection/successive-approximation scans with EOB runs, the
+jdphuff algorithm), 8-bit samples, grayscale or YCbCr, any
+integer-ratio subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals,
+and both sequential scan layouts — fully interleaved (one SOS, MCU
+raster) and non-interleaved (T.81 A.2.2: one SOS per component, block
+raster). Rejected with ``ValueError``: arithmetic coding, 12-bit,
+hierarchical/lossless SOFs, partially-interleaved component subsets —
+the caller treats that as "not decodable here".
 
 Reference parity: the reference pipeline stores media as opaque blobs
 and defers decode to consumers (docs/ARCHITECTURE.md payload-opacity
@@ -159,6 +161,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     planes = None  # shared across scans (non-interleaved layouts)
     decoded: set[int] = set()
+    progressive = False
+    prog_coefs = None  # coefficient store (progressive frames)
+    dc_scanned: set[int] = set()
     pos = 2
     d = payload
     while pos + 2 <= len(d):
@@ -171,7 +176,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if pos + 2 > len(d):
             break
         marker = d[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if (
+                progressive
+                and frame is not None
+                and prog_coefs is not None
+                and dc_scanned == {cid for cid, *_ in frame[2]}
+            ):
+                return _assemble_progressive(frame, prog_coefs, qt)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
             # standalone markers carry no length field (T.81 B.1.1.3)
@@ -196,7 +208,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
                     i += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("truncated SOF segment")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
@@ -207,11 +219,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended-sequential JPEG is supported "
-                f"(SOF marker 0x{marker:02X})"
+                "only baseline/extended-sequential/progressive JPEG is "
+                f"supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -238,7 +251,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
+            sp_ss = body[1 + 2 * ns]
+            sp_se = body[2 + 2 * ns]
+            sp_ah = body[3 + 2 * ns] >> 4
+            sp_al = body[3 + 2 * ns] & 0x0F
             all_cids = {cid for cid, *_ in frame[2]}
+            if progressive:
+                if not set(scan) <= all_cids:
+                    raise ValueError(
+                        "scan references unknown component ids"
+                    )
+                if sp_ss == 0 and len(scan) not in (1, len(all_cids)):
+                    raise ValueError(
+                        "partially interleaved JPEG scans are not "
+                        "supported"
+                    )
+                if prog_coefs is None:
+                    prog_coefs = _alloc_coefs(frame)
+                try:
+                    end = _decode_prog_scan(
+                        d, nxt, frame, scan, huff, restart_interval,
+                        prog_coefs, sp_ss, sp_se, sp_ah, sp_al,
+                    )
+                except _MarkerHit as mh:
+                    raise ValueError(
+                        f"unexpected marker 0x{mh.marker:04X} in "
+                        "entropy stream"
+                    ) from None
+                if sp_ss == 0 and sp_ah == 0:
+                    dc_scanned |= set(scan)
+                pos = end
+                continue
             # legal sequential layouts: all components interleaved in
             # one scan, or one component per scan (T.81 A.2.2/A.2.3).
             # A partially-interleaved subset is possible in the spec but
@@ -276,6 +321,197 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if not decoded
         else "JPEG ended before every component was scanned"
     )
+
+
+def _alloc_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store for progressive frames:
+    (block_rows, block_cols, 64) int32 in TRANSMISSION (zig-zag) order,
+    MCU-padded like the pixel planes."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    return {
+        cid: np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+        for cid, ch, cv, _ in comps
+    }
+
+
+def _dc_first(br, dch, pred, cid, cv, al) -> None:
+    t = dch.decode(br)
+    diff = _extend(br.receive(t), t)
+    pred[cid] += diff
+    cv[0] = pred[cid] * (1 << al)
+
+
+def _dc_refine(br, cv, al) -> None:
+    if br.receive(1):
+        cv[0] |= 1 << al
+
+
+def _ac_first(br, ach, cv, ss, se, al, state) -> None:
+    if state["eob"] > 0:
+        state["eob"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ach.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state["eob"] = (1 << r) - 1
+                if r:
+                    state["eob"] += br.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        cv[k] = _extend(br.receive(s), s) * (1 << al)
+        k += 1
+
+
+def _ac_refine(br, ach, cv, ss, se, al, state) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.2.3 — the
+    correction-bit walk of libjpeg's decode_mcu_AC_refine): nonzero-
+    history coefficients absorb one correction bit as they are passed;
+    zero-history coefficients count down the run, and a size-1 symbol
+    plants a new ±2^Al at the run's end."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eob"] == 0:
+        while k <= se:
+            rs = ach.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eob"] = 1 << r
+                    if r:
+                        state["eob"] += br.receive(r)
+                    break  # rest of this block handled below
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if br.receive(1) else m1
+            while k <= se:
+                if cv[k] != 0:
+                    if br.receive(1) and (cv[k] & p1) == 0:
+                        cv[k] += p1 if cv[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if s:
+                            cv[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eob"] > 0:
+        while k <= se:
+            if cv[k] != 0:
+                if br.receive(1) and (cv[k] & p1) == 0:
+                    cv[k] += p1 if cv[k] > 0 else m1
+            k += 1
+        state["eob"] -= 1
+
+
+def _decode_prog_scan(
+    d, pos, frame, scan, huff, ri, coefs, ss, se, ah, al
+) -> int:
+    """Decode one progressive scan into the shared coefficient store;
+    returns the byte offset just past the scan's entropy data."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se = 0")
+        if ah == 0:
+            for cid in scan:
+                if (0, scan[cid][0]) not in huff:
+                    raise ValueError("missing DC Huffman table")
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "AC progressive scans must be non-interleaved"
+            )
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("bad spectral selection band")
+        for cid in scan:
+            if (1, scan[cid][1]) not in huff:
+                raise ValueError("missing AC Huffman table")
+    br = _BitReader(d, pos)
+    pred = {cid: 0 for cid in scan}
+    state = {"eob": 0}
+    rst = 0
+
+    def block(cid, by, bx):
+        cv = coefs[cid][by, bx]
+        if ss == 0 and ah == 0:
+            _dc_first(br, huff[(0, scan[cid][0])], pred, cid, cv, al)
+        elif ss == 0:
+            _dc_refine(br, cv, al)
+        elif ah == 0:
+            _ac_first(br, huff[(1, scan[cid][1])], cv, ss, se, al, state)
+        else:
+            _ac_refine(br, huff[(1, scan[cid][1])], cv, ss, se, al, state)
+
+    if ss == 0 and len(scan) == len(comps):  # interleaved DC scan
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                pred = dict.fromkeys(pred, 0)
+                state["eob"] = 0
+            my, mx = divmod(m, mcux)
+            for cid, ch, cv_, _tq in comps:
+                for by in range(cv_):
+                    for bx in range(ch):
+                        block(cid, my * cv_ + by, mx * ch + bx)
+    else:  # single component, block raster
+        (cid,) = scan
+        _, ch, cv_, _tq = by_id[cid]
+        w_i = -(-width * ch // hmax)
+        h_i = -(-height * cv_ // vmax)
+        bw_, bh_ = -(-w_i // 8), -(-h_i // 8)
+        for m in range(bw_ * bh_):
+            if ri and m and m % ri == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                pred = dict.fromkeys(pred, 0)
+                state["eob"] = 0
+            by, bx = divmod(m, bw_)
+            block(cid, by, bx)
+    return br.pos
+
+
+def _assemble_progressive(frame, coefs, qt) -> np.ndarray:
+    height, width, comps = frame
+    planes = {}
+    for cid, ch, cv_, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        q = qt[tq]
+        arr = coefs[cid]
+        bh, bw_ = arr.shape[:2]
+        nat = np.zeros((bh, bw_, 64), np.float64)
+        nat[:, :, ZIGZAG] = arr * q[None, None, :]
+        blocks = nat.reshape(bh, bw_, 8, 8)
+        plane = np.empty((bh * 8, bw_ * 8), np.float64)
+        for y in range(bh):
+            for x in range(bw_):
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    _idct2(blocks[y, x]) + 128.0
+                )
+        planes[cid] = plane
+    return _assemble(frame, planes)
 
 
 def _alloc_planes(frame) -> dict[int, np.ndarray]:
@@ -387,7 +623,10 @@ def _assemble(frame, planes) -> np.ndarray:
             p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
         out.append(p[:height, :width])
     if len(out) == 1:
-        y = np.clip(out[0], 0, 255)
+        # round like the YCbCr path below — truncation loses a level on
+        # any non-integer reconstruction (only exact-integer flat-block
+        # fixtures ever masked it)
+        y = np.clip(np.round(out[0]), 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     if len(out) != 3:
         raise ValueError(f"unsupported component count {len(out)}")
@@ -463,6 +702,144 @@ def _huff_codes(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]
             k += 1
         code <<= 1
     return codes
+
+
+# AC table for progressive fixture scans: the 15 EOBRUN symbols
+# (r<<4 | 0 for r = 0..14) as 15 canonical length-4 codes — the Annex K
+# AC table lacks the r>0 EOB symbols progressive streams use.
+_P_AC_COUNTS = [0, 0, 0, 15] + [0] * 12
+_P_AC_SYMBOLS = bytes(r << 4 for r in range(15))
+
+
+def _eobrun_bits(n: int) -> tuple[int, int, int]:
+    """(r, extra, extra_bits) encoding an EOB run covering n blocks:
+    the decoder reconstructs (1 << r) + extra blocks."""
+    r = n.bit_length() - 1
+    return r, n - (1 << r), r
+
+
+def encode_jpeg_progressive_flat(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int],
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Encode a solid-color PROGRESSIVE JPEG (SOF2) fixture exercising
+    all four scan types: interleaved DC-first at Al=1, per-component
+    AC-first (pure EOB runs — flat blocks have no AC energy), DC
+    refinement delivering bit 0, and per-component AC refinement
+    (EOB runs over the all-zero history). Decodes to exactly the same
+    pixels as the sequential :func:`encode_jpeg_flat` of the color."""
+    r, g, b = rgb
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    levels = [int(round(v)) for v in (y, cb, cr)]
+    sh, sv = subsampling
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    comps = [(1, sh, sv, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"".join(
+            struct.pack(">BBB", cid, (h << 4) | v, tq)
+            for cid, h, v, tq in comps
+        ),
+    )
+    seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS) + _K_DC_SYMBOLS)
+    seg(0xC4, bytes([0x10]) + bytes(_P_AC_COUNTS) + _P_AC_SYMBOLS)
+    dc_codes = _huff_codes(_K_DC_COUNTS, _K_DC_SYMBOLS)
+    ac_codes = _huff_codes(_P_AC_COUNTS, _P_AC_SYMBOLS)
+    mcux = -(-width // (8 * sh))
+    mcuy = -(-height // (8 * sv))
+
+    def comp_blocks(ch, cv):
+        w_i = -(-width * ch // sh)
+        h_i = -(-height * cv // sv)
+        return (-(-w_i // 8)) * (-(-h_i // 8))
+
+    # scan 1: DC first, interleaved, Al=1
+    seg(
+        0xDA,
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + bytes([0, 0, 1]),  # Ss=0 Se=0 Ah=0 Al=1
+    )
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for _m in range(mcux * mcuy):
+        for (cid, ch, cv, _tq), level in zip(comps, levels):
+            dc1 = (8 * (level - 128)) >> 1  # arithmetic point transform
+            for _blk in range(ch * cv):
+                diff = dc1 - pred[cid]
+                pred[cid] = dc1
+                mag = abs(diff)
+                t = mag.bit_length()
+                code, length = dc_codes[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+    out.extend(bw.flush())
+    # scans 2-4: AC first per component, band 1..63, Al=1 — EOB runs
+    for cid, ch, cv, _tq in comps:
+        seg(
+            0xDA,
+            struct.pack(">B", 1) + struct.pack(">BB", cid, 0x00)
+            + bytes([1, 63, 1]),  # Ss=1 Se=63 Ah=0 Al=1
+        )
+        bw = _BitWriter()
+        n = comp_blocks(ch, cv)
+        while n:
+            run = min(n, 1 << 14)
+            r_, extra, ebits = _eobrun_bits(run)
+            code, length = ac_codes[r_ << 4]
+            bw.write(code, length)
+            if ebits:
+                bw.write(extra, ebits)
+            n -= run
+        out.extend(bw.flush())
+    # scan 5: DC refinement, interleaved, Ah=1 Al=0 — one bit per block
+    seg(
+        0xDA,
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + bytes([0, 0, 0x10]),  # Ss=0 Se=0 Ah=1 Al=0
+    )
+    bw = _BitWriter()
+    for _m in range(mcux * mcuy):
+        for (cid, ch, cv, _tq), level in zip(comps, levels):
+            bit0 = (8 * (level - 128)) & 1
+            for _blk in range(ch * cv):
+                bw.write(bit0, 1)
+    out.extend(bw.flush())
+    # scans 6-8: AC refinement per component — EOB runs, zero history
+    for cid, ch, cv, _tq in comps:
+        seg(
+            0xDA,
+            struct.pack(">B", 1) + struct.pack(">BB", cid, 0x00)
+            + bytes([1, 63, 0x10]),  # Ss=1 Se=63 Ah=1 Al=0
+        )
+        bw = _BitWriter()
+        n = comp_blocks(ch, cv)
+        while n:
+            run = min(n, 1 << 14)
+            r_, extra, ebits = _eobrun_bits(run)
+            code, length = ac_codes[r_ << 4]
+            bw.write(code, length)
+            if ebits:
+                bw.write(extra, ebits)
+            n -= run
+        out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def encode_jpeg_flat(

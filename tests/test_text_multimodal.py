@@ -275,9 +275,16 @@ def test_jpeg_rejects_non_baseline():
     from neo4j_to_clickhouse_spark.operators import jpeg as J
 
     buf = J.encode_jpeg_flat(16, 16, (10, 20, 30))
+    lossless = bytearray(buf)
+    lossless[lossless.find(b"\xff\xc0") + 1] = 0xC3  # SOF0 -> SOF3
+    with pytest.raises(ValueError, match="SOF"):
+        J.decode_jpeg(bytes(lossless))
+    assert M.decode_image(bytes(lossless)) is None
+    # SOF2 is now DECODED — but a sequential scan header (Se=63) inside
+    # a progressive frame is malformed and must still ValueError
     prog = bytearray(buf)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
         J.decode_jpeg(bytes(prog))
     assert M.decode_image(bytes(prog)) is None
     for cut in (10, len(buf) // 2, len(buf) - 3):
@@ -939,3 +946,99 @@ def test_png_16bit_and_subbyte_depths():
 
     with pytest.raises(ValueError, match="illegal"):
         P.decode_png(_png_raw(1, 1, 4, 2, [(0, [0])]))
+
+
+def test_jpeg_progressive_equals_sequential():
+    """SOF2 progressive (DC first Al=1 -> AC first -> DC refine -> AC
+    refine) must decode pixel-identical to the sequential encoding of
+    the same color, across subsampling and odd geometries."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    for sub in [(1, 1), (2, 2), (2, 1)]:
+        for wh in [(8, 8), (20, 12), (17, 9)]:
+            seq = J.decode_jpeg(
+                J.encode_jpeg_flat(*wh, (200, 30, 90), subsampling=sub)
+            )
+            got = M.decode_image(
+                J.encode_jpeg_progressive_flat(
+                    *wh, (200, 30, 90), subsampling=sub
+                )
+            )
+            assert got[0] == "jpeg"
+            assert np.array_equal(got[1], seq), (sub, wh)
+    for rgb in [(0, 0, 0), (255, 255, 255), (13, 77, 201)]:
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive_flat(16, 16, rgb)),
+            J.decode_jpeg(J.encode_jpeg_flat(16, 16, rgb)),
+        )
+
+
+def test_jpeg_progressive_ac_refinement_of_nonzero_coefficient():
+    """Hand-crafted single-component stream: an AC coefficient planted
+    at Al=1 must be REFINED to its exact value by the correction bit of
+    the Ah=1 scan (the successive-approximation path EOB-run fixtures
+    cannot reach)."""
+    import struct as _s
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(_s.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xC2, _s.pack(">BHHB", 8, 8, 8, 1) + _s.pack(">BBB", 1, 0x11, 0))
+    seg(0xC4, bytes([0x00]) + bytes(J._K_DC_COUNTS) + J._K_DC_SYMBOLS)
+    seg(0xC4, bytes([0x10]) + bytes(J._K_AC_COUNTS) + J._K_AC_SYMBOLS)
+    dc = J._huff_codes(J._K_DC_COUNTS, J._K_DC_SYMBOLS)
+    ac = J._huff_codes(J._K_AC_COUNTS, J._K_AC_SYMBOLS)
+
+    # scan 1: DC first, Al=1. dc = -240 -> -240>>1 = -120, t=7
+    seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([0, 0, 1]))
+    bw = J._BitWriter()
+    code, ln = dc[7]
+    bw.write(code, ln)
+    bw.write(-120 + 127, 7)
+    out.extend(bw.flush())
+
+    # scan 2: AC first, band 1..63, Al=1. coef k=2 -> 3>>1 = 1:
+    # symbol 0x11 (run 1, size 1), value bit 1; then EOB
+    seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([1, 63, 1]))
+    bw = J._BitWriter()
+    code, ln = ac[0x11]
+    bw.write(code, ln)
+    bw.write(1, 1)
+    code, ln = ac[0x00]
+    bw.write(code, ln)
+    out.extend(bw.flush())
+
+    # scan 3: DC refine (Ah=1, Al=0): bit0 of -240 is 0
+    seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([0, 0, 0x10]))
+    bw = J._BitWriter()
+    bw.write(0, 1)
+    out.extend(bw.flush())
+
+    # scan 4: AC refine: EOB (run covers this block), then one
+    # correction bit for the nonzero coefficient at k=2 (bit0 of 3 = 1)
+    seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([1, 63, 0x10]))
+    bw = J._BitWriter()
+    code, ln = ac[0x00]
+    bw.write(code, ln)
+    bw.write(1, 1)
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+
+    got = J.decode_jpeg(bytes(out))
+    nat = np.zeros(64)
+    nat[J.ZIGZAG[0]] = -240.0
+    nat[J.ZIGZAG[2]] = 3.0
+    expect_y = np.clip(
+        np.round(J._idct2(nat.reshape(8, 8)) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(expect_y[:, :, None], 3, axis=2))
