@@ -6508,6 +6508,108 @@ def conversion_by_signup_cohort(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 19 — acquisition entry points and TTR-by-length
+# =====================================================================
+
+@q(
+    "first_event_type_distribution",
+    # Acquisition audit: which event type each user ENTERS with (argmin
+    # under the (ts, event_id) total order) — e.g. purchases with no
+    # prior signup. One users-sized min_by aggregate, no window over
+    # the log.
+    """SELECT first_type, count(*) AS n_users
+       FROM (SELECT user_id, event_type AS first_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events) WHERE rn = 1
+       GROUP BY first_type ORDER BY first_type""",
+    "entry-point distribution: each user's FIRST event type "
+    "(single min_by aggregate, never a log-wide window)",
+)
+def first_event_type_distribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("first_type")
+    )
+    return (
+        first.groupBy("first_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("first_type")
+    )
+
+
+@q(
+    "ttr_by_length_decile",
+    # Lexical diversity vs document length: type-token ratio averaged
+    # within length deciles (TTR falls with length by construction, so
+    # comparing it unstratified is the classic mistake this view
+    # fixes). Per-doc TTR rounds to 6dp and averages as exact DECIMAL;
+    # deciles are integer-exact value-range buckets over the corpus
+    # min/max token counts.
+    """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok,
+                         len(list_distinct(string_split(text, ' ')))
+                           AS n_types
+                  FROM documents),
+       b AS (SELECT min(n_tok) AS lo, max(n_tok) + 1 AS hi FROM d),
+       t AS (SELECT CAST(least(9, ((n_tok - lo) * 10) // (hi - lo))
+                         AS INTEGER) AS decile,
+                    n_tok,
+                    CAST(round(CAST(n_types AS DOUBLE) / n_tok, 6)
+                         AS DECIMAL(18,6)) AS ttr
+             FROM d, b)
+       SELECT decile, count(*) AS n_docs,
+              CAST(min(n_tok) AS BIGINT) AS min_tokens,
+              CAST(max(n_tok) AS BIGINT) AS max_tokens,
+              round(CAST(sum(ttr) AS DOUBLE) / count(*), 6) + 0
+                AS mean_ttr
+       FROM t GROUP BY decile ORDER BY decile""",
+    "type-token ratio by length decile: the length-stratified lexical "
+    "diversity curve (decimal-exact TTR averaging)",
+)
+def ttr_by_length_decile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.tokens("text")
+    d = docs.select(
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    b = d.agg(
+        F.min("n_tok").alias("lo"), (F.max("n_tok") + 1).alias("hi")
+    )
+    t = d.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("((n_tok - lo) * 10) div (hi - lo)"),
+        )
+        .cast("int")
+        .alias("decile"),
+        "n_tok",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tok"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("ttr"),
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+            (
+                F.round(
+                    F.sum("ttr").cast("double") / F.count("*"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_ttr"),
+        )
+        .orderBy("decile")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6635,6 +6737,8 @@ _ROTATION = [
     "late_arrival_audit",
     "template_prefix_audit",
     "conversion_by_signup_cohort",
+    "first_event_type_distribution",
+    "ttr_by_length_decile",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
