@@ -6610,6 +6610,141 @@ def ttr_by_length_decile(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 20 — higher-moment stats and interval concurrency
+# =====================================================================
+
+@q(
+    "value_skew_kurtosis_by_type",
+    # ClickHouse skewPop/kurtPop parity WITHOUT engine aggregates
+    # (their double accumulation is partition-order dependent): four
+    # decimal-exact power sums (terms rounded to 6dp; value^4 <= ~6e10
+    # sits comfortably in DECIMAL(38,6)) combine in ONE fixed double
+    # expression tree via the raw-moment identities.
+    """WITH m AS (SELECT event_type, count(*) AS n,
+                         sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS s1,
+                         sum(CAST(round(value * value, 6)
+                                  AS DECIMAL(38,6))) AS s2,
+                         sum(CAST(round(value * value * value, 6)
+                                  AS DECIMAL(38,6))) AS s3,
+                         sum(CAST(round(value * value * value * value, 6)
+                                  AS DECIMAL(38,6))) AS s4
+                  FROM events GROUP BY event_type)
+       SELECT event_type, n,
+              round((CAST(s3 AS DOUBLE) / n
+                     - 3 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                     + 2 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                    / pow(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n), 1.5), 6) + 0
+                AS skew_pop,
+              round((CAST(s4 AS DOUBLE) / n
+                     - 4 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s3 AS DOUBLE) / n)
+                     + 6 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                     - 3 * pow(CAST(s1 AS DOUBLE) / n, 4.0))
+                    / pow(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n), 2.0) - 3, 6)
+                + 0 AS kurt_excess
+       FROM m ORDER BY event_type""",
+    "population skewness + excess kurtosis per event type "
+    "(skewPop/kurtPop parity) from decimal-exact power sums",
+)
+def value_skew_kurtosis_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(v, 6).cast("decimal(38,6)")).alias("s1"),
+        F.sum(F.round(v * v, 6).cast("decimal(38,6)")).alias("s2"),
+        F.sum(F.round(v * v * v, 6).cast("decimal(38,6)")).alias("s3"),
+        F.sum(
+            F.round(v * v * v * v, 6).cast("decimal(38,6)")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    var = m2r - mu * mu
+    skew = (m3r - 3 * mu * m2r + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    kurt = (
+        m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * F.pow(mu, 4.0)
+    ) / F.pow(var, 2.0) - 3
+    return m.select(
+        "event_type",
+        "n",
+        (F.round(skew, 6) + F.lit(0.0)).alias("skew_pop"),
+        (F.round(kurt, 6) + F.lit(0.0)).alias("kurt_excess"),
+    ).orderBy("event_type")
+
+
+@q(
+    "max_concurrent_sessions",
+    # ClickHouse maxIntersections parity: peak session concurrency via
+    # the sweep line — sessions collapse to (start, +1)/(end, -1)
+    # deltas, one global running sum finds the peak. The window runs
+    # over 2x-sessions rows (already the per-user pre-aggregate), never
+    # the event log; ends sort before same-instant starts (half-open
+    # intervals).
+    """WITH s AS (
+         SELECT user_id, session_id,
+                min(ts) AS t0, max(ts) AS t1
+         FROM (SELECT user_id, ts, event_id,
+                      sum(CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev)
+                                  > 1800000000
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM (SELECT user_id, ts, event_id,
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+                     FROM events))
+         GROUP BY user_id, session_id),
+       d AS (SELECT t0 AS t, 1 AS delta FROM s
+             UNION ALL SELECT t1, -1 FROM s),
+       r AS (SELECT CAST(sum(delta) OVER (
+                      ORDER BY t, delta
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+             FROM d)
+       SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions,
+              max(live) AS max_concurrent
+       FROM r""",
+    "peak concurrent sessions (maxIntersections parity): sweep-line "
+    "running sum over the sessions-sized delta table",
+)
+def max_concurrent_sessions(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        sessionize(ev, "user_id", "ts", "event_id", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    d = s.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(F.sum("delta").over(w).cast("long").alias("live"))
+    n = s.agg(F.count("*").alias("n_sessions"))
+    return (
+        r.agg(F.max("live").alias("max_concurrent"))
+        .crossJoin(F.broadcast(n))
+        .select("n_sessions", "max_concurrent")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6739,6 +6874,8 @@ _ROTATION = [
     "conversion_by_signup_cohort",
     "first_event_type_distribution",
     "ttr_by_length_decile",
+    "value_skew_kurtosis_by_type",
+    "max_concurrent_sessions",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
