@@ -6745,6 +6745,135 @@ def max_concurrent_sessions(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 21 — counter deltas and interval union time
+# =====================================================================
+
+@q(
+    "value_delta_sum_by_type",
+    # ClickHouse deltaSum parity (counter-reset-tolerant rate): the sum
+    # of POSITIVE value deltas along each user's (ts, event_id)-ordered
+    # stream, rolled up per event type of the later event. Deltas round
+    # to 6dp and sum as exact DECIMAL; one user_id shuffle.
+    """WITH d AS (SELECT event_type,
+                         value - lag(value) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dv
+                  FROM events)
+       SELECT event_type,
+              count(*) FILTER (WHERE dv > 0) AS n_increases,
+              CAST(sum(CASE WHEN dv > 0
+                       THEN CAST(round(dv, 6) AS DECIMAL(28,6))
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS delta_sum
+       FROM d WHERE dv IS NOT NULL
+       GROUP BY event_type ORDER BY event_type""",
+    "deltaSum parity: positive value deltas along per-user ordered "
+    "streams, decimal-exact, rolled up per event type",
+)
+def value_delta_sum_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    d = ev.select("event_type", dv.alias("dv")).filter(
+        F.col("dv").isNotNull()
+    )
+    pos = F.col("dv") > 0
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.when(pos, F.lit(1))).alias("n_increases"),
+            F.sum(
+                F.when(
+                    pos, F.round(F.col("dv"), 6).cast("decimal(28,6)")
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("delta_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "active_time_union_seconds",
+    # ClickHouse intervalLengthSum parity: total wall time during which
+    # AT LEAST ONE session is open — the union length of all session
+    # intervals, overlaps merged. Sweep line over the sessions-sized
+    # delta table: running coverage count + lead(t); segments with
+    # live > 0 contribute (next_t - t). Exact epoch-microsecond
+    # integers to the final division.
+    """WITH s AS (
+         SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+         FROM (SELECT user_id, ts, event_id,
+                      sum(CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev)
+                                  > 1800000000
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM (SELECT user_id, ts, event_id,
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+                     FROM events))
+         GROUP BY user_id, session_id),
+       d AS (SELECT epoch_us(t0) AS t, 1 AS delta FROM s
+             UNION ALL SELECT epoch_us(t1), -1 FROM s),
+       r AS (SELECT t, delta,
+                    CAST(sum(delta) OVER (ORDER BY t, delta
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live,
+                    lead(t) OVER (ORDER BY t, delta) AS t_next
+             FROM d)
+       SELECT CAST(sum(CASE WHEN live > 0 THEN t_next - t ELSE 0 END)
+                   // 1000000 AS BIGINT) AS union_active_seconds,
+              CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions
+       FROM r WHERE t_next IS NOT NULL""",
+    "intervalLengthSum parity: union length of all session intervals "
+    "(overlaps merged) via the sweep-line coverage count",
+)
+def active_time_union_seconds(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        sessionize(ev, "user_id", "ts", "event_id", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("t0"),
+            F.unix_micros(F.max("ts")).alias("t1"),
+        )
+    )
+    d = s.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta")
+    r = d.select(
+        "t",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("live"),
+        F.lead("t").over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    n = s.agg(F.count("*").alias("n_sessions"))
+    return (
+        r.agg(
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("live") > 0, F.col("t_next") - F.col("t")
+                    ).otherwise(F.lit(0))
+                )
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("union_active_seconds")
+        )
+        .crossJoin(F.broadcast(n))
+        .select("union_active_seconds", "n_sessions")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -6876,6 +7005,8 @@ _ROTATION = [
     "ttr_by_length_decile",
     "value_skew_kurtosis_by_type",
     "max_concurrent_sessions",
+    "value_delta_sum_by_type",
+    "active_time_union_seconds",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
