@@ -64,6 +64,10 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             from neo4j_to_clickhouse_spark.operators.gif import decode_gif
 
             return ("gif", decode_gif(payload))
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from neo4j_to_clickhouse_spark.operators.tiff import decode_tiff
+
+            return ("tiff", decode_tiff(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None

@@ -1042,3 +1042,84 @@ def test_jpeg_progressive_ac_refinement_of_nonzero_coefficient():
         np.round(J._idct2(nat.reshape(8, 8)) + 128.0), 0, 255
     ).astype(np.uint8)
     assert np.array_equal(got, np.repeat(expect_y[:, :, None], 3, axis=2))
+
+
+# --- TIFF codec (operators/tiff.py) -----------------------------------------
+
+def test_tiff_roundtrip_and_variants():
+    """encode_tiff -> decode_tiff is exact; big-endian, grayscale
+    (both photometrics incl. WhiteIsZero inversion), RGBA extra-sample
+    dropping, and multi-strip layouts decode correctly; compressed /
+    tiled / planar / 16-bit reject with ValueError."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1), (5, 3), (32, 17)]:
+        px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        fmt, back = M.decode_image(T.encode_tiff(px))
+        assert fmt == "tiff"
+        assert np.array_equal(back, px), shape
+
+    def build(bo, tags, data):
+        e = "<" if bo == b"II*\x00" else ">"
+        ifd_off = 8 + len(data)
+        out = bytearray(bo) + _s.pack(e + "I", ifd_off) + data
+        out += _s.pack(e + "H", len(tags))
+        for tag, vtype, count, value in tags:
+            if vtype == 3 and count == 1:
+                out += _s.pack(e + "HHIHH", tag, vtype, count, value, 0)
+            else:
+                out += _s.pack(e + "HHII", tag, vtype, count, value)
+        out += _s.pack(e + "I", 0)
+        return bytes(out)
+
+    # big-endian grayscale BlackIsZero, two strips of one row each
+    g = np.array([[10, 200, 30], [99, 0, 255]], np.uint8)
+    buf = build(
+        b"MM\x00*",
+        [
+            (256, 4, 1, 3), (257, 4, 1, 2), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 2, 0), (277, 3, 1, 1),
+            (278, 4, 1, 1), (279, 4, 2, 0),
+        ],
+        g.tobytes(),
+    )
+    # patch the two-strip tables: offsets [8, 11], counts [3, 3]
+    # (value slots hold offsets to arrays appended at the end)
+    tail = len(buf)
+    buf = bytearray(buf)
+    idx = buf.find(_s.pack(">HHI", 273, 4, 2))
+    _s.pack_into(">I", buf, idx + 8, tail)
+    idx = buf.find(_s.pack(">HHI", 279, 4, 2))
+    _s.pack_into(">I", buf, idx + 8, tail + 8)
+    buf += _s.pack(">II", 8, 11) + _s.pack(">II", 3, 3)
+    got = T.decode_tiff(bytes(buf))
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+
+    # WhiteIsZero inverts
+    buf2 = bytearray(buf)
+    idx = buf2.find(_s.pack(">HHIHH", 262, 3, 1, 1, 0))
+    _s.pack_into(">HHIHH", buf2, idx, 262, 3, 1, 0, 0)
+    got = T.decode_tiff(bytes(buf2))
+    assert np.array_equal(got, np.repeat((255 - g)[:, :, None], 3, axis=2))
+
+    # rejections: LZW compression flag, 16-bit, planar
+    base = T.encode_tiff(np.zeros((2, 2, 3), np.uint8))
+    mut = bytearray(base)
+    i = mut.find(_s.pack("<HHIHH", 259, 3, 1, 1, 0))
+    _s.pack_into("<HHIHH", mut, i, 259, 3, 1, 5, 0)
+    with pytest.raises(ValueError, match="compression"):
+        T.decode_tiff(bytes(mut))
+    mut = bytearray(base)
+    i = mut.find(_s.pack("<HHIHH", 284, 3, 1, 1, 0))
+    _s.pack_into("<HHIHH", mut, i, 284, 3, 1, 2, 0)
+    with pytest.raises(ValueError, match="planar"):
+        T.decode_tiff(bytes(mut))
+    with pytest.raises(ValueError):
+        T.decode_tiff(b"II*\x00\x08\x00\x00")
+    assert M.decode_image(b"II*\x00 garbage") is None
