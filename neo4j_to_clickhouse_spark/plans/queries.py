@@ -6874,6 +6874,97 @@ def active_time_union_seconds(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 22 — conversion latency and basket-size distributions
+# =====================================================================
+
+@q(
+    "signup_to_purchase_latency",
+    # Time-to-convert: days between each user's first signup and their
+    # first LATER purchase, bucketed in integer days from exact epoch
+    # micros. Complements conversion_by_signup_cohort (rate) and
+    # purchase_gap_histogram (inter-purchase cadence).
+    """WITH su AS (SELECT user_id, min(ts) AS t_signup
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id),
+       pu AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN su ON su.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > su.t_signup
+              GROUP BY e.user_id)
+       SELECT CAST((epoch_us(pu.t_purchase) - epoch_us(su.t_signup))
+                   // 86400000000 AS BIGINT) AS latency_days,
+              count(*) AS n_users
+       FROM su JOIN pu ON pu.user_id = su.user_id
+       GROUP BY 1 ORDER BY latency_days""",
+    "time-to-convert histogram: integer days from first signup to "
+    "first later purchase (exact epoch micros)",
+)
+def signup_to_purchase_latency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = F.floor(
+        (
+            F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+        )
+        / F.lit(86400000000)
+    ).cast("long")
+    return (
+        su.join(pu, "user_id")
+        .select(lat.alias("latency_days"))
+        .groupBy("latency_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("latency_days")
+    )
+
+
+@q(
+    "order_line_count_histogram",
+    # Basket-size distribution: how many orders have 1, 2, 3... line
+    # items — the fan-out profile every per-order self-join's cost
+    # model (basket_cooccurrence_topk) depends on. Two hash
+    # aggregations, orders-sized then histogram-sized.
+    """WITH o AS (SELECT l_orderkey, count(*) AS n_lines
+                  FROM lineitem GROUP BY l_orderkey)
+       SELECT n_lines, count(*) AS n_orders,
+              round(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM o), 6) + 0 AS order_share
+       FROM o GROUP BY n_lines ORDER BY n_lines""",
+    "basket-size histogram: orders per line-item count (the fan-out "
+    "profile behind per-order self-join cost)",
+)
+def order_line_count_histogram(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    t = o.agg(F.count("*").alias("__tot"))
+    return (
+        o.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_lines",
+            "n_orders",
+            (
+                F.round(
+                    F.col("n_orders").cast("double") / F.col("__tot"), 6
+                )
+                + F.lit(0.0)
+            ).alias("order_share"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -7007,6 +7098,8 @@ _ROTATION = [
     "max_concurrent_sessions",
     "value_delta_sum_by_type",
     "active_time_union_seconds",
+    "signup_to_purchase_latency",
+    "order_line_count_histogram",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
