@@ -6965,6 +6965,52 @@ def order_line_count_histogram(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 23 — activity-distribution percentiles
+# =====================================================================
+
+@q(
+    "user_activity_percentiles",
+    # The activity-distribution summary (events per user): exact
+    # interpolated p50/p90/p99 over the users-sized pre-aggregate plus
+    # mean — the sibling of user_activity_gini that reports the shape,
+    # not just the inequality scalar. Integer inputs make the
+    # interpolation arithmetic engine-identical.
+    """WITH u AS (SELECT user_id, count(*) AS cnt
+                  FROM events GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              round(quantile_cont(cnt, 0.5), 6) + 0 AS p50,
+              round(quantile_cont(cnt, 0.9), 6) + 0 AS p90,
+              round(quantile_cont(cnt, 0.99), 6) + 0 AS p99,
+              round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) + 0
+                AS mean_events
+       FROM u""",
+    "events-per-user distribution: exact interpolated p50/p90/p99 + "
+    "mean over the users-sized pre-aggregate",
+)
+def user_activity_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        (
+            F.round(F.expr("percentile(cnt, 0.5)"), 6) + F.lit(0.0)
+        ).alias("p50"),
+        (
+            F.round(F.expr("percentile(cnt, 0.9)"), 6) + F.lit(0.0)
+        ).alias("p90"),
+        (
+            F.round(F.expr("percentile(cnt, 0.99)"), 6) + F.lit(0.0)
+        ).alias("p99"),
+        (
+            F.round(
+                F.sum("cnt").cast("double") / F.count("*"), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_events"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -7100,6 +7146,7 @@ _ROTATION = [
     "active_time_union_seconds",
     "signup_to_purchase_latency",
     "order_line_count_histogram",
+    "user_activity_percentiles",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
