@@ -7011,6 +7011,103 @@ def user_activity_percentiles(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 24 — dedup savings accounting and GROUPING SETS
+# =====================================================================
+
+@q(
+    "dedup_token_savings_by_source",
+    # The number every dedup report leads with: token savings. Exact
+    # dedup keeps the lowest doc_id per md5(text) group; per source,
+    # total vs surviving whitespace tokens and the savings rate.
+    # Survivor selection is a digest-keyed min aggregate joined back on
+    # doc id — bodies never shuffle.
+    """WITH t AS (SELECT doc_id, source,
+                         len(string_split(text, ' ')) AS n_tok,
+                         md5(text) AS h
+                  FROM documents),
+       k AS (SELECT min(doc_id) AS keep FROM t GROUP BY h)
+       SELECT source,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN k.keep IS NOT NULL THEN n_tok
+                            ELSE 0 END) AS BIGINT) AS surviving_tokens,
+              round(CAST(sum(CASE WHEN k.keep IS NULL THEN n_tok
+                                  ELSE 0 END) AS DOUBLE)
+                    / sum(n_tok), 6) + 0 AS savings_rate
+       FROM t LEFT JOIN k ON k.keep = t.doc_id
+       GROUP BY source ORDER BY source""",
+    "exact-dedup token savings per source: total vs surviving "
+    "(keep-lowest-id) whitespace tokens and the removal rate",
+)
+def dedup_token_savings_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(D.tokens("text")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    k = t.groupBy("h").agg(F.min("doc_id").alias("keep")).select("keep")
+    kept = F.col("keep").isNotNull()
+    return (
+        t.join(k, t.doc_id == k.keep, "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias(
+                "surviving_tokens"
+            ),
+            (
+                F.round(
+                    F.sum(
+                        F.when(~kept, F.col("n_tok")).otherwise(0)
+                    ).cast("double")
+                    / F.sum("n_tok"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "grouping_sets_event_report",
+    # §2.4 completeness: the third grouping construct alongside ROLLUP
+    # and CUBE — an EXPLICIT GROUPING SETS list ((type), (weekday), ())
+    # with grouping() flags disambiguating the subtotal NULLs from real
+    # values on both engines.
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+              CAST(coalesce(isodow(ts), -1) AS INTEGER) AS dow,
+              CAST(grouping(event_type) AS INTEGER) AS g_type,
+              CAST(grouping(isodow(ts)) AS INTEGER) AS g_dow,
+              count(*) AS cnt
+       FROM events
+       GROUP BY GROUPING SETS ((event_type), (isodow(ts)), ())
+       ORDER BY g_type, g_dow, event_type, dow""",
+    "explicit GROUPING SETS ((type), (weekday), ()) with grouping() "
+    "subtotal flags (completes ROLLUP/CUBE/GROUPING SETS)",
+)
+def grouping_sets_event_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    # ISO weekday in Spark: dayofweek is 1=Sunday..7=Saturday
+    return ev.sparkSession.sql(
+        """SELECT coalesce(event_type, '(all)') AS event_type,
+                  CAST(coalesce((dayofweek(ts) + 5) % 7 + 1, -1)
+                       AS INT) AS dow,
+                  CAST(grouping(event_type) AS INT) AS g_type,
+                  CAST(grouping((dayofweek(ts) + 5) % 7 + 1) AS INT)
+                    AS g_dow,
+                  count(*) AS cnt
+           FROM __gs_events
+           GROUP BY GROUPING SETS ((event_type),
+                                   ((dayofweek(ts) + 5) % 7 + 1), ())
+           ORDER BY g_type, g_dow, event_type, dow"""
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -7147,6 +7244,8 @@ _ROTATION = [
     "signup_to_purchase_latency",
     "order_line_count_histogram",
     "user_activity_percentiles",
+    "dedup_token_savings_by_source",
+    "grouping_sets_event_report",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
