@@ -7108,6 +7108,99 @@ def grouping_sets_event_report(spark, sf_dir):
 
 
 # =====================================================================
+# Round-7 wave 25 — revenue concentration (Pareto/ABC)
+# =====================================================================
+
+@q(
+    "revenue_pareto_report",
+    # The 80/20 audit: how few customers carry 80% of revenue. Revenue
+    # is decimal-exact per customer; the cumulative window runs over
+    # the customers-sized pre-aggregate under a total (revenue desc,
+    # custkey) order, and every comparison happens on exact DECIMALs
+    # (threshold = total * 0.8 is exact decimal multiplication).
+    """WITH r AS (SELECT o.o_custkey,
+                         sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS rev
+                  FROM lineitem l
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  GROUP BY o.o_custkey),
+       t AS (SELECT CAST(sum(rev) AS DECIMAL(28,4)) AS total,
+                    CAST(max(rev) AS DECIMAL(18,4)) AS top1,
+                    count(*) AS n FROM r),
+       c AS (SELECT rev,
+                    CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                         ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4))
+                      AS cum
+             FROM r)
+       SELECT CAST(t.n AS BIGINT) AS n_customers,
+              CAST(count(*) FILTER (WHERE c.cum - c.rev
+                   < t.total * CAST(0.8 AS DECIMAL(3,1))) AS BIGINT)
+                AS customers_for_80pct,
+              round(CAST(count(*) FILTER (WHERE c.cum - c.rev
+                         < t.total * CAST(0.8 AS DECIMAL(3,1)))
+                         AS DOUBLE) / t.n, 6) + 0 AS customer_share,
+              round(CAST(t.top1 AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                + 0 AS top1_revenue_share
+       FROM c, t GROUP BY t.n, t.top1, t.total""",
+    "Pareto/ABC revenue concentration: customers needed for 80% of "
+    "revenue (decimal-exact cumulative over the customers-sized table)",
+)
+def revenue_pareto_report(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    t = r.agg(
+        F.sum("rev").cast("decimal(28,4)").alias("total"),
+        F.max("rev").cast("decimal(18,4)").alias("top1"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = r.select(
+        "rev", F.sum("rev").over(w).cast("decimal(28,4)").alias("cum")
+    )
+    need = (F.col("cum") - F.col("rev")) < (
+        F.col("total") * F.lit(0.8).cast("decimal(3,1)")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.first("n").alias("n_customers"),
+            F.count(F.when(need, F.lit(1))).alias("customers_for_80pct"),
+            (
+                F.round(
+                    F.count(F.when(need, F.lit(1))).cast("double")
+                    / F.first("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("customer_share"),
+            (
+                F.round(
+                    F.first("top1").cast("double")
+                    / F.first("total").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("top1_revenue_share"),
+        )
+    )
+
+
+# =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
@@ -7246,6 +7339,7 @@ _ROTATION = [
     "user_activity_percentiles",
     "dedup_token_savings_by_source",
     "grouping_sets_event_report",
+    "revenue_pareto_report",
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
