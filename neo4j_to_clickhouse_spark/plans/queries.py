@@ -7221,76 +7221,14 @@ def revenue_pareto_report(spark, sf_dir):
 #   re-earns its row.
 
 _DRIVER_WINDOW = [
-    # round-7 rotation (VERDICT r06 item 4): the 28 entries that earned
-    # their r06 green rotate out; the 28 r05-greens due re-certification
-    # rotate back in.  Kept in-window regardless: the one r06 red (the
-    # oracle-side fix must re-earn its row), the new never-certified
-    # recall query, the 3 rows-only specs, and the 3 high-regression-risk
-    # representatives under continuous certification.
-    #
-    # -- must (re-)earn a driver row this round --
-    "sequence_packing_stats",     # r06 red: oracle HUGEINT fix, engine was correct
-    "embedding_ivf_recall",       # NEW: certifies pruned-probe IVF recall floors
-    "pii_redaction_stats",        # NEW: pattern-based PII redaction audit
-    "curation_funnel_report",     # NEW: staged curation retention funnel
-    "decontamination_bloom",      # NEW: Bloom-reduced decontamination scale path
-    "lm_quality_by_source",       # NEW: unigram-LM quality scoring (CCNet-class)
-    "repeated_span_stats",        # NEW: substring-level cross-doc dedup audit
-    "shard_balance_report",       # NEW: deterministic training-shard export
-    "tokenizer_comparison_by_source",  # NEW: pre-tokenizer sizing estimators
-    "embedding_kmeans_cells",     # NEW: Lloyd k-means vs unrolled-CTE oracle
-    "span_dedup_rewrite_stats",   # NEW: substring-dedup rewrite accounting
-    "chunking_stats",             # NEW: sliding-window chunking accounting
-    "state_interval_stats",       # NEW: SCD2 validity-interval accounting
-    "cross_source_span_overlap",  # NEW: source-pair verbatim-span matrix
-    "semantic_dedup_survivors",   # NEW: SemDeDup keep-lowest-id accounting
-    "embedding_quantization_report",  # NEW: SQ8 integer-exact code profile
-    "embedding_pq_codes",             # NEW: PQ codebooks vs unrolled oracle
-    "approx_distinct_users_bound",    # NEW: HLL++ error-bound certification
-    # -- rotating back in: r05-green, one round out of the window --
-    "filter_json_path_variant",
-    "duplicate_keys",
-    "latest_events",
-    "order_priority_count",
-    "acctbal_by_segment",
-    "count_by_event_type",
-    "count_distinct_by_type",
-    "topk_words_approx",
-    "global_totals",
-    "orders_per_customer_topk",
-    "filter_json_path",
-    "filter_time_range",
-    "conjunctive_filters",
-    "latest_state_per_entity",
-    "dedup_validation",
-    "retention_candidates",
-    "pricing_summary",
-    "revenue_by_nation",
-    "graph_two_hop_topk",
-    "graph_degree_topk",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash_planted",
-    "embedding_knn",
-    "embedding_lsh_near_dup",
-    "text_stats_by_source",
-    "sample_hash_fraction",
-    # -- r06-green keeps: families whose only green on the current
-    #    fixture is r05+r06; hold the harder sibling one more round --
-    "asof_user_state_bucketed",   # harder sibling; asof_user_state rotates out
-    "session_window_counts",      # streaming-semantics side; sessionization out
-    "window_funnel_strict_order_steps",  # harder sibling; window_funnel_steps out
-    # complex high-regression-risk representatives kept under continuous
-    # driver certification
-    "dedup_minhash_lsh",
-]
-
-_ROTATION = [
-    # head of the r08 promotion queue: debuted after the round-7 window
-    # filled (17 debuts already hold window slots); certified at all
-    # three SFs by the local driver-faithful gate this round, takes a
-    # window slot in round 8
+    # round-8 rotation (VERDICT r07 item 1 — consolidation): the 50
+    # round-7 greens rotate out wholesale; the window is given to the
+    # never-driver-certified round-7 debuts.  Composition: the VERDICT
+    # r07 promotion-queue leads (PQ-ADC recall, percentile-sketch bound,
+    # Gopher flags, column profiler, revenue forecast, the join-type
+    # surface, incremental dedup, priority sampling) plus registration-
+    # order fill; the remaining 21 debuts head _ROTATION as the r09
+    # promotion queue.  Registry growth is FROZEN at 166 this round.
     "embedding_pq_adc_recall",
     "approx_percentile_bound",
     "gopher_quality_flags",
@@ -7334,6 +7272,19 @@ _ROTATION = [
     "max_concurrent_sessions",
     "value_delta_sum_by_type",
     "active_time_union_seconds",
+    "customers_inactive_since",  # join-type surface: NOT EXISTS / left ANTI
+    "urgent_customers_by_segment",  # join-type surface: EXISTS / left SEMI
+    "user_halves_churn",  # join-type surface: FULL OUTER churn accounting
+    "shipping_priority",  # join-type surface: TPC-H Q3 three-table top-k
+    "dedup_incremental_batch",  # daily-ingest anti-join vs hash-only store
+    "priority_sample_by_length",  # Duffield-Lund-Thorup weighted sampling
+    "priority_sample_estimator",  # Horvitz-Thompson subset-sum estimate
+]
+
+_ROTATION = [
+    # r09 promotion queue: the 21 round-7 debuts that did not fit the
+    # 50-slot r08 window; continuously certified by the local gate
+    # (tools/check_correctness.py) until they earn a driver row in r09.
     "signup_to_purchase_latency",
     "order_line_count_histogram",
     "user_activity_percentiles",
@@ -7343,13 +7294,8 @@ _ROTATION = [
     "cube_event_counts",
     "value_deciles_by_type",
     "event_type_pivot",
-    "customers_inactive_since",
-    "urgent_customers_by_segment",
     "clicker_purchaser_intersect",
     "daily_counts_gapfilled",
-    "dedup_incremental_batch",
-    "priority_sample_by_length",
-    "priority_sample_estimator",
     "hourly_event_windows",
     "ngram_diversity_by_source",
     "events_by_dow_hour",
@@ -7360,56 +7306,106 @@ _ROTATION = [
     "event_share_of_total",
     "duplicate_metadata_conflicts",
     "revenue_by_part_type",
-    "user_halves_churn",
-    "shipping_priority",
-    # demoted for round 7: driver-green in r06 on the current fixture,
-    # with an in-window sibling carrying the family; rotate back in a
-    # later round per SURVEY §8 policy
-    "sample_temperature_weighted",  # r05+r06 double green; sampling family held by sample_hash_fraction
-    "multimodal_inventory",       # r05+r06 double green; metadata-only scan, heaviest pytest coverage (codec suites)
-    "embedding_ivf_full_probe",   # r05-green; IVF family held in-window by the harder embedding_ivf_recall certification
-    "decontamination_overlap",    # r05+r06 double green; scale sibling decontamination_bloom in window
-    "random_sample",              # rows-only by design; hard sibling sample_hash_fraction in window
-    "dedup_simhash",              # rows-only; hard sibling dedup_simhash_planted in window
-    "embedding_ivf_topk",         # rows-only; certified via embedding_ivf_recall (in window)
-    "value_percentiles_by_type",  # r06-green; ~ value_histogram family
-    "range_join_interval_stats",  # r06-green; as-of family held by bucketed sibling
-    "tfidf_source_profile",       # r05+r06 double green; text family in window
-    "conditional_aggregates",     # r06-green; ~ retention_cohort_counts
-    "argmax_event_per_user",      # r06-green; ~ latest_state_per_entity
-    "first_events_per_user",      # r06-green; ~ latest_events window family
-    "count_distinct_salted",      # ~ count_distinct_by_type (exact sibling)
-    "first_event_salted",         # ~ latest_state_per_entity window family
-    "train_val_test_split_counts",  # ~ sample_hash_fraction (md5-range splits)
-    "supplier_triangle_count",    # graph ~ graph_two_hop_topk
-    "supplier_pagerank",          # graph ~ graph_degree_topk
-    "embedding_dimension_stats",  # ~ embedding_knn family
-    "dedup_jaccard_capped",       # capped sibling of dedup_ngram_jaccard
-    "dedup_survivors_minhash",    # ~ dedup_clusters
-    "embedding_near_duplicates",  # ~ embedding_lsh_near_dup
-    "langid_distribution",        # ~ text_stats_by_source
-    "quality_bands",              # ~ text_stats_by_source
-    "repetition_by_source",       # ~ text_stats_by_source
-    "fingerprint_uniqueness",     # ~ text_stats_by_source
-    "sample_stratified_per_source",  # ~ sample_hash_fraction
-    "top_revenue_orders",         # top-k ~ orders_per_customer_topk
-    "summary_stats",              # ~ acctbal_by_segment / global_totals
-    "union_counts",               # ~ count_by_event_type
-    "word_distribution",          # ~ topk_words_approx
-    "payload_profile",            # ~ global_totals
-    "sorted_regions",             # ~ order_priority_count
-    "filter_event_type",          # ~ filter_time_range / conjunctive_filters
-    "filter_array_membership",    # ~ conjunctive_filters
-    "dedup_survivors_by_source",  # ~ dedup_exact_docs / dedup_validation
-    "token_count_extremes",       # ~ text_stats_by_source
-    "asof_user_state",            # plain sibling of asof_user_state_bucketed
-    "sessionization",             # batch sibling of session_window_counts
-    "window_funnel_steps",        # sibling of window_funnel_strict_order_steps
-    "sequence_count_histogram",   # lag-window family ~ funnel strict-order
-    "retention_cohort_counts",    # conditional counts ~ conditional_aggregates
-    "rollup_event_counts",        # subtotal hierarchy ~ conditional_aggregates
-    "value_histogram",            # binning ~ value_percentiles_by_type
-    "daily_moving_stats",         # windows-over-preagg ~ rollup_event_counts
+    # demoted for round 8: all 50 r08-window predecessors are driver-
+    # green in CORRECTNESS_r07 (50/50, zero errs) on the current fixture;
+    # they rotate out wholesale to clear the certification backlog.
+    "sequence_packing_stats",
+    "embedding_ivf_recall",
+    "pii_redaction_stats",
+    "curation_funnel_report",
+    "decontamination_bloom",
+    "lm_quality_by_source",
+    "repeated_span_stats",
+    "shard_balance_report",
+    "tokenizer_comparison_by_source",
+    "embedding_kmeans_cells",
+    "span_dedup_rewrite_stats",
+    "chunking_stats",
+    "state_interval_stats",
+    "cross_source_span_overlap",
+    "semantic_dedup_survivors",
+    "embedding_quantization_report",
+    "embedding_pq_codes",
+    "approx_distinct_users_bound",
+    "filter_json_path_variant",
+    "duplicate_keys",
+    "latest_events",
+    "order_priority_count",
+    "acctbal_by_segment",
+    "count_by_event_type",
+    "count_distinct_by_type",
+    "topk_words_approx",
+    "global_totals",
+    "orders_per_customer_topk",
+    "filter_json_path",
+    "filter_time_range",
+    "conjunctive_filters",
+    "latest_state_per_entity",
+    "dedup_validation",
+    "retention_candidates",
+    "pricing_summary",
+    "revenue_by_nation",
+    "graph_two_hop_topk",
+    "graph_degree_topk",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash_planted",
+    "embedding_knn",
+    "embedding_lsh_near_dup",
+    "text_stats_by_source",
+    "sample_hash_fraction",
+    "asof_user_state_bucketed",
+    "session_window_counts",
+    "window_funnel_strict_order_steps",
+    "dedup_minhash_lsh",
+    # pre-round-7 rotation tail: multi-round greens with in-window or
+    # recently-certified family siblings (annotations from SURVEY §8).
+    "sample_temperature_weighted",
+    "multimodal_inventory",
+    "embedding_ivf_full_probe",
+    "decontamination_overlap",
+    "random_sample",
+    "dedup_simhash",
+    "embedding_ivf_topk",
+    "value_percentiles_by_type",
+    "range_join_interval_stats",
+    "tfidf_source_profile",
+    "conditional_aggregates",
+    "argmax_event_per_user",
+    "first_events_per_user",
+    "count_distinct_salted",
+    "first_event_salted",
+    "train_val_test_split_counts",
+    "supplier_triangle_count",
+    "supplier_pagerank",
+    "embedding_dimension_stats",
+    "dedup_jaccard_capped",
+    "dedup_survivors_minhash",
+    "embedding_near_duplicates",
+    "langid_distribution",
+    "quality_bands",
+    "repetition_by_source",
+    "fingerprint_uniqueness",
+    "sample_stratified_per_source",
+    "top_revenue_orders",
+    "summary_stats",
+    "union_counts",
+    "word_distribution",
+    "payload_profile",
+    "sorted_regions",
+    "filter_event_type",
+    "filter_array_membership",
+    "dedup_survivors_by_source",
+    "token_count_extremes",
+    "asof_user_state",
+    "sessionization",
+    "window_funnel_steps",
+    "sequence_count_histogram",
+    "retention_cohort_counts",
+    "rollup_event_counts",
+    "value_histogram",
+    "daily_moving_stats",
 ]
 
 

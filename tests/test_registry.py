@@ -17,64 +17,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_to_clickhouse_spark.plans import queries as Q
 
-# Round-7 window (VERDICT r06 items 1, 4, 5): queries without a hard
-# driver green on the current fixture must sit inside the first 50 until
-# certified — the r06 red whose oracle was fixed, and the new recall
-# certification debuting this round.
+# Round-8 window (VERDICT r07 item 1 — consolidation): the entire window
+# is given to never-driver-certified round-7 debuts.  The verdict's
+# promotion-queue leads must hold window slots; the other 43 slots are
+# registration-order fill from the same debut class.  RECERTIFYING is
+# empty this round — all 50 round-7 window members earned a driver green
+# in CORRECTNESS_r07 (50/50) and rotate out wholesale.
 NEVER_CERTIFIED = [
-    "sequence_packing_stats",   # r06 hash-fail (oracle HUGEINT, now CAST)
-    "embedding_ivf_recall",     # new in round 7
-    "pii_redaction_stats",      # new in round 7
-    "curation_funnel_report",   # new in round 7
-    "decontamination_bloom",    # new in round 7
-    # round-7 second wave
-    "lm_quality_by_source",
-    "repeated_span_stats",
-    "shard_balance_report",
-    "tokenizer_comparison_by_source",
-    "embedding_kmeans_cells",
-    "span_dedup_rewrite_stats",
-    "chunking_stats",
-    "state_interval_stats",
-    "embedding_quantization_report",
-    "approx_distinct_users_bound",
-    "cross_source_span_overlap",
-    "semantic_dedup_survivors",
-    "embedding_pq_codes",
+    # VERDICT r07 named promotion-queue leads
+    "embedding_pq_adc_recall",
+    "approx_percentile_bound",
+    "gopher_quality_flags",
+    "column_profile_events",
+    "revenue_forecast",
+    "customers_inactive_since",      # join-type surface: NOT EXISTS / ANTI
+    "urgent_customers_by_segment",   # join-type surface: EXISTS / SEMI
+    "user_halves_churn",             # join-type surface: FULL OUTER
+    "shipping_priority",             # join-type surface: TPC-H Q3 top-k
+    "dedup_incremental_batch",
+    "priority_sample_by_length",
+    "priority_sample_estimator",
 ]
 
-# r05-green entries rotated out for round 6, rotating back in to
-# re-earn their row per SURVEY §8 policy.
-RECERTIFYING = [
-    "filter_json_path_variant",
-    "duplicate_keys",
-    "latest_events",
-    "order_priority_count",
-    "acctbal_by_segment",
-    "count_by_event_type",
-    "count_distinct_by_type",
-    "topk_words_approx",
-    "global_totals",
-    "orders_per_customer_topk",
-    "filter_json_path",
-    "filter_time_range",
-    "conjunctive_filters",
-    "latest_state_per_entity",
-    "dedup_validation",
-    "retention_candidates",
-    "pricing_summary",
-    "revenue_by_nation",
-    "graph_two_hop_topk",
-    "graph_degree_topk",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash_planted",
-    "embedding_knn",
-    "embedding_lsh_near_dup",
-    "text_stats_by_source",
-    "sample_hash_fraction",
-]
+RECERTIFYING: list[str] = []
 
 
 def test_promoted_queries_inside_driver_window():
