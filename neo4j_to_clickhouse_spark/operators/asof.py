@@ -142,9 +142,14 @@ def asof_join_forward(
         F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(struct_t).alias("__v"),
     )
+    # __tb sorts nulls LAST: the forward scan takes the FIRST row in
+    # order, so under Spark's nulls-first ascending default an event
+    # with a NULL tie-break would silently beat every non-null id at
+    # the same timestamp (the backward join is immune — its carry takes
+    # the LAST row, where nulls-first already makes NULL lose).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__kind", "__tb")
+        .orderBy("__t", "__kind", F.asc_nulls_last("__tb"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = ev.unionByName(pr).select(

@@ -280,9 +280,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
         rows = palette[indices].reshape(h, w, 3)
         if ipacked & 0x40:
             rows = _deinterlace(rows)
+        # GIF89a 18: the background index refers to the GLOBAL color
+        # table — resolving it in a frame's LOCAL palette would paint a
+        # wrong background outside the frame rect (ADVICE r07).
         bg = (
-            palette[bg_index]
-            if gct is not None and bg_index < palette.shape[0]
+            gct[bg_index]
+            if gct is not None and bg_index < gct.shape[0]
             else np.zeros(3, np.uint8)
         )
         canvas = np.empty((sh, sw, 3), np.uint8)

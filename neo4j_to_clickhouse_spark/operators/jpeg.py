@@ -463,7 +463,12 @@ def _decode_prog_scan(
         else:
             _ac_refine(br, huff[(1, scan[cid][1])], cv, ss, se, al, state)
 
-    if ss == 0 and len(scan) == len(comps):  # interleaved DC scan
+    # T.81 A.2: ANY single-component scan is non-interleaved (sampling
+    # factors ignored), even when the lone frame component declares
+    # h/v > 1 — len(scan)==len(comps) would misroute that grayscale
+    # case through the MCU raster and desync.  Partial interleave
+    # (1 < Ns < Nf) is rejected at parse time.
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan
         for m in range(mcux * mcuy):
             if ri and m and m % ri == 0:
                 br.restart(rst)
@@ -578,7 +583,9 @@ def _decode_entropy(d, pos, frame, scan, qt, huff, ri, planes) -> int:
             _idct2(block.reshape(8, 8)) + 128.0
         )
 
-    if len(scan) == len(comps):  # interleaved: MCU raster
+    # T.81 A.2: a single-component scan is ALWAYS non-interleaved — see
+    # the progressive-path note; same grayscale h/v>1 desync otherwise.
+    if len(scan) > 1:  # interleaved: MCU raster
         for m in range(mcux * mcuy):
             if ri and m and m % ri == 0:
                 br.restart(rst)

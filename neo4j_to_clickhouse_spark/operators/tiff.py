@@ -101,15 +101,27 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
+    rps = one(278, h)
+    if rps <= 0:
+        raise ValueError("bad TIFF RowsPerStrip")
+    if len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
     data = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        # a writer that pads strips would otherwise silently shift every
+        # subsequent pixel row (ADVICE r07) — require each strip to hold
+        # exactly its rows, like the other unsupported-layout checks
+        rows_in_strip = min(rps, h - i * rps)
+        if cnt != rows_in_strip * w * spp:
+            raise ValueError(
+                f"TIFF strip {i} holds {cnt} bytes, expected "
+                f"{rows_in_strip * w * spp} (padded/packed strips are "
+                "not supported)"
+            )
         if off + cnt > len(payload):
             raise ValueError("TIFF strip out of range")
         data += payload[off : off + cnt]
-    need = w * h * spp
-    if len(data) < need:
-        raise ValueError("TIFF pixel data shorter than dimensions")
-    px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)
+    px = np.frombuffer(bytes(data), np.uint8).reshape(h, w, spp)
     if photometric == 2:
         return np.ascontiguousarray(px[:, :, :3])  # drop alpha/extras
     g = px[:, :, 0]

@@ -247,3 +247,20 @@ def test_asof_forward_edges(spark):
     assert out[(1, 10)] == (None, None)  # nothing after
     assert out[(2, 1)] == (200, "d")
     assert out[(3, 4)] == (None, None)   # key with no events
+
+
+def test_asof_forward_null_tie_break_loses(spark):
+    """An event whose tie_break_col is NULL must not beat non-null ids at
+    the same timestamp (ADVICE r07: Spark's nulls-first ascending default
+    would otherwise make it win the forward scan silently)."""
+    from neo4j_to_clickhouse_spark.operators.asof import asof_join_forward
+
+    ev = spark.createDataFrame(
+        [(1, 5, None, "null-id"), (1, 5, 100, "a"), (1, 5, 101, "b")],
+        "k long, t long, eid long, val string",
+    )
+    pr = spark.createDataFrame([(1, 5)], "k long, pt long")
+    [row] = asof_join_forward(
+        ev, pr, "k", "t", "pt", ["eid", "val"], "eid"
+    ).collect()
+    assert (row.eid, row.val) == (100, "a")

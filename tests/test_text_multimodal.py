@@ -1123,3 +1123,120 @@ def test_tiff_roundtrip_and_variants():
     with pytest.raises(ValueError):
         T.decode_tiff(b"II*\x00\x08\x00\x00")
     assert M.decode_image(b"II*\x00 garbage") is None
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: any single-component scan is NON-interleaved, with the
+    MCU equal to one block — even when the lone frame component declares
+    h/v sampling > 1 (emitted by some encoders after cropping from
+    color).  Routing such a frame through the interleaved MCU raster
+    desyncs the entropy stream (ADVICE r07).  24x8 with h=v=2 makes the
+    two rasters genuinely different: block raster = 3 blocks, MCU raster
+    would read 2 MCUs x 4 blocks = 8."""
+    import struct as _s
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import jpeg as J
+
+    def gray_jpeg(sof_marker):
+        out = bytearray(b"\xff\xd8")
+
+        def seg(marker, body):
+            out.extend(_s.pack(">BBH", 0xFF, marker, len(body) + 2))
+            out.extend(body)
+
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        # one component, cid 1, sampling h=2 v=2
+        seg(sof_marker, _s.pack(">BHHB", 8, 8, 24, 1) + _s.pack(">BBB", 1, 0x22, 0))
+        seg(0xC4, bytes([0x00]) + bytes(J._K_DC_COUNTS) + J._K_DC_SYMBOLS)
+        seg(0xC4, bytes([0x10]) + bytes(J._K_AC_COUNTS) + J._K_AC_SYMBOLS)
+        if sof_marker == 0xC2:  # progressive: DC-only scan, Ss=Se=0
+            seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([0, 0, 0]))
+        else:
+            seg(0xDA, b"\x01" + _s.pack(">BB", 1, 0x00) + bytes([0, 63, 0]))
+        dc = J._huff_codes(J._K_DC_COUNTS, J._K_DC_SYMBOLS)
+        ac = J._huff_codes(J._K_AC_COUNTS, J._K_AC_SYMBOLS)
+        bw = J._BitWriter()
+        level = 150
+        diff = 8 * (level - 128)  # DC of a flat block, pred starts at 0
+        for m in range(3):  # block raster: ceil(24/8) x ceil(8/8)
+            t = abs(diff).bit_length()
+            code, ln = dc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            if sof_marker == 0xC0:  # sequential blocks end with EOB
+                code, ln = ac[0x00]
+                bw.write(code, ln)
+            diff = 0
+        out.extend(bw.flush())
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    for sof in (0xC0, 0xC2):
+        px = J.decode_jpeg(gray_jpeg(sof))
+        assert px.shape == (8, 24, 3), hex(sof)
+        assert np.array_equal(px, np.full((8, 24, 3), 150, np.uint8)), hex(sof)
+
+
+def test_gif_background_resolves_in_global_table():
+    """The logical-screen background index refers to the GLOBAL color
+    table; a frame carrying a LOCAL table must not repaint the
+    background in its own palette (ADVICE r07)."""
+    import struct as _s
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    gct = [(10, 20, 30), (200, 100, 50)]  # bg index 1 -> (200,100,50)
+    lct = [(255, 255, 255), (1, 2, 3)]    # lct[1] differs from gct[1]
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 3, 3, 0x80 | 0, 1, 0)  # 2-entry gct, bg=1
+    for rgb in gct:
+        out += bytes(rgb)
+    # 1x1 frame at (0,0) with a local color table, pixel index 0
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 1, 1, 0x80 | 0)
+    for rgb in lct:
+        out += bytes(rgb)
+    out.append(2)  # min code size
+    stream = _lzw_encode(bytes([0]), 2)
+    out.append(len(stream))
+    out += stream
+    out += b"\x00\x3b"
+
+    img = decode_gif(bytes(out))
+    assert tuple(img[0, 0]) == lct[0]          # frame pixel: local table
+    assert tuple(img[2, 2]) == gct[1]          # background: GLOBAL table
+    assert (img[1:, 1:] == np.array(gct[1], np.uint8)).all()
+
+
+def test_tiff_padded_strip_rejected():
+    """A strip whose byte count exceeds rows_in_strip * row_size would
+    silently shift every subsequent pixel row; it must ValueError like
+    the other unsupported layouts (ADVICE r07)."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    base = T.encode_tiff(np.zeros((2, 2, 3), np.uint8))
+    mut = bytearray(base) + b"\x00\x00"  # room for the padded claim
+    i = mut.find(_s.pack("<HHI", 279, 4, 1))
+    assert i != -1
+    _s.pack_into("<I", mut, i + 8, 2 * 2 * 3 + 2)  # claim 2 pad bytes
+    with pytest.raises(ValueError, match="strip"):
+        T.decode_tiff(bytes(mut))
+
+    # under-filled strip must also reject (was "shorter than dimensions")
+    mut = bytearray(base)
+    i = mut.find(_s.pack("<HHI", 279, 4, 1))
+    _s.pack_into("<I", mut, i + 8, 2 * 2 * 3 - 3)
+    with pytest.raises(ValueError, match="strip"):
+        T.decode_tiff(bytes(mut))
