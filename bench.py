@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     # head (map-combined token agg + TakeOrdered heap)
     "gopher_quality_flags",
     "token_zipf_coverage",
+    # round-8 additions (VERDICT r07 item 3): the two north-star paths
+    # with oracles but no recorded wall-time — the daily-ingest shape
+    # (hash-store anti-join + in-batch window dedup) and the SemDeDup
+    # survivor accounting (near-dup pairs -> keep-lowest-id anti-join)
+    "dedup_incremental_batch",
+    "semantic_dedup_survivors",
 ]
 
 

@@ -282,9 +282,10 @@ def supplier_pagerank(spark, sf_dir):
          FROM events)
        SELECT user_id, ts, event_id, event_type
        FROM ranked WHERE rn = 1 ORDER BY user_id""",
-    "skew-safe first event per user via salted_min_by (operators/skew.py) "
-    "— bounded merge fan-in where a rank window would sort the hot key "
-    "in one task",
+    "explicit two-stage argmin via salted_min_by (operators/skew.py) — "
+    "equivalence pin for the salted shuffle shape; Spark 4's "
+    "WindowGroupLimit already heap-prunes the plain rank window, which "
+    "measures FASTER (docs/SCALING.md round-8 correction)",
 )
 def first_event_salted(spark, sf_dir):
     from neo4j_to_clickhouse_spark.operators.skew import salted_min_by
@@ -306,8 +307,10 @@ def first_event_salted(spark, sf_dir):
     # result, so the plain oracle applies verbatim
     """SELECT event_type, count(DISTINCT user_id) AS unique_entities
        FROM events GROUP BY event_type ORDER BY event_type""",
-    "skew-safe exact count-distinct: value-hash-salted two-stage aggregate "
-    "(operators/skew.py) — bounded rows per key in the merge stage",
+    "explicit two-stage exact count-distinct (operators/skew.py) — "
+    "equivalence pin for the salted shuffle shape; the planner's native "
+    "(key, value) distinct expansion already spreads hot keys and "
+    "measures comparable-or-faster (docs/SCALING.md round-8 correction)",
 )
 def count_distinct_salted(spark, sf_dir):
     from neo4j_to_clickhouse_spark.operators.skew import (
