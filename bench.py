@@ -156,19 +156,25 @@ def main() -> None:
     noise_before = _host_noise()
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    # every timed run CONSUMES the full result with .collect() — the
+    # same consumption as the correctness driver and a real client.
+    # Rounds 1-7 timed `.count()`, under which Catalyst legitimately
+    # prunes the aggregate/window expressions under test (verified:
+    # pricing_summary's plan lost all three sums and kept only the
+    # grouping keys), so those rounds under-measured; r08 renumbers.
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            n = spec.spark(spark, sf_dir).count()
+            n = len(spec.spark(spark, sf_dir).collect())
             runs.append(round(time.perf_counter() - t0, 3))
         # hypervisor-steal spikes have hit SINGLE runs with 2-100x
         # inflation; when the two runs disagree the min is still
         # suspect, so buy one tie-breaker run before reporting
         if max(runs) > 1.5 * min(runs):
             t0 = time.perf_counter()
-            n = spec.spark(spark, sf_dir).count()
+            n = len(spec.spark(spark, sf_dir).collect())
             runs.append(round(time.perf_counter() - t0, 3))
         times[name] = min(runs)
         all_runs[name] = runs

@@ -829,11 +829,17 @@ def pq_adc_topk(
     m: int = 4,
     iterations: int = 1,
     k: int = 10,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) approximate nearest neighbors: the
     query stays exact while the corpus is represented by its PQ codes —
     ``adc_dist(q, x) = Σ_sub ||q_sub − codebook[sub, code(x, sub)]||²``,
     the FAISS IndexPQ search rule.
+
+    ``fitted`` takes a pre-computed ``pq_fit`` result ``(centroids,
+    codes)`` so the one-time fit cost amortizes over many search calls
+    — the production shape (fit once, persist the codes table, search
+    forever); when omitted the fit runs inline.
 
     Scale shape: per-query distance TABLES are tiny (|Q|·m·k rows, one
     aggregate over the query explode joined to the k·dim codebook);
@@ -847,7 +853,11 @@ def pq_adc_topk(
     Returns ``(query_id, neighbor_id, rank, adc_dist)``, self-matches
     excluded, ties broken by neighbor id.
     """
-    cent, codes = pq_fit(df, id_col, vec_col, init_col, m, iterations)
+    cent, codes = (
+        fitted
+        if fitted is not None
+        else pq_fit(df, id_col, vec_col, init_col, m, iterations)
+    )
     qdims = (
         queries.select(
             F.col(id_col).alias("query_id"),

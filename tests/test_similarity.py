@@ -339,3 +339,23 @@ def test_pq_report_matches_numpy_reference(spark):
             n = int((assigns[:, s] == c).sum())
             own = int(((assigns[:, s] == c) & (lab == c)).sum())
             assert out[(s, c)] == (n, own), f"sub {s} cell {c}"
+
+
+def test_pq_adc_topk_fitted_matches_inline_fit(spark):
+    """pq_adc_topk(fitted=pq_fit(...)) must return exactly the inline-fit
+    result — the amortized production shape (fit once, persist codes,
+    search many) cannot drift from the certified one-shot form."""
+    from neo4j_to_clickhouse_spark.operators import similarity as S
+
+    df, ids, lab, V = _fixture_embeddings(spark)
+    queries = df.orderBy("vec_id").limit(3)
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_adc_topk(df, queries, k=4).collect()
+    )
+    fitted = S.pq_fit(df)
+    amortized = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_adc_topk(df, queries, k=4, fitted=fitted).collect()
+    )
+    assert inline == amortized and len(inline) > 0
