@@ -60,11 +60,15 @@ def main() -> None:
         events.count()  # warm footers/JIT baseline
 
         def agg(df, pred):
+            # collect the aggregate rows — .count() would let Catalyst
+            # prune the count(*) column (round-8 bench-honesty sweep);
+            # the filter predicate under test survives either way, but
+            # consume what a client would
             return (
                 df.filter(pred)
                 .groupBy("event_type")
                 .agg(F.count("*").alias("cnt"))
-                .count()
+                .collect()
             )
 
         # 1. string JSON (default)
