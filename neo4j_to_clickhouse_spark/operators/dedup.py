@@ -125,11 +125,18 @@ def word_shingles(
     Native composition: tokenize -> sliding n-gram (:func:`ngram_array`)
     -> explode -> distinct. The distinct is a map-side-combined
     aggregation on (id, shingle).
+
+    The token array is materialized in its OWN projection before the
+    n-gram expression: :func:`ngram_array`'s zip_with chain references
+    its input 2(n-1) times, and common-subexpression elimination does
+    not reach through higher-order lambdas — inlining ``tokens()``
+    there re-runs the regex split per reference (measured 2.5x slower
+    span generation at sf0.1).
     """
-    grams = ngram_array(tokens(text_col), n)
     return (
         spread(df)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
+        .select("id", F.explode(ngram_array(F.col("__tk"), n)).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .distinct()
     )
@@ -368,11 +375,14 @@ def repeated_span_report(
     output.  Total: one scan, one occurrence shuffle on the digest, one
     map-side-combined per-doc aggregate.
     """
-    grams = ngram_array(tokens(text_col), w)
+    # token array in its own projection — see word_shingles for why
     occ = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
-        F.explode(grams).alias("span_text"),
+        tokens(text_col).alias("__tk"),
+    ).select(
+        "id", "grp",
+        F.explode(ngram_array(F.col("__tk"), w)).alias("span_text"),
     ).filter(F.col("span_text").isNotNull()).select(
         "id", "grp", F.md5("span_text").alias("span")
     )
@@ -449,12 +459,15 @@ def remove_repeated_spans(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
-    grams = ngram_array(tokens(text_col), w)
+    # token array in its own projection — see word_shingles for why
     spans = (
         spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
         .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(grams).alias("start", "span_text"),
+            "id",
+            F.posexplode(ngram_array(F.col("__tk"), w)).alias(
+                "start", "span_text"
+            ),
         )
         .filter(F.col("span_text").isNotNull())
         .select("id", "start", F.md5("span_text").alias("span"))

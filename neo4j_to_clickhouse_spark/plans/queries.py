@@ -4121,10 +4121,13 @@ def span_dedup_rewrite_stats(spark, sf_dir):
 )
 def cross_source_span_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    grams = D.ngram_array(D.tokens("text"), 8)
+    # token array projected first — see word_shingles for why
     sp = (
         D.spread(docs)
-        .select("source", F.explode(grams).alias("g"))
+        .select("source", D.tokens("text").alias("__tk"))
+        .select(
+            "source", F.explode(D.ngram_array(F.col("__tk"), 8)).alias("g")
+        )
         .filter(F.col("g").isNotNull())
         .select("source", F.md5("g").alias("h"))
         .distinct()
@@ -5695,10 +5698,13 @@ def split_leakage_report(spark, sf_dir):
     labeled = hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    grams = D.ngram_array(D.tokens("text"), 8)
+    # token array projected first — see word_shingles for why
     sp = (
         D.spread(labeled)
-        .select("split", F.explode(grams).alias("g"))
+        .select("split", D.tokens("text").alias("__tk"))
+        .select(
+            "split", F.explode(D.ngram_array(F.col("__tk"), 8)).alias("g")
+        )
         .filter(F.col("g").isNotNull())
         .select("split", F.md5("g").alias("d"))
         .distinct()
