@@ -138,13 +138,23 @@ def ngram_contamination_bloom(
     )
     bm = bloom_bitmap(bench_sh, "shingle", num_bits, num_hashes)
 
-    toks = tokens(text_col)
+    # two-stage projection: the gram array is built ONCE per row — the
+    # previous single select evaluated the whole tokenize+ngram tree
+    # twice (size + explode), and ngram_array references its token input
+    # 2(n-1) times with no CSE through higher-order lambdas (see
+    # dedup.word_shingles)
+    toks = F.col("__tk")
     valid = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.array_distinct(F.slice(ngram_array(toks, n), F.lit(1), valid))
-    exploded = spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.size(grams).alias("n_shingles"),
-        F.explode(grams).alias("shingle"),
+    exploded = (
+        spread(docs)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
+        .select("id", grams.alias("__grams"))
+        .select(
+            "id",
+            F.size("__grams").alias("n_shingles"),
+            F.explode("__grams").alias("shingle"),
+        )
     )
     cand = bloom_prefilter(
         exploded, F.col("shingle"), bm, num_bits, num_hashes

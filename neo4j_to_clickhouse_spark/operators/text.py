@@ -140,11 +140,16 @@ def rolling_fingerprints(
     the O(words^2) captured-slice form); robust to local edits where the
     full-text fingerprint breaks."""
     grams = F.filter(
-        ngram_array(tokens(text_col), n), lambda g: g.isNotNull()
+        ngram_array(F.col("__tk"), n), lambda g: g.isNotNull()
     )
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    # token array projected first — ngram_array references it 2(n-1)
+    # times and CSE does not reach through higher-order lambdas (see
+    # dedup.word_shingles)
     return df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tk")
+    ).select(
+        "id",
         F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep).alias(
             "signature"
         ),

@@ -2871,10 +2871,13 @@ def ngram_diversity_by_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
 
     def level(n):
-        toks = D.tokens("text")
-        grams = toks if n == 1 else D.ngram_array(toks, n)
+        # token array projected first — see word_shingles for why
+        grams = (
+            F.col("__tk") if n == 1 else D.ngram_array(F.col("__tk"), n)
+        )
         occ = (
             D.spread(docs)
+            .select("source", D.tokens("text").alias("__tk"))
             .select("source", F.explode(grams).alias("g"))
             .filter(F.col("g").isNotNull())
         )
