@@ -355,3 +355,32 @@ def test_registry_wide_plan_lint(spark):
         if name not in allowed_python:
             for m in py_markers:
                 assert m not in plan, f"{name}: unexpected {m}"
+
+
+def test_tokenize_evaluated_once_per_ngram_scan(spark):
+    """Token arrays are materialized in their own projection before
+    ngram_array: the zip_with chain references its input 2(n-1) times
+    and Catalyst's subexpression elimination does not reach through
+    higher-order lambdas, so an inlined tokens() re-runs the regex
+    tokenize per reference (round-8 fix: 2.5x on span generation at
+    sf0.1). Guard: the optimized plan mentions the tokenize regex a
+    bounded number of times, not once per zip_with stage."""
+    import io
+    import contextlib
+
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        repeated_span_report,
+        word_shingles,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for build in (word_shingles, repeated_span_report):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            build(df).explain("formatted")
+        n = buf.getvalue().count("regexp_replace")
+        assert n <= 4, (
+            f"{build.__name__}: tokenize regex appears {n} times in the "
+            "optimized plan — the token array is being re-evaluated "
+            "inside the n-gram expression again (keep the pre-projection)"
+        )
