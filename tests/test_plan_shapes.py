@@ -384,3 +384,14 @@ def test_tokenize_evaluated_once_per_ngram_scan(spark):
             "optimized plan — the token array is being re-evaluated "
             "inside the n-gram expression again (keep the pre-projection)"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["priority_sample_by_length", "priority_sample_estimator"]
+)
+def test_priority_sampling_is_take_ordered(spark, name):
+    """Priority sampling's documented shape: scan-side md5 priorities +
+    a TakeOrderedAndProject heap for the top-(k+1) — never a corpus-wide
+    Sort/Exchange to rank the whole table (SURVEY §8 r08 queue entry)."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
