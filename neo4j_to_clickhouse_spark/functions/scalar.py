@@ -34,8 +34,24 @@ def lenient_timestamp(col: Column | str) -> Column:
     (`clickhouse/init/01-init-tables.sql:82-84`). ``try_to_timestamp``
     yields NULL instead of failing on malformed input, which feeds the
     quarantine path (SURVEY.md §2.9 M5).
+
+    The parse is bounded to the reference's ``DateTime64`` representable
+    range [1900-01-01, 2299-12-31]: ClickHouse cannot store timestamps
+    outside it, and a syntactically valid but wildly out-of-range time
+    (year 1, year 9999 — corrupt upstream clocks) is poison the same way
+    garbage text is. Unbounded, such a row would pass ingest and then
+    crash Python/Arrow consumers downstream (datetime range error on
+    collect) — exactly the class of stall quarantine exists to prevent.
+    Out-of-range parses yield NULL -> quarantined as ``bad_timestamp``.
     """
-    return F.try_to_timestamp(F.col(col) if isinstance(col, str) else col)
+    ts = F.try_to_timestamp(F.col(col) if isinstance(col, str) else col)
+    return F.when(
+        ts.between(
+            F.lit("1900-01-01 00:00:00").cast("timestamp"),
+            F.lit("2299-12-31 23:59:59.999999").cast("timestamp"),
+        ),
+        ts,
+    )
 
 
 def event_month(ts: Column | str) -> Column:

@@ -116,3 +116,36 @@ def test_duplicate_entities_validation(spark, node_raw):
     events = node_events_from_raw(node_raw).events
     # no SNAPSHOT rows in the CDC corpus -> validation passes vacuously
     assert duplicate_entities(events).count() == 0
+
+
+def test_out_of_range_timestamps_quarantined(spark):
+    """A syntactically valid timestamp outside ClickHouse DateTime64's
+    representable range [1900, 2299] is poison: the reference engine
+    cannot store it, and unbounded it passed ingest and then crashed
+    Python-side row materialization downstream (datetime year-0 range
+    error on collect). It must quarantine as bad_timestamp instead."""
+    from tests.conftest import _env
+
+    from neo4j_to_clickhouse_spark.sources.envelopes import RAW_COL
+
+    lines = [
+        _env("ok-1", "CREATE", "NODE_EVENT", "4:t:1",
+             "2026-02-14T05:58:36.100+00:00", labels=["U"], after={}),
+        _env("lo-1", "CREATE", "NODE_EVENT", "4:t:2",
+             "0001-01-01T00:00:00.000+00:00", labels=["U"], after={}),
+        _env("lo-2", "CREATE", "NODE_EVENT", "4:t:3",
+             "1899-12-31T23:59:59.999+00:00", labels=["U"], after={}),
+        _env("hi-1", "CREATE", "NODE_EVENT", "4:t:4",
+             "9999-12-31T23:59:59.999+00:00", labels=["U"], after={}),
+        _env("edge-lo", "CREATE", "NODE_EVENT", "4:t:5",
+             "1900-01-01T00:00:00.000+00:00", labels=["U"], after={}),
+        _env("edge-hi", "CREATE", "NODE_EVENT", "4:t:6",
+             "2299-12-31T23:59:59.000+00:00", labels=["U"], after={}),
+    ]
+    raw = spark.createDataFrame([(s,) for s in lines], [RAW_COL])
+    res = node_events_from_raw(raw)
+    good = {r.event_id for r in res.events.collect()}  # must not raise
+    assert good == {"ok-1", "edge-lo", "edge-hi"}
+    bad = {(r.reason) for r in res.quarantine.collect()}
+    assert bad == {"bad_timestamp"}
+    assert res.quarantine.count() == 3
