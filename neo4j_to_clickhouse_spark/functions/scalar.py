@@ -72,7 +72,13 @@ def normalize_labels(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
-    as_json = F.from_json(trimmed, T.ArrayType(T.StringType()))
+    # drop NULL elements a JSON '["a", null]' would otherwise leak into
+    # the array — symmetric with the CSV branch's empty-token filter
+    # (downstream explode/array_contains must never see a NULL label)
+    as_json = F.filter(
+        F.from_json(trimmed, T.ArrayType(T.StringType())),
+        lambda x: x.isNotNull(),
+    )
     as_csv = F.filter(
         F.transform(F.split(trimmed, ","), lambda x: F.trim(x)),
         lambda x: x != "",

@@ -49,6 +49,19 @@ def test_normalize_labels_json_and_csv(spark):
     assert got["[not valid json"] == []
 
 
+def test_normalize_labels_drops_null_json_elements(spark):
+    """'["a", null]' must not leak a NULL element into the label array —
+    downstream explode/array_contains never expect NULL labels."""
+    df = spark.createDataFrame(
+        [('["a", null]',), ("[null]",), ('["a","b"]',)], ["v"]
+    )
+    got = [
+        r.out
+        for r in df.select(normalize_labels("v").alias("out")).collect()
+    ]
+    assert got == [["a"], [], ["a", "b"]]
+
+
 def test_valid_json_or_empty(spark):
     df = spark.createDataFrame(
         [('{"a": 1}',), ("not json",), ("",), (None,)], ["v"]
