@@ -304,3 +304,58 @@ def test_priority_sample_matches_bruteforce(spark, weights, k):
         key=lambda t: (-t[1], t[0]),
     )[:k]
     assert got == expect
+
+
+def test_sampling_membership_is_layout_invariant(spark):
+    """The whole point of md5-keyed sampling (vs df.sample/randomSplit):
+    membership is a pure function of the data — identical across
+    repartitionings, orderings, and partition counts. Checked for all
+    four samplers over four adversarial physical layouts."""
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        priority_sample,
+        stratified_sample,
+    )
+
+    base = spark.range(2000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 7).alias("stratum"),
+        (F.col("id") % 100 + 1).cast("double").alias("w"),
+    )
+    layouts = [
+        base,
+        base.repartition(17),
+        base.repartition(1),
+        base.orderBy(F.desc("doc_id")),
+    ]
+
+    def snapshots(df):
+        return {
+            "hash_sample": frozenset(
+                r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()
+            ),
+            "hash_split": frozenset(
+                (r.doc_id, r.split)
+                for r in hash_split(
+                    df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+                ).collect()
+            ),
+            "stratified": frozenset(
+                r.doc_id
+                for r in stratified_sample(df, "stratum", "doc_id", 5).collect()
+            ),
+            "priority": frozenset(
+                r.doc_id
+                for r in priority_sample(df, "doc_id", "w", k=50).collect()
+            ),
+        }
+
+    ref = snapshots(layouts[0])
+    assert ref["hash_sample"] and ref["stratified"] and ref["priority"]
+    for i, lay in enumerate(layouts[1:], start=1):
+        got = snapshots(lay)
+        for name in ref:
+            assert got[name] == ref[name], f"{name} drifted at layout {i}"
