@@ -62,6 +62,44 @@ def cluster_conf(
     }
 
 
+def rocksdb_state_conf() -> dict[str, str]:
+    """Streaming state-store conf for state that outgrows executor heap.
+
+    The default ``HDFSBackedStateStoreProvider`` keeps every stateful
+    operator's state (latest-state tracker cells, session-window state,
+    dedup-within-watermark key sets) as JVM heap objects and snapshots the
+    FULL store at checkpoints. That caps state at a fraction of executor
+    memory and makes checkpoint cost O(total state) — both fail the 100 TB
+    posture, where the latest-state tracker alone holds one cell per live
+    entity (10^9 entities x ~100 B ≈ 100 GB of state across the cluster).
+
+    RocksDB (bundled with Spark, no extra jars) moves state off-heap to
+    local SSD with a block-cache in front, and changelog checkpointing
+    uploads only each batch's delta (O(rows updated), not O(state)),
+    reconstructing snapshots asynchronously. Pass to
+    ``get_spark(extra_conf=...)`` — the provider is read per streaming
+    query start, so it can also be ``spark.conf.set`` on a live session
+    before ``start_*_stream``.
+
+    Verified against this engine's stateful operators by
+    ``tests/test_streaming.py::test_stateful_tracker_on_rocksdb``.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # incremental checkpoints: upload per-batch changelogs, compact to
+        # snapshots in the background — checkpoint latency stops scaling
+        # with total state size
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled": "true",
+        # cap native memory across all RocksDB instances on an executor so
+        # state growth degrades to disk reads instead of OOM-killing the
+        # container (the failure mode heap state hits first)
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+
+
 # Session confs the engine's time semantics depend on. UTC pins
 # event-time arithmetic to the reference's stored-UTC DateTime64
 # (`clickhouse/init/01-init-tables.sql:11`); nanosAsLong lets a

@@ -361,6 +361,65 @@ def test_stateful_latest_state_tracker(spark, streamed_nodes, tmp_path):
     assert got["4:abc:3"][1] == "DELETE"
 
 
+def test_stateful_tracker_on_rocksdb(spark, streamed_nodes, tmp_path):
+    """The RocksDB state store (the 100 TB state path — off-heap state +
+    changelog checkpoints, `session.rocksdb_state_conf`) must run the
+    tracker with results identical to the default heap-backed store, and
+    must actually engage (changelog files in the checkpoint, which the
+    HDFS-backed store never writes)."""
+    from neo4j_to_clickhouse_spark.operators.latest_state import latest_events
+    from neo4j_to_clickhouse_spark.session import rocksdb_state_conf
+    from neo4j_to_clickhouse_spark.streaming.state import (
+        start_latest_state_stream,
+    )
+
+    table = str(streamed_nodes / "events")
+    saved = {}
+    conf = rocksdb_state_conf()
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        events_stream = (
+            spark.readStream.schema(spark.read.parquet(table).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(table)
+        )
+        q = start_latest_state_stream(
+            events_stream,
+            changelog_path=str(tmp_path / "changelog"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {
+        r.entity_id: (r.event_id, r.event_type)
+        for r in latest_events(
+            spark.read.parquet(str(tmp_path / "changelog"))
+        ).collect()
+    }
+    want = {
+        r.entity_id: (r.event_id, r.event_type)
+        for r in latest_events(spark.read.parquet(table)).collect()
+    }
+    assert got == want
+    state_files = [
+        p for p in (tmp_path / "ckpt" / "state").rglob("*.changelog")
+    ]
+    assert state_files, "RocksDB changelog checkpointing did not engage"
+
+
 # --- live Kafka path (gated: needs a broker + spark-sql-kafka) ---------------
 
 
