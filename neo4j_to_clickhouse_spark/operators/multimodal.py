@@ -30,23 +30,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-# --- dependency-free image codecs (BMP / PPM / JPEG / PNG / GIF) ------------
+# --- dependency-free image codecs (BMP/PPM/JPEG/PNG/GIF/TIFF/WebP-lossless) --
 # The container ships no Pillow/ffmpeg, but uncompressed 24-bit BMP and
-# binary PPM (P6) need only `struct` + numpy, baseline JPEG needs only the
-# public T.81 spec (sibling :mod:`.jpeg`), PNG needs only stdlib zlib
-# (sibling :mod:`.png`), and GIF LZW is pure arithmetic (sibling
-# :mod:`.gif`) — so for those formats the image path is REAL:
+# binary PPM (P6) need only `struct` + numpy, baseline+progressive JPEG
+# needs only the public T.81 spec (sibling :mod:`.jpeg`), PNG needs only
+# stdlib zlib (sibling :mod:`.png`), GIF LZW is pure arithmetic (sibling
+# :mod:`.gif`), baseline TIFF is tag walking (sibling :mod:`.tiff`), and
+# WebP-lossless is prefix codes + LZ77 + invertible transforms (sibling
+# :mod:`.vp8l`, RFC 9649) — so for those formats the image path is REAL:
 # decode -> pixel features / nearest-neighbor resize -> re-encode. The hash
-# stub remains only for formats that genuinely need external codecs
-# (progressive JPEG, WebP/AVIF, video).
+# stub remains only for formats that genuinely need external DSP codecs
+# (lossy-WebP VP8, AVIF, JPEG arithmetic/12-bit, video).
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     """Sniff + decode a payload into (format, HxWx3 uint8 RGB array).
     Handles uncompressed 24-bit BMP, binary PPM, baseline JPEG
     (pure-Python :mod:`.jpeg`, with Pillow as an optional fast path when
-    importable), PNG, and GIF87a/89a first frames. Returns None for
-    everything else — the caller falls back to its stub."""
+    importable), PNG, GIF87a/89a first frames, baseline TIFF, and
+    lossless WebP (VP8L). Returns None for everything else — the caller
+    falls back to its stub."""
     if not payload or len(payload) < 2:
         return None
     try:
@@ -68,6 +71,11 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             from neo4j_to_clickhouse_spark.operators.tiff import decode_tiff
 
             return ("tiff", decode_tiff(payload))
+        if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from neo4j_to_clickhouse_spark.operators.vp8l import decode_webp
+
+            # lossless (VP8L) decodes; lossy VP8 raises -> stub fallback
+            return ("webp", decode_webp(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None
@@ -415,11 +423,11 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: binary in -> binary out with target dims.
 
-    BMP/PPM/PNG/baseline-JPEG payloads are REALLY resized
-    (nearest-neighbor). BMP and PNG re-encode in their own format; PPM
-    and JPEG re-encode as PPM (lossless container — this module has no
-    general JPEG *encoder*, only the flat-block fixture helper). Other
-    formats hit the stub ('fake' passes the payload through and stamps
+    BMP/PPM/PNG/WebP-lossless/baseline-JPEG payloads are REALLY resized
+    (nearest-neighbor). BMP, PNG, and WebP re-encode in their own
+    format; PPM, JPEG, GIF, and TIFF re-encode as PPM (lossless
+    container — this module has no general JPEG *encoder*, only the
+    flat-block fixture helper). Other formats hit the stub ('fake' passes the payload through and stamps
     the target dims — exercises schema/batching; 'raise' marks the codec
     hole)."""
 
@@ -434,6 +442,12 @@ def resize_images(
                 from neo4j_to_clickhouse_spark.operators.png import encode_png
 
                 return encode_png(resized)
+            if fmt == "webp":
+                from neo4j_to_clickhouse_spark.operators.vp8l import (
+                    encode_webp,
+                )
+
+                return encode_webp(resized)
             return encode_ppm(resized)
         if decode_stub == "raise":
             raise NotImplementedError(
