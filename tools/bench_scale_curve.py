@@ -49,7 +49,14 @@ ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    extra: list[tuple[str, str]] = []  # (label, dir) beyond the fixtures
+    while "--extra" in args:
+        i = args.index("--extra")
+        label, _, path = args[i + 1].partition("=")
+        extra.append((label, path))
+        del args[i : i + 2]
+    names = args or DEFAULT_QUERIES
     spark = get_spark(
         "bench-scale-curve",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -60,18 +67,18 @@ def main() -> None:
         spark, f"{ROOT}/sf0.001"
     ).collect()
 
+    points = [(sf, f"{ROOT}/sf{sf}") for sf in SFS] + extra
     curves: dict[str, dict[str, float]] = {}
     for name in names:
         spec = QUERIES[name]
         curves[name] = {}
-        for sf in SFS:
-            sf_dir = f"{ROOT}/sf{sf}"
+        for label, sf_dir in points:
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
                 spec.spark(spark, sf_dir).collect()
                 runs.append(time.monotonic() - t0)
-            curves[name][sf] = round(min(runs), 3)
+            curves[name][label] = round(min(runs), 3)
             spark.catalog.clearCache()
 
     alpha = {
@@ -80,7 +87,28 @@ def main() -> None:
         )
         for name, c in curves.items()
     }
-    print(json.dumps({"curves": curves, "alpha": alpha}))
+    out = {"curves": curves, "alpha": alpha}
+    if extra:
+        # Two extra exponents once a synthetic point extends the span
+        # (labels encode the sf multiple, e.g. "1.0" = 10x sf0.1):
+        #   alpha_wide — fit over the full sf0.01 -> last-point span;
+        #     startup overhead amortizes across decades, so this skews low.
+        #   alpha_last — fit over the LAST decade only (sf0.1 -> last
+        #     point); the honest asymptotic estimate, since fixed costs
+        #     are already amortized at sf0.1. Target: <= 1.0 (linear) for
+        #     scan shapes, << 1 for heap/pre-aggregate shapes.
+        last_label = extra[-1][0]
+        wide_span = math.log(float(last_label) / 0.01)
+        last_span = math.log(float(last_label) / 0.1)
+        out["alpha_wide"] = {
+            name: round(math.log(c[last_label] / c["0.01"]) / wide_span, 2)
+            for name, c in curves.items()
+        }
+        out["alpha_last"] = {
+            name: round(math.log(c[last_label] / c["0.1"]) / last_span, 2)
+            for name, c in curves.items()
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
