@@ -1,6 +1,6 @@
 # Developer conveniences (the reference drives everything through make too)
 
-.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full commit-evidence
+.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full commit-evidence scale-curve scale-curve-wide
 
 # The full pre-round-close gate: run this before finishing any round.
 # Catches fixture regenerations (VERDICT r04), oracle drift, and bench
@@ -43,6 +43,17 @@ bench:
 
 bench-ingest:
 	python tools/bench_ingest.py
+
+# One-decade scaling-exponent probe over the driver fixtures
+scale-curve:
+	python tools/bench_scale_curve.py
+
+# Two-decade probe: synthesizes a sf1-class input from sf0.1 (timing
+# only — correctness never runs on synthetic data) and refits the
+# exponents through it; reproduces docs/SCALING.md "A second decade"
+scale-curve-wide:
+	@[ -d /tmp/spark_graft_sf_x10 ] || python tools/gen_scale_data.py 10
+	python tools/bench_scale_curve.py --extra 1.0=/tmp/spark_graft_sf_x10
 
 smoke:
 	python -c "from __spark_entry__ import entry, queries, oracle_sql; \

@@ -71,6 +71,122 @@ def test_keys_stay_unique_and_per_key_histories_preserved(spark, scaled):
     assert dangling == 0
 
 
+def test_permute_mode_preserves_multisets_and_kills_similarity(
+    spark, tmp_path
+):
+    """mode=permute: token/dim multisets preserved exactly per replica,
+    but cross-replica shingle overlap and cosine collapse to chance —
+    the constant-duplicate-density corpus model."""
+    import pyspark.sql.functions as F
+
+    if not os.path.exists(os.path.join(SRC, "documents.parquet")):
+        pytest.skip("driver fixture not present")
+    from gen_scale_data import scale_table
+
+    docs = scale_table(spark, SRC, "documents", 2, mode="permute")
+    docs.write.parquet(str(tmp_path / "docs.parquet"))
+    d = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    src = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    # token multiset preserved: sorted token arrays of replica 1 match
+    # the source doc's sorted tokens exactly
+    srt = F.array_sort(F.split("text", " "))
+    a = {r[0]: r[1] for r in src.select("doc_id", srt).collect()}
+    big = d.filter(F.col("doc_id") >= 10**12).select(
+        (F.col("doc_id") - 10**12).alias("doc_id"), srt
+    )
+    b = {r[0]: r[1] for r in big.collect()}
+    assert a == b
+    # shingle-level similarity is destroyed: 8-gram overlap between a
+    # replica and its source is (near) zero for non-trivial docs
+    sh = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 7, 0)), "
+            "i -> concat_ws(' ', slice(t, i, 8)))"
+        ).alias("sh"),
+    )
+    base = sh.filter(F.col("doc_id") < 10**12).select(
+        "doc_id", F.col("sh").alias("sh_a")
+    )
+    rep = sh.filter(F.col("doc_id") >= 10**12).select(
+        (F.col("doc_id") - 10**12).alias("doc_id"),
+        F.col("sh").alias("sh_b"),
+    )
+    joined = base.join(rep, "doc_id").select(
+        F.size("sh_a").alias("n"),
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+    )
+    tot = joined.agg(
+        F.sum("n").alias("n"), F.sum("common").alias("common")
+    ).collect()[0]
+    assert tot["common"] < 0.02 * max(tot["n"], 1)
+
+    emb = scale_table(spark, SRC, "embeddings", 2, mode="permute")
+    emb.write.parquet(str(tmp_path / "emb.parquet"))
+    e = spark.read.parquet(str(tmp_path / "emb.parquet"))
+    # norms preserved exactly (same values, reordered)
+    nrm = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    na = {
+        r[0]: r[1]
+        for r in e.filter(F.col("vec_id") < 10**12)
+        .select("vec_id", nrm)
+        .collect()
+    }
+    nb = {
+        r[0] - 10**12: r[1]
+        for r in e.filter(F.col("vec_id") >= 10**12)
+        .select("vec_id", nrm)
+        .collect()
+    }
+    assert all(abs(na[k] - nb[k]) < 1e-9 for k in na)
+    # cross-replica cosine collapses to chance (not near-dup): check
+    # the mean |cosine| between each vector and its permuted replica
+    # is far below any near-dup threshold
+    pair = (
+        e.filter(F.col("vec_id") < 10**12)
+        .select("vec_id", F.col("embedding").alias("va"))
+        .join(
+            e.filter(F.col("vec_id") >= 10**12).select(
+                (F.col("vec_id") - 10**12).alias("vec_id"),
+                F.col("embedding").alias("vb"),
+            ),
+            "vec_id",
+        )
+        .select(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "va", "vb", lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.sqrt(
+                    F.aggregate(
+                        "va",
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x,
+                    )
+                    * F.aggregate(
+                        "vb",
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x,
+                    )
+                )
+            ).alias("cos")
+        )
+    )
+    mean_abs = pair.agg(F.avg(F.abs("cos"))).collect()[0][0]
+    assert mean_abs < 0.3
+
+
 def test_replicas_are_not_exact_text_duplicates(spark, scaled):
     import pyspark.sql.functions as F
 

@@ -73,12 +73,18 @@ def main() -> None:
         spec = QUERIES[name]
         curves[name] = {}
         for label, sf_dir in points:
+            print(f"# {name} @ {label} ...", file=sys.stderr, flush=True)
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
                 spec.spark(spark, sf_dir).collect()
                 runs.append(time.monotonic() - t0)
             curves[name][label] = round(min(runs), 3)
+            print(
+                f"# {name} @ {label}: {min(runs):.3f}s",
+                file=sys.stderr,
+                flush=True,
+            )
             spark.catalog.clearCache()
 
     alpha = {
@@ -93,19 +99,20 @@ def main() -> None:
         # (labels encode the sf multiple, e.g. "1.0" = 10x sf0.1):
         #   alpha_wide — fit over the full sf0.01 -> last-point span;
         #     startup overhead amortizes across decades, so this skews low.
-        #   alpha_last — fit over the LAST decade only (sf0.1 -> last
-        #     point); the honest asymptotic estimate, since fixed costs
-        #     are already amortized at sf0.1. Target: <= 1.0 (linear) for
+        #   alpha_last — fit over the LAST span only (the two largest
+        #     points); the honest asymptotic estimate, since fixed costs
+        #     are already amortized there. Target: <= 1.0 (linear) for
         #     scan shapes, << 1 for heap/pre-aggregate shapes.
         last_label = extra[-1][0]
+        prev_label = extra[-2][0] if len(extra) > 1 else "0.1"
         wide_span = math.log(float(last_label) / 0.01)
-        last_span = math.log(float(last_label) / 0.1)
+        last_span = math.log(float(last_label) / float(prev_label))
         out["alpha_wide"] = {
             name: round(math.log(c[last_label] / c["0.01"]) / wide_span, 2)
             for name, c in curves.items()
         }
         out["alpha_last"] = {
-            name: round(math.log(c[last_label] / c["0.1"]) / last_span, 2)
+            name: round(math.log(c[last_label] / c[prev_label]) / last_span, 2)
             for name, c in curves.items()
         }
     print(json.dumps(out))
