@@ -9,8 +9,11 @@ partitions the operation touches.
 The physical partition swap is a :class:`PartitionStore` strategy so the
 100 TB realization is a sibling, not a rewrite: :class:`LocalPartitionStore`
 does crash-recoverable directory renames (plain parquet on a local/HDFS-like
-filesystem); a transactional table format (Delta `replaceWhere`, Iceberg
-`overwritePartitions`) plugs in as another store with snapshot isolation.
+filesystem); :class:`~neo4j_to_clickhouse_spark.operators.txn_store.TxnLogPartitionStore`
+adds snapshot isolation, time travel, and optimistic concurrency over the
+same plain parquet via a Delta-protocol-style commit log (no external
+jars); a real transactional table format (Delta `replaceWhere`, Iceberg
+`overwritePartitions`) plugs in as another store where its jars exist.
 """
 
 from __future__ import annotations
@@ -50,6 +53,13 @@ class PartitionStore:
         """Finish (or roll back) any swap a crash interrupted; return the
         months that needed recovery. No-op for transactional stores."""
         return []
+
+    def read(self, spark: SparkSession, table_path: str) -> DataFrame:
+        """Load the table this store manages. Plain directory read by
+        default; transactional stores resolve a snapshot instead (a
+        directory read would double-count superseded generations that
+        are still awaiting vacuum)."""
+        return spark.read.parquet(table_path)
 
 
 class LocalPartitionStore(PartitionStore):
@@ -148,6 +158,11 @@ class DeltaPartitionStore(PartitionStore):
             ) from e
         self._spark = spark
 
+    def read(
+        self, spark: SparkSession, table_path: str
+    ) -> DataFrame:  # pragma: no cover - requires delta jars
+        return spark.read.format("delta").load(table_path)
+
     def replace_months(
         self, table_path: str, staging_path: str, months: list[str]
     ) -> None:  # pragma: no cover - requires delta jars
@@ -223,7 +238,7 @@ def compact(
     """
     store = store or LocalPartitionStore()
     store.recover(table_path)  # finish anything a crashed compact left
-    df = spark.read.parquet(table_path)
+    df = store.read(spark, table_path)
     if months:
         df = df.filter(F.col("event_month").isin(months))
     affected = [r[0] for r in df.select("event_month").distinct().collect()]

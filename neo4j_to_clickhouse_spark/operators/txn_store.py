@@ -1,0 +1,392 @@
+"""Transaction-logged Parquet partition store: snapshot isolation, time
+travel, and optimistic concurrency WITHOUT external table-format jars.
+
+:class:`~neo4j_to_clickhouse_spark.operators.maintenance.LocalPartitionStore`
+documents its own gap honestly: the per-month rename swap leaves a brief
+reader-visible window where a month is absent, and readers that started
+before a swap can see a torn mix of old and new months. The reference
+never has this problem because MergeTree part replacement is atomic under
+a snapshot (`OPTIMIZE TABLE ... FINAL` swaps parts inside the engine —
+`initial-load/scripts/04-optimize-tables.sql:26-48`). The usual cluster
+answer is a transactional table format (Delta, Iceberg), but those need
+jars this environment cannot fetch — so this module implements the part
+of their design the maintenance jobs actually need, following the PUBLIC
+Delta Lake transaction-log protocol idea (an ordered log of add/remove
+file actions; readers resolve a snapshot, writers commit optimistically):
+
+- ``_txn_log/<version>.json`` files record ``add``/``remove`` actions
+  over data files (paths relative to the table root). Version files are
+  created with ``O_CREAT|O_EXCL`` — the POSIX/HDFS atomic-create that
+  makes exactly one writer win each version number.
+- Readers resolve the file list for a version and read exactly those
+  files (``basePath`` keeps ``event_month`` a partition column). Old
+  generations stay on disk until :func:`vacuum`, so a reader holding
+  version N is never affected by a concurrent swap: NO reader-visible
+  gap, NO torn months.
+- Writers that lose the version race reload the commits they missed: if
+  the interfering commits touch disjoint months the swap rebases onto
+  the new head and retries; overlapping months raise
+  :class:`ConcurrentSwapError` (the caller re-runs its compaction
+  against the new snapshot — same contract as Delta's
+  ``ConcurrentAppendException``).
+- Every ``CHECKPOINT_EVERY``-th commit embeds the full live-file list,
+  so snapshot resolution replays O(CHECKPOINT_EVERY) log files, not
+  O(history) — the same reason Delta writes ``_last_checkpoint``.
+
+Scale shape: commits are O(files-touched) metadata; retention is a
+metadata-only logical delete; the log lives beside the data so it works
+on any filesystem with atomic create-if-absent (local disk, HDFS;
+object stores need a coordination layer for the create — exactly the
+caveat Delta-on-S3 documents). Data files never move after ingest: the
+swap is pure log manipulation, so a 100 TB table's maintenance commit
+writes kilobytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_to_clickhouse_spark.operators.maintenance import PartitionStore
+
+LOG_DIR = "_txn_log"
+CHECKPOINT_EVERY = 10
+
+
+class ConcurrentSwapError(RuntimeError):
+    """Another writer replaced one of this swap's months first; re-run the
+    maintenance job against the new snapshot."""
+
+
+def _log_dir(table_path: str) -> Path:
+    return Path(table_path) / LOG_DIR
+
+
+def _commit_path(table_path: str, version: int) -> Path:
+    return _log_dir(table_path) / f"{version:020d}.json"
+
+
+def _month_of(rel_path: str) -> str:
+    head = rel_path.split("/", 1)[0]
+    return head.split("=", 1)[1] if head.startswith("event_month=") else ""
+
+
+def _list_versions(table_path: str) -> list[int]:
+    log = _log_dir(table_path)
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
+    )
+
+
+def _read_commit(table_path: str, version: int) -> dict:
+    return json.loads(_commit_path(table_path, version).read_text())
+
+
+def _write_commit(table_path: str, version: int, record: dict) -> None:
+    """Atomically claim ``version``: O_CREAT|O_EXCL create-if-absent, the
+    one filesystem primitive the whole protocol rests on. Raises
+    FileExistsError when another writer claimed the version first."""
+    path = _commit_path(table_path, version)
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(record, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:
+        path.unlink(missing_ok=True)
+        raise
+
+
+def _scan_existing_files(table_path: str) -> list[str]:
+    root = Path(table_path)
+    files = []
+    for month_dir in sorted(root.glob("event_month=*")):
+        for f in sorted(month_dir.iterdir()):
+            if f.is_file() and not f.name.startswith(("_", ".")):
+                files.append(f"{month_dir.name}/{f.name}")
+    return files
+
+
+def ensure_log(table_path: str) -> int:
+    """Bootstrap the log for a plain partitioned Parquet table (version 0
+    adds every existing data file); no-op when a log already exists.
+    Returns the latest version."""
+    versions = _list_versions(table_path)
+    if versions:
+        return versions[-1]
+    _log_dir(table_path).mkdir(parents=True, exist_ok=True)
+    files = _scan_existing_files(table_path)
+    record = {
+        "version": 0,
+        "op": "init",
+        "months": sorted({_month_of(f) for f in files}),
+        "add": files,
+        "remove": [],
+        "checkpoint": files,
+    }
+    try:
+        _write_commit(table_path, 0, record)
+    except FileExistsError:
+        pass  # a concurrent bootstrap won; its v0 is just as valid
+    return _list_versions(table_path)[-1]
+
+
+def snapshot(table_path: str, version: int | None = None) -> tuple[int, list[str]]:
+    """Resolve (version, live relative file paths). Replays the log from
+    the nearest embedded checkpoint at or below the target version."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no transaction log under {table_path}/{LOG_DIR} — call "
+            "ensure_log() (or any store operation) first"
+        )
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise ValueError(
+            f"version {target} not in log (have {versions[0]}..{versions[-1]}"
+            f"; vacuum may have pruned history)"
+        )
+    replay = [v for v in versions if v <= target]
+    # walk BACKWARD until a checkpointed commit, loading only the commits
+    # after it — resolution is O(CHECKPOINT_EVERY) log reads, not
+    # O(history)
+    loaded: dict[int, dict] = {}
+    start_idx = 0
+    base: list[str] = []
+    for i in range(len(replay) - 1, -1, -1):
+        rec = _read_commit(table_path, replay[i])
+        loaded[replay[i]] = rec
+        if "checkpoint" in rec:
+            base = list(rec["checkpoint"])
+            start_idx = i + 1
+            break
+    live = dict.fromkeys(base)
+    for v in replay[start_idx:]:
+        rec = loaded[v]
+        for f in rec.get("remove", []):
+            live.pop(f, None)
+        for f in rec.get("add", []):
+            live[f] = None
+    return target, list(live)
+
+
+def history(table_path: str) -> list[dict]:
+    """The commit history, oldest first: (version, op, months) — the
+    analogue of ``DESCRIBE HISTORY``."""
+    return [
+        {
+            "version": v,
+            "op": (rec := _read_commit(table_path, v))["op"],
+            "months": rec["months"],
+        }
+        for v in _list_versions(table_path)
+    ]
+
+
+def read_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files live at ``version`` (default:
+    latest). ``basePath`` keeps ``event_month`` as a partition column. A
+    plain directory read of a transaction-logged table is WRONG — it
+    would double-count superseded generations awaiting vacuum."""
+    v, files = snapshot(table_path, version)
+    if not files:
+        raise ValueError(
+            f"{table_path} has no live files at version {v}; there is no "
+            "schema to produce an empty DataFrame from"
+        )
+    root = Path(table_path)
+    return spark.read.option("basePath", table_path).parquet(
+        *(str(root / f) for f in files)
+    )
+
+
+class TxnLogPartitionStore(PartitionStore):
+    """Transactional :class:`PartitionStore` over plain Parquet + the
+    commit log above. Drop-in for ``compact``/``apply_retention``:
+    swaps and retention drops are atomic single-file commits, readers
+    pinned to a snapshot never see a gap, and a crash at ANY point
+    leaves the table at the last committed version (orphaned staged
+    files are invisible until vacuum reclaims them)."""
+
+    def read(self, spark: SparkSession, table_path: str) -> DataFrame:
+        ensure_log(table_path)
+        return read_table(spark, table_path)
+
+    def replace_months(
+        self, table_path: str, staging_path: str, months: list[str]
+    ) -> None:
+        if not months:
+            return  # nothing was read by the compaction: no commit to make
+        ensure_log(table_path)
+        base_version, base_files = snapshot(table_path)
+        adds = self._ingest_staged(table_path, staging_path, months)
+        self._commit_swap(table_path, base_version, base_files, months, adds)
+
+    def drop_months(self, table_path: str, cutoff_month: str) -> list[str]:
+        ensure_log(table_path)
+        while True:
+            version, files = snapshot(table_path)
+            removes = [f for f in files if _month_of(f) < cutoff_month]
+            dropped = sorted({_month_of(f) for f in removes})
+            if not removes:
+                return []
+            try:
+                self._commit(
+                    table_path,
+                    version + 1,
+                    op="retention_drop",
+                    months=dropped,
+                    add=[],
+                    remove=removes,
+                    live_after=[f for f in files if f not in set(removes)],
+                )
+                return dropped
+            except FileExistsError:
+                continue  # recompute against the new head and retry
+
+    def recover(self, table_path: str) -> list[str]:
+        """Transactional: nothing to finish or roll back. A crash before
+        the commit left only orphaned (unreferenced, invisible) staged
+        files; vacuum reclaims them."""
+        return []
+
+    # -- internals ----------------------------------------------------
+
+    def _ingest_staged(
+        self, table_path: str, staging_path: str, months: list[str]
+    ) -> dict[str, list[str]]:
+        """Move staged data files into their live month directories under
+        generation-unique names; return {month: [relative paths]}. The
+        moves happen BEFORE the commit, so a crash here orphans files
+        without ever making them visible."""
+        root = Path(table_path)
+        staging = Path(staging_path)
+        gen = uuid.uuid4().hex[:12]
+        adds: dict[str, list[str]] = {}
+        for month in months:
+            staged = staging / f"event_month={month}"
+            adds[month] = []
+            if not staged.is_dir():
+                continue  # fully compacted/deduped away -> month vanishes
+            live_dir = root / f"event_month={month}"
+            live_dir.mkdir(exist_ok=True)
+            for i, f in enumerate(sorted(staged.iterdir())):
+                if not f.is_file() or f.name.startswith(("_", ".")):
+                    continue
+                name = f"gen-{gen}-{i:05d}.parquet"
+                f.rename(live_dir / name)
+                adds[month].append(f"event_month={month}/{name}")
+        return adds
+
+    def _commit_swap(
+        self,
+        table_path: str,
+        base_version: int,
+        base_files: list[str],
+        months: list[str],
+        adds: dict[str, list[str]],
+    ) -> None:
+        """Optimistic-commit loop: claim base_version+1; on losing the
+        race, rebase over interfering commits iff they touched disjoint
+        months, else raise :class:`ConcurrentSwapError`."""
+        month_set = set(months)
+        version, files = base_version, base_files
+        add_list = [f for month in months for f in adds.get(month, [])]
+        while True:
+            remove = [f for f in files if _month_of(f) in month_set]
+            live_after = [f for f in files if _month_of(f) not in month_set]
+            live_after += add_list
+            try:
+                self._commit(
+                    table_path,
+                    version + 1,
+                    op="replace_months",
+                    months=sorted(month_set),
+                    add=add_list,
+                    remove=remove,
+                    live_after=live_after,
+                )
+                return
+            except FileExistsError:
+                head, head_files = snapshot(table_path)
+                for v in range(version + 1, head + 1):
+                    touched = set(_read_commit(table_path, v)["months"])
+                    if touched & month_set:
+                        # our removes were computed against a superseded
+                        # generation of these months -> caller must redo
+                        # the compaction on the new snapshot
+                        raise ConcurrentSwapError(
+                            f"months {sorted(touched & month_set)} were "
+                            f"replaced by commit {v} while this swap was "
+                            "in flight; re-run against the new snapshot"
+                        ) from None
+                version, files = head, head_files
+
+    def _commit(
+        self,
+        table_path: str,
+        version: int,
+        op: str,
+        months: list[str],
+        add: list[str],
+        remove: list[str],
+        live_after: list[str],
+    ) -> None:
+        record = {
+            "version": version,
+            "op": op,
+            "months": months,
+            "add": add,
+            "remove": remove,
+        }
+        if version % CHECKPOINT_EVERY == 0:
+            record["checkpoint"] = live_after
+        _write_commit(table_path, version, record)
+
+
+def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
+    """Physically delete data files referenced by NONE of the newest
+    ``retain_versions`` snapshots — superseded generations, logically
+    dropped months, and crash-orphaned staged files — then prune log
+    entries older than the oldest retained version (after ensuring it
+    carries a checkpoint, so retained snapshots stay resolvable).
+    Returns the deleted relative paths. Time travel beyond the retained
+    window is gone after vacuum, exactly like ``VACUUM`` on Delta."""
+    versions = _list_versions(table_path)
+    if not versions:
+        return []
+    retained = versions[-max(1, retain_versions):]
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(snapshot(table_path, v)[1])
+    root = Path(table_path)
+    deleted = []
+    for month_dir in sorted(root.glob("event_month=*")):
+        for f in sorted(month_dir.iterdir()):
+            rel = f"{month_dir.name}/{f.name}"
+            if f.is_file() and not f.name.startswith(("_", ".")) and rel not in keep:
+                f.unlink()
+                deleted.append(rel)
+        if not any(month_dir.iterdir()):
+            shutil.rmtree(month_dir)
+    oldest = retained[0]
+    rec = _read_commit(table_path, oldest)
+    if "checkpoint" not in rec:
+        rec["checkpoint"] = snapshot(table_path, oldest)[1]
+        # single-writer rewrite is safe: commits < oldest are about to be
+        # pruned, and the checkpoint is derived purely from them
+        _commit_path(table_path, oldest).write_text(json.dumps(rec))
+    for v in versions:
+        if v < oldest:
+            _commit_path(table_path, v).unlink()
+    return deleted

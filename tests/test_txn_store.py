@@ -1,0 +1,277 @@
+"""Transaction-logged partition store (operators/txn_store.py): atomic
+versioned commits over plain Parquet — snapshot isolation (no
+reader-visible gap during swaps), time travel, optimistic concurrency
+with disjoint-month rebase, logical retention + vacuum, and crash
+behavior (orphans invisible, recover a no-op).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.ingest import node_events_from_raw
+from neo4j_to_clickhouse_spark.operators.maintenance import (
+    apply_retention,
+    compact,
+)
+from neo4j_to_clickhouse_spark.operators.txn_store import (
+    ConcurrentSwapError,
+    TxnLogPartitionStore,
+    ensure_log,
+    history,
+    read_table,
+    snapshot,
+    vacuum,
+)
+from neo4j_to_clickhouse_spark.sources.snapshot import write_events
+
+
+@pytest.fixture()
+def event_table(spark, node_raw, tmp_path):
+    """Same corpus as test_maintenance: 7 good events (one replayed
+    duplicate id) over months 202602/202603, plain partitioned Parquet."""
+    path = str(tmp_path / "events")
+    write_events(node_events_from_raw(node_raw).events, path)
+    return path
+
+
+def test_bootstrap_matches_plain_read(spark, event_table):
+    """ensure_log() adopts an existing plain table as version 0; the
+    snapshot read returns exactly the directory read's rows, partition
+    column included."""
+    assert ensure_log(event_table) == 0
+    plain = spark.read.parquet(event_table)
+    snap = read_table(spark, event_table)
+    assert snap.count() == plain.count() == 7
+    assert dict(snap.dtypes)["event_month"] == "string"
+    assert sorted(snap.columns) == sorted(plain.columns)
+    v, files = snapshot(event_table)
+    assert v == 0
+    assert files and all(f.startswith("event_month=") for f in files)
+
+
+def test_compact_swap_is_snapshot_isolated(spark, event_table):
+    """After a compact through the store: the latest snapshot is deduped,
+    the pre-compact snapshot still reads the ORIGINAL rows byte-for-byte
+    (old generation still on disk), and a plain directory read would
+    double-count — demonstrating exactly the isolation the log buys."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    before_version, before_files = snapshot(event_table)
+
+    compact(spark, event_table, keep="latest", store=store)
+
+    latest = read_table(spark, event_table)
+    assert latest.count() == 3  # one row per entity
+    survivor = latest.filter(F.col("entity_id") == "4:abc:1").collect()[0]
+    assert survivor.event_id == "n-004"
+
+    # time travel: the old version still resolves and still reads 7 rows
+    old = read_table(spark, event_table, version=before_version)
+    assert old.count() == 7
+    # no reader-visible gap: both generations coexist until vacuum,
+    # which is why a plain recursive directory read is WRONG here
+    plain = spark.read.parquet(event_table)
+    assert plain.count() == 7 + 3
+
+    hist = history(event_table)
+    assert [h["op"] for h in hist] == ["init", "replace_months"]
+    assert hist[-1]["months"] == ["202602", "202603"]
+
+
+def test_fully_deduped_month_vanishes(spark, tmp_path):
+    """An entity whose survivor lands in month B removes month A from the
+    snapshot even though no staged output exists for A (the dynamic-
+    partition-overwrite trap from test_maintenance, transactional form)."""
+    rows = [
+        ("e1", "INSERT", "2026-02-01 00:00:00", "entityA"),
+        ("e2", "UPDATE", "2026-03-01 00:00:00", "entityA"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id string, event_type string, ts string, entity_id string"
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("event_timestamp"),
+            "entity_id",
+            F.lit("{}").alias("properties_before"),
+            F.lit("{}").alias("properties_after"),
+            F.lit("{}").alias("metadata"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyyMM").alias(
+                "event_month"
+            ),
+        )
+    )
+    path = str(tmp_path / "t")
+    write_events(df, path)
+    compact(spark, path, keep="latest", store=TxnLogPartitionStore())
+    out = read_table(spark, path)
+    assert [r.event_id for r in out.collect()] == ["e2"]
+    assert {r.event_month for r in out.collect()} == {"202603"}
+    # physical 202602 files remain until vacuum; snapshot excludes them
+    _, files = snapshot(path)
+    assert all(not f.startswith("event_month=202602/") for f in files)
+
+
+def test_retention_is_metadata_only_until_vacuum(spark, event_table):
+    """drop_months is a logical delete: the latest snapshot loses the old
+    month instantly, time travel still sees it, and only vacuum removes
+    bytes (after which pruned history is rejected loudly)."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    dropped = apply_retention(
+        spark, event_table, cutoff_month="202603", store=store
+    )
+    assert dropped == ["202602"]
+
+    latest = read_table(spark, event_table)
+    assert {r.event_month for r in latest.collect()} == {"202603"}
+    # the data is still there at version 0
+    assert read_table(spark, event_table, version=0).count() == 7
+
+    deleted = vacuum(event_table, retain_versions=1)
+    assert deleted and all(f.startswith("event_month=202602/") for f in deleted)
+    # month directory physically gone, survivors untouched
+    assert read_table(spark, event_table).count() == 3
+    with pytest.raises(ValueError, match="vacuum may have pruned"):
+        snapshot(event_table, version=0)
+    # second vacuum is a no-op
+    assert vacuum(event_table, retain_versions=1) == []
+
+
+def test_crash_orphans_are_invisible_and_vacuumed(spark, event_table):
+    """A crash after staged files moved but BEFORE the commit must leave
+    readers on the old version; vacuum reclaims the orphans. recover()
+    is a documented no-op."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    staging = event_table + "_staging"
+    (
+        spark.read.parquet(event_table)
+        .limit(2)
+        .write.partitionBy("event_month")
+        .parquet(staging)
+    )
+    # simulate the crash: ingest happens, the commit never does
+    store._ingest_staged(event_table, staging, ["202602", "202603"])
+    assert store.recover(event_table) == []
+    assert read_table(spark, event_table).count() == 7  # unaffected
+    deleted = vacuum(event_table, retain_versions=1)
+    assert deleted  # the orphaned gen-* files
+    assert all("/gen-" in f for f in deleted)
+    assert read_table(spark, event_table).count() == 7
+
+
+def test_concurrent_overlapping_months_conflict(spark, event_table):
+    """Two writers race on the SAME month: the loser's planned removes
+    were computed against a superseded generation, so its swap must
+    raise instead of silently resurrecting or losing data."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    base_version, base_files = snapshot(event_table)
+    # writer A stages a rewrite of 202602, then stalls before commit
+    staging = event_table + "_stage_a"
+    (
+        spark.read.parquet(event_table)
+        .filter("event_month = '202602'")
+        .limit(1)
+        .write.partitionBy("event_month")
+        .parquet(staging)
+    )
+    adds = store._ingest_staged(event_table, staging, ["202602"])
+    # writer B wins version 1 with a commit that also touches 202602
+    assert TxnLogPartitionStore().drop_months(event_table, "202603") == [
+        "202602"
+    ]
+    with pytest.raises(ConcurrentSwapError, match="202602"):
+        store._commit_swap(
+            event_table, base_version, base_files, ["202602"], adds
+        )
+    # the table is untouched by the failed swap: B's drop stands
+    assert {r.event_month for r in read_table(spark, event_table).collect()} == {
+        "202603"
+    }
+
+
+def test_concurrent_swap_paths(spark, event_table):
+    """Explicit both-paths test: an interfering commit on a DIFFERENT
+    month rebases and succeeds; on the SAME month it raises."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    base_version, base_files = snapshot(event_table)
+
+    staging = event_table + "_stage"
+    (
+        spark.read.parquet(event_table)
+        .filter("event_month = '202603'")
+        .limit(1)
+        .write.partitionBy("event_month")
+        .parquet(staging)
+    )
+    adds = store._ingest_staged(event_table, staging, ["202603"])
+
+    # interfering commit touches only 202602 -> disjoint -> rebase wins
+    assert TxnLogPartitionStore().drop_months(event_table, "202603") == [
+        "202602"
+    ]
+    store._commit_swap(event_table, base_version, base_files, ["202603"], adds)
+    v, files = snapshot(event_table)
+    assert v == 2
+    assert {h["op"] for h in history(event_table)} == {
+        "init",
+        "retention_drop",
+        "replace_months",
+    }
+    assert read_table(spark, event_table).count() == 1
+    # every live file is from A's new generation of 202603
+    assert all(f.startswith("event_month=202603/gen-") for f in files)
+
+
+def test_checkpoint_bounds_log_replay(spark, event_table):
+    """Commits at version % CHECKPOINT_EVERY == 0 embed the full file
+    list and snapshot() resolves BACKWARD from the newest one — proven by
+    corrupting every pre-checkpoint commit and reading the head anyway
+    (a resolver that replayed from v0 would surface the planted BOGUS
+    file or choke)."""
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        _commit_path,
+        _read_commit,
+    )
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    live = snapshot(event_table)[1]
+    for i in range(1, 12):  # versions 1..11; v10 carries the checkpoint
+        store._commit(
+            event_table,
+            i,
+            op="replace_months",
+            months=[],
+            add=[],
+            remove=[],
+            live_after=live,
+        )
+    assert snapshot(event_table)[0] == 11
+    assert "checkpoint" in _read_commit(event_table, 10)
+    for i in range(1, 10):
+        _commit_path(event_table, i).write_text(
+            json.dumps(
+                {"version": i, "op": "x", "months": [], "add": ["BOGUS"]}
+            )
+        )
+    head_files = snapshot(event_table)[1]
+    assert "BOGUS" not in head_files
+    assert read_table(spark, event_table).count() == 7
+
+
+def test_empty_swap_commits_nothing(spark, event_table):
+    """months=[] (the compaction read nothing) must not burn a version."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    store.replace_months(event_table, event_table + "_nostage", [])
+    assert [h["version"] for h in history(event_table)] == [0]
