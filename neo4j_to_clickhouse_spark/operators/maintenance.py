@@ -61,6 +61,13 @@ class PartitionStore:
         are still awaiting vacuum)."""
         return spark.read.parquet(table_path)
 
+    def live_files(self, table_path: str) -> list[str] | None:
+        """Table-root-relative paths of the live data files, or ``None``
+        when the physical directory listing IS the truth (plain
+        stores). Transactional stores return the current snapshot so
+        size/stats reports skip superseded generations."""
+        return None
+
 
 class LocalPartitionStore(PartitionStore):
     """Plain-parquet realization: per-month directory renames on a
@@ -255,7 +262,11 @@ def compact(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
+def table_stats(
+    spark: SparkSession,
+    table_path: str,
+    store: PartitionStore | None = None,
+) -> DataFrame:
     """Per-month-partition size/row reporting — the analogue of the
     reference's `system.parts` queries with `formatReadableSize` and its
     compressed-vs-uncompressed ratio report
@@ -273,32 +284,54 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
     footers via a DISTRIBUTED ``mapInPandas`` over the file list (one
     footer read per file on the executors — the driver never opens a
     file, so 10^5 files parallelize instead of serializing).
+
+    Pass the ``store`` managing the table for transactional layouts: the
+    report then covers exactly the live snapshot's files (a plain
+    directory walk would double-count superseded generations awaiting
+    vacuum).
     """
     import pandas as pd
 
     from neo4j_to_clickhouse_spark.functions.scalar import human_readable_size
 
+    store = store or LocalPartitionStore()
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    live = store.live_files(table_path)
     part_rows = []
     file_rows = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith("event_month=")):
-            continue
-        month = name.split("=", 1)[1]
-        n_files = 0
-        total = 0
-        for f in fs.listStatus(status.getPath()):
-            if f.isFile() and not f.getPath().getName().startswith(("_", ".")):
-                n_files += 1
-                total += f.getLen()
-                # Full URI, scheme included — .toUri().getPath() would
-                # strip file:/hdfs:/s3a: (and the bucket), breaking the
-                # executor-side footer reads anywhere but local disk.
-                file_rows.append((month, f.getPath().toString()))
-        part_rows.append((month, n_files, total))
+    if live is not None:
+        by_month: dict[str, list] = {}
+        for rel in live:
+            month = rel.split("=", 1)[1].split("/", 1)[0]
+            status = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}")
+            )
+            agg = by_month.setdefault(month, [0, 0])
+            agg[0] += 1
+            agg[1] += status.getLen()
+            file_rows.append((month, status.getPath().toString()))
+        part_rows = [(m, n, b) for m, (n, b) in sorted(by_month.items())]
+    else:
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if not (status.isDirectory() and name.startswith("event_month=")):
+                continue
+            month = name.split("=", 1)[1]
+            n_files = 0
+            total = 0
+            for f in fs.listStatus(status.getPath()):
+                if f.isFile() and not f.getPath().getName().startswith(
+                    ("_", ".")
+                ):
+                    n_files += 1
+                    total += f.getLen()
+                    # Full URI, scheme included — .toUri().getPath() would
+                    # strip file:/hdfs:/s3a: (and the bucket), breaking the
+                    # executor-side footer reads anywhere but local disk.
+                    file_rows.append((month, f.getPath().toString()))
+            part_rows.append((month, n_files, total))
     sizes = spark.createDataFrame(
         part_rows, "event_month string, n_files int, total_bytes long"
     )
@@ -352,7 +385,7 @@ def table_stats(spark: SparkSession, table_path: str) -> DataFrame:
         )
     )
     counts = (
-        spark.read.parquet(table_path)
+        store.read(spark, table_path)
         .groupBy("event_month")
         .agg(F.count("*").alias("n_rows"))
     )

@@ -222,6 +222,10 @@ class TxnLogPartitionStore(PartitionStore):
         ensure_log(table_path)
         return read_table(spark, table_path)
 
+    def live_files(self, table_path: str) -> list[str] | None:
+        ensure_log(table_path)
+        return snapshot(table_path)[1]
+
     def replace_months(
         self, table_path: str, staging_path: str, months: list[str]
     ) -> None:

@@ -269,6 +269,115 @@ def test_checkpoint_bounds_log_replay(spark, event_table):
     assert read_table(spark, event_table).count() == 7
 
 
+def test_table_stats_reports_snapshot_not_directory(spark, event_table):
+    """After a compact leaves two generations on disk, table_stats with
+    the txn store must report exactly the live snapshot (rows, files,
+    bytes) — the plain directory walk counts both generations."""
+    from neo4j_to_clickhouse_spark.operators.maintenance import table_stats
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    compact(spark, event_table, keep="latest", store=store)
+
+    snap_stats = {
+        r.event_month: r for r in table_stats(spark, event_table, store=store).collect()
+    }
+    live = read_table(spark, event_table)
+    direct = {
+        r.event_month: r.cnt
+        for r in live.groupBy("event_month").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {m: r.n_rows for m, r in snap_stats.items()} == direct
+    _, files = snapshot(event_table)
+    per_month_files = {}
+    for f in files:
+        per_month_files[f.split("=", 1)[1].split("/", 1)[0]] = (
+            per_month_files.get(f.split("=", 1)[1].split("/", 1)[0], 0) + 1
+        )
+    assert {m: r.n_files for m, r in snap_stats.items()} == per_month_files
+    # the storeless walk sees MORE files (old generation still on disk)
+    plain_stats = {
+        r.event_month: r for r in table_stats(spark, event_table).collect()
+    }
+    assert sum(r.n_files for r in plain_stats.values()) > sum(
+        r.n_files for r in snap_stats.values()
+    )
+
+
+def test_disjoint_month_race_under_real_threads(tmp_path):
+    """8 threads replace 8 DIFFERENT months concurrently from the same
+    base version: every swap must land (rebasing over whoever won each
+    version race), the head must be version 8, and each month's live
+    generation must be its own writer's. Pure-filesystem test — the
+    protocol never reads data files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = tmp_path / "t"
+    months = [f"2026{i:02d}" for i in range(1, 9)]
+    for m in months:
+        d = root / f"event_month={m}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"old")
+    ensure_log(str(root))
+
+    def worker(m):
+        staging = tmp_path / f"stage_{m}"
+        sd = staging / f"event_month={m}"
+        sd.mkdir(parents=True)
+        (sd / "part-0.parquet").write_bytes(b"new")
+        TxnLogPartitionStore().replace_months(str(root), str(staging), [m])
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(worker, months))  # re-raises any worker failure
+
+    v, files = snapshot(str(root))
+    assert v == 8
+    by_month = {}
+    for f in files:
+        by_month.setdefault(f.split("=", 1)[1].split("/", 1)[0], []).append(f)
+    assert set(by_month) == set(months)
+    for fs_ in by_month.values():
+        assert len(fs_) == 1 and "/gen-" in fs_[0]
+
+
+def test_same_month_race_is_serializable(tmp_path):
+    """Two threads replace the SAME month concurrently: at most one may
+    be told to retry (ConcurrentSwapError), the table must end with
+    exactly one live generation for the month, and the log must stay a
+    gap-free version sequence."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from neo4j_to_clickhouse_spark.operators.txn_store import _list_versions
+
+    root = tmp_path / "t"
+    d = root / "event_month=202601"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"old")
+    ensure_log(str(root))
+    conflicts = []
+
+    def worker(tag):
+        staging = tmp_path / f"stage_{tag}"
+        sd = staging / "event_month=202601"
+        sd.mkdir(parents=True)
+        (sd / "part-0.parquet").write_bytes(tag.encode())
+        try:
+            TxnLogPartitionStore().replace_months(
+                str(root), str(staging), ["202601"]
+            )
+        except ConcurrentSwapError as e:
+            conflicts.append(e)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(worker, ["a", "b"]))
+
+    assert len(conflicts) <= 1
+    _, files = snapshot(str(root))
+    assert len(files) == 1 and "/gen-" in files[0]
+    versions = _list_versions(str(root))
+    assert versions == list(range(len(versions)))  # gap-free
+
+
 def test_empty_swap_commits_nothing(spark, event_table):
     """months=[] (the compaction read nothing) must not burn a version."""
     store = TxnLogPartitionStore()
