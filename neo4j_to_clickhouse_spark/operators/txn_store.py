@@ -264,6 +264,46 @@ class TxnLogPartitionStore(PartitionStore):
         files; vacuum reclaims them."""
         return []
 
+    def commit_batch(
+        self, table_path: str, adds: list[str], batch_tag: str
+    ) -> None:
+        """Atomically publish one streaming micro-batch: a single commit
+        that removes any files of a previous (crashed) attempt of the
+        same batch and adds the new generation — readers never see a
+        partially-promoted or double-counted batch.
+
+        Unlike a swap, an append can NEVER be invalidated by a racing
+        commit: its removes are the batch's own earlier files, and
+        removing an already-removed file is a no-op in log replay. So
+        the retry loop always rebases, never raises
+        :class:`ConcurrentSwapError` — a concurrent compact of the same
+        month conservatively loses instead (ITS removes went stale)."""
+        ensure_log(table_path)
+        while True:
+            version, files = snapshot(table_path)
+            removes = [
+                f
+                for f in files
+                if f.rsplit("/", 1)[-1].startswith(batch_tag)
+            ]
+            if not adds and not removes:
+                return
+            months = sorted({_month_of(f) for f in [*adds, *removes]})
+            live_after = [f for f in files if f not in set(removes)] + adds
+            try:
+                self._commit(
+                    table_path,
+                    version + 1,
+                    op="stream_batch",
+                    months=months,
+                    add=adds,
+                    remove=removes,
+                    live_after=live_after,
+                )
+                return
+            except FileExistsError:
+                continue
+
     # -- internals ----------------------------------------------------
 
     def _ingest_staged(
@@ -356,6 +396,33 @@ class TxnLogPartitionStore(PartitionStore):
         if version % CHECKPOINT_EVERY == 0:
             record["checkpoint"] = live_after
         _write_commit(table_path, version, record)
+
+
+def stage_batch_files(
+    table_path: str, staging_path: str, batch_id: int
+) -> tuple[list[str], str]:
+    """Move a micro-batch's staged month-partitioned part-files into
+    their live month directories under batch-tagged, attempt-unique
+    names; returns (relative paths, batch_tag) for
+    :meth:`TxnLogPartitionStore.commit_batch`. The moved files are
+    invisible to snapshot readers until that commit; a crash in between
+    leaves only vacuum-reclaimable orphans."""
+    tag = f"batch-{batch_id:09d}-"
+    gen = uuid.uuid4().hex[:12]
+    root, staging = Path(table_path), Path(staging_path)
+    adds: list[str] = []
+    i = 0
+    for month_dir in sorted(staging.glob("event_month=*")):
+        live_dir = root / month_dir.name
+        live_dir.mkdir(parents=True, exist_ok=True)
+        for f in sorted(month_dir.iterdir()):
+            if f.is_file() and not f.name.startswith(("_", ".")):
+                name = f"{tag}gen-{gen}-{i:05d}.parquet"
+                f.rename(live_dir / name)
+                adds.append(f"{month_dir.name}/{name}")
+                i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds, tag
 
 
 def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:

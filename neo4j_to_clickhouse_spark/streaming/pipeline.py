@@ -23,6 +23,9 @@ Design decisions, mapped to reference behavior:
   defense-in-depth for upstream producer duplicates). This is the local-FS
   realization; on a cluster the same protocol rides HDFS atomic rename, or
   a transactional table format (Delta/Iceberg) replaces it wholesale.
+  ``StreamConfig(store=TxnLogPartitionStore())`` upgrades it in place:
+  each batch publishes as one atomic commit-log entry, closing the
+  rename protocol's partial-visibility window for concurrent readers.
 - **Quarantine, not stall.** Poison messages blocked the reference's
   consumer until manual DETACH/ATTACH (`docs/ISSUES-AND-FIXES.md:188-205`).
   Here unparseable/incomplete envelopes land in a quarantine directory with
@@ -57,13 +60,23 @@ from neo4j_to_clickhouse_spark.sources.envelopes import parse_envelopes
 
 @dataclass
 class StreamConfig:
-    """Sink layout + cadence for one entity-kind stream."""
+    """Sink layout + cadence for one entity-kind stream.
+
+    ``store``: pass a
+    :class:`~neo4j_to_clickhouse_spark.operators.txn_store.TxnLogPartitionStore`
+    to publish each micro-batch as ONE atomic transaction-log commit —
+    concurrent readers then never see a partially-promoted batch (the
+    rename protocol's one remaining gap) and batch replay is an atomic
+    replace. Default ``None`` keeps the plain rename protocol. The
+    quarantine sink always uses renames: it is an append-only audit
+    log, not a snapshot-read table."""
 
     table_path: str
     quarantine_path: str
     checkpoint_path: str
     processing_time: str | None = "1 second"  # None -> availableNow drain
     coalesce_output: int | None = None  # small-file control per micro-batch
+    store: object | None = None  # duck-typed: needs .commit_batch
 
 
 def dedup_within_watermark(
@@ -133,7 +146,15 @@ def _write_batch(result: IngestResult, config: StreamConfig, batch_id: int) -> N
         .partitionBy("event_month")
         .parquet(staging)
     )
-    _promote_staged(staging, config.table_path, batch_id)
+    if config.store is not None and hasattr(config.store, "commit_batch"):
+        from neo4j_to_clickhouse_spark.operators.txn_store import (
+            stage_batch_files,
+        )
+
+        adds, tag = stage_batch_files(config.table_path, staging, batch_id)
+        config.store.commit_batch(config.table_path, adds, tag)
+    else:
+        _promote_staged(staging, config.table_path, batch_id)
 
     bad = result.quarantine
     if config.coalesce_output:

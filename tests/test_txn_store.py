@@ -384,3 +384,88 @@ def test_empty_swap_commits_nothing(spark, event_table):
     ensure_log(event_table)
     store.replace_months(event_table, event_table + "_nostage", [])
     assert [h["version"] for h in history(event_table)] == [0]
+
+
+def test_streaming_batch_commit_is_atomic_and_replay_safe(
+    spark, node_raw, tmp_path
+):
+    """StreamConfig(store=TxnLogPartitionStore()): each micro-batch is
+    ONE commit; replaying a batch id atomically replaces its own prior
+    generation; a later batch id appends; vacuum reclaims the replaced
+    attempt."""
+    from neo4j_to_clickhouse_spark.streaming import StreamConfig
+    from neo4j_to_clickhouse_spark.streaming.pipeline import _write_batch
+
+    store = TxnLogPartitionStore()
+    config = StreamConfig(
+        table_path=str(tmp_path / "events"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+        store=store,
+    )
+    res = node_events_from_raw(node_raw)
+    _write_batch(res, config, batch_id=7)
+    n1 = read_table(spark, config.table_path).count()
+    assert n1 == 7
+    assert [h["op"] for h in history(config.table_path)] == [
+        "init",
+        "stream_batch",
+    ]
+
+    # crash-replay of the same batch: one commit, same rows, ONE live
+    # generation (the replay's)
+    _write_batch(res, config, batch_id=7)
+    assert read_table(spark, config.table_path).count() == n1
+    _, files = snapshot(config.table_path)
+    gens = {f.split("gen-", 1)[1].split("-", 1)[0] for f in files}
+    assert len(gens) == 1
+
+    # a different batch id is new data and appends
+    _write_batch(res, config, batch_id=8)
+    assert read_table(spark, config.table_path).count() == 2 * n1
+
+    # the superseded first attempt still occupies disk until vacuum
+    deleted = vacuum(config.table_path, retain_versions=1)
+    assert deleted and all("batch-000000007-" in f for f in deleted)
+    assert read_table(spark, config.table_path).count() == 2 * n1
+    # quarantine stayed on the plain rename protocol: one bad row from
+    # the replayed batch 7 (replaced, not duplicated) + one from batch 8
+    assert spark.read.parquet(config.quarantine_path).count() == 2
+
+
+def test_stream_drain_through_txn_store(spark, tmp_path):
+    """Full availableNow drain with the transactional sink: the streamed
+    table reads through the snapshot with the right rows/months, and the
+    log shows init + one commit per non-empty micro-batch."""
+    from tests.conftest import NODE_ENVELOPES
+    from neo4j_to_clickhouse_spark.sources.envelopes import read_envelope_file
+    from neo4j_to_clickhouse_spark.streaming import (
+        StreamConfig,
+        drain,
+        start_node_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text("\n".join(NODE_ENVELOPES[:4]) + "\n")
+    (src / "b.ndjson").write_text("\n".join(NODE_ENVELOPES[4:]) + "\n")
+    table = str(tmp_path / "events")
+    config = StreamConfig(
+        table_path=table,
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        processing_time=None,  # availableNow drain
+        coalesce_output=1,
+        store=TxnLogPartitionStore(),
+    )
+    raw = read_envelope_file(spark, str(src), streaming=True)
+    drain(start_node_stream(raw, config))
+
+    streamed = read_table(spark, table)
+    assert streamed.count() == 7  # 8 lines - 1 malformed
+    assert {
+        r.event_month for r in streamed.select("event_month").collect()
+    } == {"202602", "202603"}
+    ops = [h["op"] for h in history(table)]
+    assert ops[0] == "init" and set(ops[1:]) == {"stream_batch"}
