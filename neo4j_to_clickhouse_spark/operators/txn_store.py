@@ -277,7 +277,15 @@ class TxnLogPartitionStore(PartitionStore):
         removing an already-removed file is a no-op in log replay. So
         the retry loop always rebases, never raises
         :class:`ConcurrentSwapError` — a concurrent compact of the same
-        month conservatively loses instead (ITS removes went stale)."""
+        month conservatively loses instead (ITS removes went stale).
+
+        One documented corner survives (identically in the rename
+        protocol): if a compact runs BETWEEN a batch's crash and its
+        replay, the compacted generation absorbed the first attempt's
+        rows under store-chosen file names the replay's tag cannot
+        match, so the replayed events exist twice until the next
+        ``compact(keep='events')`` — the standard exact-duplicate
+        backstop (`streaming/pipeline.py` module docstring)."""
         ensure_log(table_path)
         while True:
             version, files = snapshot(table_path)
@@ -425,14 +433,27 @@ def stage_batch_files(
     return adds, tag
 
 
-def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    table_path: str,
+    retain_versions: int = 1,
+    min_age_s: float = 3600.0,
+) -> list[str]:
     """Physically delete data files referenced by NONE of the newest
     ``retain_versions`` snapshots — superseded generations, logically
     dropped months, and crash-orphaned staged files — then prune log
     entries older than the oldest retained version (after ensuring it
     carries a checkpoint, so retained snapshots stay resolvable).
     Returns the deleted relative paths. Time travel beyond the retained
-    window is gone after vacuum, exactly like ``VACUUM`` on Delta."""
+    window is gone after vacuum, exactly like ``VACUUM`` on Delta.
+
+    ``min_age_s`` guards the one race a reference-counting vacuum
+    cannot see: a concurrent writer's just-ingested files are
+    unreferenced until its commit lands, so an unguarded vacuum would
+    eat an in-flight swap. Files younger than the threshold are never
+    deleted — the same reason Delta's VACUUM refuses to delete below a
+    retention age. Pass 0 only when no writer can be active."""
+    import time
+
     versions = _list_versions(table_path)
     if not versions:
         return []
@@ -441,11 +462,17 @@ def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
     for v in retained:
         keep.update(snapshot(table_path, v)[1])
     root = Path(table_path)
+    age_cutoff = time.time() - min_age_s
     deleted = []
     for month_dir in sorted(root.glob("event_month=*")):
         for f in sorted(month_dir.iterdir()):
             rel = f"{month_dir.name}/{f.name}"
-            if f.is_file() and not f.name.startswith(("_", ".")) and rel not in keep:
+            if (
+                f.is_file()
+                and not f.name.startswith(("_", "."))
+                and rel not in keep
+                and f.stat().st_mtime <= age_cutoff
+            ):
                 f.unlink()
                 deleted.append(rel)
         if not any(month_dir.iterdir()):

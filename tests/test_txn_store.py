@@ -134,14 +134,14 @@ def test_retention_is_metadata_only_until_vacuum(spark, event_table):
     # the data is still there at version 0
     assert read_table(spark, event_table, version=0).count() == 7
 
-    deleted = vacuum(event_table, retain_versions=1)
+    deleted = vacuum(event_table, retain_versions=1, min_age_s=0)
     assert deleted and all(f.startswith("event_month=202602/") for f in deleted)
     # month directory physically gone, survivors untouched
     assert read_table(spark, event_table).count() == 3
     with pytest.raises(ValueError, match="vacuum may have pruned"):
         snapshot(event_table, version=0)
     # second vacuum is a no-op
-    assert vacuum(event_table, retain_versions=1) == []
+    assert vacuum(event_table, retain_versions=1, min_age_s=0) == []
 
 
 def test_crash_orphans_are_invisible_and_vacuumed(spark, event_table):
@@ -161,10 +161,31 @@ def test_crash_orphans_are_invisible_and_vacuumed(spark, event_table):
     store._ingest_staged(event_table, staging, ["202602", "202603"])
     assert store.recover(event_table) == []
     assert read_table(spark, event_table).count() == 7  # unaffected
-    deleted = vacuum(event_table, retain_versions=1)
+    deleted = vacuum(event_table, retain_versions=1, min_age_s=0)
     assert deleted  # the orphaned gen-* files
     assert all("/gen-" in f for f in deleted)
     assert read_table(spark, event_table).count() == 7
+
+
+def test_vacuum_age_guard_protects_inflight_files(spark, event_table):
+    """The default min_age_s must keep vacuum's hands off young
+    unreferenced files — they may belong to a writer that has staged
+    but not yet committed (the race a reference-count alone cannot
+    see)."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    staging = event_table + "_staging"
+    (
+        spark.read.parquet(event_table)
+        .limit(1)
+        .write.partitionBy("event_month")
+        .parquet(staging)
+    )
+    store._ingest_staged(event_table, staging, ["202602", "202603"])
+    # default age threshold: the seconds-old orphan is NOT reclaimed
+    assert vacuum(event_table, retain_versions=1) == []
+    # explicit 0 (maintenance window, no writers): it is
+    assert vacuum(event_table, retain_versions=1, min_age_s=0)
 
 
 def test_concurrent_overlapping_months_conflict(spark, event_table):
@@ -426,7 +447,7 @@ def test_streaming_batch_commit_is_atomic_and_replay_safe(
     assert read_table(spark, config.table_path).count() == 2 * n1
 
     # the superseded first attempt still occupies disk until vacuum
-    deleted = vacuum(config.table_path, retain_versions=1)
+    deleted = vacuum(config.table_path, retain_versions=1, min_age_s=0)
     assert deleted and all("batch-000000007-" in f for f in deleted)
     assert read_table(spark, config.table_path).count() == 2 * n1
     # quarantine stayed on the plain rename protocol: one bad row from

@@ -117,14 +117,14 @@ def test_random_op_sequences_match_model(ops, tmp_path_factory):
             model = {f for f in model if not f.rsplit("/", 1)[-1].startswith(tag)}
             model |= set(adds)
         else:  # vacuum
-            vacuum(str(root), retain_versions=1)
+            vacuum(str(root), retain_versions=1, min_age_s=0)
             # model unchanged: vacuum must never touch live files
 
         _, live = snapshot(str(root))
         assert set(live) == model, f"after {op}"
 
     # final vacuum: disk == retained snapshot exactly (plus the log)
-    vacuum(str(root), retain_versions=1)
+    vacuum(str(root), retain_versions=1, min_age_s=0)
     on_disk = {
         f"{d.name}/{f.name}"
         for d in root.glob("event_month=*")
