@@ -15,9 +15,10 @@ Delta Lake transaction-log protocol idea (an ordered log of add/remove
 file actions; readers resolve a snapshot, writers commit optimistically):
 
 - ``_txn_log/<version>.json`` files record ``add``/``remove`` actions
-  over data files (paths relative to the table root). Version files are
-  created with ``O_CREAT|O_EXCL`` — the POSIX/HDFS atomic-create that
-  makes exactly one writer win each version number.
+  over data files (paths relative to the table root). A version is
+  claimed by hard-linking a fully-written temp file onto the version
+  name — atomic create-if-absent, so exactly one writer wins each
+  version number and a commit file only ever appears complete.
 - Readers resolve the file list for a version and read exactly those
   files (``basePath`` keeps ``event_month`` a partition column). Old
   generations stay on disk until :func:`vacuum`, so a reader holding
@@ -90,19 +91,24 @@ def _read_commit(table_path: str, version: int) -> dict:
 
 
 def _write_commit(table_path: str, version: int, record: dict) -> None:
-    """Atomically claim ``version``: O_CREAT|O_EXCL create-if-absent, the
-    one filesystem primitive the whole protocol rests on. Raises
-    FileExistsError when another writer claimed the version first."""
+    """Atomically claim ``version`` WITH its content: the record is
+    fsynced to a hidden temp file first, then linked to the version
+    name — ``link(2)`` fails with FileExistsError when another writer
+    claimed the version, and the commit file only ever appears fully
+    written (an O_EXCL-create-then-write would expose a torn JSON to a
+    concurrent reader listing the log between the two steps). This
+    create-if-absent is the one filesystem primitive the protocol
+    rests on; HDFS's atomic create-no-overwrite serves the same role."""
     path = _commit_path(table_path, version)
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    tmp = path.with_name(f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(record, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-    except BaseException:
-        path.unlink(missing_ok=True)
-        raise
+        os.link(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _scan_existing_files(table_path: str) -> list[str]:
@@ -481,9 +487,12 @@ def vacuum(
     rec = _read_commit(table_path, oldest)
     if "checkpoint" not in rec:
         rec["checkpoint"] = snapshot(table_path, oldest)[1]
-        # single-writer rewrite is safe: commits < oldest are about to be
-        # pruned, and the checkpoint is derived purely from them
-        _commit_path(table_path, oldest).write_text(json.dumps(rec))
+        # the rewrite is derived purely from commits about to be pruned;
+        # os.replace keeps it atomic for any concurrent reader
+        target = _commit_path(table_path, oldest)
+        tmp = target.with_name(f".tmp-{uuid.uuid4().hex}.json")
+        tmp.write_text(json.dumps(rec))
+        os.replace(tmp, target)
     for v in versions:
         if v < oldest:
             _commit_path(table_path, v).unlink()
