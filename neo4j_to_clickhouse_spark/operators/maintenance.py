@@ -302,16 +302,25 @@ def table_stats(
     part_rows = []
     file_rows = []
     if live is not None:
+        # one listStatus per live MONTH directory, filtered to the
+        # snapshot's file set — driver RPCs are O(months), not the
+        # O(files) serial getFileStatus round-trips that would undercut
+        # the distributed footer read at 10^5 files
+        live_set = set(live)
+        months = sorted({rel.split("=", 1)[1].split("/", 1)[0] for rel in live})
         by_month: dict[str, list] = {}
-        for rel in live:
-            month = rel.split("=", 1)[1].split("/", 1)[0]
-            status = fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}")
+        for month in months:
+            month_path = jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/event_month={month}"
             )
-            agg = by_month.setdefault(month, [0, 0])
-            agg[0] += 1
-            agg[1] += status.getLen()
-            file_rows.append((month, status.getPath().toString()))
+            for status in fs.listStatus(month_path):
+                rel = f"event_month={month}/{status.getPath().getName()}"
+                if rel not in live_set:
+                    continue  # superseded generation awaiting vacuum
+                agg = by_month.setdefault(month, [0, 0])
+                agg[0] += 1
+                agg[1] += status.getLen()
+                file_rows.append((month, status.getPath().toString()))
         part_rows = [(m, n, b) for m, (n, b) in sorted(by_month.items())]
     else:
         for status in fs.listStatus(hpath):

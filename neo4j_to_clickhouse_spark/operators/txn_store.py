@@ -111,6 +111,21 @@ def _write_commit(table_path: str, version: int, record: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def _rename_into_live(src: Path, live_dir: Path, name: str) -> None:
+    """Move a staged file into its live month dir, surviving the race
+    where a concurrent :func:`vacuum` rmtree's the month dir it observed
+    empty between this writer's ``mkdir`` and the rename: re-create the
+    dir and retry — the file becomes referenced at commit time, and
+    vacuum's mtime guard keeps it from re-removing the fresh dir."""
+    for _ in range(3):
+        try:
+            src.rename(live_dir / name)
+            return
+        except FileNotFoundError:
+            live_dir.mkdir(parents=True, exist_ok=True)
+    src.rename(live_dir / name)
+
+
 def _scan_existing_files(table_path: str) -> list[str]:
     root = Path(table_path)
     files = []
@@ -147,33 +162,65 @@ def ensure_log(table_path: str) -> int:
 
 def snapshot(table_path: str, version: int | None = None) -> tuple[int, list[str]]:
     """Resolve (version, live relative file paths). Replays the log from
-    the nearest embedded checkpoint at or below the target version."""
-    versions = _list_versions(table_path)
-    if not versions:
-        raise FileNotFoundError(
-            f"no transaction log under {table_path}/{LOG_DIR} — call "
-            "ensure_log() (or any store operation) first"
-        )
-    target = versions[-1] if version is None else version
-    if target not in versions:
-        raise ValueError(
-            f"version {target} not in log (have {versions[0]}..{versions[-1]}"
-            f"; vacuum may have pruned history)"
-        )
-    replay = [v for v in versions if v <= target]
-    # walk BACKWARD until a checkpointed commit, loading only the commits
-    # after it — resolution is O(CHECKPOINT_EVERY) log reads, not
-    # O(history)
+    the nearest embedded checkpoint at or below the target version.
+
+    Tolerates a concurrent :func:`vacuum` pruning log files between this
+    reader's listing and its replay: a vanished commit file re-lists and
+    retries — the new oldest retained version always carries a
+    checkpoint, so the retry resolves against the pruned log instead of
+    crashing mid-replay."""
+    last_err: FileNotFoundError | None = None
+    for _ in range(20):
+        versions = _list_versions(table_path)
+        if not versions:
+            raise FileNotFoundError(
+                f"no transaction log under {table_path}/{LOG_DIR} — call "
+                "ensure_log() (or any store operation) first"
+            )
+        target = versions[-1] if version is None else version
+        if target not in versions:
+            raise ValueError(
+                f"version {target} not in log (have "
+                f"{versions[0]}..{versions[-1]}"
+                f"; vacuum may have pruned history)"
+            )
+        try:
+            return target, _replay_live(
+                table_path, [v for v in versions if v <= target]
+            )
+        except FileNotFoundError as err:
+            last_err = err  # a concurrent vacuum pruned a listed commit
+            continue
+    raise RuntimeError(
+        f"snapshot resolution on {table_path} kept losing the race "
+        "against concurrent vacuums"
+    ) from last_err
+
+
+def _replay_live(table_path: str, replay: list[int]) -> list[str]:
+    """Walk BACKWARD until a checkpointed commit, loading only the
+    commits after it — resolution is O(CHECKPOINT_EVERY) log reads, not
+    O(history)."""
     loaded: dict[int, dict] = {}
     start_idx = 0
     base: list[str] = []
+    found_checkpoint = False
     for i in range(len(replay) - 1, -1, -1):
         rec = _read_commit(table_path, replay[i])
         loaded[replay[i]] = rec
         if "checkpoint" in rec:
             base = list(rec["checkpoint"])
             start_idx = i + 1
+            found_checkpoint = True
             break
+    if not found_checkpoint and replay[0] != 0:
+        # the replay's base checkpoint was vacuumed away AFTER the
+        # version listing but its target commit survives — resolving
+        # from an empty base would silently drop files
+        raise ValueError(
+            f"version {replay[-1]} is no longer resolvable: vacuum "
+            "pruned the checkpoint its replay depends on"
+        )
     live = dict.fromkeys(base)
     for v in replay[start_idx:]:
         rec = loaded[v]
@@ -181,20 +228,21 @@ def snapshot(table_path: str, version: int | None = None) -> tuple[int, list[str
             live.pop(f, None)
         for f in rec.get("add", []):
             live[f] = None
-    return target, list(live)
+    return list(live)
 
 
 def history(table_path: str) -> list[dict]:
     """The commit history, oldest first: (version, op, months) — the
-    analogue of ``DESCRIBE HISTORY``."""
-    return [
-        {
-            "version": v,
-            "op": (rec := _read_commit(table_path, v))["op"],
-            "months": rec["months"],
-        }
-        for v in _list_versions(table_path)
-    ]
+    analogue of ``DESCRIBE HISTORY``. Versions pruned by a concurrent
+    vacuum between listing and reading are skipped, not crashed on."""
+    out = []
+    for v in _list_versions(table_path):
+        try:
+            rec = _read_commit(table_path, v)
+        except FileNotFoundError:
+            continue  # pruned by a concurrent vacuum after the listing
+        out.append({"version": v, "op": rec["op"], "months": rec["months"]})
+    return out
 
 
 def read_table(
@@ -342,7 +390,7 @@ class TxnLogPartitionStore(PartitionStore):
                 if not f.is_file() or f.name.startswith(("_", ".")):
                     continue
                 name = f"gen-{gen}-{i:05d}.parquet"
-                f.rename(live_dir / name)
+                _rename_into_live(f, live_dir, name)
                 adds[month].append(f"event_month={month}/{name}")
         return adds
 
@@ -378,7 +426,18 @@ class TxnLogPartitionStore(PartitionStore):
             except FileExistsError:
                 head, head_files = snapshot(table_path)
                 for v in range(version + 1, head + 1):
-                    touched = set(_read_commit(table_path, v)["months"])
+                    try:
+                        touched = set(_read_commit(table_path, v)["months"])
+                    except FileNotFoundError:
+                        # a concurrent vacuum pruned the interfering
+                        # commit before we could inspect it — we cannot
+                        # prove it was month-disjoint, so fail safe the
+                        # same way an overlapping commit does
+                        raise ConcurrentSwapError(
+                            f"commit {v} landed and was vacuumed while "
+                            "this swap was in flight; re-run against "
+                            "the new snapshot"
+                        ) from None
                     if touched & month_set:
                         # our removes were computed against a superseded
                         # generation of these months -> caller must redo
@@ -413,15 +472,27 @@ class TxnLogPartitionStore(PartitionStore):
 
 
 def stage_batch_files(
-    table_path: str, staging_path: str, batch_id: int
+    table_path: str, staging_path: str, batch_id: int, query_name: str = ""
 ) -> tuple[list[str], str]:
     """Move a micro-batch's staged month-partitioned part-files into
     their live month directories under batch-tagged, attempt-unique
     names; returns (relative paths, batch_tag) for
     :meth:`TxnLogPartitionStore.commit_batch`. The moved files are
     invisible to snapshot readers until that commit; a crash in between
-    leaves only vacuum-reclaimable orphans."""
-    tag = f"batch-{batch_id:09d}-"
+    leaves only vacuum-reclaimable orphans.
+
+    ``query_name`` namespaces the tag (``batch-<query>-<id>-``): two
+    streaming queries share batch-id sequences, so an un-namespaced
+    replay of one query's batch N would remove the OTHER query's
+    committed files for batch N — silent data loss. Leave it empty only
+    when exactly one query ever writes the table.
+
+    ``ensure_log`` runs BEFORE any rename: on a not-yet-bootstrapped
+    table a concurrent bootstrap (e.g. a compaction's ``store.read``)
+    would otherwise adopt the half-staged, uncommitted batch into v0."""
+    ensure_log(table_path)
+    query = "".join(c for c in query_name if c.isalnum() or c in "_-")
+    tag = f"batch-{query + '-' if query else ''}{batch_id:09d}-"
     gen = uuid.uuid4().hex[:12]
     root, staging = Path(table_path), Path(staging_path)
     adds: list[str] = []
@@ -432,7 +503,7 @@ def stage_batch_files(
         for f in sorted(month_dir.iterdir()):
             if f.is_file() and not f.name.startswith(("_", ".")):
                 name = f"{tag}gen-{gen}-{i:05d}.parquet"
-                f.rename(live_dir / name)
+                _rename_into_live(f, live_dir, name)
                 adds.append(f"{month_dir.name}/{name}")
                 i += 1
     shutil.rmtree(staging, ignore_errors=True)
@@ -443,6 +514,7 @@ def vacuum(
     table_path: str,
     retain_versions: int = 1,
     min_age_s: float = 3600.0,
+    log_min_age_s: float | None = None,
 ) -> list[str]:
     """Physically delete data files referenced by NONE of the newest
     ``retain_versions`` snapshots — superseded generations, logically
@@ -457,9 +529,19 @@ def vacuum(
     unreferenced until its commit lands, so an unguarded vacuum would
     eat an in-flight swap. Files younger than the threshold are never
     deleted — the same reason Delta's VACUUM refuses to delete below a
-    retention age. Pass 0 only when no writer can be active."""
+    retention age. Pass 0 only when no writer can be active.
+
+    ``log_min_age_s`` (default: same as ``min_age_s``) applies the same
+    age guard to LOG-file pruning: a concurrent reader that listed the
+    log before this vacuum may still be replaying those commits, and a
+    losing writer's rebase may still be inspecting them — young log
+    files stay. Readers additionally re-list and retry on a vanished
+    commit (see :func:`snapshot`), so the guard and the retry cover
+    each other."""
     import time
 
+    if log_min_age_s is None:
+        log_min_age_s = min_age_s
     versions = _list_versions(table_path)
     if not versions:
         return []
@@ -468,7 +550,8 @@ def vacuum(
     for v in retained:
         keep.update(snapshot(table_path, v)[1])
     root = Path(table_path)
-    age_cutoff = time.time() - min_age_s
+    now = time.time()
+    age_cutoff = now - min_age_s
     deleted = []
     for month_dir in sorted(root.glob("event_month=*")):
         for f in sorted(month_dir.iterdir()):
@@ -481,8 +564,14 @@ def vacuum(
             ):
                 f.unlink()
                 deleted.append(rel)
-        if not any(month_dir.iterdir()):
-            shutil.rmtree(month_dir)
+        # only reap an empty month dir past the age guard: a concurrent
+        # writer may be between its mkdir and its first rename (writers
+        # also re-mkdir and retry, see _rename_into_live)
+        if (
+            not any(month_dir.iterdir())
+            and month_dir.stat().st_mtime <= age_cutoff
+        ):
+            shutil.rmtree(month_dir, ignore_errors=True)
     oldest = retained[0]
     rec = _read_commit(table_path, oldest)
     if "checkpoint" not in rec:
@@ -493,7 +582,13 @@ def vacuum(
         tmp = target.with_name(f".tmp-{uuid.uuid4().hex}.json")
         tmp.write_text(json.dumps(rec))
         os.replace(tmp, target)
+    log_cutoff = now - log_min_age_s
     for v in versions:
         if v < oldest:
-            _commit_path(table_path, v).unlink()
+            path = _commit_path(table_path, v)
+            try:
+                if path.stat().st_mtime <= log_cutoff:
+                    path.unlink()
+            except FileNotFoundError:
+                pass  # a concurrent vacuum already pruned it
     return deleted

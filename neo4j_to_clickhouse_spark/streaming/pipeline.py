@@ -130,7 +130,12 @@ def _promote_staged(staging: str, dest_root: str, batch_id: int) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _write_batch(result: IngestResult, config: StreamConfig, batch_id: int) -> None:
+def _write_batch(
+    result: IngestResult,
+    config: StreamConfig,
+    batch_id: int,
+    query_name: str = "",
+) -> None:
     """Sink one micro-batch: events to the month-partitioned table, bad rows
     to quarantine — idempotently (see module docstring). Runs on the driver
     per micro-batch (foreachBatch); the staged writes happen on executors,
@@ -151,7 +156,12 @@ def _write_batch(result: IngestResult, config: StreamConfig, batch_id: int) -> N
             stage_batch_files,
         )
 
-        adds, tag = stage_batch_files(config.table_path, staging, batch_id)
+        # the query name namespaces the batch tag: two queries writing
+        # the same table share batch-id sequences, and an un-namespaced
+        # replay of one would remove the other's committed batch-N files
+        adds, tag = stage_batch_files(
+            config.table_path, staging, batch_id, query_name=query_name
+        )
         config.store.commit_batch(config.table_path, adds, tag)
     else:
         _promote_staged(staging, config.table_path, batch_id)
@@ -176,7 +186,7 @@ def _start(
         # expensive step — runs once, not once per sink
         parsed = parse_envelopes(batch_df).persist()
         try:
-            _write_batch(transform(parsed), config, batch_id)
+            _write_batch(transform(parsed), config, batch_id, query_name)
         finally:
             parsed.unpersist()
 

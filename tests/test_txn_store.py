@@ -490,3 +490,152 @@ def test_stream_drain_through_txn_store(spark, tmp_path):
     } == {"202602", "202603"}
     ops = [h["op"] for h in history(table)]
     assert ops[0] == "init" and set(ops[1:]) == {"stream_batch"}
+
+
+# ---- ADVICE r08 regressions ------------------------------------------
+
+
+def test_vacuum_log_age_guard_keeps_young_log_files(spark, event_table):
+    """Log pruning gets its own age guard (ADVICE r08, medium): a
+    concurrent reader that listed the log before the vacuum may still be
+    replaying old commits, so young log files must survive even when
+    min_age_s=0 reclaims data files. An explicitly aged-out pass prunes
+    them."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    compact(spark, event_table, keep="latest", store=store)
+
+    vacuum(event_table, retain_versions=1, min_age_s=0, log_min_age_s=3600)
+    # the v0 log file survived the guard: history still shows it
+    assert [h["version"] for h in history(event_table)] == [0, 1]
+
+    vacuum(event_table, retain_versions=1, min_age_s=0, log_min_age_s=0)
+    assert [h["version"] for h in history(event_table)] == [1]
+    with pytest.raises(ValueError, match="vacuum may have pruned"):
+        snapshot(event_table, version=0)
+
+
+def test_snapshot_retries_across_concurrent_log_prune(
+    spark, event_table, monkeypatch
+):
+    """A reader whose listed commit vanishes mid-replay (a concurrent
+    vacuum pruned it) must re-list and retry, not crash with
+    FileNotFoundError (ADVICE r08, medium)."""
+    import neo4j_to_clickhouse_spark.operators.txn_store as ts
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    compact(spark, event_table, keep="latest", store=store)
+
+    real = ts._read_commit
+    fired = []
+
+    def racing_read(table_path, version):
+        if not fired:
+            fired.append(True)
+            # the concurrent vacuum lands between this reader's listing
+            # and its first commit read, pruning v0 and checkpointing v1
+            vacuum(table_path, retain_versions=1, min_age_s=0,
+                   log_min_age_s=0)
+            raise FileNotFoundError("commit pruned by concurrent vacuum")
+        return real(table_path, version)
+
+    monkeypatch.setattr(ts, "_read_commit", racing_read)
+    v, files = ts.snapshot(event_table)
+    assert v == 1 and files
+    assert read_table(spark, event_table).count() == 3
+
+
+def test_replay_without_base_checkpoint_fails_loudly(spark, event_table):
+    """If the checkpoint a replay depends on is gone (hand-pruned log,
+    no checkpoint rewrite), resolution must raise — never silently
+    return a truncated file set."""
+    from neo4j_to_clickhouse_spark.operators.txn_store import _commit_path
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    compact(spark, event_table, keep="latest", store=store)  # v1, no ckpt
+    _commit_path(event_table, 0).unlink()
+    with pytest.raises(ValueError, match="no longer resolvable"):
+        snapshot(event_table)
+
+
+def test_stage_batch_files_bootstraps_before_renames(spark, event_table, tmp_path):
+    """stage_batch_files must ensure_log BEFORE moving any file (ADVICE
+    r08): on a not-yet-bootstrapped table, a concurrent bootstrap would
+    otherwise adopt the half-staged uncommitted batch into v0."""
+    import shutil as sh
+
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        stage_batch_files,
+    )
+
+    staging = tmp_path / "staging"
+    sh.copytree(
+        f"{event_table}/event_month=202602", staging / "event_month=202602"
+    )
+    # table NOT bootstrapped yet — the call itself must pin v0 first
+    adds, tag = stage_batch_files(event_table, str(staging), 1, "q")
+    assert adds and tag == "batch-q-000000001-"
+    v, files = snapshot(event_table)
+    assert v == 0
+    assert not any("batch-" in f for f in files)
+    assert read_table(spark, event_table).count() == 7
+
+
+def test_batch_tag_namespaced_by_query(spark, node_raw, tmp_path):
+    """Two streaming queries sharing a table path share batch-id
+    sequences; the query name in the tag keeps one query's replay from
+    removing the other's committed files for the same batch id (ADVICE
+    r08)."""
+    from neo4j_to_clickhouse_spark.streaming import StreamConfig
+    from neo4j_to_clickhouse_spark.streaming.pipeline import _write_batch
+
+    store = TxnLogPartitionStore()
+    config = StreamConfig(
+        table_path=str(tmp_path / "events"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+        store=store,
+    )
+    res = node_events_from_raw(node_raw)
+    _write_batch(res, config, batch_id=7, query_name="qA")
+    n1 = read_table(spark, config.table_path).count()
+
+    # qB's batch 7 is DIFFERENT data: it appends, it must not replace
+    _write_batch(res, config, batch_id=7, query_name="qB")
+    assert read_table(spark, config.table_path).count() == 2 * n1
+
+    # replaying qA's batch 7 replaces only qA's prior generation
+    _write_batch(res, config, batch_id=7, query_name="qA")
+    assert read_table(spark, config.table_path).count() == 2 * n1
+
+
+def test_vacuum_spares_young_empty_month_dir(event_table):
+    """An empty month dir younger than min_age_s survives vacuum — a
+    concurrent writer may sit between its mkdir and its first rename
+    (ADVICE r08); an aged-out pass reaps it."""
+    from pathlib import Path
+
+    ensure_log(event_table)
+    fresh = Path(event_table) / "event_month=209901"
+    fresh.mkdir()
+    vacuum(event_table, retain_versions=1)  # default min_age_s guards it
+    assert fresh.is_dir()
+    vacuum(event_table, retain_versions=1, min_age_s=0)
+    assert not fresh.exists()
+
+
+def test_rename_into_live_survives_dir_removal(tmp_path):
+    """The writer-side answer to the empty-dir race: a rename that finds
+    its month dir rmtree'd re-creates it and retries."""
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        _rename_into_live,
+    )
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"x")
+    live = tmp_path / "event_month=202601"  # intentionally absent
+    _rename_into_live(src, live, "gen-1.parquet")
+    assert (live / "gen-1.parquet").read_bytes() == b"x"
