@@ -7233,14 +7233,69 @@ def revenue_pareto_report(spark, sf_dir):
 #   re-earns its row.
 
 _DRIVER_WINDOW = [
-    # round-8 rotation (VERDICT r07 item 1 — consolidation): the 50
-    # round-7 greens rotate out wholesale; the window is given to the
-    # never-driver-certified round-7 debuts.  Composition: the VERDICT
-    # r07 promotion-queue leads (PQ-ADC recall, percentile-sketch bound,
-    # Gopher flags, column profiler, revenue forecast, the join-type
-    # surface, incremental dedup, priority sampling) plus registration-
-    # order fill; the remaining 21 debuts head _ROTATION as the r09
-    # promotion queue.  Registry growth is FROZEN at 166 this round.
+    # round-9 rotation (VERDICT r08 item 1 — finish the certification):
+    # the 21 round-7 debuts that missed the r08 window (the whole
+    # promotion queue) take the head; the remaining 29 slots re-certify
+    # the STALEST hard-oracle rows — r06 greens whose driver rows
+    # predate the current fixture's r07/r08 certifications.  After this
+    # window goes green, every one of the 163 hard-oracle queries holds
+    # a driver CORRECTNESS row from r05+ on the current fixture and the
+    # registry freeze lifts for named gaps (VERDICT r08 item 5).
+    "signup_to_purchase_latency",
+    "order_line_count_histogram",
+    "user_activity_percentiles",
+    "dedup_token_savings_by_source",
+    "grouping_sets_event_report",
+    "revenue_pareto_report",
+    "cube_event_counts",
+    "value_deciles_by_type",
+    "event_type_pivot",
+    "clicker_purchaser_intersect",
+    "daily_counts_gapfilled",
+    "hourly_event_windows",
+    "ngram_diversity_by_source",
+    "events_by_dow_hour",
+    "doc_length_magnitude_histogram",
+    "user_entropy_bands",
+    "value_mad_by_type",
+    "orders_monthly_growth",
+    "event_share_of_total",
+    "duplicate_metadata_conflicts",
+    "revenue_by_part_type",
+    # stalest 29: last driver-green in r06
+    "sample_temperature_weighted",
+    "multimodal_inventory",
+    "embedding_ivf_full_probe",
+    "decontamination_overlap",
+    "value_percentiles_by_type",
+    "range_join_interval_stats",
+    "tfidf_source_profile",
+    "conditional_aggregates",
+    "argmax_event_per_user",
+    "first_events_per_user",
+    "count_distinct_salted",
+    "first_event_salted",
+    "train_val_test_split_counts",
+    "supplier_triangle_count",
+    "supplier_pagerank",
+    "embedding_dimension_stats",
+    "dedup_jaccard_capped",
+    "dedup_survivors_minhash",
+    "embedding_near_duplicates",
+    "langid_distribution",
+    "quality_bands",
+    "repetition_by_source",
+    "fingerprint_uniqueness",
+    "sample_stratified_per_source",
+    "top_revenue_orders",
+    "summary_stats",
+    "union_counts",
+    "word_distribution",
+    "payload_profile",
+]
+
+_ROTATION = [
+    # r08 window greens (CORRECTNESS_r08: 50/50 pass) — freshest rows
     "embedding_pq_adc_recall",
     "approx_percentile_bound",
     "gopher_quality_flags",
@@ -7284,43 +7339,14 @@ _DRIVER_WINDOW = [
     "max_concurrent_sessions",
     "value_delta_sum_by_type",
     "active_time_union_seconds",
-    "customers_inactive_since",  # join-type surface: NOT EXISTS / left ANTI
-    "urgent_customers_by_segment",  # join-type surface: EXISTS / left SEMI
-    "user_halves_churn",  # join-type surface: FULL OUTER churn accounting
-    "shipping_priority",  # join-type surface: TPC-H Q3 three-table top-k
-    "dedup_incremental_batch",  # daily-ingest anti-join vs hash-only store
-    "priority_sample_by_length",  # Duffield-Lund-Thorup weighted sampling
-    "priority_sample_estimator",  # Horvitz-Thompson subset-sum estimate
-]
-
-_ROTATION = [
-    # r09 promotion queue: the 21 round-7 debuts that did not fit the
-    # 50-slot r08 window; continuously certified by the local gate
-    # (tools/check_correctness.py) until they earn a driver row in r09.
-    "signup_to_purchase_latency",
-    "order_line_count_histogram",
-    "user_activity_percentiles",
-    "dedup_token_savings_by_source",
-    "grouping_sets_event_report",
-    "revenue_pareto_report",
-    "cube_event_counts",
-    "value_deciles_by_type",
-    "event_type_pivot",
-    "clicker_purchaser_intersect",
-    "daily_counts_gapfilled",
-    "hourly_event_windows",
-    "ngram_diversity_by_source",
-    "events_by_dow_hour",
-    "doc_length_magnitude_histogram",
-    "user_entropy_bands",
-    "value_mad_by_type",
-    "orders_monthly_growth",
-    "event_share_of_total",
-    "duplicate_metadata_conflicts",
-    "revenue_by_part_type",
-    # demoted for round 8: all 50 r08-window predecessors are driver-
-    # green in CORRECTNESS_r07 (50/50, zero errs) on the current fixture;
-    # they rotate out wholesale to clear the certification backlog.
+    "customers_inactive_since",
+    "urgent_customers_by_segment",
+    "user_halves_churn",
+    "shipping_priority",
+    "dedup_incremental_batch",
+    "priority_sample_by_length",
+    "priority_sample_estimator",
+    # r07 window greens (CORRECTNESS_r07: 50/50 pass)
     "sequence_packing_stats",
     "embedding_ivf_recall",
     "pii_redaction_stats",
@@ -7371,40 +7397,14 @@ _ROTATION = [
     "session_window_counts",
     "window_funnel_strict_order_steps",
     "dedup_minhash_lsh",
-    # pre-round-7 rotation tail: multi-round greens with in-window or
-    # recently-certified family siblings (annotations from SURVEY §8).
-    "sample_temperature_weighted",
-    "multimodal_inventory",
-    "embedding_ivf_full_probe",
-    "decontamination_overlap",
+    # rows-only-by-design specs (driver records no_oracle; hard-oracle
+    # siblings dedup_simhash_planted / embedding_ivf_recall /
+    # sample_hash_fraction are certified)
     "random_sample",
     "dedup_simhash",
     "embedding_ivf_topk",
-    "value_percentiles_by_type",
-    "range_join_interval_stats",
-    "tfidf_source_profile",
-    "conditional_aggregates",
-    "argmax_event_per_user",
-    "first_events_per_user",
-    "count_distinct_salted",
-    "first_event_salted",
-    "train_val_test_split_counts",
-    "supplier_triangle_count",
-    "supplier_pagerank",
-    "embedding_dimension_stats",
-    "dedup_jaccard_capped",
-    "dedup_survivors_minhash",
-    "embedding_near_duplicates",
-    "langid_distribution",
-    "quality_bands",
-    "repetition_by_source",
-    "fingerprint_uniqueness",
-    "sample_stratified_per_source",
-    "top_revenue_orders",
-    "summary_stats",
-    "union_counts",
-    "word_distribution",
-    "payload_profile",
+    # r06 greens not needing immediate re-certification (family
+    # siblings are in the r09 window)
     "sorted_regions",
     "filter_event_type",
     "filter_array_membership",
