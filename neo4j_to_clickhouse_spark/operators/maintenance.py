@@ -69,6 +69,36 @@ class PartitionStore:
         return None
 
 
+def resolve_store(table_path: str) -> PartitionStore:
+    """Default store resolution for ``compact`` / ``apply_retention`` /
+    ``table_stats`` when the caller passes none: STICKY on the table's
+    own layout. A table that carries a ``_txn_log`` gets the
+    transactional :class:`~neo4j_to_clickhouse_spark.operators.txn_store.TxnLogPartitionStore`
+    — running the rename protocol on a logged table would move files
+    the log still references and corrupt every pinned snapshot, so
+    auto-detection is a correctness guard, not just a convenience. A
+    plain table keeps :class:`LocalPartitionStore` so existing
+    ``spark.read.parquet`` consumers see byte-identical behavior.
+
+    Migrating a table to the transactional protocol is one explicit
+    opt-in: pass ``TxnLogPartitionStore()`` to any maintenance call (or
+    call ``txn_store.ensure_log``) once — bootstrap adopts the existing
+    files as version 0, and every later default-store call sticks to
+    the log. The txn store is the RECOMMENDED protocol for new tables:
+    it is strictly safer than the rename swap (no reader-visible gap,
+    snapshot isolation, time travel), at the cost of reading through
+    ``txn_store.read_table`` (or ``store.read``) instead of a plain
+    directory read, plus a periodic ``vacuum``."""
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        LOG_DIR,
+        TxnLogPartitionStore,
+    )
+
+    if (Path(table_path) / LOG_DIR).is_dir():
+        return TxnLogPartitionStore()
+    return LocalPartitionStore()
+
+
 class LocalPartitionStore(PartitionStore):
     """Plain-parquet realization: per-month directory renames on a
     filesystem with atomic rename (local disk, HDFS).
@@ -240,10 +270,12 @@ def compact(
     because A is never among the written partitions. Months read are the
     months that must be replaced (or removed, when fully deduped away).
     Untouched months' files are never rewritten. The physical swap is the
-    ``store``'s job (default: :class:`LocalPartitionStore` renames; at
-    cluster scale pass a transactional-format store).
+    ``store``'s job; the default is resolved per-table by
+    :func:`resolve_store` — transactional for ``_txn_log``-adopted
+    tables (the recommended protocol; see that function's migration
+    note), rename-swap for plain ones.
     """
-    store = store or LocalPartitionStore()
+    store = store or resolve_store(table_path)
     store.recover(table_path)  # finish anything a crashed compact left
     df = store.read(spark, table_path)
     if months:
@@ -285,16 +317,16 @@ def table_stats(
     footer read per file on the executors — the driver never opens a
     file, so 10^5 files parallelize instead of serializing).
 
-    Pass the ``store`` managing the table for transactional layouts: the
-    report then covers exactly the live snapshot's files (a plain
-    directory walk would double-count superseded generations awaiting
-    vacuum).
+    The default store is resolved per-table (:func:`resolve_store`): on
+    a ``_txn_log``-adopted table the report automatically covers exactly
+    the live snapshot's files (a plain directory walk would double-count
+    superseded generations awaiting vacuum).
     """
     import pandas as pd
 
     from neo4j_to_clickhouse_spark.functions.scalar import human_readable_size
 
-    store = store or LocalPartitionStore()
+    store = store or resolve_store(table_path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -435,7 +467,9 @@ def apply_retention(
     """M3: `ALTER TABLE ... DELETE WHERE event_timestamp < cutoff`
     (`README.md:582-584`) realized as month-partition drops — O(metadata),
     no data rewrite, the same trick ClickHouse's monthly partitioning
-    enables. Returns the dropped partition names."""
-    return (store or LocalPartitionStore()).drop_months(
+    enables. Returns the dropped partition names. Default store per
+    :func:`resolve_store` (transactional on adopted tables: the drop is
+    then a metadata-only logical delete until vacuum)."""
+    return (store or resolve_store(table_path)).drop_months(
         table_path, cutoff_month
     )

@@ -67,9 +67,14 @@ class StreamConfig:
     to publish each micro-batch as ONE atomic transaction-log commit —
     concurrent readers then never see a partially-promoted batch (the
     rename protocol's one remaining gap) and batch replay is an atomic
-    replace. Default ``None`` keeps the plain rename protocol. The
-    quarantine sink always uses renames: it is an append-only audit
-    log, not a snapshot-read table."""
+    replace. This is the RECOMMENDED sink protocol. Default ``None``
+    resolves per-table, like the maintenance jobs
+    (:func:`~neo4j_to_clickhouse_spark.operators.maintenance.resolve_store`):
+    a ``_txn_log``-adopted table transacts automatically (rename-promoting
+    into a logged table would land files the snapshot never sees), a
+    plain table keeps the rename protocol. The quarantine sink always
+    uses renames: it is an append-only audit log, not a snapshot-read
+    table."""
 
     table_path: str
     quarantine_path: str
@@ -151,7 +156,14 @@ def _write_batch(
         .partitionBy("event_month")
         .parquet(staging)
     )
-    if config.store is not None and hasattr(config.store, "commit_batch"):
+    store = config.store
+    if store is None:
+        from neo4j_to_clickhouse_spark.operators.maintenance import (
+            resolve_store,
+        )
+
+        store = resolve_store(config.table_path)
+    if hasattr(store, "commit_batch"):
         from neo4j_to_clickhouse_spark.operators.txn_store import (
             stage_batch_files,
         )
@@ -162,7 +174,7 @@ def _write_batch(
         adds, tag = stage_batch_files(
             config.table_path, staging, batch_id, query_name=query_name
         )
-        config.store.commit_batch(config.table_path, adds, tag)
+        store.commit_batch(config.table_path, adds, tag)
     else:
         _promote_staged(staging, config.table_path, batch_id)
 

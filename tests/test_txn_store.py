@@ -316,9 +316,23 @@ def test_table_stats_reports_snapshot_not_directory(spark, event_table):
             per_month_files.get(f.split("=", 1)[1].split("/", 1)[0], 0) + 1
         )
     assert {m: r.n_files for m, r in snap_stats.items()} == per_month_files
-    # the storeless walk sees MORE files (old generation still on disk)
-    plain_stats = {
+    # the DEFAULT call resolves the txn store from the table's _txn_log
+    # (sticky default, VERDICT r08 item 4) and matches the snapshot view
+    default_stats = {
         r.event_month: r for r in table_stats(spark, event_table).collect()
+    }
+    assert {m: r.n_files for m, r in default_stats.items()} == per_month_files
+    # the explicit plain-store walk still shows the physical truth: MORE
+    # files than the snapshot (old generation on disk awaiting vacuum)
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        LocalPartitionStore,
+    )
+
+    plain_stats = {
+        r.event_month: r
+        for r in table_stats(
+            spark, event_table, store=LocalPartitionStore()
+        ).collect()
     }
     assert sum(r.n_files for r in plain_stats.values()) > sum(
         r.n_files for r in snap_stats.values()
@@ -639,3 +653,64 @@ def test_rename_into_live_survives_dir_removal(tmp_path):
     live = tmp_path / "event_month=202601"  # intentionally absent
     _rename_into_live(src, live, "gen-1.parquet")
     assert (live / "gen-1.parquet").read_bytes() == b"x"
+
+
+def test_default_store_sticks_to_adopted_table(spark, event_table):
+    """VERDICT r08 item 4: once a table is adopted by the txn store, the
+    DEFAULT maintenance path must keep using the log — a rename-swap
+    compact on a logged table would move files pinned snapshots still
+    reference. Un-adopted tables keep the plain rename protocol."""
+    from pathlib import Path
+
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        LocalPartitionStore,
+        resolve_store,
+        table_stats,
+    )
+
+    # plain table -> plain store, and a default compact leaves no log
+    assert isinstance(resolve_store(event_table), LocalPartitionStore)
+    compact(spark, event_table, keep="latest")
+    assert not (Path(event_table) / "_txn_log").exists()
+    assert spark.read.parquet(event_table).count() == 3
+
+    # one explicit adoption; every later DEFAULT call transacts
+    ensure_log(event_table)
+    assert isinstance(resolve_store(event_table), TxnLogPartitionStore)
+    compact(spark, event_table, keep="events")
+    ops = [h["op"] for h in history(event_table)]
+    assert ops == ["init", "replace_months"]
+    assert read_table(spark, event_table).count() == 3
+
+    # default retention on the adopted table is a metadata-only commit
+    dropped = apply_retention(spark, event_table, "202603")
+    assert dropped == ["202602"]
+    assert history(event_table)[-1]["op"] == "retention_drop"
+    assert (Path(event_table) / "event_month=202602").exists()  # until vacuum
+
+    # default table_stats reads the live snapshot, not the directory
+    stats = table_stats(spark, event_table)
+    assert [r.event_month for r in stats.collect()] == ["202603"]
+
+
+def test_stream_default_store_transacts_on_adopted_table(spark, node_raw, tmp_path):
+    """A StreamConfig with store=None writing into a txn-adopted table
+    must publish through the log (rename promotion would land files the
+    snapshot never sees)."""
+    from neo4j_to_clickhouse_spark.streaming import StreamConfig
+    from neo4j_to_clickhouse_spark.streaming.pipeline import _write_batch
+
+    table = str(tmp_path / "events")
+    (tmp_path / "events").mkdir()
+    ensure_log(table)  # adopt (empty) table up front
+    config = StreamConfig(
+        table_path=table,
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+        store=None,  # <- default resolution must pick the txn store
+    )
+    res = node_events_from_raw(node_raw)
+    _write_batch(res, config, batch_id=0, query_name="q")
+    assert [h["op"] for h in history(table)] == ["init", "stream_batch"]
+    assert read_table(spark, table).count() == 7
