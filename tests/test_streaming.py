@@ -517,3 +517,62 @@ def test_sessionize_matches_bruteforce_on_random_streams(spark):
             assert norm == expect, (k, rows, expect)
 
     run()
+
+
+def test_stream_latency_smoke(spark, tmp_path):
+    """End-to-end latency path smoke (VERDICT r08 item 5): one envelope
+    written to the source dir becomes visible through the transactional
+    sink's snapshot read. The real measurement against the reference's
+    <2 s SLO is tools/bench_stream_latency.py (measured r09: p50 1.44 s,
+    max 1.97 s over 10 events — docs/SCALING.md); here we only pin that
+    the path works and stays within a steal-proof 30 s bound, because a
+    tight timing assert on a steal-prone CI host guarantees flakes."""
+    import time
+
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        TxnLogPartitionStore,
+        ensure_log,
+        read_table,
+        snapshot,
+    )
+    from neo4j_to_clickhouse_spark.sources.envelopes import read_envelope_file
+    from neo4j_to_clickhouse_spark.streaming import (
+        StreamConfig,
+        start_node_stream,
+    )
+    from tests.conftest import NODE_ENVELOPES
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "events")
+    (tmp_path / "events").mkdir()
+    ensure_log(table)
+    config = StreamConfig(
+        table_path=table,
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        processing_time="500 milliseconds",
+        coalesce_output=1,
+        store=TxnLogPartitionStore(),
+    )
+    query = start_node_stream(
+        read_envelope_file(spark, str(src), streaming=True), config
+    )
+    try:
+        t0 = time.perf_counter()
+        (src / "one.ndjson").write_text(NODE_ENVELOPES[0] + "\n")
+        deadline = t0 + 30.0
+        seen = 0
+        latency = None
+        while time.perf_counter() < deadline:
+            v = snapshot(table)[0]
+            if v > seen:
+                seen = v
+                df = read_table(spark, table)
+                if df.filter(df.event_id == "n-001").count() > 0:
+                    latency = time.perf_counter() - t0
+                    break
+            time.sleep(0.05)
+        assert latency is not None, "event never became queryable"
+    finally:
+        query.stop()

@@ -714,3 +714,59 @@ def test_stream_default_store_transacts_on_adopted_table(spark, node_raw, tmp_pa
     _write_batch(res, config, batch_id=0, query_name="q")
     assert [h["op"] for h in history(table)] == ["init", "stream_batch"]
     assert read_table(spark, table).count() == 7
+
+
+def test_optimize_final_equivalence_through_txn_store(spark, event_table):
+    """OPTIMIZE FINAL equivalence on the transactional store (VERDICT
+    r08 item 5; `initial-load/scripts/04-optimize-tables.sql:26-87`):
+    the reference validates OPTIMIZE by checking that entity_ids holding
+    more than one row drop to zero (its A5/M2 queries, lines 68-87).
+    compact() must satisfy the same validation on the post-compact
+    snapshot, in two stages mirroring ReplacingMergeTree: keep='events'
+    removes replayed duplicate event ids but keeps per-entity history
+    (pre-FINAL), keep='latest' collapses to one row per entity (FINAL),
+    with survivors exactly latest_events() of the original data."""
+    from neo4j_to_clickhouse_spark.operators.latest_state import (
+        dedup_exact_events,
+        latest_events,
+    )
+    from neo4j_to_clickhouse_spark.operators.maintenance import table_stats
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+
+    def dup_entities(df):  # the sql's "should be 0 after FINAL" probe
+        return (
+            df.groupBy("entity_id")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .count()
+        )
+
+    before = store.read(spark, event_table)  # pinned v0 snapshot
+    assert dup_entities(before) > 0
+    n_dedup = dedup_exact_events(before).count()
+
+    compact(spark, event_table, keep="events", store=store)
+    mid = store.read(spark, event_table)
+    assert mid.count() == n_dedup
+    assert (
+        mid.groupBy("event_id").count().filter("count > 1").count() == 0
+    )  # replays gone
+    assert dup_entities(mid) > 0  # history retained pre-FINAL
+
+    compact(spark, event_table, keep="latest", store=store)
+    after = store.read(spark, event_table)
+    assert dup_entities(after) == 0  # the reference's validation query
+    expected = {
+        (r.entity_id, r.event_id)
+        for r in latest_events(before).select("entity_id", "event_id").collect()
+    }
+    got = {
+        (r.entity_id, r.event_id)
+        for r in after.select("entity_id", "event_id").collect()
+    }
+    assert got == expected
+    # system.parts analogue: live stats report the compacted snapshot
+    stats = table_stats(spark, event_table).collect()
+    assert sum(r.n_rows for r in stats) == len(expected)

@@ -1,0 +1,157 @@
+"""End-to-end streaming latency vs the reference's <2 s SLO.
+
+The reference's headline operational number is end-to-end CDC latency —
+"Neo4j commit -> queryable in ClickHouse" under 2 seconds on a
+single-instance stack (`docs/QUICKSTART.md:174`, `README.md:346`;
+`BASELINE.md` row 1). It is the one derived target this repo had never
+measured directly (VERDICT r08 item 5). This tool measures the exact
+analogue on the Spark engine: an NDJSON CDC envelope lands in the
+source directory (the "commit"), the Structured Streaming pipeline
+(`streaming/pipeline.py`, 500 ms trigger, transactional sink) ingests
+it, and the clock stops when a snapshot read of the sink table returns
+the event (the "queryable"). Wall clock covers source discovery +
+micro-batch execution + atomic commit + reader visibility — the full
+path a real consumer experiences.
+
+Protocol details that keep the number honest:
+
+- The pipeline is warmed with one throwaway event first: a cold first
+  micro-batch pays one-time JIT/codegen and Python-worker fork costs a
+  long-lived pipeline never sees (same rationale as bench.py's prelude).
+- Visibility is polled via ``txn_store.snapshot`` version bumps (pure
+  filesystem metadata, ~0 cost) and only confirmed with a real
+  ``read_table`` + filter when the version advances — polling with full
+  Spark reads would steal executor time from the micro-batch itself.
+- Each event gets a unique id; latency is t(visible) - t(file written).
+- Per-event hypervisor-steal deltas are recorded (the r09 bench
+  root-cause: this host's wall times inflate ~1:1 with steal).
+
+Prints ONE JSON line: {"metric": "stream_e2e_latency_sec", "p50": ...,
+"max": ..., "slo_sec": 2.0, "latencies": [...], "steal_cs": [...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neo4j_to_clickhouse_spark.operators.txn_store import (
+    TxnLogPartitionStore,
+    ensure_log,
+    read_table,
+    snapshot,
+)
+from neo4j_to_clickhouse_spark.session import get_spark
+from neo4j_to_clickhouse_spark.sources.envelopes import read_envelope_file
+from neo4j_to_clickhouse_spark.streaming import StreamConfig, start_node_stream
+
+ENVELOPE = (
+    '{{"id": "{eid}", "metadata": {{"txStartTime": {{"TZDT": '
+    '"2026-02-14T05:58:36.100+00:00"}}}}, "event": {{"operation": "CREATE", '
+    '"eventType": "NODE_EVENT", "elementId": "4:lat:{i}", "state": '
+    '{{"before": null, "after": {{"properties": "{{}}"}}}}, '
+    '"labels": ["Latency"]}}}}'
+)
+
+
+def _steal_cs() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _await_visible(
+    spark, table: str, event_id: str, seen_version: int, timeout_s: float
+) -> tuple[float, int]:
+    """Poll snapshot version (metadata-only) until a new commit makes
+    ``event_id`` readable; returns (t_visible, latest_version)."""
+    deadline = time.perf_counter() + timeout_s
+    while time.perf_counter() < deadline:
+        v = snapshot(table)[0]
+        if v > seen_version:
+            seen_version = v
+            df = read_table(spark, table)
+            if df.filter(df.event_id == event_id).count() > 0:
+                return time.perf_counter(), seen_version
+        time.sleep(0.02)
+    raise TimeoutError(f"{event_id} not visible after {timeout_s}s")
+
+
+def main() -> None:
+    n_events = int(os.environ.get("SPARK_GRAFT_LATENCY_EVENTS", "10"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark(
+        "stream-latency", master=f"local[{cpus}]", shuffle_partitions=4
+    )
+    work = tempfile.mkdtemp(prefix="stream-latency-")
+    src = os.path.join(work, "in")
+    table = os.path.join(work, "events")
+    os.makedirs(src)
+    os.makedirs(table)
+    ensure_log(table)  # adopt up front: the sink commits transactionally
+    config = StreamConfig(
+        table_path=table,
+        quarantine_path=os.path.join(work, "quarantine"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        processing_time="500 milliseconds",
+        coalesce_output=1,
+        store=TxnLogPartitionStore(),
+    )
+    query = start_node_stream(
+        read_envelope_file(spark, src, streaming=True), config
+    )
+    try:
+        # warm-up event: absorbs one-time JIT + Python-worker forks
+        with open(os.path.join(src, "warmup.ndjson"), "w") as f:
+            f.write(ENVELOPE.format(eid="warm-0", i=0) + "\n")
+        _, version = _await_visible(spark, table, "warm-0", 0, 120.0)
+
+        latencies: list[float] = []
+        steals: list[int] = []
+        for i in range(1, n_events + 1):
+            eid = f"lat-{i:03d}"
+            s0 = _steal_cs()
+            t0 = time.perf_counter()
+            # write-then-rename: the source must never list a torn file
+            tmp = os.path.join(src, f".tmp-{i}.ndjson")
+            with open(tmp, "w") as f:
+                f.write(ENVELOPE.format(eid=eid, i=i) + "\n")
+            os.rename(tmp, os.path.join(src, f"event-{i}.ndjson"))
+            t1, version = _await_visible(spark, table, eid, version, 60.0)
+            latencies.append(round(t1 - t0, 3))
+            steals.append(_steal_cs() - s0)
+            print(
+                f"# event {i}: {latencies[-1]} s (steal {steals[-1]} cs)",
+                file=sys.stderr,
+            )
+    finally:
+        query.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+    ordered = sorted(latencies)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_e2e_latency_sec",
+                "p50": ordered[len(ordered) // 2],
+                "max": max(latencies),
+                "slo_sec": 2.0,
+                "n": len(latencies),
+                "trigger": "500 milliseconds",
+                "latencies": latencies,
+                "steal_cs": steals,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
