@@ -1,6 +1,6 @@
 # Developer conveniences (the reference drives everything through make too)
 
-.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full commit-evidence scale-curve scale-curve-wide
+.PHONY: test correctness correctness-sf01 bench bench-ingest smoke gate gate-full commit-evidence scale-curve scale-curve-wide scale-canary
 
 # The full pre-round-close gate: run this before finishing any round.
 # Catches fixture regenerations (VERDICT r04), oracle drift, and bench
@@ -26,8 +26,16 @@ commit-evidence:
 
 # gate + the sf0.1 oracle sweep: slower, but scale-dependent divergences
 # (float rounding boundaries, negative zero, quota floors) only surface
-# on the bigger fixture
-gate-full: gate correctness-sf01
+# on the bigger fixture — plus the two-decade scale canary, which fails
+# loudly on any shape measuring super-linear off the documented
+# baseline allowlist (VERDICT r08 item 6)
+gate-full: gate correctness-sf01 scale-canary
+
+# Standing scale-regression canary: refit alpha_last (sf0.1 -> synthetic
+# sf1) for the representative shapes; exit 1 on any undocumented
+# super-linear exponent. Generates the synthetic input on first use.
+scale-canary:
+	python tools/scale_canary.py
 
 correctness-sf01:
 	python tools/check_correctness.py /root/testdata/sf0.1
