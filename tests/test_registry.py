@@ -17,29 +17,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_to_clickhouse_spark.plans import queries as Q
 
-# Round-8 window (VERDICT r07 item 1 — consolidation): the entire window
-# is given to never-driver-certified round-7 debuts.  The verdict's
-# promotion-queue leads must hold window slots; the other 43 slots are
-# registration-order fill from the same debut class.  RECERTIFYING is
-# empty this round — all 50 round-7 window members earned a driver green
-# in CORRECTNESS_r07 (50/50) and rotate out wholesale.
+# Round-9 window (VERDICT r08 item 1 — finish the certification): the 21
+# round-7 debuts that missed the r08 window (the whole promotion queue)
+# hold the head slots; the other 29 slots RE-certify the stalest
+# hard-oracle rows (last driver-green in CORRECTNESS_r06). After this
+# window certifies, every hard-oracle query in the registry holds a
+# driver row on the current fixture.
 NEVER_CERTIFIED = [
-    # VERDICT r07 named promotion-queue leads
-    "embedding_pq_adc_recall",
-    "approx_percentile_bound",
-    "gopher_quality_flags",
-    "column_profile_events",
-    "revenue_forecast",
-    "customers_inactive_since",      # join-type surface: NOT EXISTS / ANTI
-    "urgent_customers_by_segment",   # join-type surface: EXISTS / SEMI
-    "user_halves_churn",             # join-type surface: FULL OUTER
-    "shipping_priority",             # join-type surface: TPC-H Q3 top-k
-    "dedup_incremental_batch",
-    "priority_sample_by_length",
-    "priority_sample_estimator",
+    "signup_to_purchase_latency",
+    "order_line_count_histogram",
+    "user_activity_percentiles",
+    "dedup_token_savings_by_source",
+    "grouping_sets_event_report",
+    "revenue_pareto_report",
+    "cube_event_counts",
+    "value_deciles_by_type",
+    "event_type_pivot",
+    "clicker_purchaser_intersect",
+    "daily_counts_gapfilled",
+    "hourly_event_windows",
+    "ngram_diversity_by_source",
+    "events_by_dow_hour",
+    "doc_length_magnitude_histogram",
+    "user_entropy_bands",
+    "value_mad_by_type",
+    "orders_monthly_growth",
+    "event_share_of_total",
+    "duplicate_metadata_conflicts",
+    "revenue_by_part_type",
 ]
 
-RECERTIFYING: list[str] = []
+RECERTIFYING: list[str] = [
+    # stalest 29: every driver row dates from CORRECTNESS_r06
+    "sample_temperature_weighted",
+    "multimodal_inventory",
+    "embedding_ivf_full_probe",
+    "decontamination_overlap",
+    "value_percentiles_by_type",
+    "range_join_interval_stats",
+    "tfidf_source_profile",
+    "conditional_aggregates",
+    "argmax_event_per_user",
+    "first_events_per_user",
+    "count_distinct_salted",
+    "first_event_salted",
+    "train_val_test_split_counts",
+    "supplier_triangle_count",
+    "supplier_pagerank",
+    "embedding_dimension_stats",
+    "dedup_jaccard_capped",
+    "dedup_survivors_minhash",
+    "embedding_near_duplicates",
+    "langid_distribution",
+    "quality_bands",
+    "repetition_by_source",
+    "fingerprint_uniqueness",
+    "sample_stratified_per_source",
+    "top_revenue_orders",
+    "summary_stats",
+    "union_counts",
+    "word_distribution",
+    "payload_profile",
+]
 
 
 def test_promoted_queries_inside_driver_window():
