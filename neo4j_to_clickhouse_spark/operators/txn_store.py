@@ -117,7 +117,7 @@ def _rename_into_live(src: Path, live_dir: Path, name: str) -> None:
     empty between this writer's ``mkdir`` and the rename: re-create the
     dir and retry — the file becomes referenced at commit time, and
     vacuum's mtime guard keeps it from re-removing the fresh dir."""
-    for _ in range(3):
+    for _ in range(10):
         try:
             src.rename(live_dir / name)
             return

@@ -770,3 +770,82 @@ def test_optimize_final_equivalence_through_txn_store(spark, event_table):
     # system.parts analogue: live stats report the compacted snapshot
     stats = table_stats(spark, event_table).collect()
     assert sum(r.n_rows for r in stats) == len(expected)
+
+
+def test_readers_survive_aggressive_log_pruning_threads(tmp_path):
+    """Real-thread stress for the r09 log-retention protocol: two writer
+    threads stream batches, a vacuum thread prunes LOG files at age 0
+    (log_min_age_s=0 — the new surface; data files stay age-guarded per
+    the documented contract), and reader threads hammer snapshot() and
+    history() throughout. Invariants: no thread raises (the re-list-and-
+    retry absorbs every mid-replay prune), reader-observed versions are
+    monotone, and the final snapshot lists exactly the files every
+    writer committed."""
+    import threading
+
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        stage_batch_files,
+    )
+
+    table = str(tmp_path / "t")
+    (tmp_path / "t").mkdir()
+    ensure_log(table)
+    store = TxnLogPartitionStore()
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer(qname: str, n_batches: int) -> None:
+        try:
+            for b in range(n_batches):
+                staging = tmp_path / f"stage-{qname}-{b}"
+                month = staging / "event_month=202601"
+                month.mkdir(parents=True)
+                (month / "part-0.parquet").write_bytes(b"d")
+                adds, tag = stage_batch_files(table, str(staging), b, qname)
+                store.commit_batch(table, adds, tag)
+        except BaseException as e:  # noqa: BLE001 - collected for assert
+            errors.append(e)
+
+    def vacuumer() -> None:
+        try:
+            while not stop.is_set():
+                vacuum(table, retain_versions=1, min_age_s=60,
+                       log_min_age_s=0)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader() -> None:
+        try:
+            last = -1
+            while not stop.is_set():
+                v, files = snapshot(table)
+                assert v >= last, f"version went backward {last}->{v}"
+                last = v
+                assert isinstance(files, list)
+                history(table)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    n_batches = 30
+    threads = [
+        threading.Thread(target=writer, args=("qA", n_batches)),
+        threading.Thread(target=writer, args=("qB", n_batches)),
+        threading.Thread(target=vacuumer),
+        *(threading.Thread(target=reader) for _ in range(3)),
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join()
+    threads[1].join()
+    stop.set()
+    for t in threads[2:]:
+        t.join()
+    assert not errors, errors
+
+    # every batch's final generation is live: one file per (query, batch)
+    _, files = snapshot(table)
+    assert len(files) == 2 * n_batches
+    for q in ("qA", "qB"):
+        tags = {f.rsplit("/", 1)[-1].split("-gen-")[0] for f in files
+                if f"batch-{q}-" in f}
+        assert tags == {f"batch-{q}-{b:09d}" for b in range(n_batches)}
