@@ -26,8 +26,18 @@ Protocol details that keep the number honest:
 - Per-event hypervisor-steal deltas are recorded (the r09 bench
   root-cause: this host's wall times inflate ~1:1 with steal).
 
+Loaded mode (``SPARK_GRAFT_LATENCY_LOAD_EPS=10000``): the reference
+quotes the <2 s latency and its 10K+ ops/sec throughput
+(`docs/QUICKSTART.md:176`) as simultaneous properties of the same
+stack, so the latency probes can also run against a background
+firehose — a producer thread lands ``eps/2`` fresh envelopes every
+500 ms while the probes interleave. The report then carries the
+sustained ingest rate actually achieved alongside the latency
+percentiles, making the combined SLO check one command.
+
 Prints ONE JSON line: {"metric": "stream_e2e_latency_sec", "p50": ...,
-"max": ..., "slo_sec": 2.0, "latencies": [...], "steal_cs": [...]}.
+"max": ..., "slo_sec": 2.0, "latencies": [...], "steal_cs": [...],
+"load_events_per_sec": ...}.
 """
 
 from __future__ import annotations
@@ -85,8 +95,32 @@ def _await_visible(
     raise TimeoutError(f"{event_id} not visible after {timeout_s}s")
 
 
+def _producer(src: str, eps: int, stop) -> list[int]:
+    """Land eps/2 envelopes every 500 ms as one NDJSON file (atomic
+    rename). Returns a single-cell list with the total produced."""
+    import threading  # noqa: F401 - documents the thread-target contract
+
+    produced = [0]
+    batch = max(1, eps // 2)
+    seq = 0
+    while not stop.is_set():
+        t0 = time.perf_counter()
+        lines = []
+        for _ in range(batch):
+            seq += 1
+            lines.append(ENVELOPE.format(eid=f"load-{seq:09d}", i=seq))
+        tmp = os.path.join(src, f".load-{seq}.ndjson")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.rename(tmp, os.path.join(src, f"load-{seq}.ndjson"))
+        produced[0] += batch
+        time.sleep(max(0.0, 0.5 - (time.perf_counter() - t0)))
+    return produced
+
+
 def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_LATENCY_EVENTS", "10"))
+    load_eps = int(os.environ.get("SPARK_GRAFT_LATENCY_LOAD_EPS", "0"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = get_spark(
         "stream-latency", master=f"local[{cpus}]", shuffle_partitions=4
@@ -114,6 +148,20 @@ def main() -> None:
             f.write(ENVELOPE.format(eid="warm-0", i=0) + "\n")
         _, version = _await_visible(spark, table, "warm-0", 0, 120.0)
 
+        import threading
+
+        stop = threading.Event()
+        produced = [0]
+        producer = None
+        t_load_start = time.perf_counter()
+        if load_eps > 0:
+            producer = threading.Thread(
+                target=lambda: produced.__setitem__(
+                    0, _producer(src, load_eps, stop)[0]
+                )
+            )
+            producer.start()
+
         latencies: list[float] = []
         steals: list[int] = []
         for i in range(1, n_events + 1):
@@ -132,6 +180,28 @@ def main() -> None:
                 f"# event {i}: {latencies[-1]} s (steal {steals[-1]} cs)",
                 file=sys.stderr,
             )
+
+        achieved_eps = None
+        if producer is not None:
+            stop.set()
+            producer.join()
+            # wait for the firehose to fully drain, then compute the
+            # ACHIEVED rate over land-to-all-visible (offered rate only
+            # measures the producer)
+            expect = produced[0] + n_events + 1  # + warmup
+            deadline = time.perf_counter() + 300.0
+            while time.perf_counter() < deadline:
+                if read_table(spark, table).count() >= expect:
+                    break
+                time.sleep(0.25)
+            achieved_eps = round(
+                produced[0] / (time.perf_counter() - t_load_start)
+            )
+            print(
+                f"# load: {produced[0]} events, achieved "
+                f"{achieved_eps}/s sustained",
+                file=sys.stderr,
+            )
     finally:
         query.stop()
         shutil.rmtree(work, ignore_errors=True)
@@ -148,6 +218,7 @@ def main() -> None:
                 "trigger": "500 milliseconds",
                 "latencies": latencies,
                 "steal_cs": steals,
+                "load_events_per_sec": achieved_eps,
             }
         )
     )
