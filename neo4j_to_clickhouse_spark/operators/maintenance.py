@@ -254,7 +254,7 @@ def compact(
     months: list[str] | None = None,
     keep: str = "latest",
     store: PartitionStore | None = None,
-) -> None:
+) -> list[str]:
     """`OPTIMIZE TABLE ... FINAL` equivalent
     (`initial-load/scripts/04-optimize-tables.sql:26-48`): rewrite the given
     month partitions with duplicates removed.
@@ -292,6 +292,7 @@ def compact(
     )
     store.replace_months(table_path, str(tmp), affected)
     shutil.rmtree(tmp, ignore_errors=True)
+    return sorted(affected)
 
 
 def table_stats(
@@ -444,6 +445,80 @@ def table_stats(
         )
         .orderBy("event_month")
     )
+
+
+def maintenance_cycle(
+    spark: SparkSession,
+    table_path: str,
+    keep: str = "events",
+    retention_cutoff: str | None = None,
+    vacuum_retain_versions: int = 2,
+    vacuum_min_age_s: float = 3600.0,
+    max_swap_retries: int = 3,
+    store: PartitionStore | None = None,
+) -> dict:
+    """One scheduled maintenance pass — the operational composition the
+    reference runs as `OPTIMIZE TABLE ... FINAL` + `ALTER TABLE ...
+    DELETE` + background part cleanup (`04-optimize-tables.sql`,
+    `README.md:582-584`), in the order that keeps each step cheap:
+
+    1. ``recover()`` — finish anything a crashed swap left (no-op on
+       transactional stores);
+    2. ``apply_retention`` FIRST when a cutoff is given — dropping
+       whole months is O(metadata), and everything dropped is a month
+       the compaction then never has to rewrite;
+    3. ``compact(keep=...)`` — with a bounded retry on
+       :class:`~neo4j_to_clickhouse_spark.operators.txn_store.ConcurrentSwapError`:
+       a streaming micro-batch landing in a month mid-swap invalidates
+       the swap's removes, and the correct response (re-run the
+       compaction against the new snapshot) is exactly a retry. Without
+       this loop every caller re-implements it;
+    4. ``vacuum`` — transactional stores only: reclaim superseded
+       generations and logically-dropped months past the age guards.
+       The defaults (keep 2 versions, 1 h age) are safe under live
+       readers and writers; a dedicated maintenance window can pass 1/0.
+
+    Returns a report dict: ``compacted_months``, ``dropped_months``,
+    ``vacuumed_files``, ``swap_retries``. Store resolution is sticky
+    per :func:`resolve_store` when none is passed.
+    """
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        ConcurrentSwapError,
+        TxnLogPartitionStore,
+        vacuum,
+    )
+
+    store = store or resolve_store(table_path)
+    report: dict = {
+        "recovered_months": store.recover(table_path),
+        "dropped_months": [],
+        "compacted_months": [],
+        "vacuumed_files": 0,
+        "swap_retries": 0,
+    }
+    if retention_cutoff is not None:
+        report["dropped_months"] = apply_retention(
+            spark, table_path, retention_cutoff, store=store
+        )
+    while True:
+        try:
+            report["compacted_months"] = compact(
+                spark, table_path, keep=keep, store=store
+            )
+            break
+        except ConcurrentSwapError:
+            if report["swap_retries"] >= max_swap_retries:
+                raise
+            report["swap_retries"] += 1
+    if isinstance(store, TxnLogPartitionStore):
+        report["vacuumed_files"] = len(
+            vacuum(
+                table_path,
+                retain_versions=vacuum_retain_versions,
+                min_age_s=vacuum_min_age_s,
+            )
+        )
+    return report
 
 
 def retention_months(now_month: str, days: int = 90) -> str:

@@ -563,12 +563,20 @@ def vacuum(
                 and f.stat().st_mtime <= age_cutoff
             ):
                 f.unlink()
+                # Hadoop's local ChecksumFileSystem writes a .crc
+                # sidecar per data file; reclaim it with its file
+                (month_dir / f".{f.name}.crc").unlink(missing_ok=True)
                 deleted.append(rel)
-        # only reap an empty month dir past the age guard: a concurrent
-        # writer may be between its mkdir and its first rename (writers
-        # also re-mkdir and retry, see _rename_into_live)
+        # only reap a month dir holding no DATA files (sidecars/markers
+        # don't count) past the age guard: a concurrent writer may be
+        # between its mkdir and its first rename (writers also re-mkdir
+        # and retry, see _rename_into_live)
         if (
-            not any(month_dir.iterdir())
+            not any(
+                p
+                for p in month_dir.iterdir()
+                if not p.name.startswith(("_", "."))
+            )
             and month_dir.stat().st_mtime <= age_cutoff
         ):
             shutil.rmtree(month_dir, ignore_errors=True)

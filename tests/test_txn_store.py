@@ -849,3 +849,96 @@ def test_readers_survive_aggressive_log_pruning_threads(tmp_path):
         tags = {f.rsplit("/", 1)[-1].split("-gen-")[0] for f in files
                 if f"batch-{q}-" in f}
         assert tags == {f"batch-{q}-{b:09d}" for b in range(n_batches)}
+
+
+def test_maintenance_cycle_full_pass(spark, event_table):
+    """The scheduled-maintenance composition: retention first
+    (metadata-only), compact with swap retry, vacuum past the age
+    guards — one call, one report."""
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        maintenance_cycle,
+    )
+
+    ensure_log(event_table)
+    report = maintenance_cycle(
+        spark,
+        event_table,
+        keep="latest",
+        retention_cutoff="202603",
+        vacuum_retain_versions=1,
+        vacuum_min_age_s=0,
+    )
+    assert report["dropped_months"] == ["202602"]
+    assert report["compacted_months"] == ["202603"]
+    assert report["swap_retries"] == 0
+    assert report["vacuumed_files"] > 0  # dropped month + old generation
+    out = read_table(spark, event_table)
+    rows = out.collect()
+    assert {r.event_month for r in rows} == {"202603"}
+    # one row per entity among the surviving month's entities
+    assert len(rows) == len({r.entity_id for r in rows})
+    # the dropped month's BYTES are gone. Whether the now-empty dir is
+    # reaped in the same pass depends on mtime granularity vs the age-0
+    # cutoff (deleting its files refreshes the dir mtime, and the age
+    # guard protects fresh dirs from racing writers); a follow-up pass
+    # always reaps it
+    from pathlib import Path
+
+    dropped_dir = Path(event_table) / "event_month=202602"
+    assert not dropped_dir.exists() or not any(dropped_dir.iterdir())
+    import time as _time
+
+    _time.sleep(0.05)
+    vacuum(event_table, retain_versions=1, min_age_s=0)
+    assert not dropped_dir.exists()
+
+
+def test_maintenance_cycle_retries_concurrent_swap(spark, event_table):
+    """A streaming batch landing mid-swap surfaces as
+    ConcurrentSwapError; the cycle's bounded retry re-runs the
+    compaction against the new snapshot instead of failing the job."""
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        maintenance_cycle,
+    )
+
+    ensure_log(event_table)
+
+    class RacingStore(TxnLogPartitionStore):
+        def __init__(self):
+            self.raised = 0
+
+        def replace_months(self, table_path, staging_path, months):
+            if self.raised == 0:
+                self.raised += 1
+                raise ConcurrentSwapError("simulated mid-swap commit")
+            return super().replace_months(table_path, staging_path, months)
+
+    store = RacingStore()
+    report = maintenance_cycle(spark, event_table, keep="latest", store=store)
+    assert report["swap_retries"] == 1
+    assert read_table(spark, event_table).count() == 3
+
+    class AlwaysRacing(TxnLogPartitionStore):
+        def replace_months(self, table_path, staging_path, months):
+            raise ConcurrentSwapError("always")
+
+    with pytest.raises(ConcurrentSwapError):
+        maintenance_cycle(
+            spark, event_table, store=AlwaysRacing(), max_swap_retries=2
+        )
+
+
+def test_maintenance_cycle_plain_table(spark, event_table):
+    """On an un-adopted table the cycle stays on the rename protocol:
+    no log appears, no vacuum runs, results match a direct compact."""
+    from pathlib import Path
+
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        maintenance_cycle,
+    )
+
+    report = maintenance_cycle(spark, event_table, keep="events")
+    assert report["vacuumed_files"] == 0
+    assert report["compacted_months"] == ["202602", "202603"]
+    assert not (Path(event_table) / "_txn_log").exists()
+    assert spark.read.parquet(event_table).count() == 6  # replay dup gone
