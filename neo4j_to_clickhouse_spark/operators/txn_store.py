@@ -542,54 +542,85 @@ def vacuum(
 
     if log_min_age_s is None:
         log_min_age_s = min_age_s
-    versions = _list_versions(table_path)
-    if not versions:
+    # a CONCURRENT vacuum (scheduled cycle + manual run) may prune one
+    # of this vacuum's retained versions between the listing and its
+    # snapshot resolution — recompute against the new head; if the log
+    # churns continuously, give up quietly (vacuum is idempotent
+    # best-effort; the concurrent one is doing the work)
+    for _ in range(20):
+        versions = _list_versions(table_path)
+        if not versions:
+            return []
+        retained = versions[-max(1, retain_versions):]
+        keep: set[str] = set()
+        try:
+            for v in retained:
+                keep.update(snapshot(table_path, v)[1])
+        except ValueError:
+            continue
+        break
+    else:
         return []
-    retained = versions[-max(1, retain_versions):]
-    keep: set[str] = set()
-    for v in retained:
-        keep.update(snapshot(table_path, v)[1])
     root = Path(table_path)
     now = time.time()
     age_cutoff = now - min_age_s
     deleted = []
+    # every per-file step below tolerates FileNotFoundError: two vacuums
+    # may run concurrently (e.g. a scheduled maintenance_cycle and a
+    # manual one) and either may reclaim a file between the other's
+    # listing and its stat/unlink — losing that race is success
     for month_dir in sorted(root.glob("event_month=*")):
-        for f in sorted(month_dir.iterdir()):
+        try:
+            entries = sorted(month_dir.iterdir())
+        except FileNotFoundError:
+            continue  # the other vacuum reaped the whole dir
+        for f in entries:
             rel = f"{month_dir.name}/{f.name}"
-            if (
-                f.is_file()
-                and not f.name.startswith(("_", "."))
-                and rel not in keep
-                and f.stat().st_mtime <= age_cutoff
-            ):
-                f.unlink()
-                # Hadoop's local ChecksumFileSystem writes a .crc
-                # sidecar per data file; reclaim it with its file
-                (month_dir / f".{f.name}.crc").unlink(missing_ok=True)
-                deleted.append(rel)
+            try:
+                if (
+                    f.is_file()
+                    and not f.name.startswith(("_", "."))
+                    and rel not in keep
+                    and f.stat().st_mtime <= age_cutoff
+                ):
+                    f.unlink()
+                    # Hadoop's local ChecksumFileSystem writes a .crc
+                    # sidecar per data file; reclaim it with its file
+                    (month_dir / f".{f.name}.crc").unlink(missing_ok=True)
+                    deleted.append(rel)
+            except FileNotFoundError:
+                continue
         # only reap a month dir holding no DATA files (sidecars/markers
         # don't count) past the age guard: a concurrent writer may be
         # between its mkdir and its first rename (writers also re-mkdir
         # and retry, see _rename_into_live)
-        if (
-            not any(
-                p
-                for p in month_dir.iterdir()
-                if not p.name.startswith(("_", "."))
-            )
-            and month_dir.stat().st_mtime <= age_cutoff
-        ):
-            shutil.rmtree(month_dir, ignore_errors=True)
+        try:
+            if (
+                not any(
+                    p
+                    for p in month_dir.iterdir()
+                    if not p.name.startswith(("_", "."))
+                )
+                and month_dir.stat().st_mtime <= age_cutoff
+            ):
+                shutil.rmtree(month_dir, ignore_errors=True)
+        except FileNotFoundError:
+            continue
     oldest = retained[0]
-    rec = _read_commit(table_path, oldest)
-    if "checkpoint" not in rec:
-        rec["checkpoint"] = snapshot(table_path, oldest)[1]
-        # the rewrite is derived purely from commits about to be pruned;
-        # os.replace keeps it atomic for any concurrent reader
-        target = _commit_path(table_path, oldest)
-        tmp = target.with_name(f".tmp-{uuid.uuid4().hex}.json")
-        tmp.write_text(json.dumps(rec))
-        os.replace(tmp, target)
+    try:
+        rec = _read_commit(table_path, oldest)
+        if "checkpoint" not in rec:
+            rec["checkpoint"] = snapshot(table_path, oldest)[1]
+            # the rewrite is derived purely from commits about to be
+            # pruned; os.replace keeps it atomic for concurrent readers
+            target = _commit_path(table_path, oldest)
+            tmp = target.with_name(f".tmp-{uuid.uuid4().hex}.json")
+            tmp.write_text(json.dumps(rec))
+            os.replace(tmp, target)
+    except (FileNotFoundError, ValueError):
+        # a concurrent vacuum retained a NEWER oldest version and pruned
+        # this one; its own checkpoint rewrite covers resolvability
+        pass
     log_cutoff = now - log_min_age_s
     for v in versions:
         if v < oldest:

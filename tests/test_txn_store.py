@@ -942,3 +942,60 @@ def test_maintenance_cycle_plain_table(spark, event_table):
     assert report["compacted_months"] == ["202602", "202603"]
     assert not (Path(event_table) / "_txn_log").exists()
     assert spark.read.parquet(event_table).count() == 6  # replay dup gone
+
+
+def test_concurrent_vacuums_under_threads(tmp_path):
+    """Two vacuum loops racing each other (scheduled cycle + manual run)
+    while writers append: neither may crash — losing a per-file race to
+    the other vacuum is success — and the final snapshot's files all
+    exist on disk."""
+    import threading
+
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        stage_batch_files,
+    )
+
+    table = str(tmp_path / "t")
+    (tmp_path / "t").mkdir()
+    ensure_log(table)
+    store = TxnLogPartitionStore()
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer() -> None:
+        try:
+            for b in range(25):
+                staging = tmp_path / f"stage-{b}"
+                month = staging / f"event_month=2026{b % 3:02d}"
+                month.mkdir(parents=True)
+                (month / "part-0.parquet").write_bytes(b"d")
+                adds, tag = stage_batch_files(table, str(staging), b, "w")
+                store.commit_batch(table, adds, tag)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer() -> None:
+        try:
+            while not stop.is_set():
+                vacuum(table, retain_versions=1, min_age_s=60,
+                       log_min_age_s=0)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=vacuumer),
+        threading.Thread(target=vacuumer),
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join()
+    stop.set()
+    threads[1].join()
+    threads[2].join()
+    assert not errors, errors
+    from pathlib import Path
+
+    _, files = snapshot(table)
+    assert len(files) == 25
+    assert all((Path(table) / f).is_file() for f in files)
