@@ -183,6 +183,7 @@ def main() -> None:
     # prunes the aggregate/window expressions under test (verified:
     # pricing_summary's plan lost all three sums and kept only the
     # grouping keys), so those rounds under-measured; r08 renumbers.
+    steal_dirty: list[str] = []
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
         runs: list[float] = []
@@ -196,6 +197,11 @@ def main() -> None:
             steals.append(_steal_cs() - s0)
             if steals[-1] <= _STEAL_DIRTY_CS:
                 clean += 1
+        if clean == 0:
+            # every run was steal-polluted: the reported min is NOT a
+            # quiet-host number — flag it so cross-round comparisons
+            # don't read a polluted time as a regression/improvement
+            steal_dirty.append(name)
         times[name] = min(runs)
         all_runs[name] = runs
         all_steals[name] = steals
@@ -213,6 +219,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": all_runs,
                 "run_steal_cs": all_steals,
+                "steal_dirty": steal_dirty,
                 "host_noise": {
                     "before": noise_before,
                     "after": noise_after,

@@ -275,6 +275,9 @@ def compact(
     tables (the recommended protocol; see that function's migration
     note), rename-swap for plain ones.
     """
+    import time
+    import uuid
+
     store = store or resolve_store(table_path)
     store.recover(table_path)  # finish anything a crashed compact left
     df = store.read(spark, table_path)
@@ -282,16 +285,34 @@ def compact(
         df = df.filter(F.col("event_month").isin(months))
     affected = [r[0] for r in df.select("event_month").distinct().collect()]
     deduped = latest_events(df) if keep == "latest" else dedup_exact_events(df)
-    tmp = Path(table_path) / ".compact_tmp"
-    (
-        deduped.repartition("event_month")
-        .sortWithinPartitions("event_timestamp", "event_id")
-        .write.mode("overwrite")
-        .partitionBy("event_month")
-        .parquet(str(tmp))
-    )
-    store.replace_months(table_path, str(tmp), affected)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # run-unique staging dir: two concurrent compactions (a scheduled
+    # maintenance_cycle racing a manual run) sharing one fixed temp path
+    # would overwrite each other's staged output — the loser would then
+    # see its months as "fully deduped away" and commit their REMOVAL.
+    # The swap-conflict detection (ConcurrentSwapError / rename recover)
+    # only protects the live table, never the staging area.
+    tmp = Path(table_path) / f".compact_tmp-{uuid.uuid4().hex[:12]}"
+    # a crashed compaction's staging dir is invisible to readers (dot-
+    # prefixed) but would linger forever now that names are unique;
+    # reap stale ones past a conservative age
+    cutoff = time.time() - 3600.0
+    for stale in Path(table_path).glob(".compact_tmp-*"):
+        try:
+            if stale.stat().st_mtime <= cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except FileNotFoundError:
+            pass  # a concurrent compact reaped it first
+    try:
+        (
+            deduped.repartition("event_month")
+            .sortWithinPartitions("event_timestamp", "event_id")
+            .write.mode("overwrite")
+            .partitionBy("event_month")
+            .parquet(str(tmp))
+        )
+        store.replace_months(table_path, str(tmp), affected)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return sorted(affected)
 
 

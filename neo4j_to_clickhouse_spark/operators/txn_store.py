@@ -113,17 +113,27 @@ def _write_commit(table_path: str, version: int, record: dict) -> None:
 
 def _rename_into_live(src: Path, live_dir: Path, name: str) -> None:
     """Move a staged file into its live month dir, surviving the race
-    where a concurrent :func:`vacuum` rmtree's the month dir it observed
+    where a concurrent :func:`vacuum` reaps the month dir it observed
     empty between this writer's ``mkdir`` and the rename: re-create the
-    dir and retry — the file becomes referenced at commit time, and
-    vacuum's mtime guard keeps it from re-removing the fresh dir."""
+    dir and retry (vacuum's removal is an atomic ``rmdir``, so it can
+    never take a file this rename already landed).
+
+    The landed file's mtime is refreshed to NOW: rename preserves the
+    staging write's mtime, so a long-running job whose staged files
+    predate ``vacuum``'s ``min_age_s`` window would otherwise look
+    old-and-unreferenced (commit not landed yet) and be reclaimed as
+    orphans mid-job. The age guard must measure time since INGEST, not
+    since the executor wrote the bytes."""
+    dest = live_dir / name
     for _ in range(10):
         try:
-            src.rename(live_dir / name)
-            return
+            src.rename(dest)
+            break
         except FileNotFoundError:
             live_dir.mkdir(parents=True, exist_ok=True)
-    src.rename(live_dir / name)
+    else:
+        src.rename(dest)
+    os.utime(dest)
 
 
 def _scan_existing_files(table_path: str) -> list[str]:
@@ -481,18 +491,27 @@ def stage_batch_files(
     invisible to snapshot readers until that commit; a crash in between
     leaves only vacuum-reclaimable orphans.
 
-    ``query_name`` namespaces the tag (``batch-<query>-<id>-``): two
+    ``query_name`` namespaces the tag (``batch-<query>~<id>-``): two
     streaming queries share batch-id sequences, so an un-namespaced
     replay of one query's batch N would remove the OTHER query's
-    committed files for batch N — silent data loss. Leave it empty only
-    when exactly one query ever writes the table.
+    committed files for batch N — silent data loss. The ``~`` separator
+    is outside the sanitized-name alphabet, so no tag can be a prefix
+    of a different query's tag (a plain ``-`` separator would make the
+    un-namespaced tag ``batch-000000007-`` a prefix of a query
+    literally named ``000000007``'s files). Leave it empty only when
+    exactly one query ever writes the table. Migration corner: a batch
+    that CRASHED under the pre-namespacing tag format and is replayed
+    after an upgrade will not match its old files and replays as
+    duplicates — the standard ``compact(keep='events')`` backstop
+    applies, the same as for the compact-between-crash-and-replay
+    corner in :meth:`TxnLogPartitionStore.commit_batch`.
 
     ``ensure_log`` runs BEFORE any rename: on a not-yet-bootstrapped
     table a concurrent bootstrap (e.g. a compaction's ``store.read``)
     would otherwise adopt the half-staged, uncommitted batch into v0."""
     ensure_log(table_path)
     query = "".join(c for c in query_name if c.isalnum() or c in "_-")
-    tag = f"batch-{query + '-' if query else ''}{batch_id:09d}-"
+    tag = f"batch-{query + '~' if query else ''}{batch_id:09d}-"
     gen = uuid.uuid4().hex[:12]
     root, staging = Path(table_path), Path(staging_path)
     adds: list[str] = []
@@ -590,22 +609,21 @@ def vacuum(
                     deleted.append(rel)
             except FileNotFoundError:
                 continue
-        # only reap a month dir holding no DATA files (sidecars/markers
-        # don't count) past the age guard: a concurrent writer may be
-        # between its mkdir and its first rename (writers also re-mkdir
-        # and retry, see _rename_into_live)
+        # reap a month dir holding no DATA files (sidecars/markers were
+        # reclaimed above), past the age guard, via os.rmdir — NOT
+        # rmtree: rmdir is atomic against non-emptiness, so a writer's
+        # rename landing between this check and the removal makes the
+        # rmdir fail (ENOTEMPTY) instead of deleting the fresh file a
+        # check-then-rmtree would (TOCTOU). Writers additionally
+        # re-mkdir and retry (see _rename_into_live).
         try:
             if (
-                not any(
-                    p
-                    for p in month_dir.iterdir()
-                    if not p.name.startswith(("_", "."))
-                )
+                not any(month_dir.iterdir())
                 and month_dir.stat().st_mtime <= age_cutoff
             ):
-                shutil.rmtree(month_dir, ignore_errors=True)
-        except FileNotFoundError:
-            continue
+                month_dir.rmdir()
+        except OSError:
+            continue  # not empty after all, or the other vacuum got it
     oldest = retained[0]
     try:
         rec = _read_commit(table_path, oldest)

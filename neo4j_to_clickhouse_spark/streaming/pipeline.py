@@ -107,18 +107,27 @@ def dedup_within_watermark(
         .dropDuplicatesWithinWatermark([id_col])
 
 
-def _promote_staged(staging: str, dest_root: str, batch_id: int) -> None:
+def _promote_staged(
+    staging: str, dest_root: str, batch_id: int, query_name: str = ""
+) -> None:
     """Move staged part-files into the table under deterministic
-    ``batch-<id>-<i>`` names. Replay-safe: files from a previous (crashed)
-    attempt of the same batch are removed first, so re-running a batch
-    replaces its own output rather than duplicating it. Renames are
-    same-filesystem ``os.replace`` (atomic per file); the staging dir name
-    starts with '.' so Spark's file listing never sees in-flight data."""
+    ``batch-[<query>~]<id>-<i>`` names. Replay-safe: files from a
+    previous (crashed) attempt of the same batch are removed first, so
+    re-running a batch replaces its own output rather than duplicating
+    it — which is why ``query_name`` must namespace the prefix when two
+    queries share a destination (their batch-id sequences advance
+    independently; un-namespaced, one query's promote would delete the
+    other's committed files for the same id; the ``~`` separator keeps
+    tags prefix-unambiguous, same grammar as the txn store's
+    ``stage_batch_files``). Renames are same-filesystem ``os.replace``
+    (atomic per file); the staging dir name starts with '.' so Spark's
+    file listing never sees in-flight data."""
     import glob
     import os
     import shutil
 
-    prefix = f"batch-{batch_id:09d}-"
+    query = "".join(c for c in query_name if c.isalnum() or c in "_-")
+    prefix = f"batch-{query + '~' if query else ''}{batch_id:09d}-"
     os.makedirs(dest_root, exist_ok=True)
     for pat in ("event_month=*/", ""):
         for stale in glob.glob(os.path.join(dest_root, pat + prefix + "*")):
@@ -150,7 +159,14 @@ def _write_batch(
     events = result.events
     if config.coalesce_output:
         events = events.coalesce(config.coalesce_output)
-    staging = os.path.join(config.table_path, f".staging-{batch_id}")
+    # the staging dir must be query-namespaced too: two queries sharing
+    # the table reach the same batch ids near-simultaneously, and a
+    # shared path would let one query's overwrite/rmtree eat the
+    # other's in-flight staged files
+    q = "".join(c for c in query_name if c.isalnum() or c in "_-")
+    staging = os.path.join(
+        config.table_path, f".staging-{q + '~' if q else ''}{batch_id}"
+    )
     (
         events.write.mode("overwrite")
         .partitionBy("event_month")
@@ -176,14 +192,16 @@ def _write_batch(
         )
         store.commit_batch(config.table_path, adds, tag)
     else:
-        _promote_staged(staging, config.table_path, batch_id)
+        _promote_staged(staging, config.table_path, batch_id, query_name)
 
     bad = result.quarantine
     if config.coalesce_output:
         bad = bad.coalesce(1)
-    q_staging = os.path.join(config.quarantine_path, f".staging-{batch_id}")
+    q_staging = os.path.join(
+        config.quarantine_path, f".staging-{q + '~' if q else ''}{batch_id}"
+    )
     bad.write.mode("overwrite").parquet(q_staging)
-    _promote_staged(q_staging, config.quarantine_path, batch_id)
+    _promote_staged(q_staging, config.quarantine_path, batch_id, query_name)
 
 
 def _start(

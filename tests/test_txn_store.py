@@ -590,7 +590,7 @@ def test_stage_batch_files_bootstraps_before_renames(spark, event_table, tmp_pat
     )
     # table NOT bootstrapped yet — the call itself must pin v0 first
     adds, tag = stage_batch_files(event_table, str(staging), 1, "q")
-    assert adds and tag == "batch-q-000000001-"
+    assert adds and tag == "batch-q~000000001-"
     v, files = snapshot(event_table)
     assert v == 0
     assert not any("batch-" in f for f in files)
@@ -847,8 +847,8 @@ def test_readers_survive_aggressive_log_pruning_threads(tmp_path):
     assert len(files) == 2 * n_batches
     for q in ("qA", "qB"):
         tags = {f.rsplit("/", 1)[-1].split("-gen-")[0] for f in files
-                if f"batch-{q}-" in f}
-        assert tags == {f"batch-{q}-{b:09d}" for b in range(n_batches)}
+                if f"batch-{q}~" in f}
+        assert tags == {f"batch-{q}~{b:09d}" for b in range(n_batches)}
 
 
 def test_maintenance_cycle_full_pass(spark, event_table):
@@ -999,3 +999,63 @@ def test_concurrent_vacuums_under_threads(tmp_path):
     _, files = snapshot(table)
     assert len(files) == 25
     assert all((Path(table) / f).is_file() for f in files)
+
+
+def test_two_queries_share_plain_table_and_quarantine(spark, node_raw, tmp_path):
+    """r09 self-review: the RENAME protocol (plain tables + the
+    always-rename quarantine sink) must namespace batch files and
+    staging dirs by query exactly like the txn path — two queries share
+    batch-id sequences, and an un-namespaced promote of one would
+    delete the other's committed batch-N files."""
+    from neo4j_to_clickhouse_spark.streaming import StreamConfig
+    from neo4j_to_clickhouse_spark.streaming.pipeline import _write_batch
+
+    config = StreamConfig(
+        table_path=str(tmp_path / "events"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+    )
+    res = node_events_from_raw(node_raw)
+    _write_batch(res, config, batch_id=7, query_name="qA")
+    n1 = spark.read.parquet(config.table_path).count()
+    nq1 = spark.read.parquet(config.quarantine_path).count()
+    assert n1 == 7 and nq1 == 1
+
+    # qB's batch 7 is different data: appends in BOTH sinks
+    _write_batch(res, config, batch_id=7, query_name="qB")
+    assert spark.read.parquet(config.table_path).count() == 2 * n1
+    assert spark.read.parquet(config.quarantine_path).count() == 2 * nq1
+
+    # replaying qA's batch 7 replaces only qA's generation in both
+    _write_batch(res, config, batch_id=7, query_name="qA")
+    assert spark.read.parquet(config.table_path).count() == 2 * n1
+    assert spark.read.parquet(config.quarantine_path).count() == 2 * nq1
+
+
+def test_ingest_refreshes_mtime_for_age_guard(spark, event_table, tmp_path):
+    """r09 self-review: rename preserves the staging write's mtime, so
+    a slow job's staged-then-ingested files could look older than
+    min_age_s while still uncommitted and be vacuumed as orphans
+    mid-job. Ingest must refresh mtime so the age guard measures time
+    since INGEST."""
+    import os
+    import time as _time
+
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    staging = tmp_path / "staging"
+    month = staging / "event_month=202602"
+    month.mkdir(parents=True)
+    f = month / "part-0.parquet"
+    f.write_bytes(b"d")
+    two_hours_ago = _time.time() - 7200
+    os.utime(f, (two_hours_ago, two_hours_ago))  # slow staging write
+
+    adds = store._ingest_staged(event_table, str(staging), ["202602"])
+    # the file is ingested but NOT yet committed (the vulnerable window)
+    assert vacuum(event_table, retain_versions=1) == []  # default 1h guard
+    rel = adds["202602"][0]
+    from pathlib import Path
+
+    assert (Path(event_table) / rel).is_file()

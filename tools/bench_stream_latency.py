@@ -79,18 +79,37 @@ def _steal_cs() -> int:
 
 
 def _await_visible(
-    spark, table: str, event_id: str, seen_version: int, timeout_s: float
+    spark,
+    table: str,
+    event_id: str,
+    seen_version: int,
+    seen_files: set[str],
+    timeout_s: float,
 ) -> tuple[float, int]:
     """Poll snapshot version (metadata-only) until a new commit makes
-    ``event_id`` readable; returns (t_visible, latest_version)."""
+    ``event_id`` readable; returns (t_visible, latest_version).
+
+    On a version bump only the files ADDED since the last inspected
+    snapshot are read: committed files are immutable, so the probe row
+    can only live in a new file, and this read is equivalent to (a
+    pushed-down subset of) the full snapshot read a real client would
+    issue. Under loaded mode the firehose bumps the version every
+    trigger, and a FULL table read per bump would be a driver-
+    coordinated Spark job competing with the very micro-batches under
+    measurement — the probe would inflate its own latency."""
     deadline = time.perf_counter() + timeout_s
     while time.perf_counter() < deadline:
-        v = snapshot(table)[0]
+        v, files = snapshot(table)
         if v > seen_version:
             seen_version = v
-            df = read_table(spark, table)
-            if df.filter(df.event_id == event_id).count() > 0:
-                return time.perf_counter(), seen_version
+            new = [f for f in files if f not in seen_files]
+            seen_files.update(files)
+            if new:
+                df = spark.read.option("basePath", table).parquet(
+                    *(f"{table}/{f}" for f in new)
+                )
+                if df.filter(df.event_id == event_id).count() > 0:
+                    return time.perf_counter(), seen_version
         time.sleep(0.02)
     raise TimeoutError(f"{event_id} not visible after {timeout_s}s")
 
@@ -146,7 +165,10 @@ def main() -> None:
         # warm-up event: absorbs one-time JIT + Python-worker forks
         with open(os.path.join(src, "warmup.ndjson"), "w") as f:
             f.write(ENVELOPE.format(eid="warm-0", i=0) + "\n")
-        _, version = _await_visible(spark, table, "warm-0", 0, 120.0)
+        seen_files: set[str] = set()
+        _, version = _await_visible(
+            spark, table, "warm-0", 0, seen_files, 120.0
+        )
 
         import threading
 
@@ -173,7 +195,9 @@ def main() -> None:
             with open(tmp, "w") as f:
                 f.write(ENVELOPE.format(eid=eid, i=i) + "\n")
             os.rename(tmp, os.path.join(src, f"event-{i}.ndjson"))
-            t1, version = _await_visible(spark, table, eid, version, 60.0)
+            t1, version = _await_visible(
+                spark, table, eid, version, seen_files, 60.0
+            )
             latencies.append(round(t1 - t0, 3))
             steals.append(_steal_cs() - s0)
             print(
@@ -190,10 +214,12 @@ def main() -> None:
             # measures the producer)
             expect = produced[0] + n_events + 1  # + warmup
             deadline = time.perf_counter() + 300.0
+            # post-measurement: a 1 s cadence keeps the count jobs from
+            # slowing the drain they are timing
             while time.perf_counter() < deadline:
                 if read_table(spark, table).count() >= expect:
                     break
-                time.sleep(0.25)
+                time.sleep(1.0)
             achieved_eps = round(
                 produced[0] / (time.perf_counter() - t_load_start)
             )
