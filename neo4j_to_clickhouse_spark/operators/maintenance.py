@@ -37,12 +37,37 @@ class PartitionStore:
     lost and never double-counted after :meth:`recover`."""
 
     def replace_months(
-        self, table_path: str, staging_path: str, months: list[str]
+        self,
+        table_path: str,
+        staging_path: str,
+        months: list[str],
+        base: object | None = None,
     ) -> None:
         """Swap the ``event_month=<m>`` partitions under ``staging_path``
         into the live table for every month in ``months``. A month with no
-        staged output (fully deduped/compacted away) is removed."""
+        staged output (fully deduped/compacted away) is removed.
+
+        ``base`` is the opaque token :meth:`begin_rewrite` returned for
+        the snapshot the staged output was COMPUTED from. Transactional
+        stores use it to refuse a swap whose removes went stale (a
+        writer landed in one of ``months`` after the rewrite's read);
+        stores without read-version pinning ignore it."""
         raise NotImplementedError
+
+    def begin_rewrite(
+        self, spark: SparkSession, table_path: str
+    ) -> tuple[DataFrame, object | None]:
+        """Read the table AND pin the snapshot the read resolved, as
+        ``(df, base)``; ``base`` must be handed back to
+        :meth:`replace_months` so the swap's remove-set is computed
+        against what the rewrite actually read — NOT against whatever
+        head exists at commit time. Re-snapshotting at commit time is a
+        silent-data-loss TOCTOU: a streaming micro-batch that lands in
+        an affected month between the read and the commit would have
+        its files removed without its rows being in the staged output.
+        Default: plain read, no pin (stores whose swap cannot check a
+        base version)."""
+        return self.read(spark, table_path), None
 
     def drop_months(self, table_path: str, cutoff_month: str) -> list[str]:
         """Remove every partition strictly older than ``cutoff_month``;
@@ -116,11 +141,20 @@ class LocalPartitionStore(PartitionStore):
     the aside copy until the new data is in place), but there is a brief
     window where the month is absent — this realization is NOT snapshot
     isolated; that is exactly what a transactional table format buys at
-    cluster scale.
+    cluster scale. For the same reason it cannot pin a read version: a
+    writer appending to a month between a compaction's read and its swap
+    loses those rows when the old directory is set aside and deleted —
+    do NOT run rename-protocol maintenance concurrently with writers
+    (stop the stream, or adopt the table into the transactional store,
+    which detects exactly this and raises ``ConcurrentSwapError``).
     """
 
     def replace_months(
-        self, table_path: str, staging_path: str, months: list[str]
+        self,
+        table_path: str,
+        staging_path: str,
+        months: list[str],
+        base: object | None = None,
     ) -> None:
         root = Path(table_path)
         staging = Path(staging_path)
@@ -201,8 +235,18 @@ class DeltaPartitionStore(PartitionStore):
         return spark.read.format("delta").load(table_path)
 
     def replace_months(
-        self, table_path: str, staging_path: str, months: list[str]
+        self,
+        table_path: str,
+        staging_path: str,
+        months: list[str],
+        base: object | None = None,
     ) -> None:  # pragma: no cover - requires delta jars
+        # `base` is unused: each per-month replaceWhere below is its own
+        # Delta transaction, so Delta's conflict detection protects the
+        # commit itself but NOT the gap since compact's read — at real
+        # scale the compaction should read and overwrite inside one job
+        # (or check the table version before committing) rather than
+        # round-trip through staging; see begin_rewrite's docstring.
         for month in months:
             staged = Path(staging_path) / f"event_month={month}"
             # basePath keeps event_month as an inferred partition column: a
@@ -280,10 +324,23 @@ def compact(
 
     store = store or resolve_store(table_path)
     store.recover(table_path)  # finish anything a crashed compact left
-    df = store.read(spark, table_path)
+    # begin_rewrite pins the snapshot the swap must be based on: a
+    # streaming batch landing in an affected month AFTER this read is an
+    # interfering commit the swap must refuse (ConcurrentSwapError), not
+    # a file set to silently remove
+    df, rewrite_base = store.begin_rewrite(spark, table_path)
     if months:
         df = df.filter(F.col("event_month").isin(months))
-    affected = [r[0] for r in df.select("event_month").distinct().collect()]
+    # str() guard: on a session WITHOUT the package's
+    # partitionColumnTypeInference.enabled=false (get_spark sets it;
+    # a user's own session may not), 'yyyyMM' partition values infer as
+    # INT — and an int month never matches the str months the txn log's
+    # remove-set check derives from file paths, so the swap would add
+    # the compacted generation without removing the old one:
+    # silent double-counting
+    affected = [
+        str(r[0]) for r in df.select("event_month").distinct().collect()
+    ]
     deduped = latest_events(df) if keep == "latest" else dedup_exact_events(df)
     # run-unique staging dir: two concurrent compactions (a scheduled
     # maintenance_cycle racing a manual run) sharing one fixed temp path
@@ -310,7 +367,7 @@ def compact(
             .partitionBy("event_month")
             .parquet(str(tmp))
         )
-        store.replace_months(table_path, str(tmp), affected)
+        store.replace_months(table_path, str(tmp), affected, base=rewrite_base)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return sorted(affected)

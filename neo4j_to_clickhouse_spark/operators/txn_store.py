@@ -286,21 +286,54 @@ class TxnLogPartitionStore(PartitionStore):
         ensure_log(table_path)
         return read_table(spark, table_path)
 
+    def begin_rewrite(
+        self, spark: SparkSession, table_path: str
+    ) -> tuple[DataFrame, object | None]:
+        """Pinned read for a rewrite: the returned base token carries the
+        resolved (version, files) so :meth:`replace_months` computes its
+        remove-set against exactly what the rewrite read. Without the
+        pin, a commit landing between this read and the swap — the
+        window holding the WHOLE compaction write — would be silently
+        rebased over: its files removed, its rows absent from the staged
+        output. With it, the optimistic loop sees that commit as
+        interfering and raises :class:`ConcurrentSwapError`."""
+        ensure_log(table_path)
+        version, files = snapshot(table_path)
+        return read_table(spark, table_path, version), (version, files)
+
     def live_files(self, table_path: str) -> list[str] | None:
         ensure_log(table_path)
         return snapshot(table_path)[1]
 
     def replace_months(
-        self, table_path: str, staging_path: str, months: list[str]
+        self,
+        table_path: str,
+        staging_path: str,
+        months: list[str],
+        base: object | None = None,
     ) -> None:
         if not months:
             return  # nothing was read by the compaction: no commit to make
+        # months must be the str form file paths use: an int 202602 (from
+        # a session with partition-type inference left on) would format
+        # into the right directory name below but NEVER match
+        # _month_of()'s strings in the remove-set — the swap would
+        # double-count instead of replacing
+        months = [str(m) for m in months]
         ensure_log(table_path)
-        base_version, base_files = snapshot(table_path)
+        if base is not None:
+            base_version, base_files = base
+        else:
+            # no pin: the staged output is trusted to supersede whatever
+            # is live RIGHT NOW (a caller that staged data independently
+            # of any read, e.g. a backfill). Rewrites derived from a
+            # read must come through begin_rewrite.
+            base_version, base_files = snapshot(table_path)
         adds = self._ingest_staged(table_path, staging_path, months)
         self._commit_swap(table_path, base_version, base_files, months, adds)
 
     def drop_months(self, table_path: str, cutoff_month: str) -> list[str]:
+        cutoff_month = str(cutoff_month)  # match _month_of's str form
         ensure_log(table_path)
         while True:
             version, files = snapshot(table_path)

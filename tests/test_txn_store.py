@@ -907,11 +907,13 @@ def test_maintenance_cycle_retries_concurrent_swap(spark, event_table):
         def __init__(self):
             self.raised = 0
 
-        def replace_months(self, table_path, staging_path, months):
+        def replace_months(self, table_path, staging_path, months, base=None):
             if self.raised == 0:
                 self.raised += 1
                 raise ConcurrentSwapError("simulated mid-swap commit")
-            return super().replace_months(table_path, staging_path, months)
+            return super().replace_months(
+                table_path, staging_path, months, base=base
+            )
 
     store = RacingStore()
     report = maintenance_cycle(spark, event_table, keep="latest", store=store)
@@ -919,13 +921,91 @@ def test_maintenance_cycle_retries_concurrent_swap(spark, event_table):
     assert read_table(spark, event_table).count() == 3
 
     class AlwaysRacing(TxnLogPartitionStore):
-        def replace_months(self, table_path, staging_path, months):
+        def replace_months(self, table_path, staging_path, months, base=None):
             raise ConcurrentSwapError("always")
 
     with pytest.raises(ConcurrentSwapError):
         maintenance_cycle(
             spark, event_table, store=AlwaysRacing(), max_swap_retries=2
         )
+
+
+def test_compact_cannot_lose_batch_landing_after_its_read(spark, event_table):
+    """A streaming micro-batch committing between compact's snapshot read
+    and its swap commit must surface as ConcurrentSwapError, never be
+    silently removed: the swap is pinned to the version the compaction
+    actually READ (begin_rewrite), so the late batch is an interfering
+    commit the optimistic loop refuses to rebase over. Re-snapshotting
+    at commit time instead would compute the remove-set against a head
+    that includes the batch's files — removing rows the compacted
+    output never contained."""
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        stage_batch_files,
+    )
+
+    ensure_log(event_table)
+    base_df = read_table(spark, event_table)
+
+    def land_late_batch():
+        staging = event_table + "_latebatch"
+        (
+            base_df.filter(F.col("event_id") == "n-001")
+            .withColumn("event_id", F.lit("late-1"))
+            .withColumn("entity_id", F.lit("4:late:99"))
+            .write.mode("overwrite")
+            .partitionBy("event_month")
+            .parquet(staging)
+        )
+        adds, tag = stage_batch_files(event_table, staging, 7, "lateq")
+        TxnLogPartitionStore().commit_batch(event_table, adds, tag)
+
+    class LateBatchStore(TxnLogPartitionStore):
+        def __init__(self):
+            self.injected = False
+
+        def replace_months(self, table_path, staging_path, months, base=None):
+            if not self.injected:
+                self.injected = True
+                land_late_batch()
+            return super().replace_months(
+                table_path, staging_path, months, base=base
+            )
+
+    with pytest.raises(ConcurrentSwapError):
+        compact(spark, event_table, keep="latest", store=LateBatchStore())
+
+    # the late batch's row survived the refused swap ...
+    live = read_table(spark, event_table)
+    assert live.filter(F.col("entity_id") == "4:late:99").count() == 1
+    # ... and a re-run compaction (what maintenance_cycle's retry does)
+    # folds it in: 3 original entities + the late one
+    compact(spark, event_table, keep="latest", store=TxnLogPartitionStore())
+    latest = read_table(spark, event_table)
+    assert latest.count() == 4
+    assert latest.filter(F.col("entity_id") == "4:late:99").count() == 1
+
+
+def test_int_months_still_replace(spark, event_table):
+    """A session WITHOUT partitionColumnTypeInference disabled infers
+    'yyyyMM' partition values as INT; an int month formats into the
+    right directory name but never matches _month_of()'s strings in the
+    remove-set — the swap would add the compacted generation WITHOUT
+    removing the old one (silent double-count). The store normalizes."""
+    store = TxnLogPartitionStore()
+    ensure_log(event_table)
+    staging = event_table + "_intstage"
+    src = read_table(spark, event_table)
+    src.filter(F.col("event_month") == "202602").write.mode(
+        "overwrite"
+    ).partitionBy("event_month").parquet(staging)
+    store.replace_months(event_table, staging, [202602])  # int, not str
+    _, files = snapshot(event_table)
+    by_month = {}
+    for f in files:
+        by_month.setdefault(f.split("=", 1)[1].split("/", 1)[0], []).append(f)
+    # old 202602 generation replaced, not doubled
+    assert all("/gen-" in f for f in by_month["202602"])
+    assert read_table(spark, event_table).count() == 7
 
 
 def test_maintenance_cycle_plain_table(spark, event_table):
