@@ -1139,3 +1139,98 @@ def test_ingest_refreshes_mtime_for_age_guard(spark, event_table, tmp_path):
     from pathlib import Path
 
     assert (Path(event_table) / rel).is_file()
+
+def test_stream_vs_compact_race_under_threads(spark, tmp_path):
+    """END-TO-END protocol race: a live writer commits micro-batches
+    while maintenance_cycle compactions run concurrently. Every
+    committed row must be present exactly once at the end — the pinned
+    swap (begin_rewrite base) turns a batch landing mid-compaction into
+    ConcurrentSwapError + retry instead of silent removal, and the age
+    guard keeps vacuum off everything young. Rows are unique, so
+    keep='events' (exact dedup) must preserve the full count."""
+    import threading
+
+    from neo4j_to_clickhouse_spark.operators.maintenance import (
+        maintenance_cycle,
+    )
+    from neo4j_to_clickhouse_spark.operators.txn_store import (
+        stage_batch_files,
+    )
+
+    table = str(tmp_path / "t")
+    n_batches = 6
+
+    def event_df(eid, entity, ts):
+        return (
+            spark.createDataFrame(
+                [(eid, "INSERT", ts, entity)],
+                "event_id string, event_type string, ts string, "
+                "entity_id string",
+            )
+            .select(
+                "event_id",
+                "event_type",
+                F.col("ts").cast("timestamp").alias("event_timestamp"),
+                "entity_id",
+                F.lit("{}").alias("properties_before"),
+                F.lit("{}").alias("properties_after"),
+                F.lit("{}").alias("metadata"),
+                F.date_format(
+                    F.col("ts").cast("timestamp"), "yyyyMM"
+                ).alias("event_month"),
+            )
+        )
+
+    event_df("seed-0", "e-seed", "2026-02-01 00:00:00").write.partitionBy(
+        "event_month"
+    ).parquet(table)
+    ensure_log(table)
+    # pre-stage every batch's parquet (Spark writes are the slow part;
+    # the race under test is the commit protocol, not the write)
+    stagings = []
+    for b in range(n_batches):
+        staging = str(tmp_path / f"stage-{b}")
+        event_df(
+            f"b{b}", f"e-{b}", f"2026-0{2 + b % 2}-01 00:00:00"
+        ).write.partitionBy("event_month").parquet(staging)
+        stagings.append(staging)
+
+    store = TxnLogPartitionStore()
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def writer() -> None:
+        try:
+            for b, staging in enumerate(stagings):
+                adds, tag = stage_batch_files(table, staging, b, "q")
+                store.commit_batch(table, adds, tag)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def compactor() -> None:
+        try:
+            while not stop.is_set():
+                maintenance_cycle(
+                    spark,
+                    table,
+                    keep="events",
+                    vacuum_min_age_s=3600.0,
+                    max_swap_retries=50,
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = read_table(spark, table)
+    ids = sorted(r.event_id for r in final.collect())
+    assert ids == sorted(["seed-0"] + [f"b{b}" for b in range(n_batches)])
