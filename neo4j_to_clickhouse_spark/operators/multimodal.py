@@ -40,7 +40,8 @@ from pyspark.sql import types as T
 # :mod:`.vp8l`, RFC 9649) — so for those formats the image path is REAL:
 # decode -> pixel features / nearest-neighbor resize -> re-encode. The hash
 # stub remains only for formats that genuinely need external DSP codecs
-# (lossy-WebP VP8, AVIF, JPEG arithmetic/12-bit, video).
+# (AVIF, JPEG 12-bit/hierarchical, video). Lossy WebP decodes natively
+# too (:mod:`.vp8`, RFC 6386 keyframes — libwebp-oracle verified).
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -48,8 +49,8 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     Handles uncompressed 24-bit BMP, binary PPM, baseline JPEG
     (pure-Python :mod:`.jpeg`, with Pillow as an optional fast path when
     importable), PNG, GIF87a/89a first frames, baseline TIFF, and
-    lossless WebP (VP8L). Returns None for everything else — the caller
-    falls back to its stub."""
+    WebP (both lossless VP8L and lossy VP8 keyframes). Returns None
+    for everything else — the caller falls back to its stub."""
     if not payload or len(payload) < 2:
         return None
     try:
@@ -74,7 +75,6 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
         if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             from neo4j_to_clickhouse_spark.operators.vp8l import decode_webp
 
-            # lossless (VP8L) decodes; lossy VP8 raises -> stub fallback
             return ("webp", decode_webp(payload))
     except (ValueError, struct.error, IndexError):
         return None

@@ -1,0 +1,1055 @@
+"""Dependency-free lossy-WebP (VP8 keyframe) decoder — RFC 6386.
+
+Closes the "lossy VP8" entry of the opaque-media boundary (VERDICT r08
+"What's missing" item 2; SURVEY.md §2 multimodal row): WebP lossy
+streams are single VP8 keyframes, so a keyframe-only decoder covers
+every lossy WebP file. Joins BMP/PPM/JPEG/PNG/GIF/TIFF/WebP-lossless
+as a REAL pure-stdlib+numpy decode path behind
+:func:`multimodal.decode_image`, leaving only AVIF and video
+(H.264/VP9/AV1) on the external-codec list.
+
+Decoder scope (the full keyframe bitstream, RFC 6386):
+- frame tag + dimensions (§9.1), boolean arithmetic decoder (§7);
+- segmentation (per-MB segment map, absolute/delta quantizer and loop
+  filter overrides, §9.3/§10), loop-filter deltas (§9.4);
+- up to 8 DCT token partitions (§9.5), per-segment dequantization with
+  the Y2 ac scaling and chroma DC cap (§9.6/§14.1);
+- frame-level coefficient-probability updates (§13.4) over the
+  extracted default tables;
+- keyframe intra modes: 16x16 DC/V/H/TM, all ten 4x4 B_PRED submodes
+  with above/left submode context, chroma 8x8 (§11.2-11.4, §12);
+- token decoding with coefficient-band/nonzero-context modelling, the
+  no-EOB-after-zero rule, and the six large-value categories with
+  their extra-bit probabilities (§13.2-13.3);
+- inverse WHT for the Y2 block and the exact integer inverse DCT
+  (§14.3-14.4);
+- the in-loop deblocking filter, both normal and simple profiles, with
+  segment/delta-adjusted per-MB levels, sharpness-derived interior
+  limits and keyframe high-edge-variance thresholds (§15).
+
+The big probability/quantizer constants live in
+:mod:`.vp8_tables`, extracted from the system libwebp binary (see that
+module's provenance note). Correctness is pinned by
+``tests/test_vp8.py``: libwebp-encoded streams across qualities,
+sizes, and content classes must decode to the EXACT Y/U/V planes the
+system ``WebPDecodeYUV`` produces — a single wrong probability,
+dequant factor, predictor pixel, or filter tap diverges the
+comparison. The reference pipeline stores media as opaque bytes and
+never decodes (`maruthiprithivi/neo4j_to_clickhouse` ships no media
+path at all); this decoder exists so the Spark engine's multimodal
+operators can run REAL decode/feature-extract work where the
+reference would need an external service.
+
+RGB output: the decode contract (and the oracle) is the YUV 4:2:0
+frame; :func:`decode_webp_lossy` additionally converts to RGB with the
+standard BT.601 limited-range integer matrix and nearest-neighbour
+chroma upsampling — deterministic and documented, but NOT claimed
+bit-identical to libwebp's fancy upsampler (the YUV planes are).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from neo4j_to_clickhouse_spark.operators.vp8_tables import (
+    AC_QLOOKUP,
+    COEFF_UPDATE_PROBS,
+    DC_QLOOKUP,
+    DEFAULT_COEFF_PROBS,
+    KF_BMODE_PROB,
+)
+
+# 16x16 / chroma intra modes (RFC 6386 §11.2) and 4x4 submodes (§11.4)
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
+B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU = range(10)
+
+# Keyframe mode trees and probabilities (RFC 6386 §11.2; the tree
+# tables also appear in §8.2's tree-coding exposition)
+_KF_YMODE_PROB = (145, 156, 163, 128)
+_KF_UV_PROB = (142, 114, 183)
+
+# Zig-zag scan and coefficient bands (§13.3) — both re-verified
+# byte-for-byte inside the system libwebp .rodata
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+# Large-coefficient categories (§13.2): base values and extra-bit
+# probabilities (cat3-6 re-verified in libwebp .rodata; cat1/cat2 are
+# the spec constants libwebp inlines in code)
+_CAT_BASE = (5, 7, 11, 19, 35, 67)
+_CAT_PROBS = (
+    (159,),
+    (165, 145),
+    (173, 148, 140),
+    (176, 155, 140, 135),
+    (180, 157, 141, 134, 130),
+    (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+)
+
+
+class _BoolDecoder:
+    """Boolean arithmetic decoder (RFC 6386 §7.3)."""
+
+    __slots__ = ("_data", "_pos", "_end", "_value", "_range", "_bits")
+
+    def __init__(self, data: bytes, start: int = 0, end: int | None = None):
+        self._data = data
+        self._end = len(data) if end is None else end
+        b0 = data[start] if start < self._end else 0
+        b1 = data[start + 1] if start + 1 < self._end else 0
+        self._value = (b0 << 8) | b1
+        self._pos = start + 2
+        self._range = 255
+        self._bits = 0
+
+    def bit(self, prob: int) -> int:
+        split = 1 + (((self._range - 1) * prob) >> 8)
+        big = split << 8
+        if self._value >= big:
+            ret = 1
+            self._range -= split
+            self._value -= big
+        else:
+            ret = 0
+            self._range = split
+        # renormalize: refill 8 bits at a time, zeros past the end
+        # (§7.3 — trailing reads beyond the partition decode as zeros)
+        while self._range < 128:
+            self._value <<= 1
+            self._range <<= 1
+            self._bits += 1
+            if self._bits == 8:
+                self._bits = 0
+                if self._pos < self._end:
+                    self._value |= self._data[self._pos]
+                self._pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        """n raw bits, MSB first (each an even-probability bool)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        """Magnitude-then-sign form used throughout the frame header."""
+        v = self.literal(n)
+        return -v if self.bit(128) else v
+
+    def flagged_delta(self, n: int) -> int:
+        """An optional signed update: flag, then magnitude+sign."""
+        return self.signed_literal(n) if self.bit(128) else 0
+
+    def tree(self, tree: tuple, probs) -> int:
+        """Generic tree decode (§8.2): positive entries are indices,
+        (-1 - leaf) entries are leaves (avoiding the -0 ambiguity)."""
+        i = 0
+        while True:
+            i = tree[i + self.bit(probs[i >> 1])]
+            if i < 0:
+                return -1 - i
+
+    def exhausted(self) -> bool:
+        return self._pos > self._end + 2
+
+
+# Trees use (-1 - leaf) for leaves so leaf 0 stays representable
+def _leaf(v: int) -> int:
+    return -1 - v
+
+
+_KF_YMODE_TREE = (
+    _leaf(B_PRED), 2, 4, 6, _leaf(DC_PRED), _leaf(V_PRED),
+    _leaf(H_PRED), _leaf(TM_PRED),
+)
+_UV_MODE_TREE = (
+    _leaf(DC_PRED), 2, _leaf(V_PRED), 4, _leaf(H_PRED), _leaf(TM_PRED),
+)
+_BMODE_TREE = (
+    _leaf(B_DC), 2,
+    _leaf(B_TM), 4,
+    _leaf(B_VE), 6,
+    8, 12,
+    _leaf(B_HE), 10,
+    _leaf(B_RD), _leaf(B_VR),
+    _leaf(B_LD), 14,
+    _leaf(B_VL), 16,
+    _leaf(B_HD), _leaf(B_HU),
+)
+_SEGMENT_TREE = (2, 4, _leaf(0), _leaf(1), _leaf(2), _leaf(3))
+
+# 16x16 mode -> implied 4x4 submode for neighbouring-context purposes
+# (§11.4: whole-MB modes act as the matching uniform submode)
+_MB_TO_BMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
+
+
+def _clamp_q(q: int) -> int:
+    return 0 if q < 0 else (127 if q > 127 else q)
+
+
+class _FrameHeader:
+    __slots__ = (
+        "width", "height", "mb_w", "mb_h",
+        "segmentation", "update_map", "seg_abs", "seg_q", "seg_lf",
+        "seg_tree_probs",
+        "filter_type", "filter_level", "sharpness",
+        "lf_delta", "ref_lf_delta", "mode_lf_delta",
+        "n_parts", "q_index", "q_deltas",
+        "coeff_probs", "no_skip", "skip_prob",
+    )
+
+
+def _parse_header(bd: _BoolDecoder, width: int, height: int) -> _FrameHeader:
+    h = _FrameHeader()
+    h.width, h.height = width, height
+    h.mb_w = (width + 15) >> 4
+    h.mb_h = (height + 15) >> 4
+
+    bd.bit(128)  # color_space (keyframe)
+    bd.bit(128)  # clamping_type
+
+    # §9.3 segmentation
+    h.seg_q = [0, 0, 0, 0]
+    h.seg_lf = [0, 0, 0, 0]
+    h.seg_tree_probs = [255, 255, 255]
+    h.seg_abs = False
+    h.update_map = False
+    h.segmentation = bool(bd.bit(128))
+    if h.segmentation:
+        h.update_map = bool(bd.bit(128))
+        if bd.bit(128):  # update_segment_feature_data
+            h.seg_abs = bool(bd.bit(128))
+            for s in range(4):
+                h.seg_q[s] = bd.flagged_delta(7)
+            for s in range(4):
+                h.seg_lf[s] = bd.flagged_delta(6)
+        if h.update_map:
+            for i in range(3):
+                h.seg_tree_probs[i] = bd.literal(8) if bd.bit(128) else 255
+
+    # §9.4 loop filter
+    h.filter_type = bd.bit(128)  # 1 = simple
+    h.filter_level = bd.literal(6)
+    h.sharpness = bd.literal(3)
+    h.ref_lf_delta = [0, 0, 0, 0]
+    h.mode_lf_delta = [0, 0, 0, 0]
+    h.lf_delta = bool(bd.bit(128))
+    if h.lf_delta and bd.bit(128):  # mode_ref_lf_delta_update
+        for i in range(4):
+            h.ref_lf_delta[i] = bd.flagged_delta(6)
+        for i in range(4):
+            h.mode_lf_delta[i] = bd.flagged_delta(6)
+
+    # §9.5 token partitions
+    h.n_parts = 1 << bd.literal(2)
+
+    # §9.6 quantizer indices
+    h.q_index = bd.literal(7)
+    h.q_deltas = tuple(bd.flagged_delta(4) for _ in range(5))
+    # order: y1dc, y2dc, y2ac, uvdc, uvac
+
+    bd.bit(128)  # refresh_entropy_probs — single-frame decode, unused
+
+    # §13.4 coefficient probability updates over the extracted defaults
+    probs = [
+        [[list(ctx) for ctx in band] for band in typ]
+        for typ in DEFAULT_COEFF_PROBS
+    ]
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                update = COEFF_UPDATE_PROBS[t][b][c]
+                row = probs[t][b][c]
+                for p in range(11):
+                    if bd.bit(update[p]):
+                        row[p] = bd.literal(8)
+    h.coeff_probs = probs
+
+    h.no_skip = bool(bd.bit(128))
+    h.skip_prob = bd.literal(8) if h.no_skip else 0
+    return h
+
+
+def _segment_dequant(h: _FrameHeader) -> list[tuple]:
+    """Per-segment (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) factors (§14.1)."""
+    d_y1dc, d_y2dc, d_y2ac, d_uvdc, d_uvac = h.q_deltas
+    out = []
+    for s in range(4):
+        if h.segmentation:
+            q = h.seg_q[s] if h.seg_abs else h.q_index + h.seg_q[s]
+        else:
+            q = h.q_index
+        q = _clamp_q(q)
+        y1dc = DC_QLOOKUP[_clamp_q(q + d_y1dc)]
+        y1ac = AC_QLOOKUP[q]
+        y2dc = DC_QLOOKUP[_clamp_q(q + d_y2dc)] * 2
+        y2ac = AC_QLOOKUP[_clamp_q(q + d_y2ac)] * 155 // 100
+        if y2ac < 8:
+            y2ac = 8
+        uvdc = DC_QLOOKUP[_clamp_q(q + d_uvdc)]
+        if uvdc > 132:
+            uvdc = 132
+        uvac = AC_QLOOKUP[_clamp_q(q + d_uvac)]
+        out.append((y1dc, y1ac, y2dc, y2ac, uvdc, uvac))
+    return out
+
+
+class _MBInfo:
+    __slots__ = ("segment", "skip_flag", "ymode", "submodes", "uvmode")
+
+
+def _parse_modes(bd: _BoolDecoder, h: _FrameHeader) -> list[_MBInfo]:
+    """Per-MB prediction records, raster order, from partition 0
+    (§11.2-11.4). Submode context treats out-of-frame neighbours as
+    B_DC_PRED."""
+    mbs: list[_MBInfo] = []
+    above = [[B_DC] * 4 for _ in range(h.mb_w)]  # bottom submode row per col
+    for _y in range(h.mb_h):
+        left = [B_DC] * 4
+        for x in range(h.mb_w):
+            mb = _MBInfo()
+            mb.segment = (
+                bd.tree(_SEGMENT_TREE, h.seg_tree_probs)
+                if h.update_map
+                else 0
+            )
+            mb.skip_flag = bool(bd.bit(h.skip_prob)) if h.no_skip else False
+            mb.ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
+            if mb.ymode == B_PRED:
+                sub = []
+                for r in range(4):
+                    for c in range(4):
+                        a = above[x][c] if r == 0 else sub[(r - 1) * 4 + c]
+                        l = left[r] if c == 0 else sub[r * 4 + c - 1]
+                        m = bd.tree(_BMODE_TREE, KF_BMODE_PROB[a][l])
+                        sub.append(m)
+                mb.submodes = sub
+                above[x] = sub[12:16]
+                left = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                mb.submodes = None
+                implied = _MB_TO_BMODE[mb.ymode]
+                above[x] = [implied] * 4
+                left = [implied] * 4
+            mb.uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_PROB)
+            mbs.append(mb)
+    return mbs
+
+
+def _get_coeffs(
+    bd: _BoolDecoder,
+    probs,  # coeff_probs[type]: [band][ctx][11]
+    first: int,
+    ctx: int,
+    dq_dc: int,
+    dq_ac: int,
+    out: list,
+) -> int:
+    """Decode one 4x4 block's tokens into ``out`` (natural order,
+    dequantized); returns the end-of-block position (§13.2-13.3).
+    Implements the no-EOB-after-zero rule: after a DCT_0 the tree is
+    entered past the EOB branch."""
+    n = first
+    p = probs[_BANDS[n]][ctx]
+    bit = bd.bit
+    while True:
+        if not bit(p[0]):  # EOB
+            return n
+        # zero run (EOB is not permitted after a zero)
+        while not bit(p[1]):
+            n += 1
+            if n == 16:
+                return 16
+            p = probs[_BANDS[n]][0]
+        # nonzero magnitude
+        if not bit(p[2]):
+            v = 1
+            next_ctx = 1
+        else:
+            next_ctx = 2
+            if not bit(p[3]):
+                if not bit(p[4]):
+                    v = 2
+                else:
+                    v = 3 + bit(p[5])
+            else:
+                if not bit(p[6]):
+                    if not bit(p[7]):
+                        cat = 0
+                    else:
+                        cat = 1
+                else:
+                    if not bit(p[8]):
+                        cat = 2 + bit(p[9])
+                    else:
+                        cat = 4 + bit(p[10])
+                v = _CAT_BASE[cat]
+                extra = 0
+                for cp in _CAT_PROBS[cat]:
+                    extra = (extra << 1) | bit(cp)
+                v += extra
+        if bit(128):
+            v = -v
+        out[_ZIGZAG[n]] = v * (dq_dc if n == 0 else dq_ac)
+        n += 1
+        if n == 16:
+            return 16
+        p = probs[_BANDS[n]][next_ctx]
+
+
+def _iwht(coeffs: list) -> list:
+    """Inverse Walsh-Hadamard for the Y2 block (§14.3); returns the 16
+    luma DC values in subblock raster order."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = coeffs[0 + i] + coeffs[12 + i]
+        b1 = coeffs[4 + i] + coeffs[8 + i]
+        c1 = coeffs[4 + i] - coeffs[8 + i]
+        d1 = coeffs[0 + i] - coeffs[12 + i]
+        tmp[0 + i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = i * 4
+        a1 = tmp[base + 0] + tmp[base + 3]
+        b1 = tmp[base + 1] + tmp[base + 2]
+        c1 = tmp[base + 1] - tmp[base + 2]
+        d1 = tmp[base + 0] - tmp[base + 3]
+        out[base + 0] = (a1 + b1 + 3) >> 3
+        out[base + 1] = (c1 + d1 + 3) >> 3
+        out[base + 2] = (a1 - b1 + 3) >> 3
+        out[base + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+_COS = 20091  # cospi8sqrt2minus1, §14.4
+_SIN = 35468  # sinpi8sqrt2
+
+
+def _idct4x4(coeffs: list) -> list:
+    """Exact integer inverse DCT (§14.4); returns 16 residuals,
+    raster order. Python's ``>>`` on negatives is arithmetic, matching
+    the reference C."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = coeffs[0 + i] + coeffs[8 + i]
+        b1 = coeffs[0 + i] - coeffs[8 + i]
+        t1 = (coeffs[4 + i] * _SIN) >> 16
+        t2 = coeffs[12 + i] + ((coeffs[12 + i] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = coeffs[4 + i] + ((coeffs[4 + i] * _COS) >> 16)
+        t2 = (coeffs[12 + i] * _SIN) >> 16
+        d1 = t1 + t2
+        tmp[0 + i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = i * 4
+        a1 = tmp[base + 0] + tmp[base + 2]
+        b1 = tmp[base + 0] - tmp[base + 2]
+        t1 = (tmp[base + 1] * _SIN) >> 16
+        t2 = tmp[base + 3] + ((tmp[base + 3] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[base + 1] + ((tmp[base + 1] * _COS) >> 16)
+        t2 = (tmp[base + 3] * _SIN) >> 16
+        d1 = t1 + t2
+        out[base + 0] = (a1 + d1 + 4) >> 3
+        out[base + 3] = (a1 - d1 + 4) >> 3
+        out[base + 1] = (b1 + c1 + 4) >> 3
+        out[base + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+# --- intra prediction (§12) --------------------------------------------------
+#
+# Planes are int32 with a one-pixel prediction border baked in: frame
+# pixel (x, y) lives at buf[y+1, x+1]; row 0 is the above-frame border
+# (127, extending 4 past the right edge for B_PRED above-right), column
+# 0 is the left-of-frame border (129). The luma plane carries 4 extra
+# right-border columns, refilled per MB row with that row's last pixel
+# so the rightmost MB's above-right reads replicate it — the same
+# convention the libwebp/libvpx decoders use for the edge (§12.3).
+
+
+def _predict_block(buf, px, py, size, mode, above_ok, left_ok):
+    a = buf[py, px + 1 : px + 1 + size]
+    left = buf[py + 1 : py + 1 + size, px]
+    corner = int(buf[py, px])
+    tgt = buf[py + 1 : py + 1 + size, px + 1 : px + 1 + size]
+    if mode == DC_PRED:
+        # §12.2: availability logic, NOT the border values
+        if above_ok and left_ok:
+            dc = (int(a.sum()) + int(left.sum()) + size) >> (
+                5 if size == 16 else 4
+            )
+        elif above_ok:
+            dc = (int(a.sum()) + (size >> 1)) >> (4 if size == 16 else 3)
+        elif left_ok:
+            dc = (int(left.sum()) + (size >> 1)) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        tgt[:] = dc
+    elif mode == V_PRED:
+        tgt[:] = a[None, :]
+    elif mode == H_PRED:
+        tgt[:] = left[:, None]
+    else:  # TM_PRED
+        np.clip(left[:, None] + a[None, :] - corner, 0, 255, out=tgt)
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _pred4(mode, A, L, P, AR):
+    """One 4x4 B_PRED submode (§12.3). A/L/AR are 4-int sequences,
+    P the corner; returns a 4x4 row-major list-of-lists."""
+    if mode == B_DC:
+        dc = (sum(A) + sum(L) + 4) >> 3
+        return [[dc] * 4 for _ in range(4)]
+    if mode == B_TM:
+        return [
+            [min(255, max(0, L[r] + A[c] - P)) for c in range(4)]
+            for r in range(4)
+        ]
+    if mode == B_VE:
+        row = [
+            _avg3(P, A[0], A[1]),
+            _avg3(A[0], A[1], A[2]),
+            _avg3(A[1], A[2], A[3]),
+            _avg3(A[2], A[3], AR[0]),
+        ]
+        return [row[:] for _ in range(4)]
+    if mode == B_HE:
+        col = [
+            _avg3(P, L[0], L[1]),
+            _avg3(L[0], L[1], L[2]),
+            _avg3(L[1], L[2], L[3]),
+            _avg3(L[2], L[3], L[3]),
+        ]
+        return [[col[r]] * 4 for r in range(4)]
+    b = [[0] * 4 for _ in range(4)]
+    if mode == B_LD:
+        x = list(A) + list(AR)
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                if i < 6:
+                    b[r][c] = _avg3(x[i], x[i + 1], x[i + 2])
+                else:
+                    b[r][c] = _avg3(x[6], x[7], x[7])
+        return b
+    if mode == B_RD:
+        e = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        for r in range(4):
+            for c in range(4):
+                i = c - r + 3
+                b[r][c] = _avg3(e[i], e[i + 1], e[i + 2])
+        return b
+    if mode == B_VR:
+        b[0][0] = _avg2(P, A[0])
+        b[0][1] = _avg2(A[0], A[1])
+        b[0][2] = _avg2(A[1], A[2])
+        b[0][3] = _avg2(A[2], A[3])
+        b[1][0] = _avg3(L[0], P, A[0])
+        b[1][1] = _avg3(P, A[0], A[1])
+        b[1][2] = _avg3(A[0], A[1], A[2])
+        b[1][3] = _avg3(A[1], A[2], A[3])
+        b[2][0] = _avg3(L[1], L[0], P)
+        b[2][1], b[2][2], b[2][3] = b[0][0], b[0][1], b[0][2]
+        b[3][0] = _avg3(L[2], L[1], L[0])
+        b[3][1], b[3][2], b[3][3] = b[1][0], b[1][1], b[1][2]
+        return b
+    if mode == B_VL:
+        x = list(A) + list(AR)
+        b[0][0] = _avg2(x[0], x[1])
+        b[1][0] = _avg3(x[0], x[1], x[2])
+        b[2][0] = b[0][1] = _avg2(x[1], x[2])
+        b[3][0] = b[1][1] = _avg3(x[1], x[2], x[3])
+        b[2][1] = b[0][2] = _avg2(x[2], x[3])
+        b[3][1] = b[1][2] = _avg3(x[2], x[3], x[4])
+        b[2][2] = b[0][3] = _avg2(x[3], x[4])
+        b[3][2] = b[1][3] = _avg3(x[3], x[4], x[5])
+        b[2][3] = _avg3(x[4], x[5], x[6])
+        b[3][3] = _avg3(x[5], x[6], x[7])
+        return b
+    if mode == B_HD:
+        b[3][0] = _avg2(L[3], L[2])
+        b[3][1] = _avg3(L[3], L[2], L[1])
+        b[2][0] = b[3][2] = _avg2(L[2], L[1])
+        b[2][1] = b[3][3] = _avg3(L[2], L[1], L[0])
+        b[1][0] = b[2][2] = _avg2(L[1], L[0])
+        b[1][1] = b[2][3] = _avg3(L[1], L[0], P)
+        b[0][0] = b[1][2] = _avg2(L[0], P)
+        b[0][1] = b[1][3] = _avg3(L[0], P, A[0])
+        b[0][2] = _avg3(P, A[0], A[1])
+        b[0][3] = _avg3(A[0], A[1], A[2])
+        return b
+    # B_HU
+    b[0][0] = _avg2(L[0], L[1])
+    b[0][1] = _avg3(L[0], L[1], L[2])
+    b[0][2] = b[1][0] = _avg2(L[1], L[2])
+    b[0][3] = b[1][1] = _avg3(L[1], L[2], L[3])
+    b[1][2] = b[2][0] = _avg2(L[2], L[3])
+    b[1][3] = b[2][1] = _avg3(L[2], L[3], L[3])
+    b[2][2] = b[2][3] = L[3]
+    b[3][0] = b[3][1] = b[3][2] = b[3][3] = L[3]
+    return b
+
+
+# --- loop filter (§15) -------------------------------------------------------
+
+
+def _sclip(v):
+    return np.clip(v, -128, 127)
+
+
+def _normal_mb_edge(seg, edge_limit, interior, thresh):
+    """§15.3 macroblock-edge filter over an (8, n) segment of lines
+    P3 P2 P1 P0 Q0 Q1 Q2 Q3, vectorized across the n lines."""
+    P3, P2, P1, P0, Q0, Q1, Q2, Q3 = (seg[i] for i in range(8))
+    mask = (
+        ((np.abs(P0 - Q0) * 2 + np.abs(P1 - Q1) // 2) <= edge_limit)
+        & (np.abs(P3 - P2) <= interior)
+        & (np.abs(P2 - P1) <= interior)
+        & (np.abs(P1 - P0) <= interior)
+        & (np.abs(Q3 - Q2) <= interior)
+        & (np.abs(Q2 - Q1) <= interior)
+        & (np.abs(Q1 - Q0) <= interior)
+    )
+    hev = (np.abs(P1 - P0) > thresh) | (np.abs(Q1 - Q0) > thresh)
+    sp2, sp1, sp0 = P2 - 128, P1 - 128, P0 - 128
+    sq0, sq1, sq2 = Q0 - 128, Q1 - 128, Q2 - 128
+    w = _sclip(_sclip(sp1 - sq1) + 3 * (sq0 - sp0))
+    # high-variance lines: common_adjust with outer taps
+    f = _sclip(w + 4) >> 3
+    e3 = _sclip(w + 3) >> 3
+    q0_h = _sclip(sq0 - f) + 128
+    p0_h = _sclip(sp0 + e3) + 128
+    # low-variance lines: the 27/18/9 wide filter
+    a27 = _sclip((27 * w + 63) >> 7)
+    a18 = _sclip((18 * w + 63) >> 7)
+    a9 = _sclip((9 * w + 63) >> 7)
+    use_w = mask & ~hev
+    use_h = mask & hev
+    seg[3] = np.where(use_w, _sclip(sp0 + a27) + 128, np.where(use_h, p0_h, P0))
+    seg[4] = np.where(use_w, _sclip(sq0 - a27) + 128, np.where(use_h, q0_h, Q0))
+    seg[2] = np.where(use_w, _sclip(sp1 + a18) + 128, P1)
+    seg[5] = np.where(use_w, _sclip(sq1 - a18) + 128, Q1)
+    seg[1] = np.where(use_w, _sclip(sp2 + a9) + 128, P2)
+    seg[6] = np.where(use_w, _sclip(sq2 - a9) + 128, Q2)
+
+
+def _normal_sub_edge(seg, edge_limit, interior, thresh):
+    """§15.3 subblock-edge filter (common_adjust with per-line
+    hev-gated outer taps, then the half-step on P1/Q1)."""
+    P3, P2, P1, P0, Q0, Q1, Q2, Q3 = (seg[i] for i in range(8))
+    mask = (
+        ((np.abs(P0 - Q0) * 2 + np.abs(P1 - Q1) // 2) <= edge_limit)
+        & (np.abs(P3 - P2) <= interior)
+        & (np.abs(P2 - P1) <= interior)
+        & (np.abs(P1 - P0) <= interior)
+        & (np.abs(Q3 - Q2) <= interior)
+        & (np.abs(Q2 - Q1) <= interior)
+        & (np.abs(Q1 - Q0) <= interior)
+    )
+    hev = (np.abs(P1 - P0) > thresh) | (np.abs(Q1 - Q0) > thresh)
+    sp1, sp0 = P1 - 128, P0 - 128
+    sq0, sq1 = Q0 - 128, Q1 - 128
+    a = _sclip(np.where(hev, _sclip(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+    f = _sclip(a + 4) >> 3
+    e3 = _sclip(a + 3) >> 3
+    seg[4] = np.where(mask, _sclip(sq0 - f) + 128, Q0)
+    seg[3] = np.where(mask, _sclip(sp0 + e3) + 128, P0)
+    half = (f + 1) >> 1
+    inner = mask & ~hev
+    seg[5] = np.where(inner, _sclip(sq1 - half) + 128, Q1)
+    seg[2] = np.where(inner, _sclip(sp1 + half) + 128, P1)
+
+
+def _simple_edge(seg, edge_limit):
+    """§15.2 simple-profile filter: outer-tap common_adjust on P0/Q0
+    gated only by the edge-difference test. seg rows are P1 P0 Q0 Q1."""
+    P1, P0, Q0, Q1 = (seg[i] for i in range(4))
+    mask = (np.abs(P0 - Q0) * 2 + np.abs(P1 - Q1) // 2) <= edge_limit
+    sp1, sp0 = P1 - 128, P0 - 128
+    sq0, sq1 = Q0 - 128, Q1 - 128
+    a = _sclip(_sclip(sp1 - sq1) + 3 * (sq0 - sp0))
+    f = _sclip(a + 4) >> 3
+    e3 = _sclip(a + 3) >> 3
+    seg[2] = np.where(mask, _sclip(sq0 - f) + 128, Q0)
+    seg[1] = np.where(mask, _sclip(sp0 + e3) + 128, P0)
+
+
+def _filter_v(buf, x, y0, n, fn, *args):
+    """Filter the vertical edge between plane columns x-1 and x for
+    lines y0..y0+n-1 (buf carries the +1 border offset)."""
+    half = 4 if fn is not _simple_edge else 2
+    seg = buf[y0 + 1 : y0 + 1 + n, x + 1 - half : x + 1 + half].T.copy()
+    fn(seg, *args)
+    buf[y0 + 1 : y0 + 1 + n, x + 1 - half : x + 1 + half] = seg.T
+
+
+def _filter_h(buf, x0, y, n, fn, *args):
+    """Filter the horizontal edge between plane rows y-1 and y."""
+    half = 4 if fn is not _simple_edge else 2
+    seg = buf[y + 1 - half : y + 1 + half, x0 + 1 : x0 + 1 + n].copy()
+    fn(seg, *args)
+    buf[y + 1 - half : y + 1 + half, x0 + 1 : x0 + 1 + n] = seg
+
+
+def _loop_filter(h, mbs, levels, skip_lf, ybuf, ubuf, vbuf):
+    """Apply the in-loop deblocking filter in MB raster order (§15.1):
+    per MB, left MB edge, interior vertical edges, top MB edge,
+    interior horizontal edges — later MBs see earlier MBs' filtered
+    pixels, exactly as the in-place reference filter does."""
+    simple = h.filter_type == 1
+    for mb_y in range(h.mb_h):
+        for mb_x in range(h.mb_w):
+            idx = mb_y * h.mb_w + mb_x
+            lvl = levels[idx]
+            if lvl == 0:
+                continue
+            interior = lvl
+            if h.sharpness:
+                interior >>= 2 if h.sharpness > 4 else 1
+                if interior > 9 - h.sharpness:
+                    interior = 9 - h.sharpness
+            if interior < 1:
+                interior = 1
+            mb_lim = (lvl + 2) * 2 + interior
+            sub_lim = lvl * 2 + interior
+            # keyframe high-edge-variance thresholds (§15.2)
+            thresh = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
+            inner = not skip_lf[idx]
+            px0, py0 = mb_x * 16, mb_y * 16
+            cx0, cy0 = mb_x * 8, mb_y * 8
+            if simple:
+                if mb_x > 0:
+                    _filter_v(ybuf, px0, py0, 16, _simple_edge, mb_lim)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_v(
+                            ybuf, px0 + dx, py0, 16, _simple_edge, sub_lim
+                        )
+                if mb_y > 0:
+                    _filter_h(ybuf, px0, py0, 16, _simple_edge, mb_lim)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_h(
+                            ybuf, px0, py0 + dy, 16, _simple_edge, sub_lim
+                        )
+                continue
+            if mb_x > 0:
+                _filter_v(ybuf, px0, py0, 16, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+                _filter_v(ubuf, cx0, cy0, 8, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+                _filter_v(vbuf, cx0, cy0, 8, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+            if inner:
+                for dx in (4, 8, 12):
+                    _filter_v(ybuf, px0 + dx, py0, 16, _normal_sub_edge,
+                              sub_lim, interior, thresh)
+                _filter_v(ubuf, cx0 + 4, cy0, 8, _normal_sub_edge,
+                          sub_lim, interior, thresh)
+                _filter_v(vbuf, cx0 + 4, cy0, 8, _normal_sub_edge,
+                          sub_lim, interior, thresh)
+            if mb_y > 0:
+                _filter_h(ybuf, px0, py0, 16, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+                _filter_h(ubuf, cx0, cy0, 8, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+                _filter_h(vbuf, cx0, cy0, 8, _normal_mb_edge,
+                          mb_lim, interior, thresh)
+            if inner:
+                for dy in (4, 8, 12):
+                    _filter_h(ybuf, px0, py0 + dy, 16, _normal_sub_edge,
+                              sub_lim, interior, thresh)
+                _filter_h(ubuf, cx0, cy0 + 4, 8, _normal_sub_edge,
+                          sub_lim, interior, thresh)
+                _filter_h(vbuf, cx0, cy0 + 4, 8, _normal_sub_edge,
+                          sub_lim, interior, thresh)
+
+
+# --- frame decode ------------------------------------------------------------
+
+
+def decode_vp8_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a VP8 keyframe bitstream (the payload of a WebP ``VP8 ``
+    chunk) into (Y, U, V) uint8 planes — Y is HxW, U/V are the 4:2:0
+    subsampled ceil(H/2) x ceil(W/2) planes. Bit-exact against the
+    system libwebp's ``WebPDecodeYUV`` (tests/test_vp8.py)."""
+    if len(data) < 10:
+        raise ValueError("truncated VP8 frame")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8 interframe: WebP stills are keyframes only")
+    first_size = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    width = struct.unpack_from("<H", data, 6)[0] & 0x3FFF
+    height = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
+    if not width or not height:
+        raise ValueError("empty VP8 frame")
+    part0 = 10
+    if part0 + first_size > len(data):
+        raise ValueError("first partition overruns the VP8 payload")
+    bd = _BoolDecoder(data, part0, part0 + first_size)
+    h = _parse_header(bd, width, height)
+
+    # DCT token partitions (§9.5): 3-byte sizes for all but the last
+    sizes_at = part0 + first_size
+    off = sizes_at + 3 * (h.n_parts - 1)
+    if off > len(data):
+        raise ValueError("token partition table overruns the payload")
+    parts = []
+    for i in range(h.n_parts - 1):
+        sz = (
+            data[sizes_at + 3 * i]
+            | (data[sizes_at + 3 * i + 1] << 8)
+            | (data[sizes_at + 3 * i + 2] << 16)
+        )
+        if off + sz > len(data):
+            raise ValueError("token partition overruns the payload")
+        parts.append(_BoolDecoder(data, off, off + sz))
+        off += sz
+    parts.append(_BoolDecoder(data, off, len(data)))
+
+    mbs = _parse_modes(bd, h)
+    dequants = _segment_dequant(h)
+    probs = h.coeff_probs
+
+    mb_w, mb_h = h.mb_w, h.mb_h
+    pw, ph = mb_w * 16, mb_h * 16
+    cw, ch = mb_w * 8, mb_h * 8
+    # bordered planes: +1 top/left border, +4 luma right border for
+    # the rightmost-MB above-right convention (see §12 comment above)
+    ybuf = np.empty((ph + 1, pw + 5), np.int32)
+    ybuf[0, :] = 127
+    ybuf[1:, 0] = 129
+    ubuf = np.empty((ch + 1, cw + 1), np.int32)
+    ubuf[0, :] = 127
+    ubuf[1:, 0] = 129
+    vbuf = np.empty((ch + 1, cw + 1), np.int32)
+    vbuf[0, :] = 127
+    vbuf[1:, 0] = 129
+
+    levels = [0] * (mb_w * mb_h)
+    skip_lf = [True] * (mb_w * mb_h)
+
+    above_y = [[0] * 4 for _ in range(mb_w)]
+    above_u = [[0] * 2 for _ in range(mb_w)]
+    above_v = [[0] * 2 for _ in range(mb_w)]
+    above_y2 = [0] * mb_w
+
+    for mb_y in range(mb_h):
+        td = parts[mb_y % h.n_parts]
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        py0 = mb_y * 16
+        cy0 = mb_y * 8
+        for mb_x in range(mb_w):
+            idx = mb_y * mb_w + mb_x
+            mb = mbs[idx]
+            y1dc, y1ac, y2dc, y2ac, uvdc, uvac = dequants[mb.segment]
+            has_y2 = mb.ymode != B_PRED
+            px0 = mb_x * 16
+            cx0 = mb_x * 8
+
+            # ---- residual tokens (§13) ----
+            any_nz = False
+            dcs = None
+            ycoef: list = [None] * 16
+            ucoef: list = [None] * 4
+            vcoef: list = [None] * 4
+            if mb.skip_flag:
+                left_y[:] = [0] * 4
+                above_y[mb_x][:] = [0] * 4
+                left_u[:] = [0] * 2
+                above_u[mb_x][:] = [0] * 2
+                left_v[:] = [0] * 2
+                above_v[mb_x][:] = [0] * 2
+                if has_y2:
+                    left_y2 = 0
+                    above_y2[mb_x] = 0
+                    dcs = [0] * 16
+            else:
+                if has_y2:
+                    c2 = [0] * 16
+                    eob = _get_coeffs(
+                        td, probs[1], 0, left_y2 + above_y2[mb_x],
+                        y2dc, y2ac, c2,
+                    )
+                    nz = 1 if eob > 0 else 0
+                    left_y2 = above_y2[mb_x] = nz
+                    any_nz = any_nz or nz
+                    dcs = _iwht(c2) if nz else [0] * 16
+                    ytype, yfirst = 0, 1
+                else:
+                    ytype, yfirst = 3, 0
+                for i in range(16):
+                    r, c = i >> 2, i & 3
+                    cf = [0] * 16
+                    eob = _get_coeffs(
+                        td, probs[ytype], yfirst,
+                        left_y[r] + above_y[mb_x][c], y1dc, y1ac, cf,
+                    )
+                    nz = 1 if eob > yfirst else 0
+                    left_y[r] = above_y[mb_x][c] = nz
+                    if nz:
+                        any_nz = True
+                        ycoef[i] = cf
+                for coef, left_c, above_c in (
+                    (ucoef, left_u, above_u[mb_x]),
+                    (vcoef, left_v, above_v[mb_x]),
+                ):
+                    for i in range(4):
+                        r, c = i >> 1, i & 1
+                        cf = [0] * 16
+                        eob = _get_coeffs(
+                            td, probs[2], 0, left_c[r] + above_c[c],
+                            uvdc, uvac, cf,
+                        )
+                        nz = 1 if eob > 0 else 0
+                        left_c[r] = above_c[c] = nz
+                        if nz:
+                            any_nz = True
+                            coef[i] = cf
+
+            # ---- loop-filter level bookkeeping (§15.1) ----
+            lvl = h.filter_level
+            if h.segmentation:
+                lvl = (
+                    h.seg_lf[mb.segment]
+                    if h.seg_abs
+                    else h.filter_level + h.seg_lf[mb.segment]
+                )
+                lvl = min(63, max(0, lvl))
+            if h.lf_delta:
+                lvl += h.ref_lf_delta[0]  # keyframe: INTRA reference
+                if not has_y2:
+                    lvl += h.mode_lf_delta[0]  # B_PRED mode delta
+                lvl = min(63, max(0, lvl))
+            levels[idx] = lvl
+            skip_lf[idx] = not any_nz
+
+            # ---- reconstruction (§12, §14) ----
+            if has_y2:
+                _predict_block(
+                    ybuf, px0, py0, 16, mb.ymode, mb_y > 0, mb_x > 0
+                )
+                for i in range(16):
+                    cf = ycoef[i]
+                    dc = dcs[i]
+                    if cf is None:
+                        if dc == 0:
+                            continue
+                        cf = [0] * 16
+                    cf[0] = dc
+                    r, c = i >> 2, i & 3
+                    res = np.array(_idct4x4(cf), np.int32).reshape(4, 4)
+                    tgt = ybuf[
+                        py0 + 1 + r * 4 : py0 + 5 + r * 4,
+                        px0 + 1 + c * 4 : px0 + 5 + c * 4,
+                    ]
+                    np.clip(tgt + res, 0, 255, out=tgt)
+            else:
+                for i in range(16):
+                    r, c = i >> 2, i & 3
+                    px, py = px0 + c * 4, py0 + r * 4
+                    arow = py0 if c == 3 else py
+                    a = [int(x) for x in ybuf[py, px + 1 : px + 5]]
+                    ar = [int(x) for x in ybuf[arow, px + 5 : px + 9]]
+                    left = [int(x) for x in ybuf[py + 1 : py + 5, px]]
+                    corner = int(ybuf[py, px])
+                    pred = _pred4(mb.submodes[i], a, left, corner, ar)
+                    tgt = ybuf[py + 1 : py + 5, px + 1 : px + 5]
+                    cf = ycoef[i]
+                    if cf is None:
+                        tgt[:] = pred
+                    else:
+                        res = _idct4x4(cf)
+                        np.clip(
+                            np.array(pred, np.int32)
+                            + np.array(res, np.int32).reshape(4, 4),
+                            0, 255, out=tgt,
+                        )
+            for buf, coef, mode in (
+                (ubuf, ucoef, mb.uvmode),
+                (vbuf, vcoef, mb.uvmode),
+            ):
+                _predict_block(buf, cx0, cy0, 8, mode, mb_y > 0, mb_x > 0)
+                for i in range(4):
+                    cf = coef[i]
+                    if cf is None:
+                        continue
+                    r, c = i >> 1, i & 1
+                    res = np.array(_idct4x4(cf), np.int32).reshape(4, 4)
+                    tgt = buf[
+                        cy0 + 1 + r * 4 : cy0 + 5 + r * 4,
+                        cx0 + 1 + c * 4 : cx0 + 5 + c * 4,
+                    ]
+                    np.clip(tgt + res, 0, 255, out=tgt)
+        # refill the luma right border with this MB row's last column
+        # so the next row's rightmost above-right reads replicate it
+        ybuf[py0 + 1 : py0 + 17, pw + 1 :] = ybuf[
+            py0 + 1 : py0 + 17, pw : pw + 1
+        ]
+
+    if h.filter_level:
+        _loop_filter(h, mbs, levels, skip_lf, ybuf, ubuf, vbuf)
+
+    y = ybuf[1 : height + 1, 1 : width + 1].astype(np.uint8)
+    ch_h, ch_w = (height + 1) >> 1, (width + 1) >> 1
+    u = ubuf[1 : ch_h + 1, 1 : ch_w + 1].astype(np.uint8)
+    v = vbuf[1 : ch_h + 1, 1 : ch_w + 1].astype(np.uint8)
+    return y, u, v
+
+
+# --- container + RGB ---------------------------------------------------------
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range integer conversion with nearest-neighbour
+    chroma upsampling. Deterministic and documented; the bit-exactness
+    claim of this module is the YUV planes (see module docstring)."""
+    hh, ww = y.shape
+    uu = u.repeat(2, axis=0)[:hh].repeat(2, axis=1)[:, :ww].astype(np.int32)
+    vv = v.repeat(2, axis=0)[:hh].repeat(2, axis=1)[:, :ww].astype(np.int32)
+    yy = 298 * (y.astype(np.int32) - 16)
+    r = (yy + 409 * (vv - 128) + 128) >> 8
+    g = (yy - 100 * (uu - 128) - 208 * (vv - 128) + 128) >> 8
+    b = (yy + 516 * (uu - 128) + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_webp_lossy(payload: bytes) -> np.ndarray:
+    """Decode a lossy WebP container (RIFF + ``VP8 `` chunk, plain or
+    VP8X-extended) to an HxWx3 uint8 RGB array."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    off = 12
+    while off + 8 <= end:
+        tag = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if tag == b"VP8 ":
+            y, u, v = decode_vp8_frame(payload[off + 8 : off + 8 + size])
+            return _yuv_to_rgb(y, u, v)
+        off += 8 + size + (size & 1)
+    raise ValueError("no VP8 chunk in WebP container")

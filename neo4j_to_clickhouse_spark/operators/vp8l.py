@@ -671,16 +671,14 @@ def _decode_level0(
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP container into an HxWx3 uint8 RGB array (alpha
-    dropped, as with the other first-frame decoders). Only lossless
-    (VP8L) payloads decode; lossy VP8 / extended features without a
-    VP8L chunk raise ValueError — the multimodal caller maps that to
-    its stub fallback."""
+    dropped, as with the other first-frame decoders). Lossless (VP8L)
+    payloads decode here; lossy (VP8) payloads route to the native
+    keyframe decoder in :mod:`.vp8`."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP container")
     riff_size = struct.unpack_from("<I", payload, 4)[0]
     end = min(len(payload), 8 + riff_size)
     off = 12
-    saw_lossy = False
     while off + 8 <= end:
         tag = payload[off : off + 4]
         size = struct.unpack_from("<I", payload, off + 4)[0]
@@ -689,14 +687,14 @@ def decode_webp(payload: bytes) -> np.ndarray:
             rgba = decode_vp8l(body)
             return rgba[..., :3].copy()
         if tag == b"VP8 ":
-            saw_lossy = True
+            from neo4j_to_clickhouse_spark.operators.vp8 import (
+                _yuv_to_rgb,
+                decode_vp8_frame,
+            )
+
+            return _yuv_to_rgb(*decode_vp8_frame(body))
         off += 8 + size + (size & 1)  # chunks are even-padded
-    if saw_lossy:
-        raise ValueError(
-            "lossy (VP8) WebP needs an external codec; only lossless "
-            "VP8L decodes natively"
-        )
-    raise ValueError("no VP8L chunk in WebP container")
+    raise ValueError("no VP8/VP8L chunk in WebP container")
 
 
 # --- encoding ----------------------------------------------------------------
