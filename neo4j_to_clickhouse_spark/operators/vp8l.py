@@ -622,16 +622,12 @@ def _inverse_color_indexing(t: _Transform, pixels: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """Decode a raw VP8L chunk payload into an HxWx4 uint8 RGBA array."""
-    if len(payload) < 5 or payload[0] != 0x2F:
-        raise ValueError("not a VP8L stream")
-    br = _BitReader(payload, 1)
-    width = br.read(14) + 1
-    height = br.read(14) + 1
-    br.read(1)  # alpha-is-used hint
-    if br.read(3) != 0:
-        raise ValueError("unsupported VP8L version")
+def _decode_argb_body(br: _BitReader, width: int, height: int) -> np.ndarray:
+    """Decode a headerless VP8L image body (optional transforms +
+    entropy-coded ARGB) into a flat uint32 array. Shared by the full
+    VP8L path and the lossy container's ALPH chunk, whose alpha plane
+    is coded as exactly such a headerless stream (dimensions implied
+    by the frame)."""
     transforms: list[_Transform] = []
     pixels = _decode_level0(br, width, height, transforms)
     for t in reversed(transforms):
@@ -643,6 +639,76 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             pixels = _inverse_cross_color(t, pixels)
         elif t.kind == _PREDICTOR:
             pixels = _inverse_predictor(t, pixels)
+    return pixels
+
+
+def decode_alpha_plane(body: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a lossy-WebP ``ALPH`` chunk body into an HxW uint8 alpha
+    plane (WebP container spec; the lossless backend is RFC 9649's
+    entropy coding with the alpha value in the green channel).
+
+    Header byte: bits 0-1 compression (0 = raw bytes, 1 = headerless
+    VP8L), bits 2-3 filtering method, bits 4-5 preprocessing (encoder-
+    side level reduction — nothing to invert). Filtering predicts each
+    pixel from reconstructed neighbours, added mod 256: the top-left
+    pixel from 0, the rest of row 0 from the left, the rest of column 0
+    from above, and interior pixels per the method (left / above /
+    gradient clamp(a+b-c))."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    head = body[0]
+    compression = head & 0x3
+    filtering = (head >> 2) & 0x3
+    if compression == 0:
+        if len(body) < 1 + width * height:
+            raise ValueError("raw ALPH chunk shorter than the alpha plane")
+        plane = np.frombuffer(
+            body, np.uint8, count=width * height, offset=1
+        ).reshape(height, width).astype(np.int32)
+    elif compression == 1:
+        pixels = _decode_argb_body(_BitReader(body, 1), width, height)
+        plane = (
+            (pixels.reshape(height, width) >> np.uint32(8)) & np.uint32(0xFF)
+        ).astype(np.int32)
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+    if filtering:
+        # inverse filtering is sequential in the prediction order; row 0
+        # and column 0 always use horizontal/vertical regardless of mode
+        for y in range(height):
+            for x in range(width):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                elif filtering == 1:
+                    pred = plane[y, x - 1]
+                elif filtering == 2:
+                    pred = plane[y - 1, x]
+                else:
+                    g = (
+                        int(plane[y, x - 1])
+                        + int(plane[y - 1, x])
+                        - int(plane[y - 1, x - 1])
+                    )
+                    pred = min(255, max(0, g))
+                plane[y, x] = (plane[y, x] + pred) & 0xFF
+    return plane.astype(np.uint8)
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a raw VP8L chunk payload into an HxWx4 uint8 RGBA array."""
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("not a VP8L stream")
+    br = _BitReader(payload, 1)
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    pixels = _decode_argb_body(br, width, height)
     rgba = np.zeros((height, width, 4), dtype=np.uint8)
     flat = pixels.reshape(height, width)
     rgba[..., 0] = (flat >> np.uint32(16)) & np.uint32(0xFF)
@@ -694,6 +760,43 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
             return _yuv_to_rgb(*decode_vp8_frame(body))
         off += 8 + size + (size & 1)  # chunks are even-padded
+    raise ValueError("no VP8/VP8L chunk in WebP container")
+
+
+def decode_webp_rgba(payload: bytes) -> np.ndarray:
+    """Decode a WebP container into an HxWx4 uint8 RGBA array. VP8L
+    carries alpha inline; lossy (VP8) frames take theirs from the
+    ``ALPH`` chunk of a VP8X-extended container (decoded by
+    :func:`decode_alpha_plane`) and are opaque without one."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    off = 12
+    alpha_body: bytes | None = None
+    while off + 8 <= end:
+        tag = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = payload[off + 8 : off + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+        if tag == b"ALPH":
+            alpha_body = body  # precedes the VP8 chunk per the spec
+        elif tag == b"VP8 ":
+            from neo4j_to_clickhouse_spark.operators.vp8 import (
+                _yuv_to_rgb,
+                decode_vp8_frame,
+            )
+
+            y, u, v = decode_vp8_frame(body)
+            rgb = _yuv_to_rgb(y, u, v)
+            h, w = rgb.shape[:2]
+            if alpha_body is not None:
+                alpha = decode_alpha_plane(alpha_body, w, h)
+            else:
+                alpha = np.full((h, w), 255, np.uint8)
+            return np.dstack([rgb, alpha])
+        off += 8 + size + (size & 1)
     raise ValueError("no VP8/VP8L chunk in WebP container")
 
 

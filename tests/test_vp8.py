@@ -486,3 +486,128 @@ def test_encoder_oracle_rgb_close_to_libwebp():
     ).reshape(h.value, w.value, 4)[..., :3].astype(int)
     mine = decode_webp_lossy(data).astype(int)
     assert np.abs(ref - mine).max() <= 12  # upsampler + matrix rounding
+
+
+# --- lossy alpha (ALPH chunk) ------------------------------------------------
+
+
+def _wrap_vp8x(vp8_data: bytes, alph_body: bytes, w: int, h: int) -> bytes:
+    """VP8X container: flags with the alpha bit, then ALPH + VP8."""
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0]) + \
+        struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    alph = b"ALPH" + struct.pack("<I", len(alph_body)) + alph_body
+    if len(alph_body) & 1:
+        alph += b"\x00"
+    vp8c = b"VP8 " + struct.pack("<I", len(vp8_data)) + vp8_data
+    if len(vp8_data) & 1:
+        vp8c += b"\x00"
+    payload = b"WEBP" + vp8x + alph + vp8c
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _forward_alpha_filter(plane: np.ndarray, method: int) -> bytes:
+    """Encoder side of the ALPH filters, for crafting raw-compression
+    chunks: residual = (value - predicted-from-original) mod 256."""
+    h, w = plane.shape
+    out = np.zeros((h, w), np.int32)
+    p = plane.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif y == 0:
+                pred = p[0, x - 1]
+            elif x == 0:
+                pred = p[y - 1, 0]
+            elif method == 1:
+                pred = p[y, x - 1]
+            elif method == 2:
+                pred = p[y - 1, x]
+            else:
+                pred = min(255, max(0, int(p[y, x - 1]) + int(p[y - 1, x]) - int(p[y - 1, x - 1])))
+            out[y, x] = (p[y, x] - pred) & 0xFF
+    return bytes([method << 2]) + out.astype(np.uint8).tobytes()
+
+
+@needs_libwebp
+@pytest.mark.parametrize("method", [0, 1, 2, 3])
+def test_crafted_alpha_raw_filters(method):
+    """Raw-compression ALPH chunks under every filter method decode to
+    the exact alpha plane, and bit-identically to libwebp's RGBA."""
+    from neo4j_to_clickhouse_spark.operators.vp8l import decode_webp_rgba
+
+    rng = np.random.default_rng(method)
+    w, h = 32, 16
+    plane = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    body = _forward_alpha_filter(plane, method) if method else bytes([0]) + plane.tobytes()
+    container = _wrap_vp8x(build_stream(width=w, height=h), body, w, h)
+    mine = decode_webp_rgba(container)
+    assert np.array_equal(mine[..., 3], plane)
+    # libwebp agreement on the same crafted container
+    _LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIBWEBP.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    ww = ctypes.c_int()
+    hh = ctypes.c_int()
+    ptr = _LIBWEBP.WebPDecodeRGBA(container, len(container), ctypes.byref(ww), ctypes.byref(hh))
+    assert ptr, "libwebp rejected the crafted VP8X container"
+    ref = np.frombuffer(
+        bytes(bytearray(ptr[i] for i in range(ww.value * hh.value * 4))), np.uint8
+    ).reshape(hh.value, ww.value, 4)
+    assert np.array_equal(ref[..., 3], mine[..., 3])
+
+
+@needs_libwebp
+def test_encoder_oracle_alpha_exact():
+    """libwebp-encoded lossy+alpha files: the ALPH chunk (VP8L-backend
+    compressed, encoder-chosen filtering) decodes to the bit-exact
+    alpha plane libwebp reconstructs."""
+    from neo4j_to_clickhouse_spark.operators.vp8l import decode_webp_rgba
+
+    _LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIBWEBP.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        h, w = int(rng.integers(17, 49)), int(rng.integers(17, 65))
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        alpha = np.zeros((h, w), np.uint8)
+        alpha[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = int(rng.integers(1, 255))
+        alpha[:, : w // 8 + 1] = 255
+        rgba = np.dstack([rgb, alpha])
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = _LIBWEBP.WebPEncodeRGBA(
+            rgba.tobytes(), w, h, w * 4, 80.0, ctypes.byref(out)
+        )
+        data = bytes(bytearray(out[i] for i in range(n)))
+        assert data[12:16] == b"VP8X", "expected an extended container"
+        ww = ctypes.c_int()
+        hh = ctypes.c_int()
+        ptr = _LIBWEBP.WebPDecodeRGBA(data, len(data), ctypes.byref(ww), ctypes.byref(hh))
+        ref = np.frombuffer(
+            bytes(bytearray(ptr[i] for i in range(ww.value * hh.value * 4))), np.uint8
+        ).reshape(hh.value, ww.value, 4)
+        mine = decode_webp_rgba(data)
+        assert np.array_equal(ref[..., 3], mine[..., 3]), trial
+
+
+def test_decode_webp_rgba_vp8l_and_opaque():
+    """RGBA entry: VP8L containers keep their inline alpha; plain lossy
+    containers come back fully opaque."""
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        decode_webp_rgba,
+        encode_webp,
+    )
+
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    rgba = decode_webp_rgba(encode_webp(rgb))
+    assert rgba.shape == (16, 16, 4)
+    assert np.array_equal(rgba[..., :3], rgb)
+    assert (rgba[..., 3] == 255).all()
+    lossy = decode_webp_rgba(wrap_webp(build_stream(width=32, height=16)))
+    assert lossy.shape == (16, 32, 4)
+    assert (lossy[..., 3] == 255).all()
