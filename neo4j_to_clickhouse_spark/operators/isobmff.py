@@ -1,0 +1,565 @@
+"""Pure-Python ISOBMFF (ISO/IEC 14496-12) container parser: AVIF + MP4.
+
+Shrinks the multimodal codec boundary at the CONTAINER level: AVIF
+stills (HEIF/MIAF, ISO/IEC 23008-12) and MP4 videos are both ISOBMFF
+box trees, so their dimensions, bit depth, alpha presence, track
+layout, duration, and per-frame byte ranges are all readable with zero
+codec work.  That makes two things real that were previously stubbed
+in :mod:`.multimodal`:
+
+- :func:`probe_avif` / :func:`probe_mp4` fill ``width``/``height``/
+  ``duration_ms`` in ``probe_assets`` for AVIF and MP4 payloads, and
+- :func:`mp4_sample_index` + :func:`mp4_extract_samples` let
+  ``sample_frames`` emit the container's REAL codec samples (AV1 TU /
+  H.264 AU byte ranges, keyframe-aligned) without decoding them — the
+  frame *payload* is genuine; only pixel decode remains the external
+  (dav1d/ffmpeg) boundary.
+
+Box grammar: 4-byte big-endian size + 4-byte type; ``size == 1`` means
+a 64-bit ``largesize`` follows; ``size == 0`` means "to end of
+enclosing box".  FullBoxes carry a 1-byte version + 3-byte flags
+prefix.  Only publicly documented boxes are read (ISO 14496-12 §8,
+ISO 23008-12 §6, AV1-ISOBMFF §2.3); unknown boxes are skipped by size.
+
+Reference parity: the reference pipeline stores media as opaque bytes
+and defers all probing to workers (`README.md` multimodal rows); here
+the probe is a first-class Arrow-batched operator.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+# Container boxes whose payload is itself a sequence of boxes.  `meta`
+# is a FullBox container (4 header bytes before its children); handled
+# explicitly where walked.
+_CONTAINERS = {
+    b"moov",
+    b"trak",
+    b"mdia",
+    b"minf",
+    b"stbl",
+    b"edts",
+    b"dinf",
+    b"iprp",
+    b"ipco",
+    b"moof",
+    b"traf",
+    b"mvex",
+}
+
+_ALPHA_URNS = (
+    b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha",
+    b"urn:mpeg:hevc:2015:auxid:1",  # HEIC alpha; accepted for parity
+)
+
+
+def iter_boxes(
+    buf: bytes, start: int = 0, end: int | None = None
+) -> Iterator[tuple[bytes, int, int]]:
+    """Yield ``(type, payload_start, payload_end)`` for each box in
+    ``buf[start:end]``.  Corrupt sizes terminate iteration rather than
+    raising — probers treat a truncated tree as "whatever was parsed".
+    """
+    if end is None:
+        end = len(buf)
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            return
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def find_box(
+    buf: bytes, path: tuple[bytes, ...], start: int = 0, end: int | None = None
+) -> tuple[int, int] | None:
+    """Resolve a path of box types to the payload span of the first
+    match, descending through container payloads."""
+    if end is None:
+        end = len(buf)
+    for btype, p0, p1 in iter_boxes(buf, start, end):
+        if btype != path[0]:
+            continue
+        if btype == b"meta":  # FullBox container: skip version/flags
+            p0 += 4
+        if len(path) == 1:
+            return p0, p1
+        return find_box(buf, path[1:], p0, p1)
+    return None
+
+
+def _full(buf: bytes, p0: int) -> tuple[int, int, int]:
+    """Split a FullBox payload: returns (version, flags, body_start)."""
+    version = buf[p0]
+    flags = int.from_bytes(buf[p0 + 1 : p0 + 4], "big")
+    return version, flags, p0 + 4
+
+
+# ---------------------------------------------------------------------
+# AVIF (HEIF still-image) probe
+# ---------------------------------------------------------------------
+
+
+def is_isobmff(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and len(payload) >= 12
+        and payload[4:8] == b"ftyp"
+        and struct.unpack_from(">I", payload)[0] >= 16
+    )
+
+
+def _ftyp_brands(buf: bytes) -> list[bytes]:
+    span = find_box(buf, (b"ftyp",))
+    if span is None:
+        return []
+    p0, p1 = span
+    brands = [buf[p0 : p0 + 4]]
+    for off in range(p0 + 8, p1 - 3, 4):
+        brands.append(buf[off : off + 4])
+    return brands
+
+
+def is_avif(payload: bytes | None) -> bool:
+    if not is_isobmff(payload):
+        return False
+    brands = _ftyp_brands(payload)
+    return any(b in (b"avif", b"avis") for b in brands)
+
+
+def _parse_iinf(buf: bytes, p0: int, p1: int) -> dict[int, bytes]:
+    """item_ID -> item_type (4cc) from the item-information box."""
+    version, _, body = _full(buf, p0)
+    if version == 0:
+        body += 2
+    else:
+        body += 4
+    items: dict[int, bytes] = {}
+    for btype, i0, i1 in iter_boxes(buf, body, p1):
+        if btype != b"infe":
+            continue
+        iversion, _, b = _full(buf, i0)
+        if iversion < 2:
+            continue  # pre-HEIF infe has no item_type; ignore
+        if iversion == 2:
+            item_id = struct.unpack_from(">H", buf, b)[0]
+            b += 2
+        else:
+            item_id = struct.unpack_from(">I", buf, b)[0]
+            b += 4
+        b += 2  # item_protection_index
+        items[item_id] = buf[b : b + 4]
+    return items
+
+
+def _parse_ipma(buf: bytes, p0: int, p1: int) -> dict[int, list[int]]:
+    """item_ID -> [1-based ipco property indices]."""
+    version, flags, body = _full(buf, p0)
+    (entry_count,) = struct.unpack_from(">I", buf, body)
+    body += 4
+    assoc: dict[int, list[int]] = {}
+    for _ in range(entry_count):
+        if version < 1:
+            (item_id,) = struct.unpack_from(">H", buf, body)
+            body += 2
+        else:
+            (item_id,) = struct.unpack_from(">I", buf, body)
+            body += 4
+        count = buf[body]
+        body += 1
+        props: list[int] = []
+        for _ in range(count):
+            if flags & 1:
+                (v,) = struct.unpack_from(">H", buf, body)
+                body += 2
+                props.append(v & 0x7FFF)
+            else:
+                props.append(buf[body] & 0x7F)
+                body += 1
+        assoc[item_id] = props
+        if body > p1:
+            break
+    return assoc
+
+
+def _parse_iref(buf: bytes, p0: int, p1: int) -> list[tuple[bytes, int, list[int]]]:
+    """[(reference_type, from_item, [to_items])]."""
+    version, _, body = _full(buf, p0)
+    refs: list[tuple[bytes, int, list[int]]] = []
+    for btype, r0, r1 in iter_boxes(buf, body, p1):
+        if version == 0:
+            from_id, count = struct.unpack_from(">HH", buf, r0)
+            ids = list(struct.unpack_from(f">{count}H", buf, r0 + 4))
+        else:
+            from_id, count = struct.unpack_from(">IH", buf, r0)
+            ids = list(struct.unpack_from(f">{count}I", buf, r0 + 6))
+        refs.append((btype, from_id, ids))
+    return refs
+
+
+def _av1c_depth(cfg: bytes) -> int:
+    """Bit depth from an av1C config record (AV1-ISOBMFF §2.3)."""
+    if len(cfg) < 2:
+        return 8
+    seq_profile = cfg[1] >> 5
+    high_bitdepth = (cfg[2] >> 6) & 1 if len(cfg) > 2 else 0
+    twelve_bit = (cfg[2] >> 5) & 1 if len(cfg) > 2 else 0
+    if not high_bitdepth:
+        return 8
+    return 12 if (seq_profile == 2 and twelve_bit) else 10
+
+
+def probe_avif(payload: bytes) -> dict | None:
+    """Container-level AVIF metadata: no AV1 decode involved.
+
+    Returns ``{"width", "height", "bit_depth", "has_alpha", "codec",
+    "animated"}`` or None if the payload is not AVIF / is too mangled
+    to carry an ``ispe`` for the primary item.
+    """
+    if not is_avif(payload):
+        return None
+    buf = payload
+    meta = find_box(buf, (b"meta",))
+    if meta is None:
+        return None
+    m0, m1 = meta
+    # primary item
+    pitm = find_box(buf, (b"pitm",), m0, m1)
+    primary = None
+    if pitm is not None:
+        version, _, b = _full(buf, pitm[0])
+        primary = struct.unpack_from(">H" if version == 0 else ">I", buf, b)[0]
+    iinf = find_box(buf, (b"iinf",), m0, m1)
+    items = _parse_iinf(buf, *iinf) if iinf else {}
+    ipco = find_box(buf, (b"iprp", b"ipco"), m0, m1)
+    if ipco is None:
+        return None
+    props = list(iter_boxes(buf, *ipco))  # 1-based indexing below
+    ipma = find_box(buf, (b"iprp", b"ipma"), m0, m1)
+    assoc = _parse_ipma(buf, *ipma) if ipma else {}
+    iref = find_box(buf, (b"iref",), m0, m1)
+    refs = _parse_iref(buf, *iref) if iref else []
+
+    if primary is None and items:
+        av01 = [i for i, t in items.items() if t == b"av01"]
+        primary = min(av01) if av01 else None
+    if primary is None:
+        return None
+
+    def item_props(item_id: int) -> list[tuple[bytes, int, int]]:
+        return [
+            props[i - 1] for i in assoc.get(item_id, []) if 0 < i <= len(props)
+        ]
+
+    width = height = None
+    depth = 8
+    for btype, q0, q1 in item_props(primary):
+        if btype == b"ispe":
+            _, _, b = _full(buf, q0)
+            width, height = struct.unpack_from(">II", buf, b)
+        elif btype == b"av1C":
+            depth = _av1c_depth(buf[q0:q1])
+        elif btype == b"pixi":
+            _, _, b = _full(buf, q0)
+            n = buf[b]
+            if n:
+                depth = buf[b + 1]
+    if width is None:
+        return None
+
+    # alpha: an auxiliary item referencing the primary via 'auxl' whose
+    # auxC type is the CICP alpha URN
+    has_alpha = False
+    for rtype, from_id, to_ids in refs:
+        if rtype != b"auxl" or primary not in to_ids:
+            continue
+        for btype, q0, q1 in item_props(from_id):
+            if btype == b"auxC":
+                _, _, b = _full(buf, q0)
+                urn = buf[b:q1].split(b"\x00", 1)[0]
+                if urn in _ALPHA_URNS:
+                    has_alpha = True
+    return {
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": int(depth),
+        "has_alpha": has_alpha,
+        "codec": (items.get(primary) or b"av01").decode("ascii", "replace"),
+        "animated": b"avis" in _ftyp_brands(buf),
+    }
+
+
+# ---------------------------------------------------------------------
+# MP4 probe + sample index
+# ---------------------------------------------------------------------
+
+_VIDEO_CODECS = {b"avc1", b"avc3", b"hev1", b"hvc1", b"vp08", b"vp09", b"av01"}
+
+
+def is_mp4(payload: bytes | None) -> bool:
+    if not is_isobmff(payload):
+        return False
+    brands = _ftyp_brands(payload)
+    if any(b in (b"avif", b"avis") for b in brands):
+        return False
+    return find_box(payload, (b"moov",)) is not None
+
+
+def _mvhd_duration_ms(buf: bytes, m0: int, m1: int) -> int | None:
+    span = find_box(buf, (b"mvhd",), m0, m1)
+    if span is None:
+        return None
+    version, _, b = _full(buf, span[0])
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", buf, b + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", buf, b + 8)
+    if not timescale:
+        return None
+    return int(duration * 1000 // timescale)
+
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """Track-level MP4 metadata from ``moov`` alone (no codec work):
+    movie duration plus per-track handler/codec/dims/sample counts."""
+    if not is_mp4(payload):
+        return None
+    buf = payload
+    m0, m1 = find_box(buf, (b"moov",))
+    tracks = []
+    for btype, t0, t1 in iter_boxes(buf, m0, m1):
+        if btype != b"trak":
+            continue
+        info = _probe_trak(buf, t0, t1)
+        if info is not None:
+            tracks.append(info)
+    return {
+        "duration_ms": _mvhd_duration_ms(buf, m0, m1),
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def _probe_trak(buf: bytes, t0: int, t1: int) -> dict | None:
+    tkhd = find_box(buf, (b"tkhd",), t0, t1)
+    track_id = width = height = None
+    if tkhd is not None:
+        version, _, b = _full(buf, tkhd[0])
+        if version == 1:
+            track_id = struct.unpack_from(">I", buf, b + 16)[0]
+            dims_off = b + 84
+        else:
+            track_id = struct.unpack_from(">I", buf, b + 8)[0]
+            dims_off = b + 72
+        w_fixed, h_fixed = struct.unpack_from(">II", buf, dims_off)
+        width, height = w_fixed >> 16, h_fixed >> 16
+    mdia = find_box(buf, (b"mdia",), t0, t1)
+    if mdia is None:
+        return None
+    d0, d1 = mdia
+    handler = codec = None
+    hdlr = find_box(buf, (b"hdlr",), d0, d1)
+    if hdlr is not None:
+        _, _, b = _full(buf, hdlr[0])
+        handler = buf[b + 4 : b + 8].decode("ascii", "replace")
+    timescale = None
+    mdhd = find_box(buf, (b"mdhd",), d0, d1)
+    if mdhd is not None:
+        version, _, b = _full(buf, mdhd[0])
+        timescale = struct.unpack_from(
+            ">I", buf, b + (16 if version == 1 else 8)
+        )[0]
+    stbl = find_box(buf, (b"minf", b"stbl"), d0, d1)
+    n_samples = dur_ticks = 0
+    n_key = None
+    if stbl is not None:
+        s0, s1 = stbl
+        stsd = find_box(buf, (b"stsd",), s0, s1)
+        if stsd is not None:
+            _, _, b = _full(buf, stsd[0])
+            for entry_type, _, _ in iter_boxes(buf, b + 4, stsd[1]):
+                codec = entry_type.decode("ascii", "replace")
+                break
+        stts = find_box(buf, (b"stts",), s0, s1)
+        if stts is not None:
+            _, _, b = _full(buf, stts[0])
+            (count,) = struct.unpack_from(">I", buf, b)
+            for i in range(count):
+                n, delta = struct.unpack_from(">II", buf, b + 4 + 8 * i)
+                n_samples += n
+                dur_ticks += n * delta
+        stss = find_box(buf, (b"stss",), s0, s1)
+        if stss is not None:
+            _, _, b = _full(buf, stss[0])
+            n_key = struct.unpack_from(">I", buf, b)[0]
+        elif n_samples:
+            n_key = n_samples  # no stss => every sample is a sync sample
+    return {
+        "track_id": track_id,
+        "handler": handler,
+        "codec": codec,
+        "width": width or None,
+        "height": height or None,
+        "timescale": timescale,
+        "n_samples": n_samples,
+        "n_keyframes": n_key,
+        "duration_ms": (
+            int(dur_ticks * 1000 // timescale) if timescale else None
+        ),
+    }
+
+
+def mp4_sample_index(
+    payload: bytes, track_id: int | None = None
+) -> list[tuple[int, int, bool, int]]:
+    """Flatten the sample tables of one track into
+    ``[(byte_offset, byte_size, is_keyframe, pts_ms), ...]``.
+
+    Defaults to the first video track (handler ``vide`` or a known
+    video codec in ``stsd``).  This is the container's own frame map —
+    ``payload[off:off+size]`` is the codec bitstream for that frame.
+    Raises ``ValueError`` when the track or its mandatory tables are
+    missing (fragmented MP4 with empty ``stbl`` included: ``moof``
+    parsing is out of scope for the prober).
+    """
+    if not is_mp4(payload):
+        raise ValueError("not an MP4 payload")
+    buf = payload
+    m0, m1 = find_box(buf, (b"moov",))
+    chosen = None
+    for btype, t0, t1 in iter_boxes(buf, m0, m1):
+        if btype != b"trak":
+            continue
+        info = _probe_trak(buf, t0, t1)
+        if info is None:
+            continue
+        if track_id is not None:
+            if info["track_id"] == track_id:
+                chosen = (t0, t1, info)
+                break
+        elif info["handler"] == "vide" or (
+            info["codec"] or ""
+        ).encode() in _VIDEO_CODECS:
+            chosen = (t0, t1, info)
+            break
+    if chosen is None:
+        raise ValueError("no matching track")
+    t0, t1, info = chosen
+    stbl = find_box(buf, (b"mdia", b"minf", b"stbl"), t0, t1)
+    if stbl is None:
+        raise ValueError("track has no sample table")
+    s0, s1 = stbl
+
+    def full_body(name: bytes) -> int | None:
+        span = find_box(buf, (name,), s0, s1)
+        if span is None:
+            return None
+        return _full(buf, span[0])[2]
+
+    # sizes
+    b = full_body(b"stsz")
+    if b is None:
+        raise ValueError("missing stsz")
+    uniform, count = struct.unpack_from(">II", buf, b)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", buf, b + 8))
+    # chunk offsets
+    b = full_body(b"stco")
+    if b is not None:
+        (n,) = struct.unpack_from(">I", buf, b)
+        chunk_offsets = list(struct.unpack_from(f">{n}I", buf, b + 4))
+    else:
+        b = full_body(b"co64")
+        if b is None:
+            raise ValueError("missing stco/co64")
+        (n,) = struct.unpack_from(">I", buf, b)
+        chunk_offsets = list(struct.unpack_from(f">{n}Q", buf, b + 4))
+    # sample-to-chunk
+    b = full_body(b"stsc")
+    if b is None:
+        raise ValueError("missing stsc")
+    (n,) = struct.unpack_from(">I", buf, b)
+    stsc = [struct.unpack_from(">III", buf, b + 4 + 12 * i) for i in range(n)]
+    # sync table
+    b = full_body(b"stss")
+    if b is None:
+        keyframes = None  # all sync
+    else:
+        (n,) = struct.unpack_from(">I", buf, b)
+        keyframes = set(struct.unpack_from(f">{n}I", buf, b + 4))
+    # timing
+    b = full_body(b"stts")
+    deltas: list[int] = []
+    if b is not None:
+        (n,) = struct.unpack_from(">I", buf, b)
+        for i in range(n):
+            cnt, delta = struct.unpack_from(">II", buf, b + 4 + 8 * i)
+            deltas.extend([delta] * cnt)
+    timescale = info["timescale"] or 1000
+
+    samples: list[tuple[int, int, bool, int]] = []
+    sample_no = 0  # 0-based; stss/stsc are 1-based
+    ticks = 0
+    for ci, chunk_off in enumerate(chunk_offsets, start=1):
+        per_chunk = 1
+        for first_chunk, spc, _desc in stsc:
+            if first_chunk <= ci:
+                per_chunk = spc
+            else:
+                break
+        off = chunk_off
+        for _ in range(per_chunk):
+            if sample_no >= len(sizes):
+                break
+            size = sizes[sample_no]
+            is_key = keyframes is None or (sample_no + 1) in keyframes
+            pts_ms = int(ticks * 1000 // timescale)
+            samples.append((off, size, is_key, pts_ms))
+            if sample_no < len(deltas):
+                ticks += deltas[sample_no]
+            off += size
+            sample_no += 1
+    return samples
+
+
+def mp4_extract_samples(
+    payload: bytes,
+    every_ms: int = 1000,
+    keyframes_only: bool = False,
+    track_id: int | None = None,
+) -> list[tuple[int, int, bytes]]:
+    """Real frame sampling without a decoder: pick the container sample
+    nearest each ``every_ms`` tick (optionally snapping back to the
+    previous keyframe, the honest contract for inter-coded streams) and
+    return ``[(frame_idx, pts_ms, codec_sample_bytes), ...]``."""
+    index = mp4_sample_index(payload, track_id)
+    if not index:
+        return []
+    end_ms = index[-1][3] + 1
+    out: list[tuple[int, int, bytes]] = []
+    i = 0
+    for tick in range(0, end_ms, every_ms):
+        while i + 1 < len(index) and index[i + 1][3] <= tick:
+            i += 1
+        j = i
+        if keyframes_only:
+            while j > 0 and not index[j][2]:
+                j -= 1
+        off, size, _key, pts = index[j]
+        if off + size <= len(payload):
+            out.append((j, pts, payload[off : off + size]))
+    return out
