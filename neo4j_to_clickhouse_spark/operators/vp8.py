@@ -732,7 +732,10 @@ def _loop_filter(h, mbs, levels, skip_lf, ybuf, ubuf, vbuf):
             sub_lim = lvl * 2 + interior
             # keyframe high-edge-variance thresholds (§15.2)
             thresh = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
-            inner = not skip_lf[idx]
+            # §15.1 / libwebp VP8StoreBlock: B_PRED (i4x4) MBs always
+            # filter their interior subblock edges, even when every
+            # coefficient is zero (f_inner_ = is_i4x4 | !skip).
+            inner = (not skip_lf[idx]) or mbs[idx].ymode == B_PRED
             px0, py0 = mb_x * 16, mb_y * 16
             cx0, cy0 = mb_x * 8, mb_y * 8
             if simple:

@@ -247,6 +247,49 @@ def test_crafted_loop_filter_profiles(ftype, level, sharp):
 
 
 @needs_libwebp
+@pytest.mark.parametrize("ftype,level", [
+    (0, 20), (0, 40), (0, 63), (1, 20), (1, 63),
+])
+def test_crafted_bpred_zero_coeff_interior_filter(ftype, level):
+    """RFC 6386 §15.1 / libwebp: a B_PRED (i4x4) MB must filter its
+    interior subblock edges even when all its coefficients are zero
+    (or the MB is skip-flagged). Crafted: a zero-token B_PRED MB and
+    a skip-flagged B_PRED MB, each adjacent to a high-energy textured
+    MB so prediction leaks block discontinuities into the quiet MBs —
+    interior filtering there is NOT a no-op. Regression for the
+    `inner = not skip_lf` bug (diverged up to 21/255 from libwebp)."""
+    rng = np.random.default_rng(1000 + ftype * 64 + level)
+
+    def textured_mb():
+        mb = empty_mb()
+        mb["submodes"] = [int(rng.integers(0, 10)) for _ in range(16)]
+        mb["y"] = [
+            {int(rng.integers(0, 6)): int(rng.integers(-7, 8)) or 5}
+            for _ in range(16)
+        ]
+        mb["u"] = [{0: int(rng.integers(-5, 6)) or 3} for _ in range(4)]
+        mb["v"] = [{1: int(rng.integers(-5, 6)) or -3} for _ in range(4)]
+        return mb
+
+    def quiet_bpred(skip):
+        mb = empty_mb()  # B_PRED, varied submodes, zero coefficients
+        mb["submodes"] = [int(rng.integers(0, 10)) for _ in range(16)]
+        if skip:
+            mb["skip"] = True
+        return mb
+
+    # 3x2 MB grid: textured / zero-coeff B_PRED / textured,
+    #              textured / skip-flagged B_PRED / textured
+    mbs = [textured_mb(), quiet_bpred(False), textured_mb(),
+           textured_mb(), quiet_bpred(True), textured_mb()]
+    _assert_same(
+        build_stream(width=48, height=32, q_index=60, filter_level=level,
+                     filter_type=ftype, sharpness=0, mbs=mbs),
+        ("bpred-zero-coeff", ftype, level),
+    )
+
+
+@needs_libwebp
 def test_crafted_skip_mbs():
     mbs = []
     for i in range(4):
