@@ -672,29 +672,31 @@ def decode_alpha_plane(body: bytes, width: int, height: int) -> np.ndarray:
         ).astype(np.int32)
     else:
         raise ValueError(f"reserved ALPH compression method {compression}")
-    if filtering:
-        # inverse filtering is sequential in the prediction order; row 0
-        # and column 0 always use horizontal/vertical regardless of mode
-        for y in range(height):
-            for x in range(width):
-                if x == 0 and y == 0:
-                    pred = 0
-                elif y == 0:
-                    pred = plane[0, x - 1]
-                elif x == 0:
-                    pred = plane[y - 1, 0]
-                elif filtering == 1:
-                    pred = plane[y, x - 1]
-                elif filtering == 2:
-                    pred = plane[y - 1, x]
-                else:
-                    g = (
-                        int(plane[y, x - 1])
-                        + int(plane[y - 1, x])
-                        - int(plane[y - 1, x - 1])
-                    )
-                    pred = min(255, max(0, g))
-                plane[y, x] = (plane[y, x] + pred) & 0xFF
+    if filtering == 1:
+        # horizontal: column 0 predicts from above (cumsum down), then
+        # every row predicts from the left (cumsum across, mod 256 —
+        # modular addition commutes with the running sum)
+        plane[:, 0] = np.cumsum(plane[:, 0], dtype=np.int64) & 0xFF
+        plane = np.cumsum(plane, axis=1, dtype=np.int64) & 0xFF
+    elif filtering == 2:
+        # vertical: row 0 predicts from the left, then every column
+        # predicts from above
+        plane[0, :] = np.cumsum(plane[0, :], dtype=np.int64) & 0xFF
+        plane = np.cumsum(plane, axis=0, dtype=np.int64) & 0xFF
+    elif filtering == 3:
+        # gradient clamp(left+above-aboveleft): the left dependency is
+        # sequential within a row, so invert row-by-row (row 0 /
+        # column 0 still use plain horizontal/vertical prediction)
+        plane[0, :] = np.cumsum(plane[0, :], dtype=np.int64) & 0xFF
+        plane[:, 0] = np.cumsum(plane[:, 0], dtype=np.int64) & 0xFF
+        for y in range(1, height):
+            row = plane[y]
+            above = plane[y - 1]
+            left = int(row[0])
+            for x in range(1, width):
+                g = left + int(above[x]) - int(above[x - 1])
+                left = (int(row[x]) + min(255, max(0, g))) & 0xFF
+                row[x] = left
     return plane.astype(np.uint8)
 
 
