@@ -4,16 +4,15 @@ Shrinks the multimodal codec boundary at the CONTAINER level: AVIF
 stills (HEIF/MIAF, ISO/IEC 23008-12) and MP4 videos are both ISOBMFF
 box trees, so their dimensions, bit depth, alpha presence, track
 layout, duration, and per-frame byte ranges are all readable with zero
-codec work.  That makes two things real that were previously stubbed
-in :mod:`.multimodal`:
+codec work.  Two consumers in :mod:`.multimodal` use it:
 
-- :func:`probe_avif` / :func:`probe_mp4` fill ``width``/``height``/
-  ``duration_ms`` in ``probe_assets`` for AVIF and MP4 payloads, and
-- :func:`mp4_sample_index` + :func:`mp4_extract_samples` let
-  ``sample_frames`` emit the container's REAL codec samples (AV1 TU /
-  H.264 AU byte ranges, keyframe-aligned) without decoding them — the
-  frame *payload* is genuine; only pixel decode remains the external
-  (dav1d/ffmpeg) boundary.
+- ``probe_assets`` calls :func:`probe_avif` / :func:`probe_mp4` to fill
+  ``width``/``height``/``duration_ms`` for AVIF and MP4 payloads, and
+- ``sample_frames`` calls :func:`mp4_extract_samples` (built on
+  :func:`mp4_sample_index`) to emit the container's REAL codec samples
+  (AV1 TU / H.264 AU byte ranges, keyframe-aligned) without decoding
+  them — the frame *payload* is genuine; only pixel decode remains the
+  external (dav1d/ffmpeg) boundary.
 
 Box grammar: 4-byte big-endian size + 4-byte type; ``size == 1`` means
 a 64-bit ``largesize`` follows; ``size == 0`` means "to end of
@@ -534,6 +533,259 @@ def mp4_sample_index(
             off += size
             sample_no += 1
     return samples
+
+
+# ---------------------------------------------------------------------
+# Fixture encoders (test/oracle helpers, like multimodal.encode_bmp):
+# build minimal spec-valid containers so the parser can be certified
+# round-trip against payloads whose ground truth is closed-form.
+# ---------------------------------------------------------------------
+
+
+def box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    """Serialize one box. ``largesize`` forces the 64-bit size form."""
+    if largesize:
+        return struct.pack(">I4sQ", 1, btype, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def fullbox(
+    btype: bytes, version: int, flags: int, payload: bytes
+) -> bytes:
+    return box(
+        btype, bytes([version]) + flags.to_bytes(3, "big") + payload
+    )
+
+
+def encode_avif(
+    width: int,
+    height: int,
+    depth: int = 8,
+    alpha: bool = False,
+    animated: bool = False,
+    infe_version: int = 2,
+    ipma_version: int = 0,
+    ipma_wide: bool = False,
+    item_data: bytes = b"\x00" * 16,
+) -> bytes:
+    """Minimal MIAF-shaped AVIF: ftyp + meta(pitm/iinf/iprp/[iref]) +
+    mdat. The av1C config encodes ``depth`` per AV1-ISOBMFF §2.3."""
+    brand = b"avis" if animated else b"avif"
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    if depth == 12:
+        av1c = bytes([0x81, 0x40, 0x60, 0x00])  # profile 2, hbd, twelve
+    elif depth == 10:
+        av1c = bytes([0x81, 0x00, 0x40, 0x00])  # hbd
+    else:
+        av1c = bytes([0x81, 0x00, 0x00, 0x00])
+    props = [
+        fullbox(b"ispe", 0, 0, struct.pack(">II", width, height)),
+        box(b"av1C", av1c),
+        fullbox(b"pixi", 0, 0, bytes([3, depth, depth, depth])),
+    ]
+    assoc = {1: [1, 2, 3]}
+    items = {1: b"av01"}
+    refs = b""
+    if alpha:
+        props.append(
+            fullbox(
+                b"auxC", 0, 0, _ALPHA_URNS[0] + b"\x00"
+            )
+        )
+        items[2] = b"av01"
+        assoc[2] = [1, 2, 4]
+        refs = fullbox(
+            b"iref", 0, 0, box(b"auxl", struct.pack(">HH H", 2, 1, 1))
+        )
+
+    def infe(item_id: int, itype: bytes) -> bytes:
+        if infe_version == 2:
+            body = struct.pack(">HH", item_id, 0) + itype + b"\x00"
+        else:
+            body = struct.pack(">IH", item_id, 0) + itype + b"\x00"
+        return fullbox(b"infe", infe_version, 0, body)
+
+    iinf = fullbox(
+        b"iinf",
+        0,
+        0,
+        struct.pack(">H", len(items))
+        + b"".join(infe(i, t) for i, t in sorted(items.items())),
+    )
+    ipco = box(b"ipco", b"".join(props))
+    entries = b""
+    for item_id, prop_ids in sorted(assoc.items()):
+        ent = (
+            struct.pack(">H", item_id)
+            if ipma_version == 0
+            else struct.pack(">I", item_id)
+        )
+        ent += bytes([len(prop_ids)])
+        for p in prop_ids:
+            ent += struct.pack(">H", p) if ipma_wide else bytes([p])
+        entries += ent
+    ipma = fullbox(
+        b"ipma",
+        ipma_version,
+        1 if ipma_wide else 0,
+        struct.pack(">I", len(assoc)) + entries,
+    )
+    pitm = fullbox(b"pitm", 0, 0, struct.pack(">H", 1))
+    hdlr = fullbox(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00"
+    )
+    meta = fullbox(
+        b"meta",
+        0,
+        0,
+        hdlr + pitm + iinf + box(b"iprp", ipco + ipma) + refs,
+    )
+    return ftyp + meta + box(b"mdat", item_data)
+
+
+def encode_mp4(
+    samples: list[bytes],
+    sample_deltas: list[int],
+    keyframes: list[int] | None,
+    timescale: int = 1000,
+    width: int = 0,
+    height: int = 0,
+    codec: bytes = b"av01",
+    samples_per_chunk: int = 2,
+    use_co64: bool = False,
+    v1_headers: bool = False,
+    track_id: int = 1,
+) -> bytes:
+    """Minimal progressive MP4: ftyp + mdat + moov, one video track.
+    ``keyframes`` is 1-based sample numbers (None → no stss box, every
+    sample sync). Chunk offsets are exact, so
+    :func:`mp4_sample_index` round-trips the real byte ranges."""
+    assert len(samples) == len(sample_deltas)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"mp41")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    data_base = len(ftyp) + 8  # mdat payload offset in the file
+
+    # chunk layout: fixed samples_per_chunk (last chunk may be short)
+    chunk_offsets = []
+    off = data_base
+    for i, s in enumerate(samples):
+        if i % samples_per_chunk == 0:
+            chunk_offsets.append(off)
+        off += len(s)
+
+    # stts: run-length encode the deltas
+    runs: list[tuple[int, int]] = []
+    for d in sample_deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = fullbox(
+        b"stts",
+        0,
+        0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    entry = box(codec, b"\x00" * 8)  # opaque sample entry; type is read
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    sizes = [len(s) for s in samples]
+    uniform = sizes and all(s == sizes[0] for s in sizes)
+    stsz = fullbox(
+        b"stsz",
+        0,
+        0,
+        (
+            struct.pack(">II", sizes[0], len(sizes))
+            if uniform
+            else struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes)
+        ),
+    )
+    stsc = fullbox(
+        b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(
+            ">III", 1, samples_per_chunk, 1
+        )
+    )
+    if use_co64:
+        stco = fullbox(
+            b"co64",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = fullbox(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl_children = stsd + stts + stsz + stsc + stco
+    if keyframes is not None:
+        stbl_children += fullbox(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(keyframes))
+            + b"".join(struct.pack(">I", k) for k in keyframes),
+        )
+    stbl = box(b"stbl", stbl_children)
+    hdlr = fullbox(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    dur = sum(sample_deltas)
+    if v1_headers:
+        mdhd = fullbox(
+            b"mdhd",
+            1,
+            0,
+            struct.pack(">QQIQ", 0, 0, timescale, dur) + b"\x55\xc4\x00\x00",
+        )
+        tkhd = fullbox(
+            b"tkhd",
+            1,
+            7,
+            struct.pack(">QQIIQ", 0, 0, track_id, 0, dur)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mvhd = fullbox(
+            b"mvhd",
+            1,
+            0,
+            struct.pack(">QQIQ", 0, 0, timescale, dur)
+            + b"\x00" * 80,
+        )
+    else:
+        mdhd = fullbox(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, dur) + b"\x55\xc4\x00\x00",
+        )
+        tkhd = fullbox(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">IIIII", 0, 0, track_id, 0, dur)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mvhd = fullbox(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, dur) + b"\x00" * 80,
+        )
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def mp4_extract_samples(

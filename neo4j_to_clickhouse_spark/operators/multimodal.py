@@ -38,10 +38,13 @@ from pyspark.sql import types as T
 # :mod:`.gif`), baseline TIFF is tag walking (sibling :mod:`.tiff`), and
 # WebP-lossless is prefix codes + LZ77 + invertible transforms (sibling
 # :mod:`.vp8l`, RFC 9649) — so for those formats the image path is REAL:
-# decode -> pixel features / nearest-neighbor resize -> re-encode. The hash
-# stub remains only for formats that genuinely need external DSP codecs
-# (AVIF, JPEG 12-bit/hierarchical, video). Lossy WebP decodes natively
-# too (:mod:`.vp8`, RFC 6386 keyframes — libwebp-oracle verified).
+# decode -> pixel features / nearest-neighbor resize -> re-encode. Lossy
+# WebP decodes natively too (:mod:`.vp8`, RFC 6386 keyframes —
+# libwebp-oracle verified). AVIF and MP4 are probed + frame-sampled at
+# the ISOBMFF container level (sibling :mod:`.isobmff`: dims, duration,
+# keyframe-aligned codec-sample byte ranges, no codec work); the hash
+# stub remains only where external DSP codecs are genuinely required
+# (AVIF/video PIXEL decode, JPEG 12-bit/hierarchical).
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -303,6 +306,14 @@ def probe_assets(assets: DataFrame) -> DataFrame:
     schema = assets.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neo4j_to_clickhouse_spark.operators.avi import is_avi, probe_avi
+        from neo4j_to_clickhouse_spark.operators.isobmff import (
+            is_avif,
+            is_mp4,
+            probe_avif,
+            probe_mp4,
+        )
+
         for pdf in batches:
             widths, heights, durations = [], [], []
             for payload in pdf["payload"]:
@@ -315,16 +326,25 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                     if audio is not None:
                         rate, _, samples = audio
                         d = int(len(samples) / max(rate, 1) * 1000)
-                    else:
-                        from neo4j_to_clickhouse_spark.operators.avi import (
-                            is_avi,
-                            probe_avi,
-                        )
-
-                        if is_avi(payload):
-                            video = probe_avi(payload)
-                            if video is not None:
-                                d = video[1]
+                    elif is_avi(payload):
+                        video = probe_avi(payload)
+                        if video is not None:
+                            d = video[1]
+                    elif is_avif(payload):
+                        # ISOBMFF container walk (sibling :mod:`.isobmff`):
+                        # dims come from the primary item's ispe — zero
+                        # AV1 decode
+                        info = probe_avif(payload)
+                        if info is not None:
+                            w, h = info["width"], info["height"]
+                    elif is_mp4(payload):
+                        info = probe_mp4(payload)
+                        if info is not None:
+                            d = info["duration_ms"]
+                            for trk in info["tracks"]:
+                                if trk["width"] and trk["height"]:
+                                    w, h = trk["width"], trk["height"]
+                                    break
                 widths.append(w)
                 heights.append(h)
                 durations.append(d)
@@ -488,13 +508,21 @@ def sample_frames(
     MJPEG-in-AVI payloads are sampled FOR REAL (RIFF parse via
     :mod:`.avi`; the emitted frame payload is the container's actual
     JPEG, decodable by :mod:`.jpeg`): one frame per ``every_ms`` of true
-    duration, nearest-frame selection. Other formats hit the stub
-    ('fake' emits one payload-hash frame per `every_ms` of
+    duration, nearest-frame selection. MP4 payloads are sampled FOR REAL
+    at the container level (:mod:`.isobmff`): the emitted payload is the
+    container's own codec sample (AV1 TU / H.264 AU byte range from
+    stsz/stsc/stco), keyframe-snapped — pixel decode of that sample
+    remains the external ffmpeg/dav1d boundary. Other formats hit the
+    stub ('fake' emits one payload-hash frame per `every_ms` of
     n_bytes-derived duration; 'raise' marks the H.264/VP9 ffmpeg
     boundary). Row explosion happens inside the executor either way, so
     a 2-hour video never materializes as one row downstream.
     """
     from neo4j_to_clickhouse_spark.operators.avi import is_avi, parse_avi_mjpeg
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        is_mp4,
+        mp4_extract_samples,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -523,6 +551,29 @@ def sample_frames(
                     }
                 )
             pdf = pdf[~real]
+            if len(pdf) == 0:
+                continue
+            mp4 = pdf["payload"].map(lambda p: is_mp4(p))
+            for _, row in pdf[mp4].iterrows():
+                try:
+                    samples = mp4_extract_samples(
+                        row["payload"], every_ms, keyframes_only=True
+                    )
+                except ValueError:
+                    samples = []
+                if not samples:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "asset_id": row["asset_id"],
+                        "frame_idx": pd.array(
+                            [i for i, _, _ in samples], dtype="int32"
+                        ),
+                        "frame_ms": [p for _, p, _ in samples],
+                        "payload": [b for _, _, b in samples],
+                    }
+                )
+            pdf = pdf[~mp4]
             if len(pdf) == 0:
                 continue
             if decode_stub == "raise":
