@@ -1695,6 +1695,119 @@ def multimodal_inventory(spark, sf_dir):
     )
 
 
+@q(
+    "mp4_keyframe_stats",
+    # The Spark side BUILDS a real MP4 container per selected doc
+    # (operators/isobmff.py::encode_mp4 — deterministic closed-form
+    # sample layout), then reads the stats back through the ISOBMFF
+    # parser (mp4_sample_index: stsz/stsc/stco/stss/stts walk;
+    # probe_mp4: mdhd/tkhd). The oracle computes the same numbers from
+    # the closed form directly — a parser that misreads any sample
+    # table diverges (17 is coprime with the fixture's 20-way source
+    # assignment, so every source is sampled). range(12) bounds the per-video sample fanout
+    # (n_samples = 3 + doc_id % 10 <= 12).
+    """WITH vids AS (
+         SELECT doc_id, source,
+                3 + doc_id % 10 AS n_samples,
+                1 + doc_id % 4 AS key_every,
+                40 + doc_id % 60 AS delta_ms
+         FROM documents WHERE doc_id % 17 = 0),
+       sized AS (
+         SELECT v.doc_id, v.source, v.n_samples, v.key_every, v.delta_ms,
+                sum(50 + (v.doc_id * 7 + t.i * 13) % 100) AS sample_bytes
+         FROM vids v JOIN range(12) t(i) ON t.i < v.n_samples
+         GROUP BY ALL)
+       SELECT source,
+              count(*) AS n_videos,
+              CAST(sum(n_samples) AS BIGINT) AS total_samples,
+              CAST(sum((n_samples - 1) // key_every + 1) AS BIGINT)
+                AS total_keyframes,
+              CAST(sum(sample_bytes) AS BIGINT) AS total_bytes,
+              CAST(sum(n_samples * delta_ms) AS BIGINT)
+                AS total_duration_ms
+       FROM sized GROUP BY source ORDER BY source""",
+    "MP4 governance stats (VERDICT r09 item 8): per-source video/sample/"
+    "keyframe/byte/duration totals read from REAL container sample "
+    "tables (stsz/stss/stts/stsc/stco), no pixel decode — certifies the "
+    "ISOBMFF parser against a closed-form oracle",
+)
+def mp4_keyframe_stats(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 17) == 0)
+        .select("doc_id", "source")
+    )
+    schema = (
+        "source string, n_samples long, n_keyframes long, "
+        "sample_bytes long, duration_ms long"
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from neo4j_to_clickhouse_spark.operators.isobmff import (
+            encode_mp4,
+            mp4_sample_index,
+            probe_mp4,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 10
+                k = 1 + doc_id % 4
+                delta = 40 + doc_id % 60
+                samples = [
+                    bytes([(doc_id + i) % 256])
+                    * (50 + (doc_id * 7 + i * 13) % 100)
+                    for i in range(n)
+                ]
+                payload = encode_mp4(
+                    samples,
+                    [delta] * n,
+                    list(range(1, n + 1, k)),
+                    width=320,
+                    height=180,
+                )
+                idx = mp4_sample_index(payload)
+                info = probe_mp4(payload)
+                rows.append(
+                    (
+                        source,
+                        len(idx),
+                        sum(1 for _, _, key, _ in idx if key),
+                        sum(s for _, s, _, _ in idx),
+                        info["tracks"][0]["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source",
+                    "n_samples",
+                    "n_keyframes",
+                    "sample_bytes",
+                    "duration_ms",
+                ],
+            )
+
+    return (
+        d.mapInPandas(run, schema)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_videos"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("n_keyframes").alias("total_keyframes"),
+            F.sum("sample_bytes").alias("total_bytes"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # LLM-pipeline: deterministic sampling (north star)
 # =====================================================================
@@ -7216,208 +7329,187 @@ def revenue_pareto_report(spark, sf_dir):
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
 # The verification driver certifies only the FIRST 50 entries of
-# ``queries()`` (CORRECTNESS_r02/r03 each contain exactly the first 50
-# registration-order names).  Registration order above is didactic
-# (reference parity first, north-star ops last), which left the 17
-# queries registered after ``dedup_simhash_planted`` without a driver
-# CORRECTNESS row for two rounds.  Rebuild the registry here in an
-# explicit priority order instead of reshuffling 2 000 lines of code:
-#
-# - ``_DRIVER_WINDOW`` (50 names): every operator family is represented,
-#   with the never-driver-checked as-of / sessionization / funnel /
-#   rollup / percentile family promoted into the window.
-# - ``_ROTATION`` (tail): twice-green redundant siblings (each has a
-#   harder or equivalent sibling inside the window) plus the rows-only
-#   specs whose hard-oracle siblings are in the window.  Rotate these
-#   back into the window in later rounds so every query periodically
-#   re-earns its row.
+# ``queries()``.  From round 10 the window is MECHANICAL, not curated
+# (VERDICT r09 item 4): the 50 stalest hard-oracle queries — never-
+# certified first, then oldest driver-green round, name tie-break;
+# rows-only-by-design specs excluded (their hard siblings rotate).
+# Regenerate with ``python tools/driver_window.py`` after each round
+# lands its CORRECTNESS file or a new query registers;
+# ``tests/test_registry.py::test_driver_window_is_the_stalest_50``
+# recomputes the selection from the committed CORRECTNESS ledger and
+# fails if this list drifts from it.
 
 _DRIVER_WINDOW = [
-    # round-9 rotation (VERDICT r08 item 1 — finish the certification):
-    # the 21 round-7 debuts that missed the r08 window (the whole
-    # promotion queue) take the head; the remaining 29 slots re-certify
-    # the STALEST hard-oracle rows — r06 greens whose driver rows
-    # predate the current fixture's r07/r08 certifications.  After this
-    # window goes green, every one of the 163 hard-oracle queries holds
-    # a driver CORRECTNESS row from r05+ on the current fixture and the
-    # registry freeze lifts for named gaps (VERDICT r08 item 5).
-    "signup_to_purchase_latency",
-    "order_line_count_histogram",
-    "user_activity_percentiles",
-    "dedup_token_savings_by_source",
-    "grouping_sets_event_report",
-    "revenue_pareto_report",
-    "cube_event_counts",
-    "value_deciles_by_type",
-    "event_type_pivot",
-    "clicker_purchaser_intersect",
-    "daily_counts_gapfilled",
-    "hourly_event_windows",
-    "ngram_diversity_by_source",
-    "events_by_dow_hour",
-    "doc_length_magnitude_histogram",
-    "user_entropy_bands",
-    "value_mad_by_type",
-    "orders_monthly_growth",
-    "event_share_of_total",
-    "duplicate_metadata_conflicts",
-    "revenue_by_part_type",
-    # stalest 29: last driver-green in r06
-    "sample_temperature_weighted",
-    "multimodal_inventory",
-    "embedding_ivf_full_probe",
-    "decontamination_overlap",
-    "value_percentiles_by_type",
-    "range_join_interval_stats",
-    "tfidf_source_profile",
-    "conditional_aggregates",
-    "argmax_event_per_user",
-    "first_events_per_user",
-    "count_distinct_salted",
-    "first_event_salted",
-    "train_val_test_split_counts",
-    "supplier_triangle_count",
-    "supplier_pagerank",
-    "embedding_dimension_stats",
-    "dedup_jaccard_capped",
-    "dedup_survivors_minhash",
-    "embedding_near_duplicates",
-    "langid_distribution",
-    "quality_bands",
-    "repetition_by_source",
-    "fingerprint_uniqueness",
-    "sample_stratified_per_source",
-    "top_revenue_orders",
-    "summary_stats",
-    "union_counts",
-    "word_distribution",
-    "payload_profile",
+    "mp4_keyframe_stats",  # last green: r00
+    "asof_user_state",  # last green: r06
+    "daily_moving_stats",  # last green: r06
+    "dedup_survivors_by_source",  # last green: r06
+    "filter_array_membership",  # last green: r06
+    "filter_event_type",  # last green: r06
+    "retention_cohort_counts",  # last green: r06
+    "rollup_event_counts",  # last green: r06
+    "sequence_count_histogram",  # last green: r06
+    "sessionization",  # last green: r06
+    "sorted_regions",  # last green: r06
+    "token_count_extremes",  # last green: r06
+    "value_histogram",  # last green: r06
+    "window_funnel_steps",  # last green: r06
+    "acctbal_by_segment",  # last green: r07
+    "approx_distinct_users_bound",  # last green: r07
+    "asof_user_state_bucketed",  # last green: r07
+    "chunking_stats",  # last green: r07
+    "conjunctive_filters",  # last green: r07
+    "count_by_event_type",  # last green: r07
+    "count_distinct_by_type",  # last green: r07
+    "cross_source_span_overlap",  # last green: r07
+    "curation_funnel_report",  # last green: r07
+    "decontamination_bloom",  # last green: r07
+    "dedup_clusters",  # last green: r07
+    "dedup_exact_docs",  # last green: r07
+    "dedup_minhash_lsh",  # last green: r07
+    "dedup_ngram_jaccard",  # last green: r07
+    "dedup_simhash_planted",  # last green: r07
+    "dedup_validation",  # last green: r07
+    "duplicate_keys",  # last green: r07
+    "embedding_ivf_recall",  # last green: r07
+    "embedding_kmeans_cells",  # last green: r07
+    "embedding_knn",  # last green: r07
+    "embedding_lsh_near_dup",  # last green: r07
+    "embedding_pq_codes",  # last green: r07
+    "embedding_quantization_report",  # last green: r07
+    "filter_json_path",  # last green: r07
+    "filter_json_path_variant",  # last green: r07
+    "filter_time_range",  # last green: r07
+    "global_totals",  # last green: r07
+    "graph_degree_topk",  # last green: r07
+    "graph_two_hop_topk",  # last green: r07
+    "latest_events",  # last green: r07
+    "latest_state_per_entity",  # last green: r07
+    "lm_quality_by_source",  # last green: r07
+    "order_priority_count",  # last green: r07
+    "orders_per_customer_topk",  # last green: r07
+    "pii_redaction_stats",  # last green: r07
+    "pricing_summary",  # last green: r07
 ]
 
 _ROTATION = [
-    # r08 window greens (CORRECTNESS_r08: 50/50 pass) — freshest rows
-    "embedding_pq_adc_recall",
-    "approx_percentile_bound",
-    "gopher_quality_flags",
-    "column_profile_events",
-    "revenue_forecast",
-    "token_zipf_coverage",
-    "mixture_epochs_plan",
-    "value_corr_by_type",
-    "returned_item_revenue",
-    "large_order_customers",
-    "user_activity_gini",
-    "ship_lag_stats",
-    "langid_confusion",
-    "dedup_cluster_size_histogram",
-    "partition_skew_report",
-    "embedding_centroid_spread",
-    "json_value_stats_by_type",
-    "user_growth_accounting",
-    "event_transition_matrix",
-    "top_brands_per_nation",
-    "nation_trade_volume",
-    "dup_rate_by_lang",
-    "split_leakage_report",
-    "daily_anomaly_flags",
-    "embedding_coverage_report",
-    "rolling_weekly_active_users",
-    "purchase_gap_histogram",
-    "basket_cooccurrence_topk",
-    "distribution_shift_by_type",
-    "vocab_growth_curve",
-    "topk_words_per_source",
-    "asof_next_event",
-    "session_path_topk",
-    "audience_overlap_by_type",
-    "late_arrival_audit",
-    "template_prefix_audit",
-    "conversion_by_signup_cohort",
-    "first_event_type_distribution",
-    "ttr_by_length_decile",
-    "value_skew_kurtosis_by_type",
-    "max_concurrent_sessions",
-    "value_delta_sum_by_type",
-    "active_time_union_seconds",
-    "customers_inactive_since",
-    "urgent_customers_by_segment",
-    "user_halves_churn",
-    "shipping_priority",
-    "dedup_incremental_batch",
-    "priority_sample_by_length",
-    "priority_sample_estimator",
-    # r07 window greens (CORRECTNESS_r07: 50/50 pass)
-    "sequence_packing_stats",
-    "embedding_ivf_recall",
-    "pii_redaction_stats",
-    "curation_funnel_report",
-    "decontamination_bloom",
-    "lm_quality_by_source",
-    "repeated_span_stats",
-    "shard_balance_report",
-    "tokenizer_comparison_by_source",
-    "embedding_kmeans_cells",
-    "span_dedup_rewrite_stats",
-    "chunking_stats",
-    "state_interval_stats",
-    "cross_source_span_overlap",
-    "semantic_dedup_survivors",
-    "embedding_quantization_report",
-    "embedding_pq_codes",
-    "approx_distinct_users_bound",
-    "filter_json_path_variant",
-    "duplicate_keys",
-    "latest_events",
-    "order_priority_count",
-    "acctbal_by_segment",
-    "count_by_event_type",
-    "count_distinct_by_type",
-    "topk_words_approx",
-    "global_totals",
-    "orders_per_customer_topk",
-    "filter_json_path",
-    "filter_time_range",
-    "conjunctive_filters",
-    "latest_state_per_entity",
-    "dedup_validation",
-    "retention_candidates",
-    "pricing_summary",
-    "revenue_by_nation",
-    "graph_two_hop_topk",
-    "graph_degree_topk",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash_planted",
-    "embedding_knn",
-    "embedding_lsh_near_dup",
-    "text_stats_by_source",
-    "sample_hash_fraction",
-    "asof_user_state_bucketed",
-    "session_window_counts",
-    "window_funnel_strict_order_steps",
-    "dedup_minhash_lsh",
-    # rows-only-by-design specs (driver records no_oracle; hard-oracle
-    # siblings dedup_simhash_planted / embedding_ivf_recall /
-    # sample_hash_fraction are certified)
-    "random_sample",
-    "dedup_simhash",
-    "embedding_ivf_topk",
-    # r06 greens not needing immediate re-certification (family
-    # siblings are in the r09 window)
-    "sorted_regions",
-    "filter_event_type",
-    "filter_array_membership",
-    "dedup_survivors_by_source",
-    "token_count_extremes",
-    "asof_user_state",
-    "sessionization",
-    "window_funnel_steps",
-    "sequence_count_histogram",
-    "retention_cohort_counts",
-    "rollup_event_counts",
-    "value_histogram",
-    "daily_moving_stats",
+    "repeated_span_stats",  # r07
+    "retention_candidates",  # r07
+    "revenue_by_nation",  # r07
+    "sample_hash_fraction",  # r07
+    "semantic_dedup_survivors",  # r07
+    "sequence_packing_stats",  # r07
+    "session_window_counts",  # r07
+    "shard_balance_report",  # r07
+    "span_dedup_rewrite_stats",  # r07
+    "state_interval_stats",  # r07
+    "text_stats_by_source",  # r07
+    "tokenizer_comparison_by_source",  # r07
+    "topk_words_approx",  # r07
+    "window_funnel_strict_order_steps",  # r07
+    "active_time_union_seconds",  # r08
+    "approx_percentile_bound",  # r08
+    "asof_next_event",  # r08
+    "audience_overlap_by_type",  # r08
+    "basket_cooccurrence_topk",  # r08
+    "column_profile_events",  # r08
+    "conversion_by_signup_cohort",  # r08
+    "customers_inactive_since",  # r08
+    "daily_anomaly_flags",  # r08
+    "dedup_cluster_size_histogram",  # r08
+    "dedup_incremental_batch",  # r08
+    "distribution_shift_by_type",  # r08
+    "dup_rate_by_lang",  # r08
+    "embedding_centroid_spread",  # r08
+    "embedding_coverage_report",  # r08
+    "embedding_pq_adc_recall",  # r08
+    "event_transition_matrix",  # r08
+    "first_event_type_distribution",  # r08
+    "gopher_quality_flags",  # r08
+    "json_value_stats_by_type",  # r08
+    "langid_confusion",  # r08
+    "large_order_customers",  # r08
+    "late_arrival_audit",  # r08
+    "max_concurrent_sessions",  # r08
+    "mixture_epochs_plan",  # r08
+    "nation_trade_volume",  # r08
+    "partition_skew_report",  # r08
+    "priority_sample_by_length",  # r08
+    "priority_sample_estimator",  # r08
+    "purchase_gap_histogram",  # r08
+    "returned_item_revenue",  # r08
+    "revenue_forecast",  # r08
+    "rolling_weekly_active_users",  # r08
+    "session_path_topk",  # r08
+    "ship_lag_stats",  # r08
+    "shipping_priority",  # r08
+    "split_leakage_report",  # r08
+    "template_prefix_audit",  # r08
+    "token_zipf_coverage",  # r08
+    "top_brands_per_nation",  # r08
+    "topk_words_per_source",  # r08
+    "ttr_by_length_decile",  # r08
+    "urgent_customers_by_segment",  # r08
+    "user_activity_gini",  # r08
+    "user_growth_accounting",  # r08
+    "user_halves_churn",  # r08
+    "value_corr_by_type",  # r08
+    "value_delta_sum_by_type",  # r08
+    "value_skew_kurtosis_by_type",  # r08
+    "vocab_growth_curve",  # r08
+    "argmax_event_per_user",  # r09
+    "clicker_purchaser_intersect",  # r09
+    "conditional_aggregates",  # r09
+    "count_distinct_salted",  # r09
+    "cube_event_counts",  # r09
+    "daily_counts_gapfilled",  # r09
+    "decontamination_overlap",  # r09
+    "dedup_jaccard_capped",  # r09
+    "dedup_survivors_minhash",  # r09
+    "dedup_token_savings_by_source",  # r09
+    "doc_length_magnitude_histogram",  # r09
+    "duplicate_metadata_conflicts",  # r09
+    "embedding_dimension_stats",  # r09
+    "embedding_ivf_full_probe",  # r09
+    "embedding_near_duplicates",  # r09
+    "event_share_of_total",  # r09
+    "event_type_pivot",  # r09
+    "events_by_dow_hour",  # r09
+    "fingerprint_uniqueness",  # r09
+    "first_event_salted",  # r09
+    "first_events_per_user",  # r09
+    "grouping_sets_event_report",  # r09
+    "hourly_event_windows",  # r09
+    "langid_distribution",  # r09
+    "multimodal_inventory",  # r09
+    "ngram_diversity_by_source",  # r09
+    "order_line_count_histogram",  # r09
+    "orders_monthly_growth",  # r09
+    "payload_profile",  # r09
+    "quality_bands",  # r09
+    "range_join_interval_stats",  # r09
+    "repetition_by_source",  # r09
+    "revenue_by_part_type",  # r09
+    "revenue_pareto_report",  # r09
+    "sample_stratified_per_source",  # r09
+    "sample_temperature_weighted",  # r09
+    "signup_to_purchase_latency",  # r09
+    "summary_stats",  # r09
+    "supplier_pagerank",  # r09
+    "supplier_triangle_count",  # r09
+    "tfidf_source_profile",  # r09
+    "top_revenue_orders",  # r09
+    "train_val_test_split_counts",  # r09
+    "union_counts",  # r09
+    "user_activity_percentiles",  # r09
+    "user_entropy_bands",  # r09
+    "value_deciles_by_type",  # r09
+    "value_mad_by_type",  # r09
+    "value_percentiles_by_type",  # r09
+    "word_distribution",  # r09
+    "dedup_simhash",  # rows-only
+    "embedding_ivf_topk",  # rows-only
+    "random_sample",  # rows-only
 ]
 
 

@@ -337,6 +337,9 @@ def test_registry_wide_plan_lint(spark):
         "embedding_ivf_recall",
         "semantic_dedup_survivors",
         "topk_words_approx",
+        # ISOBMFF container build+parse per selected doc (binary-payload
+        # work, inherently Arrow-batched like the multimodal operators)
+        "mp4_keyframe_stats",
     }
     py_markers = (
         "BatchEvalPython",

@@ -17,77 +17,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo4j_to_clickhouse_spark.plans import queries as Q
 
-# Round-9 window (VERDICT r08 item 1 — finish the certification): the 21
-# round-7 debuts that missed the r08 window (the whole promotion queue)
-# hold the head slots; the other 29 slots RE-certify the stalest
-# hard-oracle rows (last driver-green in CORRECTNESS_r06). After this
-# window certifies, every hard-oracle query in the registry holds a
-# driver row on the current fixture.
-NEVER_CERTIFIED = [
-    "signup_to_purchase_latency",
-    "order_line_count_histogram",
-    "user_activity_percentiles",
-    "dedup_token_savings_by_source",
-    "grouping_sets_event_report",
-    "revenue_pareto_report",
-    "cube_event_counts",
-    "value_deciles_by_type",
-    "event_type_pivot",
-    "clicker_purchaser_intersect",
-    "daily_counts_gapfilled",
-    "hourly_event_windows",
-    "ngram_diversity_by_source",
-    "events_by_dow_hour",
-    "doc_length_magnitude_histogram",
-    "user_entropy_bands",
-    "value_mad_by_type",
-    "orders_monthly_growth",
-    "event_share_of_total",
-    "duplicate_metadata_conflicts",
-    "revenue_by_part_type",
-]
+def test_driver_window_is_the_stalest_50():
+    """From round 10 the window is mechanical (VERDICT r09 item 4): the
+    50 stalest hard-oracle queries, never-certified first, oldest
+    driver-green round next, name tie-break — recomputed here from the
+    committed CORRECTNESS_r*.json ledger so a curated drift fails."""
+    import pathlib
 
-RECERTIFYING: list[str] = [
-    # stalest 29: every driver row dates from CORRECTNESS_r06
-    "sample_temperature_weighted",
-    "multimodal_inventory",
-    "embedding_ivf_full_probe",
-    "decontamination_overlap",
-    "value_percentiles_by_type",
-    "range_join_interval_stats",
-    "tfidf_source_profile",
-    "conditional_aggregates",
-    "argmax_event_per_user",
-    "first_events_per_user",
-    "count_distinct_salted",
-    "first_event_salted",
-    "train_val_test_split_counts",
-    "supplier_triangle_count",
-    "supplier_pagerank",
-    "embedding_dimension_stats",
-    "dedup_jaccard_capped",
-    "dedup_survivors_minhash",
-    "embedding_near_duplicates",
-    "langid_distribution",
-    "quality_bands",
-    "repetition_by_source",
-    "fingerprint_uniqueness",
-    "sample_stratified_per_source",
-    "top_revenue_orders",
-    "summary_stats",
-    "union_counts",
-    "word_distribution",
-    "payload_profile",
-]
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from driver_window import ledger, stalest_window
 
-
-def test_promoted_queries_inside_driver_window():
-    first_50 = list(Q.QUERIES)[:50]
-    missing = [n for n in NEVER_CERTIFIED + RECERTIFYING if n not in first_50]
-    assert not missing, (
-        f"queries without a driver CORRECTNESS row fell outside the first 50 "
-        f"registry positions: {missing}"
+    rows_only = {n for n, s in Q.QUERIES.items() if s.oracle is None}
+    window, _rotation = stalest_window(
+        list(Q.QUERIES), rows_only, repo=str(repo)
     )
+    assert Q._DRIVER_WINDOW == window, (
+        "_DRIVER_WINDOW is not the mechanical stalest-50 — regenerate "
+        "with `python tools/driver_window.py`"
+    )
+    # rows-only specs never occupy a window slot
+    assert not (set(Q._DRIVER_WINDOW) & rows_only)
+    # staleness must be monotone non-decreasing across the window
+    last = ledger(str(repo))
+    rounds = [last.get(q, 0) for q in window]
+    assert rounds == sorted(rounds)
 
 
 def test_window_and_rotation_partition_registry():
