@@ -167,7 +167,9 @@ def main() -> None:
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     all_steals: dict[str, list[int]] = {}
+    all_cpu: dict[str, list[float]] = {}
     _STEAL_DIRTY_CS = 50  # 0.5 stolen CPU-seconds during one run
+    _RATIO_DIRTY = 1.6  # wall/task-CPU ratio vs the query's best run
     _MAX_RUNS = 4
 
     def _steal_cs() -> int:
@@ -177,6 +179,36 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
+    # Per-run TASK-CPU seconds from Spark's own task metrics (VERDICT
+    # r09 item 2): cumulative executorCpuTime across completed stages,
+    # read from the AppStatusStore (present with the UI disabled),
+    # diffed around each run. The r09 bench recorded 2-5x wall
+    # regressions on runs its /proc-steal guard certified clean —
+    # /proc/stat steal misses co-tenant memory-bandwidth / frequency
+    # contention. Wall and task-CPU disambiguate: a noisy host inflates
+    # wall while the plan burns the same CPU (wall/CPU ratio is the
+    # outlier); a real plan regression inflates BOTH. A run whose
+    # wall/CPU ratio exceeds _RATIO_DIRTY x the query's best observed
+    # ratio is dirty regardless of steal. (Stage eviction caveat: the
+    # store retains spark.ui.retainedStages=1000 stages; a full bench
+    # completes ~400, so the cumulative sum never goes backwards here.)
+    _jsc = spark.sparkContext
+    _store = _jsc._jsc.sc().statusStore()
+    _jvm, _gw = _jsc._jvm, _jsc._gateway
+
+    def _task_cpu_s() -> float:
+        total_ns = 0
+        it = _store.stageList(
+            _jvm.java.util.ArrayList(),
+            False,
+            False,
+            _gw.new_array(_jvm.double, 0),
+            _jvm.java.util.ArrayList(),
+        ).iterator()
+        while it.hasNext():
+            total_ns += it.next().executorCpuTime()
+        return total_ns / 1e9
+
     # every timed run CONSUMES the full result with .collect() — the
     # same consumption as the correctness driver and a real client.
     # Rounds 1-7 timed `.count()`, under which Catalyst legitimately
@@ -184,28 +216,55 @@ def main() -> None:
     # pricing_summary's plan lost all three sums and kept only the
     # grouping keys), so those rounds under-measured; r08 renumbers.
     steal_dirty: list[str] = []
+    ratio_dirty: list[str] = []
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
         runs: list[float] = []
         steals: list[int] = []
-        clean = 0
-        while len(runs) < _MAX_RUNS and clean < 2:
+        cpus: list[float] = []
+
+        def _clean_flags() -> list[bool]:
+            # ratio test needs a baseline: the best (lowest) wall/CPU
+            # ratio observed for this query so far
+            ratios = [
+                w / max(c, 1e-3) for w, c in zip(runs, cpus)
+            ]
+            best = min(ratios)
+            return [
+                s <= _STEAL_DIRTY_CS and r <= _RATIO_DIRTY * best
+                for s, r in zip(steals, ratios)
+            ]
+
+        while len(runs) < _MAX_RUNS and (
+            len(runs) < 2 or sum(_clean_flags()) < 2
+        ):
             s0 = _steal_cs()
+            c0 = _task_cpu_s()
             t0 = time.perf_counter()
             n = len(spec.spark(spark, sf_dir).collect())
             runs.append(round(time.perf_counter() - t0, 3))
+            cpus.append(round(_task_cpu_s() - c0, 3))
             steals.append(_steal_cs() - s0)
-            if steals[-1] <= _STEAL_DIRTY_CS:
-                clean += 1
-        if clean == 0:
-            # every run was steal-polluted: the reported min is NOT a
+        flags = _clean_flags()
+        if not any(flags):
+            # every run was polluted: the reported min is NOT a
             # quiet-host number — flag it so cross-round comparisons
             # don't read a polluted time as a regression/improvement
-            steal_dirty.append(name)
-        times[name] = min(runs)
+            if all(s > _STEAL_DIRTY_CS for s in steals):
+                steal_dirty.append(name)
+            else:
+                ratio_dirty.append(name)
+            times[name] = min(runs)
+        else:
+            times[name] = min(w for w, ok in zip(runs, flags) if ok)
         all_runs[name] = runs
         all_steals[name] = steals
-        print(f"# {name}: {runs} steal_cs={steals} ({n} rows)", file=sys.stderr)
+        all_cpu[name] = cpus
+        print(
+            f"# {name}: wall={runs} cpu_s={cpus} steal_cs={steals}"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
     noise_after = _host_noise()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -218,8 +277,10 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": all_runs,
+                "run_cpu_s": all_cpu,
                 "run_steal_cs": all_steals,
                 "steal_dirty": steal_dirty,
+                "ratio_dirty": ratio_dirty,
                 "host_noise": {
                     "before": noise_before,
                     "after": noise_after,
