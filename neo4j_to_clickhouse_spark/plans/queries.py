@@ -1808,6 +1808,109 @@ def mp4_keyframe_stats(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_probe_stats",
+    # Certifies the WIRED probe_assets operator (not just the parser):
+    # the Spark side builds real AVIF (even doc_id) and MP4 (odd)
+    # containers with closed-form dims/durations, routes them through
+    # operators/multimodal.py::probe_assets (the ISOBMFF branch fills
+    # width/height from ispe, duration_ms from mvhd), and aggregates;
+    # the oracle recomputes the same totals from the closed form. A
+    # probe that misreads the item tree or movie header diverges.
+    # 13 is coprime with the fixture's 20-way source assignment.
+    """WITH sel AS (
+         SELECT doc_id, source FROM documents WHERE doc_id % 13 = 0)
+       SELECT source,
+              CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_images,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_videos,
+              CAST(sum(CASE WHEN doc_id % 2 = 0
+                   THEN (16 + doc_id % 101) * (16 + (doc_id * 3) % 101)
+                   ELSE 0 END) AS BIGINT) AS total_pixels,
+              CAST(sum(CASE WHEN doc_id % 2 = 1
+                   THEN (2 + doc_id % 7) * (50 + doc_id % 40)
+                   ELSE 0 END) AS BIGINT) AS total_duration_ms
+       FROM sel GROUP BY source ORDER BY source""",
+    "multimodal probe inventory over real AVIF/MP4 containers: per-"
+    "source image/video counts, pixel totals from the AVIF ispe walk, "
+    "duration totals from the MP4 movie header — certifies the wired "
+    "probe_assets ISOBMFF branch end-to-end",
+)
+def multimodal_probe_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.multimodal import probe_assets
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 13) == 0)
+        .select("doc_id", "source")
+    )
+    schema = (
+        "source string, payload binary, width int, height int, "
+        "duration_ms long"
+    )
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from neo4j_to_clickhouse_spark.operators.isobmff import (
+            encode_avif,
+            encode_mp4,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    payloads.append(
+                        encode_avif(
+                            16 + doc_id % 101, 16 + (doc_id * 3) % 101
+                        )
+                    )
+                else:
+                    n = 2 + doc_id % 7
+                    delta = 50 + doc_id % 40
+                    # width/height left 0: the video track reports no
+                    # dims, so image/video rows split cleanly on
+                    # width-vs-duration nullness downstream
+                    payloads.append(
+                        encode_mp4(
+                            [b"\x00" * 20] * n, [delta] * n, keyframes=None
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "payload": payloads,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [None] * len(pdf), dtype="Int64"
+                    ),
+                }
+            )
+
+    probed = probe_assets(d.mapInPandas(build, schema))
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count("width").alias("n_images"),
+            F.count("duration_ms").alias("n_videos"),
+            F.coalesce(
+                F.sum(F.col("width").cast("long") * F.col("height")),
+                F.lit(0),
+            ).alias("total_pixels"),
+            F.coalesce(F.sum("duration_ms"), F.lit(0)).alias(
+                "total_duration_ms"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # LLM-pipeline: deterministic sampling (north star)
 # =====================================================================
@@ -7341,6 +7444,7 @@ def revenue_pareto_report(spark, sf_dir):
 
 _DRIVER_WINDOW = [
     "mp4_keyframe_stats",  # last green: r00
+    "multimodal_probe_stats",  # last green: r00
     "asof_user_state",  # last green: r06
     "daily_moving_stats",  # last green: r06
     "dedup_survivors_by_source",  # last green: r06
@@ -7389,10 +7493,10 @@ _DRIVER_WINDOW = [
     "order_priority_count",  # last green: r07
     "orders_per_customer_topk",  # last green: r07
     "pii_redaction_stats",  # last green: r07
-    "pricing_summary",  # last green: r07
 ]
 
 _ROTATION = [
+    "pricing_summary",  # r07
     "repeated_span_stats",  # r07
     "retention_candidates",  # r07
     "revenue_by_nation",  # r07

@@ -340,6 +340,7 @@ def test_registry_wide_plan_lint(spark):
         # ISOBMFF container build+parse per selected doc (binary-payload
         # work, inherently Arrow-batched like the multimodal operators)
         "mp4_keyframe_stats",
+        "multimodal_probe_stats",
     }
     py_markers = (
         "BatchEvalPython",
