@@ -138,6 +138,26 @@ def is_avif(payload: bytes | None) -> bool:
     return any(b in (b"avif", b"avis") for b in brands)
 
 
+# HEIF still-image brands (ISO 23008-12 §10): AVIF plus the HEVC-coded
+# HEIC family and the codec-agnostic MIAF/HEIF structural brands.
+_HEIF_STILL_BRANDS = (
+    b"avif",
+    b"avis",
+    b"heic",
+    b"heix",
+    b"heim",
+    b"heis",
+    b"mif1",
+    b"miaf",
+)
+
+
+def is_heif_still(payload: bytes | None) -> bool:
+    if not is_isobmff(payload):
+        return False
+    return any(b in _HEIF_STILL_BRANDS for b in _ftyp_brands(payload))
+
+
 def _parse_iinf(buf: bytes, p0: int, p1: int) -> dict[int, bytes]:
     """item_ID -> item_type (4cc) from the item-information box."""
     version, _, body = _full(buf, p0)
@@ -220,14 +240,18 @@ def _av1c_depth(cfg: bytes) -> int:
     return 12 if (seq_profile == 2 and twelve_bit) else 10
 
 
+_STILL_CODECS = (b"av01", b"hvc1", b"hev1")
+
+
 def probe_avif(payload: bytes) -> dict | None:
-    """Container-level AVIF metadata: no AV1 decode involved.
+    """Container-level HEIF still metadata (AVIF and HEVC-coded HEIC —
+    the item tree is codec-agnostic): no pixel decode involved.
 
     Returns ``{"width", "height", "bit_depth", "has_alpha", "codec",
-    "animated"}`` or None if the payload is not AVIF / is too mangled
-    to carry an ``ispe`` for the primary item.
+    "animated"}`` or None if the payload is not a HEIF still / is too
+    mangled to carry an ``ispe`` for the primary item.
     """
-    if not is_avif(payload):
+    if not is_heif_still(payload):
         return None
     buf = payload
     meta = find_box(buf, (b"meta",))
@@ -252,8 +276,8 @@ def probe_avif(payload: bytes) -> dict | None:
     refs = _parse_iref(buf, *iref) if iref else []
 
     if primary is None and items:
-        av01 = [i for i, t in items.items() if t == b"av01"]
-        primary = min(av01) if av01 else None
+        coded = [i for i, t in items.items() if t in _STILL_CODECS]
+        primary = min(coded) if coded else None
     if primary is None:
         return None
 
@@ -311,7 +335,7 @@ def is_mp4(payload: bytes | None) -> bool:
     if not is_isobmff(payload):
         return False
     brands = _ftyp_brands(payload)
-    if any(b in (b"avif", b"avis") for b in brands):
+    if any(b in _HEIF_STILL_BRANDS for b in brands):
         return False
     return find_box(payload, (b"moov",)) is not None
 

@@ -42,9 +42,13 @@ from pyspark.sql import types as T
 # WebP decodes natively too (:mod:`.vp8`, RFC 6386 keyframes —
 # libwebp-oracle verified). AVIF and MP4 are probed + frame-sampled at
 # the ISOBMFF container level (sibling :mod:`.isobmff`: dims, duration,
-# keyframe-aligned codec-sample byte ranges, no codec work); the hash
-# stub remains only where external DSP codecs are genuinely required
-# (AVIF/video PIXEL decode, JPEG 12-bit/hierarchical).
+# keyframe-aligned codec-sample byte ranges, no codec work), and
+# AVIF/HEIC PIXEL decode goes through the system libheif when present
+# (sibling :mod:`.heif`, ctypes — the same optional-fast-path pattern
+# as Pillow for JPEG; container probe is the no-lib fallback). The hash
+# stub remains only for video pixel decode (H.264/VP9/AV1 samples) and
+# JPEG 12-bit/hierarchical, or any format on a host without its
+# optional library.
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -79,6 +83,20 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
             from neo4j_to_clickhouse_spark.operators.vp8l import decode_webp
 
             return ("webp", decode_webp(payload))
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            from neo4j_to_clickhouse_spark.operators import heif
+            from neo4j_to_clickhouse_spark.operators.isobmff import (
+                is_avif,
+                is_heif_still,
+            )
+
+            # AVIF/HEIC pixel decode via the system libheif when
+            # present (optional fast path like Pillow for JPEG); the
+            # pure-Python container probe stays the no-lib fallback
+            # for metadata, so decode-None here just means "stub".
+            if is_heif_still(payload) and heif.available():
+                fmt = "avif" if is_avif(payload) else "heic"
+                return (fmt, heif.decode_heif(payload))
     except (ValueError, struct.error, IndexError):
         return None
     return None
@@ -308,7 +326,7 @@ def probe_assets(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from neo4j_to_clickhouse_spark.operators.avi import is_avi, probe_avi
         from neo4j_to_clickhouse_spark.operators.isobmff import (
-            is_avif,
+            is_heif_still,
             is_mp4,
             probe_avif,
             probe_mp4,
@@ -330,10 +348,12 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         video = probe_avi(payload)
                         if video is not None:
                             d = video[1]
-                    elif is_avif(payload):
+                    elif is_heif_still(payload):
                         # ISOBMFF container walk (sibling :mod:`.isobmff`):
                         # dims come from the primary item's ispe — zero
-                        # AV1 decode
+                        # pixel decode (reached only when libheif is
+                        # absent; decode_image handles AVIF/HEIC above
+                        # otherwise)
                         info = probe_avif(payload)
                         if info is not None:
                             w, h = info["width"], info["height"]
