@@ -45,10 +45,13 @@ from pyspark.sql import types as T
 # keyframe-aligned codec-sample byte ranges, no codec work), and
 # AVIF/HEIC PIXEL decode goes through the system libheif when present
 # (sibling :mod:`.heif`, ctypes — the same optional-fast-path pattern
-# as Pillow for JPEG; container probe is the no-lib fallback). The hash
-# stub remains only for video pixel decode (H.264/VP9/AV1 samples) and
-# JPEG 12-bit/hierarchical, or any format on a host without its
-# optional library.
+# as Pillow for JPEG; container probe is the no-lib fallback). Video
+# keyframes decode for real in extract_video_frames — MJPEG-AVI via the
+# native JPEG decoder, AV1-in-MP4 by rewrapping each sync sample as a
+# single-item AVIF (same bitstream) through the libheif path. The hash
+# stub remains only for H.264/HEVC/VP9 sample pixel decode and JPEG
+# 12-bit/hierarchical, or any format on a host without its optional
+# library.
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -630,4 +633,118 @@ def sample_frames(
 
     return assets.select("asset_id", "n_bytes", "payload").mapInPandas(
         run, FRAME_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),  # PPM (P6) pixels
+    ]
+)
+
+
+def extract_video_frames(
+    assets: DataFrame, every_ms: int = 1000,
+    decode_stub: Literal["fake", "raise"] = "fake",
+) -> DataFrame:
+    """Video keyframe sampling WITH pixel decode: one PPM frame out per
+    sampled keyframe.
+
+    Two real paths, no external process:
+
+    - **MJPEG-in-AVI**: the container's JPEG frames decode through the
+      native :mod:`.jpeg` decoder.
+    - **AV1-in-MP4**: each keyframe-snapped sync sample
+      (:mod:`.isobmff` sample tables) is rewrapped as a single-item
+      AVIF (``wrap_av1_item_as_avif`` + the track's ``av1C`` record)
+      and decoded through the libheif path (:mod:`.heif`) — the same
+      bitstream a video decoder would see for that frame.
+
+    Other codecs (H.264/VP9...), or AV1 on a host without libheif, hit
+    the stub: 'fake' emits a deterministic 8x8 PPM from the payload
+    hash (plumbing-real, pixels fake); 'raise' marks the ffmpeg
+    boundary. Explosion happens executor-side; frames are bounded by
+    ``every_ms``, never by video length in one row.
+    """
+    from neo4j_to_clickhouse_spark.operators import heif
+    from neo4j_to_clickhouse_spark.operators.avi import is_avi, parse_avi_mjpeg
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        is_mp4,
+        mp4_extract_samples,
+        mp4_video_config,
+        wrap_av1_item_as_avif,
+    )
+
+    def fake_frame(payload: bytes, i: int) -> bytes:
+        h = hashlib.sha256((payload or b"") + str(i).encode()).digest()
+        return encode_ppm(
+            np.frombuffer((h * 6)[: 8 * 8 * 3], np.uint8).reshape(8, 8, 3)
+        )
+
+    def rows_for(asset_id, payload):
+        if is_avi(payload):
+            try:
+                period_ms, frames = parse_avi_mjpeg(payload)
+            except ValueError:
+                frames = []
+            out = []
+            for t in range(0, period_ms * len(frames), every_ms):
+                i = min(t // period_ms, len(frames) - 1)
+                decoded = decode_image(frames[i])
+                if decoded is None:
+                    continue
+                px = decoded[1]
+                out.append(
+                    (asset_id, i, i * period_ms, px.shape[1], px.shape[0],
+                     encode_ppm(px))
+                )
+            if out or frames:
+                return out
+        elif is_mp4(payload):
+            cfg = mp4_video_config(payload)
+            if (
+                cfg is not None
+                and cfg["config_type"] == "av1C"
+                and cfg["config"]
+                and heif.available()
+            ):
+                out = []
+                for i, pts, sample in mp4_extract_samples(
+                    payload, every_ms, keyframes_only=True
+                ):
+                    avif = wrap_av1_item_as_avif(
+                        sample, cfg["config"], cfg["width"], cfg["height"]
+                    )
+                    try:
+                        px = heif.decode_heif(avif)
+                    except ValueError:
+                        continue
+                    out.append(
+                        (asset_id, i, pts, px.shape[1], px.shape[0],
+                         encode_ppm(px))
+                    )
+                return out
+        if decode_stub == "raise":
+            raise NotImplementedError(
+                "video pixel decode not available for this payload: "
+                "MJPEG-AVI and AV1-MP4(+libheif) decode natively; plug "
+                "ffmpeg here for other codecs"
+            )
+        return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "frame_ms", "width", "height", "frame"]
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = rows_for(row["asset_id"], row["payload"])
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_SCHEMA
     )

@@ -164,6 +164,126 @@ def test_extract_features_decodes_real_avif(spark):
     assert all(abs(v - 0.5) < 0.02 for v in row.feature[:3])
 
 
+def _av1_mp4_fixture(rgb, n_frames=3, delta_ms=500):
+    """Real AV1-in-MP4: encode a still via libheif/aom, lift its AV1 TU
+    + av1C out of the AVIF item tree, and lay the TU down as the sync
+    samples of an MP4 video track. Returns (mp4_bytes, reference_rgb)."""
+    import struct
+
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        box,
+        encode_mp4,
+        find_box,
+        item_payload,
+        iter_boxes,
+        primary_item_id,
+    )
+
+    avif = heif.encode_heif(rgb, codec="av1", lossless=True)
+    tu = item_payload(avif, primary_item_id(avif))
+    meta = find_box(avif, (b"meta",))
+    ipco = find_box(avif, (b"iprp", b"ipco"), *meta)
+    av1c = None
+    for bt, p0, p1 in iter_boxes(avif, *ipco):
+        if bt == b"av1C":
+            av1c = avif[p0:p1]
+    assert tu and av1c
+    h, w = rgb.shape[:2]
+    seb = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+        + box(b"av1C", av1c)
+    )
+    mp4 = encode_mp4(
+        [tu] * n_frames,
+        [delta_ms] * n_frames,
+        keyframes=list(range(1, n_frames + 1)),
+        codec=b"av01",
+        sample_entry_body=seb,
+        width=w,
+        height=h,
+    )
+    return mp4, heif.decode_heif(avif)
+
+
+@needs_libheif
+def test_av1_mp4_frame_decode_bit_exact():
+    """The headline claim: an AV1 keyframe sample lifted from an MP4
+    track, rewrapped as a single-item AVIF, decodes to EXACTLY the
+    pixels the same bitstream decodes to as a still — video keyframe
+    pixel decode with no new codec."""
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        mp4_extract_samples,
+        mp4_video_config,
+        wrap_av1_item_as_avif,
+    )
+
+    mp4, ref = _av1_mp4_fixture(_test_rgb())
+    cfg = mp4_video_config(mp4)
+    assert cfg["config_type"] == "av1C"
+    for _, _, sample in mp4_extract_samples(mp4, 500, keyframes_only=True):
+        px = heif.decode_heif(
+            wrap_av1_item_as_avif(sample, cfg["config"], cfg["width"], cfg["height"])
+        )
+        assert np.array_equal(px, ref)
+
+
+@needs_libheif
+def test_extract_video_frames_real_av1(spark):
+    mp4, ref = _av1_mp4_fixture(_test_rgb(), n_frames=4, delta_ms=400)
+    df = spark.createDataFrame(
+        [("v", bytearray(mp4))], "asset_id string, payload binary"
+    )
+    rows = M.extract_video_frames(df, every_ms=400, decode_stub="raise").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.width, r.height) == (ref.shape[1], ref.shape[0])
+        fmt, px = M.decode_image(bytes(r.frame))
+        assert fmt == "ppm"
+        assert np.array_equal(px, ref)
+    assert [r.frame_ms for r in rows] == [0, 400, 800, 1200]
+
+
+def test_extract_video_frames_stub_and_mjpeg(spark):
+    """Ungated: the MJPEG-AVI path decodes through the native JPEG
+    decoder; unknown payloads hit the fake stub (deterministic 8x8 PPM)
+    or raise at the documented boundary."""
+    from neo4j_to_clickhouse_spark.operators.avi import encode_avi_mjpeg
+    from neo4j_to_clickhouse_spark.operators.jpeg import encode_jpeg_flat
+
+    frames = [encode_jpeg_flat(16, 16, (96 + 8 * i,) * 3) for i in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=5)  # 200 ms period
+    df = spark.createDataFrame(
+        [("a", bytearray(avi)), ("junk", bytearray(b"\x00" * 64))],
+        "asset_id string, payload binary",
+    )
+    rows = M.extract_video_frames(df, every_ms=200).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset["a"]) == 3
+    for r in by_asset["a"]:
+        fmt, px = M.decode_image(bytes(r.frame))
+        assert fmt == "ppm" and px.shape == (16, 16, 3)
+    junk = by_asset["junk"]
+    assert len(junk) == 1 and (junk[0].width, junk[0].height) == (8, 8)
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        M.extract_video_frames(
+            spark.createDataFrame(
+                [("j", bytearray(b"\x00" * 64))],
+                "asset_id string, payload binary",
+            ),
+            decode_stub="raise",
+        ).collect()
+
+
 @needs_libheif
 def test_resize_real_avif_reencodes_ppm(spark):
     data = heif.encode_heif(_test_rgb(), codec="av1")

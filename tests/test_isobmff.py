@@ -283,6 +283,109 @@ def test_mp4_extract_samples_nearest_and_keyframe_snap():
         assert payload == samples[i]
 
 
+# --- iloc / item payload --------------------------------------------------------
+
+
+def _iloc_v0(items):
+    """items: {id: [(off, len)]} — offset_size 4, length_size 4."""
+    body = bytes([0x44, 0x00]) + struct.pack(">H", len(items))
+    for item_id, extents in sorted(items.items()):
+        body += struct.pack(">HHH", item_id, 0, len(extents))
+        for off, ln in extents:
+            body += struct.pack(">II", off, ln)
+    return fullbox(b"iloc", 0, 0, body)
+
+
+def test_item_payload_file_offsets_and_extents():
+    mdat_payload = b"AAAABBBBBCCCC"
+    iloc_ph = _iloc_v0({1: [(0, 4), (9, 4)], 2: [(4, 5)]})
+    meta = fullbox(b"meta", 0, 0, iloc_ph)
+    base = len(meta) + 8
+    meta = fullbox(
+        b"meta",
+        0,
+        0,
+        _iloc_v0({1: [(base, 4), (base + 9, 4)], 2: [(base + 4, 5)]}),
+    )
+    data = meta + box(b"mdat", mdat_payload)
+    from neo4j_to_clickhouse_spark.operators.isobmff import item_payload
+
+    assert item_payload(data, 1) == b"AAAACCCC"  # extents concatenate
+    assert item_payload(data, 2) == b"BBBBB"
+    assert item_payload(data, 9) is None
+    # out-of-bounds extent -> None, not a slice of garbage
+    bad = fullbox(b"meta", 0, 0, _iloc_v0({1: [(10_000, 4)]}))
+    assert item_payload(bad + box(b"mdat", b"x"), 1) is None
+
+
+def test_item_payload_idat_construction_method():
+    # v1 iloc, construction_method 1: offsets into the idat payload
+    body = bytes([0x44, 0x00]) + struct.pack(">H", 1)
+    body += struct.pack(">HHHH", 1, 1, 0, 1)  # id, method 1, dref, 1 ext
+    body += struct.pack(">II", 3, 5)
+    meta = fullbox(
+        b"meta", 0, 0, fullbox(b"iloc", 1, 0, body) + box(b"idat", b"xyzHELLOqq")
+    )
+    from neo4j_to_clickhouse_spark.operators.isobmff import item_payload
+
+    assert item_payload(meta, 1) == b"HELLO"
+
+
+def test_wrap_av1_item_as_avif_shape():
+    """The rewrap must be a well-formed single-item AVIF whose iloc
+    points exactly at the sample bytes (self-validated by our own
+    parser; the libheif decode equivalence lives in test_heif.py)."""
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        item_payload,
+        primary_item_id,
+        wrap_av1_item_as_avif,
+    )
+
+    sample = bytes(range(64))
+    avif = wrap_av1_item_as_avif(sample, b"\x81\x00\x0c\x00", 320, 180)
+    assert is_avif(avif)
+    info = probe_avif(avif)
+    assert (info["width"], info["height"]) == (320, 180)
+    assert info["codec"] == "av01"
+    pid = primary_item_id(avif)
+    assert pid == 1
+    assert item_payload(avif, pid) == sample
+
+
+def test_mp4_video_config_roundtrip():
+    from neo4j_to_clickhouse_spark.operators.isobmff import mp4_video_config
+
+    av1c = b"\x81\x00\x0c\x00"
+    seb = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", 96, 64)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+        + box(b"av1C", av1c)
+    )
+    data = encode_mp4(
+        [b"S" * 10], [100], keyframes=[1], codec=b"av01",
+        sample_entry_body=seb, width=96, height=64,
+    )
+    cfg = mp4_video_config(data)
+    assert cfg == {
+        "codec": "av01",
+        "width": 96,
+        "height": 64,
+        "config_type": "av1C",
+        "config": av1c,
+    }
+    # the opaque default entry yields no config but never crashes
+    _, _, plain = _mp4_fixture()
+    cfg2 = mp4_video_config(plain)
+    assert cfg2 is not None and cfg2["config"] is None
+
+
 # --- Spark wiring (multimodal consumers) ---------------------------------------
 
 
