@@ -411,16 +411,29 @@ def item_payload(buf: bytes, item_id: int) -> bytes | None:
     return b"".join(parts)
 
 
-def wrap_av1_item_as_avif(
-    sample: bytes, av1c: bytes, width: int, height: int
+def wrap_video_sample_as_still(
+    sample: bytes,
+    config_type: str,
+    config: bytes,
+    width: int,
+    height: int,
 ) -> bytes:
-    """Rewrap one AV1 keyframe payload (e.g. an MP4 track's sync-sample
+    """Rewrap one intra-coded video sample (an MP4 track's sync-sample
     byte range from :func:`mp4_extract_samples`) as a minimal decodable
-    single-item AVIF: same codec bitstream, still-image container.
-    ``av1c`` is the track's av1C config record body (from
-    :func:`mp4_video_config`). This is what lets a HEIF decoder serve
-    as the pixel decoder for AV1-in-MP4 video keyframes."""
-    ftyp = box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avif" + b"mif1")
+    single-item HEIF still: same codec bitstream, still-image
+    container. ``config_type``/``config`` are the track's codec-config
+    record from :func:`mp4_video_config` — ``av1C`` yields an AVIF,
+    ``hvcC`` an HEIC. This is what lets a HEIF decoder serve as the
+    pixel decoder for AV1/HEVC video keyframes. The decoded frame may
+    carry codec padding beyond (width, height) — HEVC tiles pad to CTU
+    multiples — so consumers crop to the declared dims."""
+    if config_type == "av1C":
+        brand, item_type = b"avif", b"av01"
+    elif config_type == "hvcC":
+        brand, item_type = b"heic", b"hvc1"
+    else:
+        raise ValueError(f"no still-image mapping for {config_type}")
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
     hdlr = fullbox(
         b"hdlr", 0, 0, b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00"
     )
@@ -430,11 +443,11 @@ def wrap_av1_item_as_avif(
         0,
         0,
         struct.pack(">H", 1)
-        + fullbox(b"infe", 2, 0, struct.pack(">HH", 1, 0) + b"av01\x00"),
+        + fullbox(b"infe", 2, 0, struct.pack(">HH", 1, 0) + item_type + b"\x00"),
     )
     props = fullbox(
         b"ispe", 0, 0, struct.pack(">II", width, height)
-    ) + box(b"av1C", av1c)
+    ) + box(config_type.encode("ascii"), config)
     iprp = box(
         b"iprp",
         box(b"ipco", props)
@@ -458,6 +471,13 @@ def wrap_av1_item_as_avif(
         b"meta", 0, 0, hdlr + pitm + iinf + iprp + build_iloc(data_offset)
     )
     return ftyp + meta + box(b"mdat", sample)
+
+
+def wrap_av1_item_as_avif(
+    sample: bytes, av1c: bytes, width: int, height: int
+) -> bytes:
+    """AV1 shorthand for :func:`wrap_video_sample_as_still`."""
+    return wrap_video_sample_as_still(sample, "av1C", av1c, width, height)
 
 
 # ---------------------------------------------------------------------

@@ -47,11 +47,11 @@ from pyspark.sql import types as T
 # (sibling :mod:`.heif`, ctypes — the same optional-fast-path pattern
 # as Pillow for JPEG; container probe is the no-lib fallback). Video
 # keyframes decode for real in extract_video_frames — MJPEG-AVI via the
-# native JPEG decoder, AV1-in-MP4 by rewrapping each sync sample as a
-# single-item AVIF (same bitstream) through the libheif path. The hash
-# stub remains only for H.264/HEVC/VP9 sample pixel decode and JPEG
-# 12-bit/hierarchical, or any format on a host without its optional
-# library.
+# native JPEG decoder, AV1- and HEVC-in-MP4 by rewrapping each sync
+# sample as a single-item AVIF/HEIC (same bitstream) through the
+# libheif path. The hash stub remains only for H.264/VP9 sample pixel
+# decode and JPEG 12-bit/hierarchical, or any format on a host without
+# its optional library.
 
 
 def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
@@ -659,13 +659,14 @@ def extract_video_frames(
 
     - **MJPEG-in-AVI**: the container's JPEG frames decode through the
       native :mod:`.jpeg` decoder.
-    - **AV1-in-MP4**: each keyframe-snapped sync sample
+    - **AV1/HEVC-in-MP4**: each keyframe-snapped sync sample
       (:mod:`.isobmff` sample tables) is rewrapped as a single-item
-      AVIF (``wrap_av1_item_as_avif`` + the track's ``av1C`` record)
-      and decoded through the libheif path (:mod:`.heif`) — the same
-      bitstream a video decoder would see for that frame.
+      AVIF/HEIC (``wrap_video_sample_as_still`` + the track's
+      ``av1C``/``hvcC`` record) and decoded through the libheif path
+      (:mod:`.heif`) — the same bitstream a video decoder would see
+      for that frame, with the track dims as the display crop.
 
-    Other codecs (H.264/VP9...), or AV1 on a host without libheif, hit
+    Other codecs (H.264/VP9...), or a host without libheif, hit
     the stub: 'fake' emits a deterministic 8x8 PPM from the payload
     hash (plumbing-real, pixels fake); 'raise' marks the ffmpeg
     boundary. Explosion happens executor-side; frames are bounded by
@@ -677,7 +678,7 @@ def extract_video_frames(
         is_mp4,
         mp4_extract_samples,
         mp4_video_config,
-        wrap_av1_item_as_avif,
+        wrap_video_sample_as_still,
     )
 
     def fake_frame(payload: bytes, i: int) -> bytes:
@@ -709,7 +710,7 @@ def extract_video_frames(
             cfg = mp4_video_config(payload)
             if (
                 cfg is not None
-                and cfg["config_type"] == "av1C"
+                and cfg["config_type"] in ("av1C", "hvcC")
                 and cfg["config"]
                 and heif.available()
             ):
@@ -717,13 +718,18 @@ def extract_video_frames(
                 for i, pts, sample in mp4_extract_samples(
                     payload, every_ms, keyframes_only=True
                 ):
-                    avif = wrap_av1_item_as_avif(
-                        sample, cfg["config"], cfg["width"], cfg["height"]
+                    still = wrap_video_sample_as_still(
+                        sample, cfg["config_type"], cfg["config"],
+                        cfg["width"], cfg["height"],
                     )
                     try:
-                        px = heif.decode_heif(avif)
+                        px = heif.decode_heif(still)
                     except ValueError:
                         continue
+                    # HEVC pads coded frames to CTU multiples; the
+                    # track dims are the display crop
+                    if cfg["width"] and cfg["height"]:
+                        px = px[: cfg["height"], : cfg["width"]]
                     out.append(
                         (asset_id, i, pts, px.shape[1], px.shape[0],
                          encode_ppm(px))

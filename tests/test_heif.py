@@ -164,31 +164,39 @@ def test_extract_features_decodes_real_avif(spark):
     assert all(abs(v - 0.5) < 0.02 for v in row.feature[:3])
 
 
-def _av1_mp4_fixture(rgb, n_frames=3, delta_ms=500):
-    """Real AV1-in-MP4: encode a still via libheif/aom, lift its AV1 TU
-    + av1C out of the AVIF item tree, and lay the TU down as the sync
-    samples of an MP4 video track. Returns (mp4_bytes, reference_rgb)."""
+def _av1_mp4_fixture(rgb, n_frames=3, delta_ms=500, codec="av1"):
+    """Real AV1/HEVC-in-MP4: encode a still via libheif (aom/x265),
+    lift the coded item payload + its config record out of the item
+    tree, and lay it down as the sync samples of an MP4 video track.
+    Returns (mp4_bytes, reference_rgb)."""
     import struct
 
     from neo4j_to_clickhouse_spark.operators.isobmff import (
+        _parse_iinf,
         box,
         encode_mp4,
         find_box,
         item_payload,
         iter_boxes,
-        primary_item_id,
     )
 
-    avif = heif.encode_heif(rgb, codec="av1", lossless=True)
-    tu = item_payload(avif, primary_item_id(avif))
-    meta = find_box(avif, (b"meta",))
-    ipco = find_box(avif, (b"iprp", b"ipco"), *meta)
+    still = heif.encode_heif(rgb, codec=codec, lossless=True)
+    meta = find_box(still, (b"meta",))
+    # the coded item: AVIF primaries are av01 directly; libheif HEICs
+    # put the hvc1 tile behind a grid primary — take the coded item
+    item_type = b"av01" if codec == "av1" else b"hvc1"
+    items = _parse_iinf(still, *find_box(still, (b"iinf",), *meta))
+    coded = min(i for i, t in items.items() if t == item_type)
+    tu = item_payload(still, coded)
+    ipco = find_box(still, (b"iprp", b"ipco"), *meta)
+    cfg_type = b"av1C" if codec == "av1" else b"hvcC"
     av1c = None
-    for bt, p0, p1 in iter_boxes(avif, *ipco):
-        if bt == b"av1C":
-            av1c = avif[p0:p1]
+    for bt, p0, p1 in iter_boxes(still, *ipco):
+        if bt == cfg_type:
+            av1c = still[p0:p1]
     assert tu and av1c
     h, w = rgb.shape[:2]
+    codec_4cc = b"av01" if codec == "av1" else b"hvc1"
     seb = (
         b"\x00" * 6
         + struct.pack(">H", 1)
@@ -199,18 +207,18 @@ def _av1_mp4_fixture(rgb, n_frames=3, delta_ms=500):
         + struct.pack(">H", 1)
         + b"\x00" * 32
         + struct.pack(">Hh", 0x0018, -1)
-        + box(b"av1C", av1c)
+        + box(cfg_type, av1c)
     )
     mp4 = encode_mp4(
         [tu] * n_frames,
         [delta_ms] * n_frames,
         keyframes=list(range(1, n_frames + 1)),
-        codec=b"av01",
+        codec=codec_4cc,
         sample_entry_body=seb,
         width=w,
         height=h,
     )
-    return mp4, heif.decode_heif(avif)
+    return mp4, heif.decode_heif(still)
 
 
 @needs_libheif
@@ -236,8 +244,14 @@ def test_av1_mp4_frame_decode_bit_exact():
 
 
 @needs_libheif
-def test_extract_video_frames_real_av1(spark):
-    mp4, ref = _av1_mp4_fixture(_test_rgb(), n_frames=4, delta_ms=400)
+@pytest.mark.parametrize("codec", ["av1", "hevc"])
+def test_extract_video_frames_real_codecs(spark, codec):
+    """AV1- and HEVC-in-MP4 keyframes decode to real pixels, bit-exact
+    vs decoding the identical bitstream as a still (HEVC includes the
+    CTU-padding crop: the coded tile is larger than the track dims)."""
+    mp4, ref = _av1_mp4_fixture(
+        _test_rgb(), n_frames=4, delta_ms=400, codec=codec
+    )
     df = spark.createDataFrame(
         [("v", bytearray(mp4))], "asset_id string, payload binary"
     )
