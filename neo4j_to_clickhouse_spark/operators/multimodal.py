@@ -7,10 +7,11 @@ metadata stays queryable without touching payloads (column pruning means a
 metadata-only query never reads a single payload byte from parquet).
 
 Decode/resize/frame-sample are Arrow-batched ``mapInPandas`` operators.
-The actual codecs (Pillow/torchaudio/ffmpeg) are NOT in this container, so
-the decode core is stubbed: ``decode_stub='fake'`` produces a
-deterministic feature vector from the payload hash (real Spark plumbing,
-fake pixels); ``decode_stub='raise'`` raises NotImplementedError where the
+Most decode paths are REAL (native pure-Python codecs below, plus the
+optional system libheif for AVIF/HEIC/AV1/HEVC); what remains outside
+them is stubbed: ``decode_stub='fake'`` produces a deterministic
+stand-in from the payload hash (real Spark plumbing, fake pixels);
+``decode_stub='raise'`` raises NotImplementedError where the external
 codec call belongs. Everything around the stub — schema, batching,
 partitioning, output contract — is production-shaped and tested.
 """
@@ -58,9 +59,10 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     """Sniff + decode a payload into (format, HxWx3 uint8 RGB array).
     Handles uncompressed 24-bit BMP, binary PPM, baseline JPEG
     (pure-Python :mod:`.jpeg`, with Pillow as an optional fast path when
-    importable), PNG, GIF87a/89a first frames, baseline TIFF, and
-    WebP (both lossless VP8L and lossy VP8 keyframes). Returns None
-    for everything else — the caller falls back to its stub."""
+    importable), PNG, GIF87a/89a first frames, baseline TIFF, WebP
+    (both lossless VP8L and lossy VP8 keyframes), and — when the system
+    libheif is present — AVIF/HEIC stills. Returns None for everything
+    else — the caller falls back to its stub."""
     if not payload or len(payload) < 2:
         return None
     try:
