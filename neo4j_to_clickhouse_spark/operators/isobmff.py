@@ -494,8 +494,9 @@ def mp4_video_config(
     dims, and the raw codec-config record body (``av1C``/``hvcC``/
     ``avcC`` — whatever config box the sample entry carries). The
     config record plus a sync sample is everything a still-image
-    rewrap (:func:`wrap_av1_item_as_avif`) needs."""
-    if not is_mp4(payload):
+    rewrap (:func:`wrap_av1_item_as_avif`) needs. Accepts any ISOBMFF
+    file with a movie box — including animated AVIF (``avis``)."""
+    if not has_movie_box(payload):
         return None
     buf = payload
     m0, m1 = find_box(buf, (b"moov",))
@@ -557,6 +558,15 @@ def is_mp4(payload: bytes | None) -> bool:
     return find_box(payload, (b"moov",)) is not None
 
 
+def has_movie_box(payload: bytes | None) -> bool:
+    """True when the ISOBMFF file carries a ``moov`` — plain MP4s, but
+    also animated AVIF (``avis``: still-image meta + a real AV1 video
+    track) and HEIF sequences. The sample-table functions below accept
+    any such file; :func:`is_mp4` stays the *classifier* (a HEIF brand
+    is not "an MP4" even when it has tracks)."""
+    return is_isobmff(payload) and find_box(payload, (b"moov",)) is not None
+
+
 def _mvhd_duration_ms(buf: bytes, m0: int, m1: int) -> int | None:
     span = find_box(buf, (b"mvhd",), m0, m1)
     if span is None:
@@ -569,6 +579,15 @@ def _mvhd_duration_ms(buf: bytes, m0: int, m1: int) -> int | None:
     if not timescale:
         return None
     return int(duration * 1000 // timescale)
+
+
+def movie_duration_ms(payload: bytes) -> int | None:
+    """mvhd movie duration of any ISOBMFF file with a moov (MP4s and
+    animated AVIF / HEIF sequences alike), in milliseconds."""
+    if not has_movie_box(payload):
+        return None
+    m0, m1 = find_box(payload, (b"moov",))
+    return _mvhd_duration_ms(payload, m0, m1)
 
 
 def probe_mp4(payload: bytes) -> dict | None:
@@ -674,8 +693,8 @@ def mp4_sample_index(
     missing (fragmented MP4 with empty ``stbl`` included: ``moof``
     parsing is out of scope for the prober).
     """
-    if not is_mp4(payload):
-        raise ValueError("not an MP4 payload")
+    if not has_movie_box(payload):
+        raise ValueError("no movie box in payload")
     buf = payload
     m0, m1 = find_box(buf, (b"moov",))
     chosen = None
@@ -897,13 +916,17 @@ def encode_mp4(
     v1_headers: bool = False,
     track_id: int = 1,
     sample_entry_body: bytes | None = None,
+    major_brand: bytes = b"isom",
 ) -> bytes:
     """Minimal progressive MP4: ftyp + mdat + moov, one video track.
     ``keyframes`` is 1-based sample numbers (None → no stss box, every
     sample sync). Chunk offsets are exact, so
     :func:`mp4_sample_index` round-trips the real byte ranges."""
     assert len(samples) == len(sample_deltas)
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"mp41")
+    compat = b"mp41" if major_brand == b"isom" else b"msf1"
+    ftyp = box(
+        b"ftyp", major_brand + struct.pack(">I", 0) + major_brand + compat
+    )
     mdat_payload = b"".join(samples)
     mdat = box(b"mdat", mdat_payload)
     data_base = len(ftyp) + 8  # mdat payload offset in the file

@@ -333,6 +333,7 @@ def probe_assets(assets: DataFrame) -> DataFrame:
         from neo4j_to_clickhouse_spark.operators.isobmff import (
             is_heif_still,
             is_mp4,
+            movie_duration_ms,
             probe_avif,
             probe_mp4,
         )
@@ -344,6 +345,11 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                 img = decode_image(payload)
                 if img is not None:
                     h, w = int(img[1].shape[0]), int(img[1].shape[1])
+                    if is_heif_still(payload):
+                        # animated AVIF / HEIF sequence: the still
+                        # decode gave the cover frame; the moov (when
+                        # present) carries the sequence duration
+                        d = movie_duration_ms(payload)
                 else:
                     audio = decode_wav(payload)
                     if audio is not None:
@@ -677,7 +683,7 @@ def extract_video_frames(
     from neo4j_to_clickhouse_spark.operators import heif
     from neo4j_to_clickhouse_spark.operators.avi import is_avi, parse_avi_mjpeg
     from neo4j_to_clickhouse_spark.operators.isobmff import (
-        is_mp4,
+        has_movie_box,
         mp4_extract_samples,
         mp4_video_config,
         wrap_video_sample_as_still,
@@ -708,7 +714,9 @@ def extract_video_frames(
                 )
             if out or frames:
                 return out
-        elif is_mp4(payload):
+        elif has_movie_box(payload):
+            # plain MP4s AND animated AVIF (avis: still meta + a real
+            # AV1 track) — the sample tables are the same either way
             cfg = mp4_video_config(payload)
             if (
                 cfg is not None

@@ -265,6 +265,68 @@ def test_extract_video_frames_real_codecs(spark, codec):
     assert [r.frame_ms for r in rows] == [0, 400, 800, 1200]
 
 
+@needs_libheif
+def test_extract_video_frames_animated_avif(spark):
+    """Animated AVIF (`avis` brand) is an AV1 track in ISOBMFF clothing:
+    the same sample tables drive frame extraction, each DISTINCT frame
+    decoding bit-exact to its source still."""
+    import struct
+
+    from neo4j_to_clickhouse_spark.operators.isobmff import (
+        _parse_iinf,
+        box,
+        encode_mp4,
+        find_box,
+        is_heif_still,
+        is_mp4,
+        item_payload,
+        iter_boxes,
+        movie_duration_ms,
+    )
+
+    tus, refs, av1c = [], [], None
+    for shade in (40, 120, 220):
+        rgb = _test_rgb()
+        rgb[8:16, 8:16] = shade  # three genuinely different frames
+        still = heif.encode_heif(rgb, codec="av1", lossless=True)
+        items = _parse_iinf(still, *find_box(still, (b"iinf",), *find_box(still, (b"meta",))))
+        coded = min(i for i, t in items.items() if t == b"av01")
+        tus.append(item_payload(still, coded))
+        refs.append(heif.decode_heif(still))
+        ipco = find_box(still, (b"iprp", b"ipco"), *find_box(still, (b"meta",)))
+        for bt, p0, p1 in iter_boxes(still, *ipco):
+            if bt == b"av1C":
+                av1c = still[p0:p1]
+    h, w = refs[0].shape[:2]
+    seb = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+        + box(b"av1C", av1c)
+    )
+    avis = encode_mp4(
+        tus, [250] * 3, keyframes=[1, 2, 3], codec=b"av01",
+        sample_entry_body=seb, width=w, height=h, major_brand=b"avis",
+    )
+    # classification: a HEIF brand with a movie box, NOT "an MP4"
+    assert is_heif_still(avis) and not is_mp4(avis)
+    assert movie_duration_ms(avis) == 750
+    df = spark.createDataFrame(
+        [("anim", bytearray(avis))], "asset_id string, payload binary"
+    )
+    rows = M.extract_video_frames(df, every_ms=250, decode_stub="raise").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, ref in zip(rows, refs):
+        _, px = M.decode_image(bytes(r.frame))
+        assert np.array_equal(px, ref)
+
+
 def test_extract_video_frames_stub_and_mjpeg(spark):
     """Ungated: the MJPEG-AVI path decodes through the native JPEG
     decoder; unknown payloads hit the fake stub (deterministic 8x8 PPM)
