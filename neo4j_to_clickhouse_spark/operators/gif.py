@@ -294,6 +294,176 @@ def decode_gif(payload: bytes) -> np.ndarray:
         return canvas
 
 
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[list[int], list[np.ndarray]]:
+    """Decode ALL frames of a GIF87a/89a animation as composed
+    logical-screen canvases.
+
+    Returns ``(delays_ms, canvases)`` — one HxWx3 uint8 RGB canvas per
+    frame, composed per GIF89a §23 graphics-control semantics: frames
+    draw into the running canvas at their (left, top) rect, indices
+    equal to the GCE transparent index are skipped, and after each
+    frame the disposal method applies (0/1 leave, 2 restore the rect to
+    the background color, 3 restore the pre-frame canvas). Delays are
+    raw GCE centiseconds x 10 (0 preserved; samplers apply their own
+    minimum, as browsers do). Single-frame streams return one canvas
+    identical to :func:`decode_gif`."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF87a/GIF89a stream")
+    sw, sh, packed, bg_index, _aspect = struct.unpack_from(
+        "<HHBBB", payload, 6
+    )
+    if sw == 0 or sh == 0:
+        raise ValueError("empty GIF logical screen")
+    off = 13
+    gct = None
+    if packed & 0x80:
+        gct, off = _read_color_table(payload, off, packed)
+    bg = (
+        gct[bg_index]
+        if gct is not None and bg_index < gct.shape[0]
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg
+
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    # pending graphics-control state (applies to the NEXT image block)
+    delay_cs = 0
+    disposal = 0
+    transparent: int | None = None
+    while True:
+        if off >= len(payload):
+            if frames:
+                return delays, frames  # missing trailer: tolerate
+            raise ValueError("GIF ended without an image block")
+        block = payload[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:
+            if off >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[off]
+            if label == 0xF9 and off + 5 < len(payload):
+                gpacked = payload[off + 2]
+                delay_cs = struct.unpack_from("<H", payload, off + 3)[0]
+                disposal = (gpacked >> 2) & 0x7
+                transparent = payload[off + 5] if gpacked & 1 else None
+            off = _skip_subblocks(payload, off + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, off)
+        off += 9
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        palette = gct
+        if ipacked & 0x80:
+            palette, off = _read_color_table(payload, off, ipacked)
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        if off >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code_size = payload[off]
+        data, off = _read_subblocks(payload, off + 1)
+        indices = np.frombuffer(
+            _lzw_decode(data, min_code_size, w * h), np.uint8
+        )
+        if indices.max(initial=0) >= palette.shape[0]:
+            raise ValueError("GIF pixel index outside the color table")
+        idx = indices.reshape(h, w)
+        rows = palette[idx]
+        if ipacked & 0x40:
+            rows = _deinterlace(rows)
+            idx = _deinterlace(idx[..., None])[..., 0]
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = rows[opaque]
+        else:
+            region[:] = rows
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay_cs, disposal, transparent = 0, 0, None
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return delays, frames
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    screen: tuple[int, int] | None = None,
+    bg_rgb: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """Fixture encoder for animation tests (house pattern, like
+    ``encode_jpeg_flat``): each frame dict has ``pixels`` (hxwx3
+    uint8), optional ``left``/``top``, ``delay_cs``, ``disposal``, and
+    ``mask`` (bool hxw — False pixels are written as the transparent
+    index and left undrawn). One shared global palette; index 255 is
+    reserved for transparency when any frame carries a mask."""
+    all_colors = [np.asarray(bg_rgb, np.uint8).reshape(1, 3)]
+    for f in frames:
+        all_colors.append(
+            np.asarray(f["pixels"], np.uint8).reshape(-1, 3)
+        )
+    palette = np.unique(np.concatenate(all_colors), axis=0)
+    any_mask = any(f.get("mask") is not None for f in frames)
+    if palette.shape[0] > (255 if any_mask else 256):
+        raise ValueError("too many distinct colors for a GIF palette")
+    lut = {tuple(c): i for i, c in enumerate(palette)}
+    t_index = 255 if any_mask else None
+    bits = 8 if any_mask else max(int(palette.shape[0] - 1).bit_length(), 1)
+    table_n = 1 << bits
+    min_code_size = max(bits, 2)
+    if screen is None:
+        screen = (
+            max(f.get("left", 0) + f["pixels"].shape[1] for f in frames),
+            max(f.get("top", 0) + f["pixels"].shape[0] for f in frames),
+        )
+    sw, sh = screen
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", sw, sh, 0x80 | ((bits - 1) & 0x07), lut[tuple(bg_rgb)], 0
+    )
+    table = np.zeros((table_n, 3), np.uint8)
+    table[: palette.shape[0]] = palette
+    out += table.tobytes()
+    for f in frames:
+        px = np.asarray(f["pixels"], np.uint8)
+        h, w = px.shape[:2]
+        gpacked = (f.get("disposal", 0) & 0x7) << 2
+        if f.get("mask") is not None:
+            gpacked |= 1
+        out += b"\x21\xf9\x04" + bytes([gpacked]) + struct.pack(
+            "<H", f.get("delay_cs", 10)
+        ) + bytes([t_index or 0]) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, 0
+        )
+        flat = px.reshape(-1, 3)
+        idx = np.array([lut[tuple(c)] for c in flat], np.uint8)
+        if f.get("mask") is not None:
+            idx[~np.asarray(f["mask"], bool).reshape(-1)] = t_index
+        out.append(min_code_size)
+        stream = _lzw_encode(idx.tobytes(), min_code_size)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif(pixels: np.ndarray) -> bytes:
     """Encode an HxWx3 uint8 RGB array (<= 256 distinct colors) as a
     single-frame non-interlaced GIF89a."""

@@ -663,8 +663,11 @@ def extract_video_frames(
     """Video keyframe sampling WITH pixel decode: one PPM frame out per
     sampled keyframe.
 
-    Two real paths, no external process:
+    Real paths, no external process:
 
+    - **Animated GIF**: full GIF89a composition (disposal methods,
+      transparency, per-frame rects) through the native :mod:`.gif`
+      decoder; sampling uses the stream's own frame delays.
     - **MJPEG-in-AVI**: the container's JPEG frames decode through the
       native :mod:`.jpeg` decoder.
     - **AV1/HEVC-in-MP4**: each keyframe-snapped sync sample
@@ -696,6 +699,34 @@ def extract_video_frames(
         )
 
     def rows_for(asset_id, payload):
+        if payload is not None and payload[:4] == b"GIF8":
+            from neo4j_to_clickhouse_spark.operators.gif import (
+                decode_gif_frames,
+            )
+
+            try:
+                delays, canvases = decode_gif_frames(payload)
+            except ValueError:
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "undecodable GIF payload"
+                    ) from None
+                return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
+            # browser convention: <=10 ms per-frame delays play at 100 ms
+            times = []
+            t = 0
+            for d in delays:
+                times.append(t)
+                t += d if d > 10 else 100
+            out = []
+            for tick in range(0, t, every_ms):
+                i = max(j for j, ft in enumerate(times) if ft <= tick)
+                px = canvases[i]
+                out.append(
+                    (asset_id, i, times[i], px.shape[1], px.shape[0],
+                     encode_ppm(px))
+                )
+            return out
         if is_avi(payload):
             try:
                 period_ms, frames = parse_avi_mjpeg(payload)

@@ -755,6 +755,173 @@ def _gif_raw(sw, sh, palette, frames):
     return bytes(out)
 
 
+def test_gif_animation_disposal_semantics():
+    """GIF89a §23 composition, closed-form: disposal 1 accumulates,
+    disposal 2 restores the frame rect to background, disposal 3
+    restores the pre-frame canvas, and transparent indices never
+    overwrite. Every expected canvas is written out by hand."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    RED, GREEN, BLUE, BG = (
+        (200, 0, 0), (0, 200, 0), (0, 0, 200), (9, 9, 9),
+    )
+    base = np.full((8, 8, 3), RED, np.uint8)
+    patch = np.full((4, 4, 3), GREEN, np.uint8)
+    ghost = np.full((4, 4, 3), BLUE, np.uint8)
+    mask = np.zeros((4, 4), bool)
+    mask[:2, :2] = True  # only the top-left 2x2 of the ghost draws
+    data = encode_gif_animation(
+        [
+            {"pixels": base, "delay_cs": 5, "disposal": 1},
+            {"pixels": patch, "left": 2, "top": 2, "delay_cs": 7,
+             "disposal": 3},
+            {"pixels": ghost, "left": 4, "top": 4, "delay_cs": 9,
+             "disposal": 2, "mask": mask},
+            {"pixels": patch, "left": 0, "top": 0, "delay_cs": 11},
+        ],
+        screen=(8, 8),
+        bg_rgb=BG,
+    )
+    delays, frames = decode_gif_frames(data)
+    assert delays == [50, 70, 90, 110]
+    assert len(frames) == 4
+    # frame 1: full red
+    exp1 = np.full((8, 8, 3), RED, np.uint8)
+    assert np.array_equal(frames[0], exp1)
+    # frame 2: green patch at (2,2) over red
+    exp2 = exp1.copy()
+    exp2[2:6, 2:6] = GREEN
+    assert np.array_equal(frames[1], exp2)
+    # frame 3: disposal 3 removed the patch; ghost draws only its
+    # masked 2x2 at (4,4) over the RESTORED (all-red) canvas
+    exp3 = exp1.copy()
+    exp3[4:6, 4:6] = BLUE
+    assert np.array_equal(frames[2], exp3)
+    # frame 4: disposal 2 restored the ghost rect (4..8) to BACKGROUND,
+    # then the green patch draws at (0,0)
+    exp4 = exp1.copy()
+    exp4[4:8, 4:8] = BG
+    exp4[0:4, 0:4] = GREEN
+    assert np.array_equal(frames[3], exp4)
+
+
+def test_gif_animation_single_frame_matches_first_frame_decoder():
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 4, (12, 9, 1), dtype=np.uint8).repeat(3, axis=2) * 60
+    data = encode_gif(px)
+    delays, frames = decode_gif_frames(data)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], decode_gif(data))
+
+
+def test_gif_animation_rejects_malformed():
+    import pytest as _pytest
+
+    from neo4j_to_clickhouse_spark.operators.gif import decode_gif_frames
+
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a")
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"NOTGIF" + b"\x00" * 32)
+    # trailer with zero frames
+    import struct as _struct
+
+    hdr = b"GIF89a" + _struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b"
+    with _pytest.raises(ValueError):
+        decode_gif_frames(hdr)
+
+
+def test_extract_video_frames_animated_gif(spark):
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        encode_gif_animation,
+    )
+
+    frames = [
+        {"pixels": np.full((6, 6, 3), (40 * i, 0, 0), np.uint8),
+         "delay_cs": 20}
+        for i in range(1, 4)
+    ]
+    data = encode_gif_animation(frames, screen=(6, 6))
+    df = spark.createDataFrame(
+        [("g", bytearray(data))], "asset_id string, payload binary"
+    )
+    rows = M.extract_video_frames(df, every_ms=200, decode_stub="raise").collect()
+    assert [(r.frame_idx, r.frame_ms) for r in rows] == [
+        (0, 0), (1, 200), (2, 400),
+    ]
+    for i, r in enumerate(rows, start=1):
+        fmt, px = M.decode_image(bytes(r.frame))
+        assert fmt == "ppm"
+        assert np.array_equal(px, np.full((6, 6, 3), (40 * i, 0, 0), np.uint8))
+
+
+def test_gif_animation_fixture_validated_by_giflib():
+    """The system C reference (giflib DGifSlurp) reads our animation
+    fixtures back byte-for-byte — screen, rects, delays, disposal,
+    transparency index, and palette-mapped rasters — so the composition
+    tests above aren't self-consistent-but-wrong."""
+    import os
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    import giflib
+
+    lib = giflib.load()
+    if lib is None:
+        _pytest.skip("system giflib not available")
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        encode_gif_animation,
+    )
+
+    mask = np.zeros((4, 4), bool)
+    mask[1:3, 1:3] = True
+    frames = [
+        {"pixels": np.full((6, 6, 3), (40, 0, 0), np.uint8),
+         "delay_cs": 21, "disposal": 1},
+        {"pixels": np.full((4, 4, 3), (0, 80, 0), np.uint8), "left": 2,
+         "top": 1, "delay_cs": 22, "disposal": 2, "mask": mask},
+        {"pixels": np.full((6, 6, 3), (0, 0, 120), np.uint8),
+         "delay_cs": 23, "disposal": 3},
+    ]
+    data = encode_gif_animation(frames, screen=(8, 8), bg_rgb=(1, 2, 3))
+    got = giflib.slurp(lib, data)
+    assert got["screen"] == (8, 8)
+    assert [f["rect"] for f in got["frames"]] == [
+        (0, 0, 6, 6), (2, 1, 4, 4), (0, 0, 6, 6),
+    ]
+    assert [f["delay_cs"] for f in got["frames"]] == [21, 22, 23]
+    assert [f["disposal"] for f in got["frames"]] == [1, 2, 3]
+    # masked-out pixels carry the declared transparent index
+    t = got["frames"][1]["transparent"]
+    assert t == 255
+    idx = got["frames"][1]["indices"]
+    assert ((idx == t) == ~mask).all()
+    # opaque rasters round-trip exactly through giflib's palette
+    assert np.array_equal(got["frames"][0]["rgb"], frames[0]["pixels"])
+    assert np.array_equal(got["frames"][2]["rgb"], frames[2]["pixels"])
+    assert np.array_equal(
+        got["frames"][1]["rgb"][mask], frames[1]["pixels"][mask]
+    )
+
+
 def test_gif_roundtrip_lossless():
     """encode_gif -> decode_gif is exact for any <=256-color image,
     including palettes that force 12-bit codes and dictionary resets."""
