@@ -350,6 +350,15 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         # decode gave the cover frame; the moov (when
                         # present) carries the sequence duration
                         d = movie_duration_ms(payload)
+                    else:
+                        from neo4j_to_clickhouse_spark.operators.vp8l import (
+                            is_animated_webp,
+                            webp_animation_durations,
+                        )
+
+                        if is_animated_webp(payload):
+                            # ANMF header walk only — no extra decode
+                            d = sum(webp_animation_durations(payload))
                 else:
                     audio = decode_wav(payload)
                     if audio is not None:
@@ -668,6 +677,9 @@ def extract_video_frames(
     - **Animated GIF**: full GIF89a composition (disposal methods,
       transparency, per-frame rects) through the native :mod:`.gif`
       decoder; sampling uses the stream's own frame delays.
+    - **Animated WebP**: ANMF composition (blend/no-blend, dispose-to-
+      background, frame offsets) through the native VP8L/VP8 decoders
+      (:mod:`.vp8l`).
     - **MJPEG-in-AVI**: the container's JPEG frames decode through the
       native :mod:`.jpeg` decoder.
     - **AV1/HEVC-in-MP4**: each keyframe-snapped sync sample
@@ -699,6 +711,33 @@ def extract_video_frames(
         )
 
     def rows_for(asset_id, payload):
+        from neo4j_to_clickhouse_spark.operators.vp8l import (
+            decode_webp_frames,
+            is_animated_webp,
+        )
+
+        if is_animated_webp(payload):
+            try:
+                delays, canvases = decode_webp_frames(payload)
+            except ValueError:
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "undecodable animated WebP payload"
+                    ) from None
+                return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
+            times, t = [], 0
+            for d in delays:
+                times.append(t)
+                t += d if d > 10 else 100
+            out = []
+            for tick in range(0, t, every_ms):
+                i = max(j for j, ft in enumerate(times) if ft <= tick)
+                px = canvases[i][..., :3]  # composited; alpha dropped
+                out.append(
+                    (asset_id, i, times[i], px.shape[1], px.shape[0],
+                     encode_ppm(px))
+                )
+            return out
         if payload is not None and payload[:4] == b"GIF8":
             from neo4j_to_clickhouse_spark.operators.gif import (
                 decode_gif_frames,

@@ -741,9 +741,13 @@ def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP container into an HxWx3 uint8 RGB array (alpha
     dropped, as with the other first-frame decoders). Lossless (VP8L)
     payloads decode here; lossy (VP8) payloads route to the native
-    keyframe decoder in :mod:`.vp8`."""
+    keyframe decoder in :mod:`.vp8`; animated files return the first
+    composed frame."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP container")
+    if is_animated_webp(payload):
+        _, frames = decode_webp_frames(payload)
+        return frames[0][..., :3].copy()
     riff_size = struct.unpack_from("<I", payload, 4)[0]
     end = min(len(payload), 8 + riff_size)
     off = 12
@@ -769,9 +773,13 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
     """Decode a WebP container into an HxWx4 uint8 RGBA array. VP8L
     carries alpha inline; lossy (VP8) frames take theirs from the
     ``ALPH`` chunk of a VP8X-extended container (decoded by
-    :func:`decode_alpha_plane`) and are opaque without one."""
+    :func:`decode_alpha_plane`) and are opaque without one. Animated
+    files return the first composed frame."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP container")
+    if is_animated_webp(payload):
+        _, frames = decode_webp_frames(payload)
+        return frames[0]
     riff_size = struct.unpack_from("<I", payload, 4)[0]
     end = min(len(payload), 8 + riff_size)
     off = 12
@@ -800,6 +808,161 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
             return np.dstack([rgb, alpha])
         off += 8 + size + (size & 1)
     raise ValueError("no VP8/VP8L chunk in WebP container")
+
+
+# --- animation (VP8X ANIM/ANMF container) -------------------------------------
+
+
+def _webp_chunks(payload: bytes):
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    off = 12
+    while off + 8 <= end:
+        tag = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        yield tag, payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+
+
+def is_animated_webp(payload: bytes | None) -> bool:
+    """VP8X container with the animation flag (0x02) set."""
+    if (
+        payload is None
+        or len(payload) < 21
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+        or payload[12:16] != b"VP8X"
+    ):
+        return False
+    return bool(payload[20] & 0x02)
+
+
+def webp_animation_durations(payload: bytes) -> list[int]:
+    """Per-frame durations (ms) from the ANMF headers alone — no pixel
+    work, so metadata probes stay cheap."""
+    if not is_animated_webp(payload):
+        raise ValueError("not an animated WebP")
+    out = []
+    for tag, body in _webp_chunks(payload):
+        if tag == b"ANMF" and len(body) >= 16:
+            out.append(int.from_bytes(body[12:15], "little"))
+    return out
+
+
+def decode_webp_frames(
+    payload: bytes,
+) -> tuple[list[int], list[np.ndarray]]:
+    """Decode an animated WebP into composed RGBA canvases.
+
+    Returns ``(durations_ms, canvases)``. Composition follows the WebP
+    container spec + libwebp's WebPAnimDecoder conventions: the canvas
+    (VP8X dims) starts fully transparent; each ANMF frame either
+    alpha-blends (straight ``over``, the default) or overwrites its
+    rectangle (blend flag 0x02 = do-not-blend); after emitting, a
+    frame with disposal flag 0x01 clears its rectangle back to
+    transparent black. Frame data is decoded by handing the ANMF's
+    subchunks (optional ALPH + VP8/VP8L) back to the single-frame
+    decoders in a synthesized container."""
+    if not is_animated_webp(payload):
+        raise ValueError("not an animated WebP")
+    cw = (int.from_bytes(payload[24:27], "little") + 1)
+    ch = (int.from_bytes(payload[27:30], "little") + 1)
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    durations: list[int] = []
+    frames: list[np.ndarray] = []
+    for tag, body in _webp_chunks(payload):
+        if tag != b"ANMF" or len(body) < 16:
+            continue
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame exceeds the canvas")
+        # frame data = subchunks; rewrap so the still decoders apply
+        sub = body[16:]
+        inner = b"WEBP"
+        if sub[:4] == b"ALPH":
+            # lossy + alpha: needs the VP8X alpha route
+            vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(
+                [0x10, 0, 0, 0]
+            ) + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            inner += vp8x
+        inner += sub
+        frame = decode_webp_rgba(
+            b"RIFF" + struct.pack("<I", len(inner)) + inner
+        )
+        if frame.shape[0] != fh or frame.shape[1] != fw:
+            raise ValueError("ANMF dims disagree with the frame stream")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # do not blend: replace
+            region[:] = frame
+        else:  # straight alpha over, float-composited then rounded
+            fa = frame[..., 3:4].astype(np.float64) / 255.0
+            ba = region[..., 3:4].astype(np.float64) / 255.0
+            oa = fa + ba * (1.0 - fa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            oc = (
+                frame[..., :3] * fa + region[..., :3] * ba * (1.0 - fa)
+            ) / safe
+            region[..., :3] = np.rint(oc).astype(np.uint8)
+            region[..., 3:4] = np.rint(oa * 255.0).astype(np.uint8)
+            region[(oa[..., 0] == 0.0)] = 0
+        frames.append(canvas.copy())
+        durations.append(dur)
+        if flags & 0x01:  # dispose to background: transparent black
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    if not frames:
+        raise ValueError("animated WebP contains no ANMF frames")
+    return durations, frames
+
+
+def encode_webp_animation(
+    frames: list[dict],
+    canvas: tuple[int, int],
+    bg_bgra: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop: int = 0,
+) -> bytes:
+    """Fixture encoder: each frame dict carries ``pixels`` (hxwx3 RGB
+    or hxwx4 RGBA, VP8L-encoded losslessly), optional ``x``/``y``
+    (even, per the 2x container granularity), ``duration_ms``,
+    ``blend`` (default True) and ``dispose`` (default False)."""
+    cw, chh = canvas
+    body = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + (
+        cw - 1
+    ).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    anim = bytes(bg_bgra) + struct.pack("<H", loop)
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f in frames:
+        px = np.asarray(f["pixels"], np.uint8)
+        fh, fw = px.shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets have 2-pixel granularity")
+        payload = encode_webp(px)
+        sub = payload[12:]  # the VP8L chunk (even-padded already)
+        flags = 0
+        if not f.get("blend", True):
+            flags |= 0x02
+        if f.get("dispose", False):
+            flags |= 0x01
+        anmf = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(f.get("duration_ms", 100)).to_bytes(3, "little")
+            + bytes([flags])
+            + sub
+        )
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
 # --- encoding ----------------------------------------------------------------
@@ -982,9 +1145,10 @@ def encode_webp(
     pixels; ``cache_bits`` enables the color cache; ``subtract_green``
     applies that transform — all three exist so round-trip tests can
     exercise each decoder path, and all produce byte-valid streams any
-    conformant decoder accepts."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("expected an HxWx3 RGB array")
+    conformant decoder accepts. An HxWx4 input keeps its alpha channel
+    (VP8L carries alpha inline)."""
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError("expected an HxWx3 RGB or HxWx4 RGBA array")
     h, w, _ = pixels.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("VP8L dimensions must be 1..16384")
@@ -992,11 +1156,12 @@ def encode_webp(
         raise ValueError("cache_bits must be 0..11")
     px = pixels.astype(np.uint32)
     red, green, blue = px[..., 0], px[..., 1], px[..., 2]
+    alpha = px[..., 3] if pixels.shape[2] == 4 else np.uint32(0xFF)
     if subtract_green:
         red = (red - green) & np.uint32(0xFF)
         blue = (blue - green) & np.uint32(0xFF)
     argb = (
-        (np.uint32(0xFF) << np.uint32(24))
+        (alpha << np.uint32(24))
         | (red << np.uint32(16))
         | (green << np.uint32(8))
         | blue

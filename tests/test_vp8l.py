@@ -21,6 +21,7 @@ import numpy as np
 import pytest
 
 from neo4j_to_clickhouse_spark.operators.vp8l import (
+    decode_webp_rgba,
     _PLANE_OFFSETS,
     _encode_tokens,
     _riff_wrap,
@@ -292,3 +293,155 @@ def test_resize_reencodes_webp(spark):
     # nearest-neighbor: every output pixel exists in the source
     src = {tuple(p) for p in img.reshape(-1, 3).tolist()}
     assert all(tuple(p) in src for p in resized.reshape(-1, 3).tolist())
+
+
+# --- animation (ANIM/ANMF) -----------------------------------------------------
+
+
+def test_webp_animation_composition_closed_form():
+    """ANMF composition semantics pinned by hand-written canvases:
+    no-blend replaces the rect, blend(opaque) replaces, blend with a
+    transparent frame region leaves the canvas, dispose clears the
+    rect back to transparent black."""
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        decode_webp_frames,
+        encode_webp_animation,
+        is_animated_webp,
+        webp_animation_durations,
+    )
+
+    RED, GREEN = (200, 0, 0, 255), (0, 200, 0, 255)
+    base = np.zeros((8, 8, 4), np.uint8)
+    base[:] = RED
+    patch = np.zeros((4, 4, 4), np.uint8)
+    patch[:] = GREEN
+    ghost = patch.copy()
+    ghost[2:, :] = 0  # bottom half fully transparent
+    data = encode_webp_animation(
+        [
+            {"pixels": base, "duration_ms": 100},
+            # blended: transparent bottom half must NOT erase the red
+            {"pixels": ghost, "x": 2, "y": 2, "duration_ms": 150},
+            # no-blend: the transparent half REPLACES (erases) pixels;
+            # dispose then clears the whole rect after emitting
+            {"pixels": ghost, "x": 4, "y": 4, "duration_ms": 200,
+             "blend": False, "dispose": True},
+            {"pixels": patch, "x": 0, "y": 0, "duration_ms": 250},
+        ],
+        canvas=(8, 8),
+    )
+    assert is_animated_webp(data)
+    assert webp_animation_durations(data) == [100, 150, 200, 250]
+    durations, frames = decode_webp_frames(data)
+    assert durations == [100, 150, 200, 250]
+    exp1 = base.copy()
+    assert np.array_equal(frames[0], exp1)
+    exp2 = exp1.copy()
+    exp2[2:4, 2:6] = GREEN  # only the opaque top half lands
+    assert np.array_equal(frames[1], exp2)
+    exp3 = exp2.copy()
+    exp3[4:8, 4:8] = ghost  # no-blend: transparency copies through
+    assert np.array_equal(frames[2], exp3)
+    exp4 = exp2.copy()
+    exp4[4:8, 4:8] = 0  # dispose-to-background cleared the rect
+    exp4[0:4, 0:4] = GREEN
+    assert np.array_equal(frames[3], exp4)
+
+
+def test_webp_animation_first_frame_via_still_decoders():
+    from neo4j_to_clickhouse_spark.operators.multimodal import decode_image
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        encode_webp_animation,
+    )
+
+    rng = np.random.default_rng(9)
+    first = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    data = encode_webp_animation(
+        [{"pixels": first}, {"pixels": np.zeros((6, 10, 3), np.uint8)}],
+        canvas=(10, 6),
+    )
+    assert np.array_equal(decode_webp(data), first)
+    rgba = decode_webp_rgba(data)
+    assert np.array_equal(rgba[..., :3], first)
+    fmt, px = decode_image(data)
+    assert fmt == "webp" and np.array_equal(px, first)
+
+
+def test_webp_animation_rejects_malformed():
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        decode_webp_frames,
+        encode_webp_animation,
+        webp_animation_durations,
+    )
+
+    with pytest.raises(ValueError):
+        decode_webp_frames(encode_webp(np.zeros((4, 4, 3), np.uint8)))
+    with pytest.raises(ValueError):
+        webp_animation_durations(b"RIFF\x00\x00\x00\x00WEBP")
+    # frame rect exceeding the canvas
+    data = encode_webp_animation(
+        [{"pixels": np.zeros((6, 6, 3), np.uint8), "x": 4, "y": 4}],
+        canvas=(8, 8),
+    )
+    with pytest.raises(ValueError):
+        decode_webp_frames(data)
+    with pytest.raises(ValueError):
+        encode_webp_animation(
+            [{"pixels": np.zeros((2, 2, 3), np.uint8), "x": 1}],
+            canvas=(4, 4),
+        )
+
+
+def test_webp_animation_extract_video_frames(spark):
+    from neo4j_to_clickhouse_spark.operators.multimodal import (
+        decode_image,
+        extract_video_frames,
+    )
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        encode_webp_animation,
+    )
+
+    frames = [
+        {"pixels": np.full((5, 7, 3), (30 * i, 5, 1), np.uint8),
+         "duration_ms": 300}
+        for i in range(1, 4)
+    ]
+    data = encode_webp_animation(frames, canvas=(7, 5))
+    df = spark.createDataFrame(
+        [("w", bytearray(data))], "asset_id string, payload binary"
+    )
+    rows = extract_video_frames(df, every_ms=300, decode_stub="raise").collect()
+    assert [(r.frame_idx, r.frame_ms) for r in rows] == [
+        (0, 0), (1, 300), (2, 600),
+    ]
+    for i, r in enumerate(rows, start=1):
+        fmt, px = decode_image(bytes(r.frame))
+        assert fmt == "ppm"
+        assert np.array_equal(px, np.full((5, 7, 3), (30 * i, 5, 1), np.uint8))
+
+
+def test_webp_animation_probe_assets_duration(spark):
+    from neo4j_to_clickhouse_spark.operators import multimodal as M
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        encode_webp_animation,
+    )
+
+    data = encode_webp_animation(
+        [{"pixels": np.full((4, 6, 3), 50, np.uint8), "duration_ms": d}
+         for d in (120, 80, 40)],
+        canvas=(6, 4),
+    )
+    df = spark.createDataFrame(
+        [("w", bytearray(data))], "asset_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(df, "asset_id", "payload", "video")
+    row = M.probe_assets(assets).collect()[0]
+    assert (row.width, row.height) == (6, 4)
+    assert row.duration_ms == 240
+
+
+def test_vp8l_encoder_carries_alpha():
+    rng = np.random.default_rng(2)
+    rgba = rng.integers(0, 256, (9, 5, 4), dtype=np.uint8)
+    out = decode_webp_rgba(encode_webp(rgba))
+    assert np.array_equal(out, rgba)
