@@ -351,6 +351,10 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         # present) carries the sequence duration
                         d = movie_duration_ms(payload)
                     else:
+                        from neo4j_to_clickhouse_spark.operators.png import (
+                            apng_frame_delays,
+                            is_apng,
+                        )
                         from neo4j_to_clickhouse_spark.operators.vp8l import (
                             is_animated_webp,
                             webp_animation_durations,
@@ -359,6 +363,8 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         if is_animated_webp(payload):
                             # ANMF header walk only — no extra decode
                             d = sum(webp_animation_durations(payload))
+                        elif is_apng(payload):
+                            d = sum(apng_frame_delays(payload))
                 else:
                     audio = decode_wav(payload)
                     if audio is not None:
@@ -710,62 +716,51 @@ def extract_video_frames(
             np.frombuffer((h * 6)[: 8 * 8 * 3], np.uint8).reshape(8, 8, 3)
         )
 
+    def sample_composed(asset_id, payload, decode_frames):
+        """Shared sampler for composed-canvas animations (WebP/APNG):
+        browser-minimum delays, floor-frame selection, PPM output."""
+        try:
+            delays, canvases = decode_frames(payload)
+        except ValueError:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "undecodable animation payload"
+                ) from None
+            return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
+        times, t = [], 0
+        for d in delays:
+            times.append(t)
+            t += d if d > 10 else 100
+        out = []
+        for tick in range(0, t, every_ms):
+            i = max(j for j, ft in enumerate(times) if ft <= tick)
+            px = canvases[i][..., :3]  # composited; alpha dropped
+            out.append(
+                (asset_id, i, times[i], px.shape[1], px.shape[0],
+                 encode_ppm(px))
+            )
+        return out
+
     def rows_for(asset_id, payload):
+        from neo4j_to_clickhouse_spark.operators.png import (
+            decode_apng_frames,
+            is_apng,
+        )
         from neo4j_to_clickhouse_spark.operators.vp8l import (
             decode_webp_frames,
             is_animated_webp,
         )
 
         if is_animated_webp(payload):
-            try:
-                delays, canvases = decode_webp_frames(payload)
-            except ValueError:
-                if decode_stub == "raise":
-                    raise NotImplementedError(
-                        "undecodable animated WebP payload"
-                    ) from None
-                return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
-            times, t = [], 0
-            for d in delays:
-                times.append(t)
-                t += d if d > 10 else 100
-            out = []
-            for tick in range(0, t, every_ms):
-                i = max(j for j, ft in enumerate(times) if ft <= tick)
-                px = canvases[i][..., :3]  # composited; alpha dropped
-                out.append(
-                    (asset_id, i, times[i], px.shape[1], px.shape[0],
-                     encode_ppm(px))
-                )
-            return out
+            return sample_composed(asset_id, payload, decode_webp_frames)
+        if is_apng(payload):
+            return sample_composed(asset_id, payload, decode_apng_frames)
         if payload is not None and payload[:4] == b"GIF8":
             from neo4j_to_clickhouse_spark.operators.gif import (
                 decode_gif_frames,
             )
 
-            try:
-                delays, canvases = decode_gif_frames(payload)
-            except ValueError:
-                if decode_stub == "raise":
-                    raise NotImplementedError(
-                        "undecodable GIF payload"
-                    ) from None
-                return [(asset_id, 0, 0, 8, 8, fake_frame(payload, 0))]
-            # browser convention: <=10 ms per-frame delays play at 100 ms
-            times = []
-            t = 0
-            for d in delays:
-                times.append(t)
-                t += d if d > 10 else 100
-            out = []
-            for tick in range(0, t, every_ms):
-                i = max(j for j, ft in enumerate(times) if ft <= tick)
-                px = canvases[i]
-                out.append(
-                    (asset_id, i, times[i], px.shape[1], px.shape[0],
-                     encode_ppm(px))
-                )
-            return out
+            return sample_composed(asset_id, payload, decode_gif_frames)
         if is_avi(payload):
             try:
                 period_ms, frames = parse_avi_mjpeg(payload)

@@ -130,11 +130,20 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     Raises ``ValueError`` for non-PNG input or unsupported variants.
     """
+    return np.ascontiguousarray(decode_png_rgba(payload)[:, :, :3])
+
+
+def decode_png_rgba(payload: bytes) -> np.ndarray:
+    """Decode PNG bytes to an HxWx4 uint8 RGBA array (gray/RGB expand
+    opaque; palette alpha comes from ``tRNS``). The APNG composer
+    below needs the alpha lane; :func:`decode_png` stays the RGB
+    surface the rest of the pipeline consumes."""
     if len(payload) < 8 or payload[:8] != _SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
     ihdr = None
     palette = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
@@ -145,6 +154,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -195,18 +206,228 @@ def decode_png(payload: bytes) -> np.ndarray:
         # scale sub-byte gray to full range: 255 is divisible by every
         # (2^d - 1) for d in {1,2,4}, so the scale factor is exact
         px = px * np.uint8(255 // ((1 << depth) - 1))
+
+    def with_alpha(rgb: np.ndarray, alpha: np.ndarray | None) -> np.ndarray:
+        if alpha is None:
+            alpha = np.full(rgb.shape[:2], 255, np.uint8)
+        return np.dstack([np.ascontiguousarray(rgb), alpha])
+
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
-        return palette[idx]
+        alpha = None
+        if trns is not None:
+            a_lut = np.full(len(palette), 255, np.uint8)
+            a_lut[: min(len(trns), len(palette))] = trns[: len(palette)]
+            alpha = a_lut[idx]
+        return with_alpha(palette[idx], alpha)
     if color == 0:
-        return np.repeat(px, 3, axis=2)
+        return with_alpha(np.repeat(px, 3, axis=2), None)
     if color == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
+        return with_alpha(np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1])
+    if color == 6:
+        return np.ascontiguousarray(px)
+    return with_alpha(px[:, :, :3], None)  # truecolor RGB
+
+
+# --- APNG (animated PNG, W3C PNG third edition) --------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def is_apng(payload: bytes | None) -> bool:
+    """PNG signature + an ``acTL`` chunk before the first ``IDAT``."""
+    if payload is None or len(payload) < 8 or payload[:8] != _SIG:
+        return False
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if ctype == b"acTL":
+            return True
+        if ctype in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length
+    return False
+
+
+def apng_frame_delays(payload: bytes) -> list[int]:
+    """Per-frame delays (ms) from the fcTL headers alone — the cheap
+    metadata walk (delay_den 0 means 100 per the spec)."""
+    if not is_apng(payload):
+        raise ValueError("not an APNG")
+    out = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if ctype == b"fcTL" and length >= 26:
+            num, den = struct.unpack_from(">HH", payload, pos + 8 + 20)
+            out.append(round(1000 * num / (den or 100)))
+        if ctype == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
+def decode_apng_frames(
+    payload: bytes,
+) -> tuple[list[int], list[np.ndarray]]:
+    """Decode an APNG into composed RGBA canvases.
+
+    Returns ``(delays_ms, canvases)``. Composition per the spec: the
+    canvas (IHDR dims) starts fully transparent; each frame's region
+    either replaces (``blend_op`` 0, SOURCE) or alpha-composites
+    (``blend_op`` 1, OVER); after emitting, ``dispose_op`` applies —
+    0 none, 1 clear the region to transparent black, 2 restore the
+    pre-frame canvas (treated as 1 on the first frame, as required).
+    An ``IDAT`` preceded by an ``fcTL`` is the first frame; otherwise
+    the IDAT image is the non-animated fallback and only ``fdAT``
+    frames play. Each frame's data decodes as a standalone PNG
+    (same IHDR params at the frame dims, shared PLTE/tRNS)."""
+    if not is_apng(payload):
+        raise ValueError("not an APNG")
+    pos = 8
+    ihdr_body = None
+    aux = b""  # PLTE + tRNS pass through to every frame
+    frames: list[tuple[tuple, bytearray]] = []
+    seen_idat = False
+    idat_owner: bytearray | None = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr_body = body
+        elif ctype in (b"PLTE", b"tRNS"):
+            aux += _png_chunk(ctype, body)
+        elif ctype == b"fcTL":
+            if length < 26:
+                raise ValueError("short fcTL")
+            frames.append(
+                (struct.unpack(">IIIIIHHBB", body), bytearray())
+            )
+        elif ctype == b"IDAT":
+            # an fcTL before the first IDAT makes the IDAT frame 1;
+            # otherwise the IDAT image is only the non-animated
+            # fallback. IDAT chunks are contiguous, so the ownership
+            # decided at the first one holds for the rest.
+            if not seen_idat:
+                idat_owner = frames[0][1] if len(frames) == 1 else None
+                seen_idat = True
+            if idat_owner is not None:
+                idat_owner.extend(body)
+        elif ctype == b"fdAT":
+            if not frames:
+                raise ValueError("fdAT without a preceding fcTL")
+            if length < 4:
+                raise ValueError("short fdAT")
+            frames[-1][1].extend(body[4:])  # strip sequence_number
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr_body is None:
+        raise ValueError("missing IHDR")
+    cw, chh, depth, color, comp, filt, _interlace = struct.unpack(
+        ">IIBBBBB", ihdr_body
+    )
+    if not frames:
+        raise ValueError("APNG contains no frames")
+    canvas = np.zeros((chh, cw, 4), np.uint8)
+    delays: list[int] = []
+    out: list[np.ndarray] = []
+    for n, (fctl, data) in enumerate(frames):
+        _seq, fw, fh, fx, fy, dnum, dden, dispose, blend = fctl
+        if fx + fw > cw or fy + fh > chh or not data:
+            raise ValueError("fcTL region outside the canvas or empty")
+        sub = (
+            _SIG
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", fw, fh, depth, color, comp, filt, 0),
+            )
+            + aux
+            + _png_chunk(b"IDAT", bytes(data))
+            + _png_chunk(b"IEND", b"")
+        )
+        frame = decode_png_rgba(sub)
+        if n == 0 and dispose == 2:
+            dispose = 1  # spec: APNG_DISPOSE_OP_PREVIOUS on frame 0
+        saved = canvas.copy() if dispose == 2 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if blend == 0:  # SOURCE
+            region[:] = frame
+        else:  # OVER
+            fa = frame[..., 3:4].astype(np.float64) / 255.0
+            ba = region[..., 3:4].astype(np.float64) / 255.0
+            oa = fa + ba * (1.0 - fa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            oc = (
+                frame[..., :3] * fa + region[..., :3] * ba * (1.0 - fa)
+            ) / safe
+            region[..., :3] = np.rint(oc).astype(np.uint8)
+            region[..., 3:4] = np.rint(oa * 255.0).astype(np.uint8)
+            region[(oa[..., 0] == 0.0)] = 0
+        out.append(canvas.copy())
+        delays.append(round(1000 * dnum / (dden or 100)))
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2 and saved is not None:
+            canvas = saved
+    return delays, out
+
+
+def encode_apng(
+    frames: list[dict], canvas: tuple[int, int], num_plays: int = 0
+) -> bytes:
+    """Fixture encoder: each frame dict has ``pixels`` (hxwx4 RGBA or
+    hxwx3 RGB), optional ``x``/``y``, ``delay_ms``, ``dispose`` (0-2)
+    and ``blend`` (0 source / 1 over). Frame 1 rides the IDAT (so
+    non-animated decoders see it); the rest are fdAT."""
+    cw, chh = canvas
+    seq = 0
+    out = _SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", cw, chh, 8, 6, 0, 0, 0)
+    ) + _png_chunk(
+        b"acTL", struct.pack(">II", len(frames), num_plays)
+    )
+
+    def rows(px: np.ndarray) -> bytes:
+        h, w = px.shape[:2]
+        if px.shape[2] == 3:
+            px = np.dstack([px, np.full((h, w), 255, np.uint8)])
+        return zlib.compress(
+            np.concatenate(
+                [np.zeros((h, 1), np.uint8), px.reshape(h, w * 4)], axis=1
+            ).tobytes(),
+            6,
+        )
+
+    for i, f in enumerate(frames):
+        px = np.asarray(f["pixels"], np.uint8)
+        fh, fw = px.shape[:2]
+        delay = int(f.get("delay_ms", 100))
+        fctl = struct.pack(
+            ">IIIIIHHBB",
+            seq, fw, fh, f.get("x", 0), f.get("y", 0),
+            delay, 1000, f.get("dispose", 0), f.get("blend", 1),
+        )
+        seq += 1
+        out += _png_chunk(b"fcTL", fctl)
+        data = rows(px)
+        if i == 0:
+            if (fw, fh) != (cw, chh) or f.get("x") or f.get("y"):
+                raise ValueError("frame 1 (the IDAT) must cover the canvas")
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")
 
 
 def encode_png(pixels: np.ndarray) -> bytes:

@@ -532,6 +532,160 @@ def test_png_rejects_unsupported():
     assert M.decode_image(b"\x89PNG\r\n\x1a\n junk") is None
 
 
+def test_apng_composition_closed_form():
+    """APNG compose semantics, hand-written expected canvases: blend
+    SOURCE replaces (transparency copies through), blend OVER skips
+    transparent pixels, dispose 1 clears the region, dispose 2
+    restores the pre-frame canvas (and downgrades to 1 on frame 1)."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.png import (
+        decode_apng_frames,
+        encode_apng,
+        is_apng,
+    )
+
+    RED, GREEN = (200, 0, 0, 255), (0, 200, 0, 255)
+    base = np.zeros((8, 8, 4), np.uint8)
+    base[:] = RED
+    patch = np.zeros((4, 4, 4), np.uint8)
+    patch[:] = GREEN
+    ghost = patch.copy()
+    ghost[2:, :] = 0  # transparent bottom half
+    data = encode_apng(
+        [
+            {"pixels": base, "delay_ms": 100},
+            {"pixels": ghost, "x": 2, "y": 2, "delay_ms": 150,
+             "blend": 1, "dispose": 2},
+            {"pixels": ghost, "x": 4, "y": 4, "delay_ms": 200,
+             "blend": 0, "dispose": 1},
+            {"pixels": patch, "delay_ms": 250},
+        ],
+        canvas=(8, 8),
+    )
+    assert is_apng(data)
+    delays, frames = decode_apng_frames(data)
+    assert delays == [100, 150, 200, 250]
+    exp1 = base.copy()
+    assert np.array_equal(frames[0], exp1)
+    exp2 = exp1.copy()
+    exp2[2:4, 2:6] = GREEN  # OVER: only the opaque half lands
+    assert np.array_equal(frames[1], exp2)
+    # dispose 2 on frame 2 restored frame 1's canvas; SOURCE copies
+    # the transparent half through
+    exp3 = exp1.copy()
+    exp3[4:8, 4:8] = ghost
+    assert np.array_equal(frames[2], exp3)
+    # dispose 1 cleared frame 3's region to transparent black
+    exp4 = exp1.copy()
+    exp4[4:8, 4:8] = 0
+    exp4[0:4, 0:4] = GREEN
+    assert np.array_equal(frames[3], exp4)
+
+
+def test_apng_idat_is_cover_and_static_decoders_work():
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.png import (
+        apng_frame_delays,
+        decode_apng_frames,
+        decode_png,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(6)
+    first = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    data = encode_apng(
+        [{"pixels": first, "delay_ms": 40},
+         {"pixels": np.zeros((5, 9, 3), np.uint8), "delay_ms": 60}],
+        canvas=(9, 5),
+    )
+    # static decoders read the IDAT (= frame 1) unchanged
+    assert np.array_equal(decode_png(data), first)
+    assert apng_frame_delays(data) == [40, 60]
+    _, frames = decode_apng_frames(data)
+    assert np.array_equal(frames[0][..., :3], first)
+    assert (frames[0][..., 3] == 255).all()
+
+
+def test_apng_rejects_malformed():
+    import pytest as _pytest
+
+    from neo4j_to_clickhouse_spark.operators.png import (
+        apng_frame_delays,
+        decode_apng_frames,
+        encode_png,
+        is_apng,
+    )
+    import numpy as np
+
+    plain = encode_png(np.zeros((4, 4, 3), np.uint8))
+    assert not is_apng(plain)
+    with _pytest.raises(ValueError):
+        decode_apng_frames(plain)
+    with _pytest.raises(ValueError):
+        apng_frame_delays(plain)
+
+
+def test_apng_trns_palette_alpha_roundtrip():
+    """decode_png_rgba honors tRNS on palette images — the alpha lane
+    the APNG composer relies on."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.png import (
+        _png_chunk,
+        decode_png_rgba,
+    )
+
+    # 2x2 palette image: indices [[0,1],[1,0]], entry 0 transparent
+    raw = b"\x00\x00\x01" + b"\x00\x01\x00"
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes([10, 10, 10, 200, 200, 200]))
+        + _png_chunk(b"tRNS", bytes([0]))
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    rgba = decode_png_rgba(data)
+    assert rgba.shape == (2, 2, 4)
+    assert rgba[0, 0, 3] == 0 and rgba[0, 1, 3] == 255
+    assert tuple(rgba[0, 1, :3]) == (200, 200, 200)
+
+
+def test_extract_video_frames_apng(spark):
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.png import encode_apng
+
+    frames = [
+        {"pixels": np.full((6, 6, 3), (25 * i, 3, 0), np.uint8),
+         "delay_ms": 150}
+        for i in range(1, 4)
+    ]
+    data = encode_apng(frames, canvas=(6, 6))
+    df = spark.createDataFrame(
+        [("p", bytearray(data))], "asset_id string, payload binary"
+    )
+    rows = M.extract_video_frames(df, every_ms=150, decode_stub="raise").collect()
+    assert [(r.frame_idx, r.frame_ms) for r in rows] == [
+        (0, 0), (1, 150), (2, 300),
+    ]
+    for i, r in enumerate(rows, start=1):
+        fmt, px = M.decode_image(bytes(r.frame))
+        assert fmt == "ppm"
+        assert np.array_equal(px, np.full((6, 6, 3), (25 * i, 3, 0), np.uint8))
+    # probe fills total duration from the fcTL walk
+    assets = M.ingest_binary_assets(df, "asset_id", "payload", "video")
+    probe = M.probe_assets(assets).collect()[0]
+    assert probe.duration_ms == 450
+    assert (probe.width, probe.height) == (6, 6)
+
+
 def test_png_adam7_interlace_decodes():
     """An Adam7 stream (each pass its own filter-0 sub-image) decodes
     to the same pixels as the straight form — including a 1x1 image,
