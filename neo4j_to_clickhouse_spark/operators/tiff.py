@@ -1,21 +1,179 @@
-"""Dependency-free baseline TIFF codec (TIFF 6.0, uncompressed).
+"""Dependency-free baseline TIFF codec (TIFF 6.0).
 
-Covers the flavor ML corpora actually contain as TIFF: uncompressed
-(Compression=1), chunky (PlanarConfig=1), strip-organized, 8 bits per
-sample, grayscale (Photometric 0/1, including WhiteIsZero inversion)
-or RGB(A) — both byte orders (II little / MM big endian). Everything
-else — LZW/PackBits/JPEG-in-TIFF compression, tiles, planar layout,
-16-bit — raises ``ValueError`` so :func:`.multimodal.decode_image`
-falls back to its stub, same contract as the sibling codecs.
+Covers the flavors ML corpora actually contain as TIFF: chunky
+(PlanarConfig=1), strip-organized, 8 bits per sample, grayscale
+(Photometric 0/1, including WhiteIsZero inversion) or RGB(A) — both
+byte orders (II little / MM big endian) — under the four strip
+compressions real writers emit: none (1), LZW (5, TIFF §13 MSB-first
+early-change codes), Deflate (8 / legacy 32946, zlib) and PackBits
+(32773, §9 RLE), plus horizontal-differencing Predictor=2 (§14).
+Everything else — JPEG-in-TIFF, tiles, planar layout, 16-bit — raises
+``ValueError`` so :func:`.multimodal.decode_image` falls back to its
+stub, same contract as the sibling codecs. Cross-validated against the
+system libtiff in ``tests`` (gated like the libwebp/giflib suites).
 
-Encoder: minimal single-strip little-endian RGB for round-trip tests.
+Encoder: little-endian RGB with selectable compression/predictor and
+strip size for round-trip + oracle tests.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF §13 LZW: MSB-first variable-width codes with the
+    early-change convention (width bumps one code earlier than GIF)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early change, decoder side (libtiff-verified): width bumps
+        # when the NEXT code could be 2^w - 1 — one entry earlier than
+        # the naive LZW point, matching the encoder's one-entry lead
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    next_code = 258
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # early change, encoder side (libtiff-verified): codes emitted
+        # before the bump are <= next_code - 1, so they still fit the
+        # old width; the first code POSSIBLY equal to 2^w - 1 goes out
+        # at the new width
+        if next_code == (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(_LZW_CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor(rows: np.ndarray) -> np.ndarray:
+    """Invert horizontal differencing: per-channel cumsum along each
+    row, mod 256 (rows, w, spp)."""
+    return np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+
+
+_DECOMPRESS = {
+    1: lambda d, n: d,  # strict: padded strips must fail the size check
+    5: _tiff_lzw_decode,
+    8: lambda d, n: zlib.decompress(d),
+    32946: lambda d, n: zlib.decompress(d),
+    32773: _packbits_decode,
+}
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -43,7 +201,8 @@ def _read_ifd_value(buf: bytes, bo: str, vtype: int, count: int, raw: bytes):
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed baseline TIFF into HxWx3 uint8 RGB."""
+    """Decode a baseline TIFF (none/LZW/Deflate/PackBits strips,
+    optional Predictor=2) into HxWx3 uint8 RGB."""
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
     if payload[:4] == b"II*\x00":
@@ -82,9 +241,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photometric = one(262)
     spp = one(277, 1)
     planar = one(284, 1)
+    predictor = one(317, 1)
     bits = tags.get(258, [8])
-    if compression != 1:
+    if compression not in _DECOMPRESS:
         raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and compression not in (5, 8, 32946):
+        # TIFF 6.0 SS14 defines Predictor for LZW (and by extension
+        # Deflate); libtiff rejects it elsewhere
+        raise ValueError("Predictor=2 requires LZW/Deflate compression")
     if planar != 1:
         raise ValueError("planar TIFF is not supported")
     if any(b != 8 for b in bits):
@@ -108,19 +274,31 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
     data = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        # a writer that pads strips would otherwise silently shift every
-        # subsequent pixel row (ADVICE r07) — require each strip to hold
-        # exactly its rows, like the other unsupported-layout checks
         rows_in_strip = min(rps, h - i * rps)
-        if cnt != rows_in_strip * w * spp:
-            raise ValueError(
-                f"TIFF strip {i} holds {cnt} bytes, expected "
-                f"{rows_in_strip * w * spp} (padded/packed strips are "
-                "not supported)"
-            )
+        expected = rows_in_strip * w * spp
         if off + cnt > len(payload):
             raise ValueError("TIFF strip out of range")
-        data += payload[off : off + cnt]
+        try:
+            raw = _DECOMPRESS[compression](
+                payload[off : off + cnt], expected
+            )
+        except zlib.error as e:
+            raise ValueError(f"corrupt TIFF deflate strip: {e}") from None
+        # a writer that pads strips would otherwise silently shift every
+        # subsequent pixel row (ADVICE r07) — require each strip to
+        # decode to exactly its rows
+        if len(raw) != expected:
+            raise ValueError(
+                f"TIFF strip {i} decodes to {len(raw)} bytes, expected "
+                f"{expected} (padded/packed strips are not supported)"
+            )
+        if predictor == 2:
+            raw = _undo_predictor(
+                np.frombuffer(raw, np.uint8).reshape(
+                    rows_in_strip, w, spp
+                )
+            ).tobytes()
+        data += raw
     px = np.frombuffer(bytes(data), np.uint8).reshape(h, w, spp)
     if photometric == 2:
         return np.ascontiguousarray(px[:, :, :3])  # drop alpha/extras
@@ -130,39 +308,89 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return np.repeat(g[:, :, None], 3, axis=2)
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
-    """Encode HxWx3 uint8 RGB as a single-strip little-endian TIFF."""
+_COMPRESS_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode HxWx3 uint8 RGB as a little-endian TIFF with the chosen
+    strip compression (``none``/``lzw``/``deflate``/``packbits``),
+    optional horizontal-differencing predictor, and strip height."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("expected an HxWx3 RGB array")
+    if compression not in _COMPRESS_TAG:
+        raise ValueError(f"unknown compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if predictor == 2 and compression not in ("lzw", "deflate"):
+        raise ValueError("Predictor=2 requires LZW/Deflate compression")
     h, w, _ = pixels.shape
-    data = np.ascontiguousarray(pixels, np.uint8).tobytes()
-    # layout: header(8) + pixel data + IFD
-    strip_off = 8
-    ifd_off = strip_off + len(data)
-    entries = [
-        (256, 4, 1, w),           # ImageWidth
-        (257, 4, 1, h),           # ImageLength
-        (258, 3, 3, None),        # BitsPerSample -> offset
-        (259, 3, 1, 1),           # Compression: none
-        (262, 3, 1, 2),           # Photometric: RGB
-        (273, 4, 1, strip_off),   # StripOffsets
-        (277, 3, 1, 3),           # SamplesPerPixel
-        (278, 4, 1, h),           # RowsPerStrip
-        (279, 4, 1, len(data)),   # StripByteCounts
-        (284, 3, 1, 1),           # PlanarConfig: chunky
+    rps = rows_per_strip or h
+    px = np.ascontiguousarray(pixels, np.uint8)
+    if predictor == 2:
+        diffed = px.astype(np.int64)
+        diffed[:, 1:, :] -= px[:, :-1, :].astype(np.int64)
+        px = (diffed & 0xFF).astype(np.uint8)
+    pack = {
+        "none": lambda d: d,
+        "lzw": _tiff_lzw_encode,
+        "deflate": lambda d: zlib.compress(d, 6),
+        "packbits": _packbits_encode,
+    }[compression]
+    strips = [
+        pack(px[y0 : y0 + rps].tobytes()) for y0 in range(0, h, rps)
     ]
-    bits_off = ifd_off + 2 + 12 * len(entries) + 4
+    # layout: header(8) + strip data + IFD + offset arrays
+    strip_offs = []
+    pos = 8
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n = len(strips)
+    entries = [
+        (256, 4, 1, w),                          # ImageWidth
+        (257, 4, 1, h),                          # ImageLength
+        (258, 3, 3, "bits"),                     # BitsPerSample
+        (259, 3, 1, _COMPRESS_TAG[compression]),  # Compression
+        (262, 3, 1, 2),                          # Photometric: RGB
+        (273, 4, n, "offs"),                     # StripOffsets
+        (277, 3, 1, 3),                          # SamplesPerPixel
+        (278, 4, 1, rps),                        # RowsPerStrip
+        (279, 4, n, "cnts"),                     # StripByteCounts
+        (284, 3, 1, 1),                          # PlanarConfig: chunky
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))           # Predictor
+    after_ifd = ifd_off + 2 + 12 * len(entries) + 4
+    bits_off = after_ifd
+    offs_off = bits_off + 6
+    cnts_off = offs_off + 4 * n
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", ifd_off)
-    out += data
+    for s in strips:
+        out += s
     out += struct.pack("<H", len(entries))
     for tag, vtype, count, value in entries:
-        if tag == 258:
+        if value == "bits":
             out += struct.pack("<HHII", tag, vtype, count, bits_off)
+        elif value == "offs":
+            v = strip_offs[0] if n == 1 else offs_off
+            out += struct.pack("<HHII", tag, vtype, count, v)
+        elif value == "cnts":
+            v = len(strips[0]) if n == 1 else cnts_off
+            out += struct.pack("<HHII", tag, vtype, count, v)
         elif vtype == 3:
             out += struct.pack("<HHIHH", tag, vtype, count, value, 0)
         else:
             out += struct.pack("<HHII", tag, vtype, count, value)
     out += struct.pack("<I", 0)  # no next IFD
     out += struct.pack("<HHH", 8, 8, 8)  # BitsPerSample values
+    if n > 1:
+        out += b"".join(struct.pack("<I", o) for o in strip_offs)
+        out += b"".join(struct.pack("<I", len(s)) for s in strips)
     return bytes(out)

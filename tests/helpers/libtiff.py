@@ -1,0 +1,86 @@
+"""ctypes surface of the system libtiff — two-way oracle for the TIFF
+codec tests: read our files with the C reference, and write reference
+files for our decoder."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import tempfile
+
+import numpy as np
+
+
+def load():
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        return None
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    # TIFFSetField/TIFFGetField are varargs: leave argtypes unset
+    return lib
+
+
+def read_rgb(lib, data: bytes, w: int, h: int) -> np.ndarray | None:
+    """Decode TIFF bytes with libtiff (top-left oriented RGBA read);
+    None when libtiff rejects them."""
+    tmp = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
+    tmp.write(data)
+    tmp.close()
+    try:
+        tif = lib.TIFFOpen(tmp.name.encode(), b"r")
+        if not tif:
+            return None
+        T = ctypes.c_void_p(tif)
+        buf = (ctypes.c_uint32 * (w * h))()
+        ok = lib.TIFFReadRGBAImageOriented(T, w, h, buf, 1, 0)
+        lib.TIFFClose(T)
+        if ok != 1:
+            return None
+        return (
+            np.frombuffer(bytes(buf), np.uint8)
+            .reshape(h, w, 4)[..., :3]
+            .copy()
+        )
+    finally:
+        os.unlink(tmp.name)
+
+
+def write_rgb(
+    lib,
+    img: np.ndarray,
+    compression: int,
+    predictor: int = 1,
+    rows_per_strip: int = 8,
+) -> bytes:
+    """Encode an RGB array with libtiff's own writer."""
+    h, w = img.shape[:2]
+    tmp = tempfile.mktemp(suffix=".tif")
+    tif = lib.TIFFOpen(tmp.encode(), b"w")
+    assert tif, "libtiff writer failed to open"
+    T = ctypes.c_void_p(tif)
+    lib.TIFFSetField(T, 256, ctypes.c_uint32(w))
+    lib.TIFFSetField(T, 257, ctypes.c_uint32(h))
+    lib.TIFFSetField(T, 258, ctypes.c_uint16(8))
+    lib.TIFFSetField(T, 259, ctypes.c_uint16(compression))
+    lib.TIFFSetField(T, 262, ctypes.c_uint16(2))
+    lib.TIFFSetField(T, 277, ctypes.c_uint16(3))
+    lib.TIFFSetField(T, 278, ctypes.c_uint32(rows_per_strip))
+    lib.TIFFSetField(T, 284, ctypes.c_uint16(1))
+    if predictor == 2:
+        lib.TIFFSetField(T, 317, ctypes.c_uint16(2))
+    try:
+        for y in range(h):
+            row = np.ascontiguousarray(img[y]).tobytes()
+            assert (
+                lib.TIFFWriteScanline(
+                    T, row, ctypes.c_uint32(y), ctypes.c_uint16(0)
+                )
+                == 1
+            ), f"scanline {y}"
+        lib.TIFFClose(T)
+        with open(tmp, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(tmp)

@@ -1429,11 +1429,11 @@ def test_tiff_roundtrip_and_variants():
     got = T.decode_tiff(bytes(buf2))
     assert np.array_equal(got, np.repeat((255 - g)[:, :, None], 3, axis=2))
 
-    # rejections: LZW compression flag, 16-bit, planar
+    # rejections: JPEG-in-TIFF compression flag, 16-bit, planar
     base = T.encode_tiff(np.zeros((2, 2, 3), np.uint8))
     mut = bytearray(base)
     i = mut.find(_s.pack("<HHIHH", 259, 3, 1, 1, 0))
-    _s.pack_into("<HHIHH", mut, i, 259, 3, 1, 5, 0)
+    _s.pack_into("<HHIHH", mut, i, 259, 3, 1, 7, 0)
     with pytest.raises(ValueError, match="compression"):
         T.decode_tiff(bytes(mut))
     mut = bytearray(base)
@@ -1534,6 +1534,88 @@ def test_gif_background_resolves_in_global_table():
     assert tuple(img[0, 0]) == lct[0]          # frame pixel: local table
     assert tuple(img[2, 2]) == gct[1]          # background: GLOBAL table
     assert (img[1:, 1:] == np.array(gct[1], np.uint8)).all()
+
+
+def _tiff_test_image():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+    img[5:20, 3:15] = 77  # runs for PackBits/LZW, noise for table growth
+    return img
+
+
+def test_tiff_compressions_roundtrip():
+    """LZW (incl. the early-change width schedule and the 12-bit table
+    reset), Deflate, PackBits, and Predictor=2 all round-trip exactly
+    through our own encoder/decoder across strip layouts."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    img = _tiff_test_image()
+    for comp, pred in [
+        ("none", 1), ("packbits", 1), ("deflate", 1), ("deflate", 2),
+        ("lzw", 1), ("lzw", 2),
+    ]:
+        for rps in (None, 7):
+            data = T.encode_tiff(img, comp, pred, rps)
+            assert np.array_equal(T.decode_tiff(data), img), (comp, pred, rps)
+    # LZW 12-bit reset: low-entropy stream growing past 4094 entries
+    rng = np.random.default_rng(1)
+    big = bytes(rng.integers(0, 8, 60000, dtype=np.uint8))
+    assert T._tiff_lzw_decode(T._tiff_lzw_encode(big), len(big)) == big
+    # predictor is only defined for LZW/Deflate (TIFF 6.0 SS14)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Predictor"):
+        T.encode_tiff(img, "packbits", 2)
+
+
+def test_tiff_compressions_against_libtiff():
+    """Two-way C-reference validation (gated like libwebp/giflib):
+    libtiff reads every stream our encoder writes, and our decoder
+    reads every stream libtiff's writer produces — all compressions,
+    both predictors, multi-strip, including an image large enough to
+    cross the LZW 12-bit reset."""
+    import os
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    import libtiff
+
+    lib = libtiff.load()
+    if lib is None:
+        _pytest.skip("system libtiff not available")
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    rng = np.random.default_rng(2)
+    small = _tiff_test_image()
+    big = np.repeat(
+        np.repeat(rng.integers(0, 6, (40, 40, 3), dtype=np.uint8) * 40, 4, 0),
+        4, 1,
+    )
+    name_to_code = {"none": 1, "packbits": 32773, "deflate": 8, "lzw": 5}
+    for img in (small, big):
+        h, w = img.shape[:2]
+        for comp, pred in [
+            ("none", 1), ("packbits", 1), ("deflate", 1), ("deflate", 2),
+            ("lzw", 1), ("lzw", 2),
+        ]:
+            mine = T.encode_tiff(img, comp, pred, 13)
+            got = libtiff.read_rgb(lib, mine, w, h)
+            assert got is not None and np.array_equal(got, img), (
+                "libtiff rejected ours", comp, pred, img.shape,
+            )
+            theirs = libtiff.write_rgb(
+                lib, img, name_to_code[comp], pred, rows_per_strip=13
+            )
+            assert np.array_equal(T.decode_tiff(theirs), img), (
+                "we rejected libtiff's", comp, pred, img.shape,
+            )
 
 
 def test_tiff_padded_strip_rejected():
