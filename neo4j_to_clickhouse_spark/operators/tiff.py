@@ -253,8 +253,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("Predictor=2 requires LZW/Deflate compression")
     if planar != 1:
         raise ValueError("planar TIFF is not supported")
-    if any(b != 8 for b in bits):
-        raise ValueError("only 8-bit TIFF samples are supported")
+    if all(b == 8 for b in bits):
+        depth = 8
+    elif all(b == 16 for b in bits):
+        depth = 16
+    else:
+        raise ValueError("only 8- or 16-bit TIFF samples are supported")
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF is not supported")
     if photometric not in (0, 1, 2):
@@ -275,7 +279,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     data = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         rows_in_strip = min(rps, h - i * rps)
-        expected = rows_in_strip * w * spp
+        expected = rows_in_strip * w * spp * (depth // 8)
         if off + cnt > len(payload):
             raise ValueError("TIFF strip out of range")
         try:
@@ -293,13 +297,31 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 f"{expected} (padded/packed strips are not supported)"
             )
         if predictor == 2:
-            raw = _undo_predictor(
-                np.frombuffer(raw, np.uint8).reshape(
+            # differencing is per SAMPLE, so 16-bit inverts on u2 values
+            if depth == 16:
+                vals = np.frombuffer(raw, bo + "u2").reshape(
                     rows_in_strip, w, spp
                 )
-            ).tobytes()
+                raw = (
+                    np.cumsum(vals.astype(np.int64), axis=1)
+                    .astype(bo + "u2")
+                    .tobytes()
+                )
+            else:
+                raw = _undo_predictor(
+                    np.frombuffer(raw, np.uint8).reshape(
+                        rows_in_strip, w, spp
+                    )
+                ).tobytes()
         data += raw
-    px = np.frombuffer(bytes(data), np.uint8).reshape(h, w, spp)
+    if depth == 16:
+        # high byte is the 8-bit projection (libtiff's RGBA read agrees)
+        px = (
+            np.frombuffer(bytes(data), bo + "u2").reshape(h, w, spp)
+            >> 8
+        ).astype(np.uint8)
+    else:
+        px = np.frombuffer(bytes(data), np.uint8).reshape(h, w, spp)
     if photometric == 2:
         return np.ascontiguousarray(px[:, :, :3])  # drop alpha/extras
     g = px[:, :, 0]

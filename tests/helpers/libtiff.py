@@ -53,8 +53,10 @@ def write_rgb(
     compression: int,
     predictor: int = 1,
     rows_per_strip: int = 8,
+    bits: int = 8,
 ) -> bytes:
-    """Encode an RGB array with libtiff's own writer."""
+    """Encode an RGB array (uint8 or uint16 per ``bits``) with
+    libtiff's own writer."""
     h, w = img.shape[:2]
     tmp = tempfile.mktemp(suffix=".tif")
     tif = lib.TIFFOpen(tmp.encode(), b"w")
@@ -62,7 +64,7 @@ def write_rgb(
     T = ctypes.c_void_p(tif)
     lib.TIFFSetField(T, 256, ctypes.c_uint32(w))
     lib.TIFFSetField(T, 257, ctypes.c_uint32(h))
-    lib.TIFFSetField(T, 258, ctypes.c_uint16(8))
+    lib.TIFFSetField(T, 258, ctypes.c_uint16(bits))
     lib.TIFFSetField(T, 259, ctypes.c_uint16(compression))
     lib.TIFFSetField(T, 262, ctypes.c_uint16(2))
     lib.TIFFSetField(T, 277, ctypes.c_uint16(3))

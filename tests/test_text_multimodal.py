@@ -1616,6 +1616,18 @@ def test_tiff_compressions_against_libtiff():
             assert np.array_equal(T.decode_tiff(theirs), img), (
                 "we rejected libtiff's", comp, pred, img.shape,
             )
+    # 16-bit samples: libtiff writes them, we project the high byte —
+    # the same projection libtiff's own RGBA reader applies
+    img16 = (small.astype(np.uint16) << 8) | rng.integers(
+        0, 256, small.shape, dtype=np.uint16
+    )
+    for comp, pred in [("none", 1), ("lzw", 2), ("deflate", 2)]:
+        theirs = libtiff.write_rgb(
+            lib, img16, name_to_code[comp], pred, rows_per_strip=13,
+            bits=16,
+        )
+        got = T.decode_tiff(theirs)
+        assert np.array_equal(got, small), ("16-bit", comp, pred)
 
 
 def test_tiff_padded_strip_rejected():
