@@ -131,28 +131,131 @@ def _decode_jpeg_any(payload: bytes) -> np.ndarray:
 
 
 def _decode_bmp(buf: bytes) -> np.ndarray:
-    """24-bit BI_RGB BITMAPINFOHEADER decode: BGR rows padded to 4 bytes,
-    bottom-up unless height is negative."""
+    """BITMAPINFOHEADER BMP decode covering the variants scraped
+    corpora actually contain: 24-bit BGR and 32-bit BGRA/BGRX (BI_RGB),
+    16-bit 555 and BI_BITFIELDS 565/555, 1/4/8-bit palette, and RLE8
+    (BI_RLE8) — bottom-up unless height is negative, rows padded to 4
+    bytes. Everything else raises ValueError (stub fallback)."""
     if len(buf) < 54:
         raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", buf, 10)[0]
     hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
     planes, bpp = struct.unpack_from("<HH", buf, 26)
     compression = struct.unpack_from("<I", buf, 30)[0]
-    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
-        raise ValueError("only uncompressed 24-bit BMP is supported")
+    n_colors = struct.unpack_from("<I", buf, 46)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("only BITMAPINFOHEADER BMPs are supported")
     top_down = height < 0
     height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3
+    if width <= 0 or height <= 0:
+        raise ValueError("empty BMP image")
+
+    def palette() -> np.ndarray:
+        n = n_colors or (1 << bpp)
+        p0 = 14 + hdr_size
+        if p0 + 4 * n > len(buf):
+            raise ValueError("truncated BMP palette")
+        # BGRX quads -> RGB
+        quads = np.frombuffer(buf, np.uint8, 4 * n, p0).reshape(n, 4)
+        return quads[:, 2::-1].copy()
+
+    if compression == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8-bit pixels")
+        pal = palette()
+        idx = np.zeros((height, width), np.uint8)
+        x = y = 0
+        i = data_off
+        while i + 1 < len(buf):
+            n, v = buf[i], buf[i + 1]
+            i += 2
+            if n > 0:  # encoded run
+                end = min(x + n, width)
+                if y < height:
+                    idx[y, x:end] = v
+                x = end
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if i + 1 >= len(buf):
+                    raise ValueError("truncated BMP RLE delta")
+                x, y = x + buf[i], y + buf[i + 1]
+                i += 2
+            else:  # absolute mode: v literal indices, word-aligned
+                if i + v > len(buf):
+                    raise ValueError("truncated BMP RLE literals")
+                end = min(x + v, width)
+                if y < height:
+                    idx[y, x:end] = np.frombuffer(
+                        buf, np.uint8, end - x, i
+                    )
+                x += v
+                i += v + (v & 1)
+        rows = pal[idx]
+        return rows.copy() if top_down else rows[::-1].copy()
+
+    if compression == 3:  # BI_BITFIELDS (16/32-bit channel masks)
+        if len(buf) < 66:
+            raise ValueError("truncated BMP bitfields")
+        masks = struct.unpack_from("<III", buf, 54)
+    elif compression == 0:
+        masks = None
+    else:
+        raise ValueError(f"unsupported BMP compression {compression}")
+
+    row_bytes = (width * bpp + 31) // 32 * 4
     need = data_off + row_bytes * height
-    if width <= 0 or height <= 0 or len(buf) < need:
+    if len(buf) < need:
         raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(
-        buf, dtype=np.uint8, count=row_bytes * height, offset=data_off
-    ).reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    raw = np.frombuffer(
+        buf, np.uint8, row_bytes * height, data_off
+    ).reshape(height, row_bytes)
     if not top_down:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+        raw = raw[::-1]
+
+    if bpp == 24:
+        if masks is not None:
+            raise ValueError("bitfields are undefined for 24-bit BMP")
+        px = raw[:, : width * 3].reshape(height, width, 3)
+        return px[:, :, ::-1].copy()
+    if bpp == 32:
+        px = raw[:, : width * 4].reshape(height, width, 4)
+        if masks is not None and masks != (0xFF0000, 0xFF00, 0xFF):
+            raise ValueError("unsupported 32-bit BMP channel masks")
+        return px[:, :, 2::-1].copy()  # BGRA/BGRX -> RGB
+    if bpp == 16:
+        vals = raw[:, : width * 2].copy().view("<u2").reshape(height, width)
+        if masks is None or masks == (0x7C00, 0x3E0, 0x1F):
+            shifts, widths = (10, 5, 0), (5, 5, 5)
+        elif masks == (0xF800, 0x7E0, 0x1F):
+            shifts, widths = (11, 5, 0), (5, 6, 5)
+        else:
+            raise ValueError("unsupported 16-bit BMP channel masks")
+        out = np.empty((height, width, 3), np.uint8)
+        for c, (s, wd) in enumerate(zip(shifts, widths)):
+            v = (vals >> s) & ((1 << wd) - 1)
+            # expand to 8 bits by bit replication (the exact scaling)
+            out[..., c] = ((v * 255) // ((1 << wd) - 1)).astype(np.uint8)
+        return out
+    if bpp in (1, 4, 8):
+        pal = palette()
+        if bpp == 8:
+            idx = raw[:, :width]
+        elif bpp == 4:
+            hi = raw >> 4
+            lo = raw & 0xF
+            idx = np.empty((height, row_bytes * 2), np.uint8)
+            idx[:, 0::2] = hi
+            idx[:, 1::2] = lo
+            idx = idx[:, :width]
+        else:
+            idx = np.unpackbits(raw, axis=1)[:, :width]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx].copy()
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -114,6 +114,130 @@ def _checker(h, w):
     return px
 
 
+def _bmp(width, height, bpp, compression, body, palette=b"", masks=b""):
+    import struct as _s
+
+    hdr_size = 40
+    data_off = 14 + hdr_size + len(masks) + len(palette)
+    return (
+        _s.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+        + _s.pack(
+            "<IiiHHIIiiII", hdr_size, width, height, 1, bpp, compression,
+            len(body), 2835, 2835, len(palette) // 4, 0,
+        )
+        + masks
+        + palette
+        + body
+    )
+
+
+def test_bmp_palette_variants():
+    """1/4/8-bit palette BMPs decode through the BGRX color table,
+    bottom-up row order, rows padded to 4 bytes."""
+    import numpy as np
+
+    pal = bytes([0, 0, 200, 0]) + bytes([0, 200, 0, 0]) + bytes(
+        [200, 0, 0, 0]
+    ) + bytes([7, 7, 7, 0])  # BGRX: red, green, blue, gray entries
+    RED, GREEN, BLUE = (200, 0, 0), (0, 200, 0), (0, 0, 200)
+    # 8-bit 3x2: file rows bottom-up
+    body = bytes([0, 1, 2, 0]) + bytes([2, 1, 0, 0])
+    out = M.decode_image(_bmp(3, 2, 8, 0, body, pal))[1]
+    assert np.array_equal(
+        out, np.array([[BLUE, GREEN, RED], [RED, GREEN, BLUE]], np.uint8)
+    )
+    # 4-bit 3x1: nibbles high-first, padded to 4 bytes
+    body = bytes([0x12, 0x00, 0x00, 0x00])
+    out = M.decode_image(_bmp(3, 1, 4, 0, body, pal))[1]
+    assert np.array_equal(out, np.array([[GREEN, BLUE, RED]], np.uint8))
+    # 1-bit 10x1: MSB-first bits
+    body = bytes([0b10110000, 0b01000000, 0, 0])
+    out = M.decode_image(_bmp(10, 1, 1, 0, body, pal))[1]
+    exp = [GREEN if b else RED for b in (1,0,1,1,0,0,0,0,0,1)]
+    assert np.array_equal(out, np.array([exp], np.uint8))
+
+
+def test_bmp_16_and_32_bit():
+    import struct as _s
+
+    import numpy as np
+
+    # 32-bit BI_RGB, BGRX, 2x1 top-down (negative height)
+    body = bytes([10, 20, 30, 0]) + bytes([40, 50, 60, 255])
+    out = M.decode_image(_bmp(2, -1, 32, 0, body))[1]
+    assert np.array_equal(out, np.array([[(30, 20, 10), (60, 50, 40)]], np.uint8))
+    # 16-bit default 555: pure channels scale by bit replication
+    v_r, v_g, v_b = 31 << 10, 31 << 5, 31
+    body = _s.pack("<HH", v_r, v_b)
+    out = M.decode_image(_bmp(2, 1, 16, 0, body))[1]
+    assert np.array_equal(out, np.array([[(255, 0, 0), (0, 0, 255)]], np.uint8))
+    # 16-bit BI_BITFIELDS 565
+    masks = _s.pack("<III", 0xF800, 0x7E0, 0x1F)
+    body = _s.pack("<HH", 63 << 5, 0xF800)
+    out = M.decode_image(_bmp(2, 1, 16, 3, body, masks=masks))[1]
+    assert np.array_equal(out, np.array([[(0, 255, 0), (255, 0, 0)]], np.uint8))
+    # half-intensity 5-bit value 15 -> round(15*255/31) = 123
+    body = _s.pack("<HH", 15 << 10, 0)
+    out = M.decode_image(_bmp(2, 1, 16, 0, body))[1]
+    assert tuple(out[0, 0]) == (123, 0, 0)
+
+
+def test_bmp_rle8():
+    import numpy as np
+
+    pal = bytes([0, 0, 200, 0]) + bytes([0, 200, 0, 0]) + bytes(
+        [200, 0, 0, 0]
+    )
+    RED, GREEN, BLUE = (200, 0, 0), (0, 200, 0), (0, 0, 200)
+    # 4x3 bottom-up. File row 0 (bottom): run 4x GREEN; EOL. File
+    # row 1: absolute-mode literals BLUE,RED,BLUE (count 3 + pad byte —
+    # counts < 3 are the escape codes) then run 1x RED; EOL. File
+    # row 2 (top): delta x+=2 (skipped pixels keep index 0 = RED) then
+    # run 2x BLUE; end-of-bitmap.
+    body = bytes(
+        [4, 1, 0, 0]
+        + [0, 3, 2, 0, 2, 0]
+        + [1, 0]
+        + [0, 0]
+        + [0, 2, 2, 0]
+        + [2, 2]
+        + [0, 1]
+    )
+    out = M.decode_image(_bmp(4, 3, 8, 1, body, pal))[1]
+    exp = np.array(
+        [
+            [RED, RED, BLUE, BLUE],       # top (file row 2): delta+run
+            [BLUE, RED, BLUE, RED],       # middle: absolute BRB + run R
+            [GREEN, GREEN, GREEN, GREEN],  # bottom: run
+        ],
+        np.uint8,
+    )
+    assert np.array_equal(out, exp)
+
+
+def test_bmp_rejects_unsupported_variants():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from neo4j_to_clickhouse_spark.operators.multimodal import _decode_bmp
+
+    with _pytest.raises(ValueError):
+        _decode_bmp(_bmp(2, 1, 16, 3, b"\x00" * 4,
+                         masks=_s.pack("<III", 1, 2, 3)))
+    with _pytest.raises(ValueError):
+        _decode_bmp(_bmp(2, 1, 2, 0, b"\x00" * 4))  # 2-bit depth
+    with _pytest.raises(ValueError):
+        _decode_bmp(_bmp(2, 1, 8, 5, b"\x00" * 4))  # unknown compression
+    with _pytest.raises(ValueError):
+        _decode_bmp(_bmp(2, 1, 24, 0, b"\x00"))  # truncated pixels
+    # truncation sweep across a palette file never escapes ValueError
+    pal = b"\x00\x00\x00\x00" * 4
+    data = _bmp(3, 2, 8, 0, b"\x00\x01\x02\x00" * 2, pal)
+    for cut in range(len(data)):
+        assert M.decode_image(data[:cut]) is None or cut >= len(data)
+
+
 def test_bmp_ppm_codec_roundtrip():
     """Pure codec check, no Spark: decode(encode(x)) == x for both
     formats, including BMP's padded odd-width rows."""
