@@ -420,14 +420,133 @@ def ingest_binary_assets(
     )
 
 
+def probe_image_dims(payload: bytes | None) -> tuple[int, int] | None:
+    """Header-only (width, height) for every format :func:`decode_image`
+    handles — no entropy decode, no pixel work, O(header bytes). The
+    100 TB metadata-probe path: a dims/duration backfill over a billion
+    assets must not decompress a billion images. Always agrees with the
+    decoded array's dims (pinned by tests); returns None for anything
+    unrecognized so the caller can fall back to a full decode."""
+    if not payload or len(payload) < 8:
+        return None
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return (w, abs(h)) if w > 0 and h != 0 else None
+        if payload[:2] == b"P6":
+            pos, fields = 2, []
+            while len(fields) < 2 and pos < len(payload):
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while pos < len(payload) and payload[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while (
+                    pos < len(payload)
+                    and not payload[pos : pos + 1].isspace()
+                ):
+                    pos += 1
+                if start == pos:
+                    return None
+                fields.append(int(payload[start:pos]))
+            return (fields[0], fields[1]) if len(fields) == 2 else None
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seg,) = struct.unpack_from(">H", payload, pos + 2)
+                if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                    if pos + 9 > len(payload):
+                        return None
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return (w, h)
+                if marker in (0xDA, 0xD9):  # scan/no-SOF: give up
+                    return None
+                pos += 2 + seg
+            return None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack_from(">II", payload, 16)
+            return (w, h)
+        if payload[:4] == b"GIF8" and len(payload) >= 10:
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return (w, h)  # logical screen = the decoded canvas
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from neo4j_to_clickhouse_spark.operators.tiff import (
+                _read_ifd_value,
+            )
+
+            bo = "<" if payload[:2] == b"II" else ">"
+            (ifd,) = struct.unpack_from(bo + "I", payload, 4)
+            if ifd + 2 > len(payload):
+                return None
+            (n,) = struct.unpack_from(bo + "H", payload, ifd)
+            w = h = None
+            for i in range(n):
+                base = ifd + 2 + 12 * i
+                if base + 12 > len(payload):
+                    return None
+                tag, vt, cnt = struct.unpack_from(
+                    bo + "HHI", payload, base
+                )
+                if tag in (256, 257):
+                    v = _read_ifd_value(
+                        payload, bo, vt, cnt, payload[base + 8 : base + 12]
+                    )
+                    if not v:
+                        return None
+                    if tag == 256:
+                        w = v[0]
+                    else:
+                        h = v[0]
+            return (w, h) if w and h else None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            if payload[12:16] == b"VP8X" and len(payload) >= 30:
+                w = int.from_bytes(payload[24:27], "little") + 1
+                h = int.from_bytes(payload[27:30], "little") + 1
+                return (w, h)  # canvas = decoded dims (still or anim)
+            if payload[12:16] == b"VP8L" and len(payload) >= 25:
+                bits = int.from_bytes(payload[21:25], "little")
+                return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if payload[12:16] == b"VP8 " and len(payload) >= 30:
+                w, h = struct.unpack_from("<HH", payload, 26)
+                return (w & 0x3FFF, h & 0x3FFF)
+            return None
+        if payload[4:8] == b"ftyp":
+            from neo4j_to_clickhouse_spark.operators import heif
+            from neo4j_to_clickhouse_spark.operators.isobmff import (
+                is_heif_still,
+                probe_avif,
+            )
+
+            if is_heif_still(payload):
+                info = probe_avif(payload)  # pure container walk
+                if info is not None:
+                    return (info["width"], info["height"])
+                hp = heif.probe_heif(payload)  # handle-level, no pixels
+                if hp is not None and hp["width"] > 0:
+                    return (hp["width"], hp["height"])
+    except (ValueError, struct.error, IndexError):
+        return None
+    return None
+
+
 def probe_assets(assets: DataFrame) -> DataFrame:
     """Fill the nullable metadata columns (`width`, `height`,
-    `duration_ms`) from the payloads themselves, for the formats the
-    stdlib codecs can read (BMP/PPM images, PCM WAV audio); everything
-    else keeps NULLs for a real prober to fill. Arrow-batched
-    ``mapInPandas`` over the full asset schema — the metadata becomes
-    queryable WITHOUT any downstream reader touching payload bytes again
-    (column pruning serves metadata-only queries from parquet alone).
+    `duration_ms`) from the payloads themselves — header-only parses
+    (:func:`probe_image_dims` + WAV/AVI/mvhd/ANMF/fcTL header walks),
+    never pixel or sample decompression, so probing a billion assets
+    costs O(header bytes) each; unrecognized headers get one
+    full-decode fallback attempt. Arrow-batched ``mapInPandas`` over
+    the full asset schema — the metadata becomes queryable WITHOUT any
+    downstream reader touching payload bytes again (column pruning
+    serves metadata-only queries from parquet alone).
     """
     schema = assets.schema
 
@@ -437,63 +556,69 @@ def probe_assets(assets: DataFrame) -> DataFrame:
             is_heif_still,
             is_mp4,
             movie_duration_ms,
-            probe_avif,
             probe_mp4,
         )
+        from neo4j_to_clickhouse_spark.operators.png import (
+            apng_frame_delays,
+            is_apng,
+        )
+        from neo4j_to_clickhouse_spark.operators.vp8l import (
+            is_animated_webp,
+            webp_animation_durations,
+        )
+
+        def wav_duration_ms(payload) -> int | None:
+            # header fields only — wave never touches the sample data
+            import io
+            import wave
+
+            if not payload or payload[:4] != b"RIFF":
+                return None
+            try:
+                with wave.open(io.BytesIO(payload), "rb") as wv:
+                    rate = wv.getframerate()
+                    return (
+                        int(wv.getnframes() * 1000 / rate) if rate else None
+                    )
+            except (wave.Error, EOFError):
+                return None
 
         for pdf in batches:
             widths, heights, durations = [], [], []
             for payload in pdf["payload"]:
-                w = h = d = None
-                img = decode_image(payload)
-                if img is not None:
-                    h, w = int(img[1].shape[0]), int(img[1].shape[1])
-                    if is_heif_still(payload):
-                        # animated AVIF / HEIF sequence: the still
-                        # decode gave the cover frame; the moov (when
-                        # present) carries the sequence duration
-                        d = movie_duration_ms(payload)
-                    else:
-                        from neo4j_to_clickhouse_spark.operators.png import (
-                            apng_frame_delays,
-                            is_apng,
-                        )
-                        from neo4j_to_clickhouse_spark.operators.vp8l import (
-                            is_animated_webp,
-                            webp_animation_durations,
-                        )
-
-                        if is_animated_webp(payload):
-                            # ANMF header walk only — no extra decode
-                            d = sum(webp_animation_durations(payload))
-                        elif is_apng(payload):
-                            d = sum(apng_frame_delays(payload))
-                else:
-                    audio = decode_wav(payload)
-                    if audio is not None:
-                        rate, _, samples = audio
-                        d = int(len(samples) / max(rate, 1) * 1000)
-                    elif is_avi(payload):
+                d = None
+                # dims: header-only parse for every image format —
+                # the probe never decompresses pixel data
+                dims = probe_image_dims(payload)
+                if dims is None:
+                    # unrecognized headers: one full-decode attempt so
+                    # oddball-but-decodable payloads still probe
+                    img = decode_image(payload)
+                    if img is not None:
+                        dims = (img[1].shape[1], img[1].shape[0])
+                w, h = dims if dims is not None else (None, None)
+                # duration: header walks only (WAV fmt chunk, AVI avih,
+                # mvhd, ANMF headers, fcTL headers)
+                if payload is not None and payload[:4] == b"RIFF":
+                    d = wav_duration_ms(payload)
+                    if d is None and is_avi(payload):
                         video = probe_avi(payload)
                         if video is not None:
                             d = video[1]
-                    elif is_heif_still(payload):
-                        # ISOBMFF container walk (sibling :mod:`.isobmff`):
-                        # dims come from the primary item's ispe — zero
-                        # pixel decode (reached only when libheif is
-                        # absent; decode_image handles AVIF/HEIC above
-                        # otherwise)
-                        info = probe_avif(payload)
-                        if info is not None:
-                            w, h = info["width"], info["height"]
-                    elif is_mp4(payload):
-                        info = probe_mp4(payload)
-                        if info is not None:
-                            d = info["duration_ms"]
-                            for trk in info["tracks"]:
-                                if trk["width"] and trk["height"]:
-                                    w, h = trk["width"], trk["height"]
-                                    break
+                    if d is None and is_animated_webp(payload):
+                        d = sum(webp_animation_durations(payload))
+                elif is_heif_still(payload):
+                    d = movie_duration_ms(payload)  # animated AVIF
+                elif is_mp4(payload):
+                    info = probe_mp4(payload)
+                    if info is not None:
+                        d = info["duration_ms"]
+                        for trk in info["tracks"]:
+                            if trk["width"] and trk["height"]:
+                                w, h = trk["width"], trk["height"]
+                                break
+                elif is_apng(payload):
+                    d = sum(apng_frame_delays(payload))
                 widths.append(w)
                 heights.append(h)
                 durations.append(d)

@@ -238,6 +238,59 @@ def test_bmp_rejects_unsupported_variants():
         assert M.decode_image(data[:cut]) is None or cut >= len(data)
 
 
+def test_probe_image_dims_agrees_with_decode_everywhere():
+    """The header-only probe must report exactly the dims the full
+    decode produces, for every format the codec layer handles — the
+    probe is what runs at 100 TB, so disagreement would poison the
+    metadata columns."""
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators import heif
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+    from neo4j_to_clickhouse_spark.operators.gif import (
+        encode_gif,
+        encode_gif_animation,
+    )
+    from neo4j_to_clickhouse_spark.operators.jpeg import encode_jpeg_flat
+    from neo4j_to_clickhouse_spark.operators.png import encode_apng, encode_png
+    from neo4j_to_clickhouse_spark.operators.vp8l import (
+        encode_webp,
+        encode_webp_animation,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 5, (21, 13, 1), dtype=np.uint8).repeat(3, 2) * 50
+    payloads = [
+        M.encode_bmp(rgb),
+        M.encode_ppm(rgb),
+        encode_png(rgb),
+        encode_gif(rgb),
+        T.encode_tiff(rgb, "lzw", 2),
+        encode_webp(rgb),
+        encode_jpeg_flat(13, 21, (90, 40, 10)),
+        encode_gif_animation([{"pixels": rgb}], screen=(13, 21)),
+        encode_apng(
+            [{"pixels": rgb}, {"pixels": rgb}], canvas=(13, 21)
+        ),
+        encode_webp_animation(
+            [{"pixels": rgb}, {"pixels": rgb}], canvas=(13, 21)
+        ),
+    ]
+    if heif.available():
+        payloads.append(heif.encode_heif(rgb, codec="av1"))
+        payloads.append(heif.encode_heif(rgb, codec="hevc"))
+    for p in payloads:
+        decoded = M.decode_image(p)
+        assert decoded is not None, p[:12]
+        h, w = decoded[1].shape[:2]
+        assert M.probe_image_dims(p) == (w, h), p[:12]
+    # unknowns and truncations return None, never raise
+    assert M.probe_image_dims(b"\x00" * 64) is None
+    for p in payloads:
+        for cut in range(0, min(len(p), 64)):
+            M.probe_image_dims(p[:cut])
+
+
 def test_bmp_ppm_codec_roundtrip():
     """Pure codec check, no Spark: decode(encode(x)) == x for both
     formats, including BMP's padded odd-width rows."""
