@@ -4,15 +4,25 @@ Shrinks the multimodal codec boundary at the CONTAINER level: AVIF
 stills (HEIF/MIAF, ISO/IEC 23008-12) and MP4 videos are both ISOBMFF
 box trees, so their dimensions, bit depth, alpha presence, track
 layout, duration, and per-frame byte ranges are all readable with zero
-codec work.  Two consumers in :mod:`.multimodal` use it:
+codec work.  Consumers in :mod:`.multimodal`:
 
-- ``probe_assets`` calls :func:`probe_avif` / :func:`probe_mp4` to fill
-  ``width``/``height``/``duration_ms`` for AVIF and MP4 payloads, and
-- ``sample_frames`` calls :func:`mp4_extract_samples` (built on
-  :func:`mp4_sample_index`) to emit the container's REAL codec samples
-  (AV1 TU / H.264 AU byte ranges, keyframe-aligned) without decoding
-  them — the frame *payload* is genuine; only pixel decode remains the
-  external (dav1d/ffmpeg) boundary.
+- ``probe_assets`` fills ``width``/``height``/``duration_ms`` via
+  :func:`probe_avif` (HEIF stills incl. HEIC/grid), :func:`probe_mp4`
+  and :func:`movie_duration_ms` (MP4 + animated AVIF);
+- ``sample_frames`` emits the container's REAL codec samples via
+  :func:`mp4_extract_samples` (keyframe-aligned byte ranges from the
+  stsz/stsc/stco/stss/stts walk); and
+- ``extract_video_frames`` turns those samples into pixels:
+  :func:`wrap_video_sample_as_still` rewraps an AV1/HEVC sync sample
+  (config record from :func:`mp4_video_config`; item location written
+  via iloc) as a single-item AVIF/HEIC that the :mod:`.heif` path
+  decodes — bit-identical to the video frame, no video decoder.
+
+:func:`item_payload` / :func:`primary_item_id` read the meta item tree
+(iloc v0-2, multi-extent, idat), and the fixture encoders
+(:func:`encode_avif` / :func:`encode_mp4`) build spec-valid containers
+with closed-form layouts for the oracle queries
+(``mp4_keyframe_stats`` / ``multimodal_probe_stats``) and tests.
 
 Box grammar: 4-byte big-endian size + 4-byte type; ``size == 1`` means
 a 64-bit ``largesize`` follows; ``size == 0`` means "to end of
