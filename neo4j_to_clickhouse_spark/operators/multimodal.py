@@ -462,7 +462,9 @@ def probe_image_dims(payload: bytes | None) -> tuple[int, int] | None:
                     pos += 2
                     continue
                 (seg,) = struct.unpack_from(">H", payload, pos + 2)
-                if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):  # any SOF incl. 12-bit/hierarchical (decode stubs)
                     if pos + 9 > len(payload):
                         return None
                     h, w = struct.unpack_from(">HH", payload, pos + 5)
@@ -794,7 +796,7 @@ def sample_frames(
     """
     from neo4j_to_clickhouse_spark.operators.avi import is_avi, parse_avi_mjpeg
     from neo4j_to_clickhouse_spark.operators.isobmff import (
-        is_mp4,
+        has_movie_box,
         mp4_extract_samples,
     )
 
@@ -827,7 +829,8 @@ def sample_frames(
             pdf = pdf[~real]
             if len(pdf) == 0:
                 continue
-            mp4 = pdf["payload"].map(lambda p: is_mp4(p))
+            # plain MP4s and animated AVIF alike: same sample tables
+            mp4 = pdf["payload"].map(lambda p: has_movie_box(p))
             for _, row in pdf[mp4].iterrows():
                 try:
                     samples = mp4_extract_samples(
