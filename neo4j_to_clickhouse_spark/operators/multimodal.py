@@ -305,10 +305,169 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+# IMA ADPCM (WAV format tag 0x11) step tables — public algorithm
+# (IMA Digital Audio Focus and Technical Working Groups, 1992; the
+# same tables audioop's Intel/DVI codec uses, verified bit-exact).
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int) -> list[int]:
+    out = []
+    for b in nibbles:
+        step = _IMA_STEP[index]
+        diff = step >> 3
+        if b & 1:
+            diff += step >> 2
+        if b & 2:
+            diff += step >> 1
+        if b & 4:
+            diff += step
+        pred = pred - diff if b & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[b & 7]))
+        out.append(pred)
+    return out
+
+
+def _wav_chunks(payload: bytes):
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        yield tag, payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+
+
+def _decode_ima_adpcm_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """WAV format tag 0x11 (IMA/DVI ADPCM): per-block per-channel
+    4-byte headers (predictor i16, step index u8), then low-nibble-
+    first data bytes — stereo interleaves 4-byte groups per channel.
+    Returns the PCM-contract triple or None if not IMA ADPCM."""
+    fmt = data = None
+    fact_samples = None
+    for tag, body in _wav_chunks(payload):
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"fact" and len(body) >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None or fmt[0] != 0x11:
+        return None
+    _, nch, rate, _, block_align, bits = fmt
+    if bits != 4 or nch not in (1, 2) or block_align <= 4 * nch:
+        return None
+    chans: list[list[int]] = [[], []]
+    for b0 in range(0, len(data) - 4 * nch + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            pred, index = struct.unpack_from("<hB", block, 4 * c)[:2]
+            index = min(index, 88)
+            chans[c].append(pred)  # the header carries sample 0
+            preds.append(pred)
+            idxs.append(index)
+        body = block[4 * nch :]
+        if nch == 1:
+            nibs = []
+            for byte in body:
+                nibs += [byte & 0xF, byte >> 4]  # low nibble first
+            chans[0] += _ima_decode_nibbles(nibs, preds[0], idxs[0])
+        else:
+            per_ch: list[list[int]] = [[], []]
+            for g0 in range(0, len(body) - 7, 8):
+                for c in range(2):
+                    for byte in body[g0 + 4 * c : g0 + 4 * c + 4]:
+                        per_ch[c] += [byte & 0xF, byte >> 4]
+            for c in range(2):
+                chans[c] += _ima_decode_nibbles(
+                    per_ch[c], preds[c], idxs[c]
+                )
+    n = min(len(c) for c in chans[:nch])
+    if fact_samples is not None:
+        n = min(n, fact_samples)
+    if nch == 2:
+        mono = (
+            (
+                np.array(chans[0][:n], np.int32)
+                + np.array(chans[1][:n], np.int32)
+            )
+            // 2
+        ).astype(np.int16)
+    else:
+        mono = np.array(chans[0][:n], np.int16)
+    return (rate, nch, mono)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Fixture encoder: mono int16 -> IMA-ADPCM WAV (format 0x11),
+    standard greedy quantizer, fact chunk with the true length."""
+    samples = samples.astype(np.int16)
+    per_block = (block_align - 4) * 2 + 1
+    blocks = b""
+    i = 0
+    index = 0  # step index carries across blocks via each block header
+    while i < len(samples):
+        chunk = samples[i : i + per_block]
+        pred = int(chunk[0])
+        head = struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEP[index]
+            delta = int(s) - pred
+            b = 0
+            if delta < 0:
+                b = 8
+                delta = -delta
+            if delta >= step:
+                b |= 4
+                delta -= step
+            if delta >= step >> 1:
+                b |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                b |= 1
+            nibs.append(b)
+            pred = _ima_decode_nibbles([b], pred, index)[0]
+            index = max(0, min(88, index + _IMA_INDEX[b & 7]))
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))
+        body = bytes(
+            (nibs[j] & 0xF) | (nibs[j + 1] << 4)
+            for j in range(0, len(nibs), 2)
+        )
+        blocks += head + body
+        i += per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // per_block, block_align, 4, 2,
+        per_block,
+    )
+    payload = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 def decode_wav(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
-    """Decode a PCM WAV payload into (sample_rate, n_channels, mono int16
-    samples) with the stdlib ``wave`` module. Returns None for anything
-    that is not 8/16-bit PCM WAV — the caller falls back to its stub."""
+    """Decode a WAV payload into (sample_rate, n_channels, mono int16
+    samples): 8/16-bit PCM via the stdlib ``wave`` module, IMA/DVI
+    ADPCM (format tag 0x11) via the native block decoder. Returns None
+    for anything else — the caller falls back to its stub."""
     import io
     import wave
 
@@ -322,7 +481,7 @@ def decode_wav(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
             frames = w.readframes(w.getnframes())
             rate = w.getframerate()
     except (wave.Error, EOFError):
-        return None
+        return _decode_ima_adpcm_wav(payload)
     if width == 1:  # unsigned 8-bit -> centered int16
         samples = (
             np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
@@ -583,6 +742,17 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         int(wv.getnframes() * 1000 / rate) if rate else None
                     )
             except (wave.Error, EOFError):
+                # IMA-ADPCM: rate from fmt, length from the fact chunk
+                rate = n = None
+                for tag, body in _wav_chunks(payload):
+                    if tag == b"fmt " and len(body) >= 16:
+                        fmt_tag, _, rate = struct.unpack_from("<HHI", body)
+                        if fmt_tag != 0x11:
+                            return None
+                    elif tag == b"fact" and len(body) >= 4:
+                        (n,) = struct.unpack_from("<I", body)
+                if rate and n is not None:
+                    return int(n * 1000 / rate)
                 return None
 
         for pdf in batches:

@@ -238,6 +238,88 @@ def test_bmp_rejects_unsupported_variants():
         assert M.decode_image(data[:cut]) is None or cut >= len(data)
 
 
+def test_ima_adpcm_wav_decode_matches_audioop():
+    """WAV format 0x11 (IMA/DVI ADPCM): our block decoder is bit-exact
+    against the stdlib audioop reference codec (nibble order swapped:
+    the WAV layout is low-nibble-first, audioop's is high-first)."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")  # removed in 3.13
+    import warnings
+
+    from neo4j_to_clickhouse_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(1)
+    pcm = (np.cumsum(rng.integers(-300, 300, 3000))).astype(np.int16)
+    data = encode_wav_ima_adpcm(pcm, 8000, 256)
+    rate, nch, mono = decode_wav(data)
+    assert (rate, nch, len(mono)) == (8000, 1, 3000)
+    # reference decode block by block via audioop, seeded from each
+    # block header
+    blocks = data[data.find(b"data") + 8 :]
+    ref = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        for pos in range(0, len(blocks), 256):
+            block = blocks[pos : pos + 256]
+            pred, idx = _s.unpack_from("<hB", block)[:2]
+            ref.append(pred)
+            swapped = bytes(
+                ((b & 0xF) << 4) | (b >> 4) for b in block[4:]
+            )
+            dec, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+            ref += list(np.frombuffer(dec, "<i2"))
+    assert np.array_equal(np.array(ref[: len(mono)], np.int16), mono)
+    # ADPCM tracks a smooth signal closely (4-bit residual)
+    assert int(np.abs(mono.astype(int) - pcm.astype(int)).max()) < 2048
+
+
+def test_ima_adpcm_wav_stereo_and_probe(spark):
+    """Stereo blocks interleave 4-byte nibble groups per channel; the
+    mono mix and the header-only duration probe both come out right."""
+    import struct as _s
+
+    import numpy as np
+
+    from neo4j_to_clickhouse_spark.operators.multimodal import decode_wav
+
+    # hand-built 1-block stereo file: both channels constant (all-zero
+    # nibbles keep the predictor at the header value)
+    block_align = 24  # 8 header bytes + 16 data bytes = 2 groups
+    n_samples = (block_align - 8) * 2 // 2 + 1  # 17 per channel
+    head = _s.pack("<hBB", 1000, 0, 0) + _s.pack("<hBB", -1000, 0, 0)
+    # nibble 0 decodes to pred += step>>3 = 0 at index 0 (step 7)
+    body = bytes(16)
+    fmt = _s.pack(
+        "<HHIIHHHH", 0x11, 2, 8000, 8000, block_align, 4, 2, n_samples
+    )
+    payload = (
+        b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"fact" + _s.pack("<II", 4, n_samples)
+        + b"data" + _s.pack("<I", block_align) + head + body
+    )
+    data = b"RIFF" + _s.pack("<I", len(payload)) + payload
+    rate, nch, mono = decode_wav(data)
+    assert (rate, nch, len(mono)) == (8000, 2, n_samples)
+    assert (mono == 0).all()  # (1000 + -1000) / 2
+    # probe_assets duration via the fact chunk, no sample decode
+    df = spark.createDataFrame(
+        [("a", bytearray(data))], "asset_id string, payload binary"
+    )
+    assets = M.ingest_binary_assets(df, "asset_id", "payload", "audio")
+    row = M.probe_assets(assets).collect()[0]
+    assert row.duration_ms == int(n_samples * 1000 / 8000)
+    # and the feature extractor treats it as REAL audio
+    feat = M.extract_features(assets, dim=6, decode_stub="raise").collect()[0]
+    assert len(feat.feature) == 6
+
+
 def test_probe_image_dims_agrees_with_decode_everywhere():
     """The header-only probe must report exactly the dims the full
     decode produces, for every format the codec layer handles — the
