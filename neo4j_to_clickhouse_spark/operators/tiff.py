@@ -86,6 +86,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
         if code == _LZW_CLEAR:
             table = table[:258]
             width = 9
@@ -126,6 +127,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            acc &= (1 << nbits) - 1  # keep the accumulator bounded
 
     width = 9
     next_code = 258
