@@ -7442,6 +7442,11 @@ def revenue_pareto_report(spark, sf_dir):
 # recomputes the selection from the committed CORRECTNESS ledger and
 # fails if this list drifts from it.
 
+# The round this window was generated FOR: its selection is derived
+# from CORRECTNESS files of rounds strictly BEFORE it, so the test
+# stays reproducible after this round's own file lands.
+_WINDOW_ROUND = 10
+
 _DRIVER_WINDOW = [
     "mp4_keyframe_stats",  # last green: r00
     "multimodal_probe_stats",  # last green: r00

@@ -30,7 +30,8 @@ def test_driver_window_is_the_stalest_50():
 
     rows_only = {n for n, s in Q.QUERIES.items() if s.oracle is None}
     window, _rotation = stalest_window(
-        list(Q.QUERIES), rows_only, repo=str(repo)
+        list(Q.QUERIES), rows_only, repo=str(repo),
+        upto_round=Q._WINDOW_ROUND,
     )
     assert Q._DRIVER_WINDOW == window, (
         "_DRIVER_WINDOW is not the mechanical stalest-50 — regenerate "
@@ -39,7 +40,7 @@ def test_driver_window_is_the_stalest_50():
     # rows-only specs never occupy a window slot
     assert not (set(Q._DRIVER_WINDOW) & rows_only)
     # staleness must be monotone non-decreasing across the window
-    last = ledger(str(repo))
+    last = ledger(str(repo), upto_round=Q._WINDOW_ROUND)
     rounds = [last.get(q, 0) for q in window]
     assert rounds == sorted(rounds)
 

@@ -31,14 +31,20 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def ledger(repo: str = REPO) -> dict[str, int]:
-    """query name -> newest green round number (absent = never green)."""
+def ledger(repo: str = REPO, upto_round: int | None = None) -> dict[str, int]:
+    """query name -> newest green round number (absent = never green).
+
+    ``upto_round`` (exclusive) pins the ledger a window was derived
+    from: round N's window uses rounds < N, so the selection stays
+    reproducible after the driver lands CORRECTNESS_rN itself."""
     greens: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto_round is not None and rnd >= upto_round:
+            continue
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -57,6 +63,7 @@ def stalest_window(
     rows_only: set[str],
     n: int = 50,
     repo: str = REPO,
+    upto_round: int | None = None,
 ) -> tuple[list[str], list[str]]:
     """Partition ``names`` into (window, rotation).
 
@@ -65,7 +72,7 @@ def stalest_window(
     rest, freshest-last, with rows-only specs at the very end (they
     never enter the window).
     """
-    last = ledger(repo)
+    last = ledger(repo, upto_round)
     hard = [q for q in names if q not in rows_only]
 
     def staleness(q: str) -> tuple[int, str]:
@@ -84,8 +91,14 @@ def main() -> None:
     from neo4j_to_clickhouse_spark.plans import QUERIES
 
     rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
-    window, rotation = stalest_window(list(QUERIES), rows_only)
-    last = ledger()
+    from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
+
+    window, rotation = stalest_window(
+        list(QUERIES), rows_only, upto_round=_WINDOW_ROUND
+    )
+    last = ledger(upto_round=_WINDOW_ROUND)
+    print(f"# window for round {_WINDOW_ROUND} "
+          f"(ledger = rounds < {_WINDOW_ROUND})")
     print("_DRIVER_WINDOW = [")
     for q in window:
         print(f'    "{q}",  # last green: r{last.get(q, 0):02d}')
