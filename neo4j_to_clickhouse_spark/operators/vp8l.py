@@ -108,6 +108,32 @@ class _BitReader:
     def read_bit(self) -> int:
         return self.read(1)
 
+    def peek8(self) -> int:
+        """Next 8 stream bits LSB-first, zero-padded past the end —
+        the prefix-LUT fast path; never consumes or raises."""
+        d = self._data
+        pos = self._pos
+        bit = self._bit
+        v = 0
+        got = 0
+        while got < 8 and pos < len(d):
+            v |= (d[pos] >> bit) << got
+            got += 8 - bit
+            bit = 0
+            pos += 1
+        return v & 0xFF
+
+    def consume(self, n: int) -> None:
+        """Advance by n bits (paired with :meth:`peek8`); raises when
+        that would pass the end of the stream."""
+        bit = self._bit + n
+        self._pos += bit >> 3
+        self._bit = bit & 7
+        if self._pos > len(self._data) or (
+            self._pos == len(self._data) and self._bit > 0
+        ):
+            raise ValueError("truncated VP8L bitstream")
+
 
 class _BitWriter:
     def __init__(self):
@@ -180,6 +206,7 @@ class _PrefixCode:
                 self.single = None
                 self._table = {(1, 0): explicit[0], (1, 1): explicit[1]}
             self._max_len = 1
+            self._build_lut()
             return
         assert lengths is not None
         nonzero = [s for s, ln in enumerate(lengths) if ln]
@@ -189,6 +216,7 @@ class _PrefixCode:
             self.single = nonzero[0]
             self._table = {}
             self._max_len = 0
+            self._lut: list[tuple[int, int] | None] = []
             return
         self.single = None
         self._max_len = max(lengths)
@@ -202,10 +230,46 @@ class _PrefixCode:
         self._table = {
             (lengths[sym], code): sym for sym, code in codes.items()
         }
+        self._build_lut()
+
+    def _build_lut(self) -> None:
+        """256-entry fast table over the next 8 stream bits: codes are
+        read MSB-first but the stream is LSB-first, so a length-L code
+        c occupies the bit-reversed pattern in the low L stream bits.
+        Codes longer than 8 bits fall back to the bit-by-bit walk."""
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (length, code), sym in self._table.items():
+            if length > 8:
+                continue
+            rev = 0
+            for i in range(length):
+                rev |= ((code >> i) & 1) << (length - 1 - i)
+            for v in range(rev, 256, 1 << length):
+                lut[v] = (sym, length)
+        self._lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined peek8+consume: this runs once per symbol of every
+        # pixel, so method-call and attribute overhead dominate
+        d = br._data
+        pos = br._pos
+        bit = br._bit
+        n = len(d)
+        v = (d[pos] >> bit) if pos < n else 0
+        if pos + 1 < n:
+            v |= d[pos + 1] << (8 - bit)
+        hit = self._lut[v & 0xFF]
+        if hit is not None:
+            bit += hit[1]
+            pos += bit >> 3
+            bit &= 7
+            if pos > n or (pos == n and bit > 0):
+                raise ValueError("truncated VP8L bitstream")
+            br._pos = pos
+            br._bit = bit
+            return hit[0]
         code = 0
         for length in range(1, self._max_len + 1):
             code = (code << 1) | br.read_bit()
