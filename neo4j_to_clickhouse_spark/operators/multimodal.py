@@ -68,7 +68,7 @@ def decode_image(payload: bytes | None) -> tuple[str, np.ndarray] | None:
     try:
         if payload[:2] == b"BM":
             return ("bmp", _decode_bmp(payload))
-        if payload[:2] == b"P6":
+        if payload[:2] in (b"P5", b"P6"):
             return ("ppm", _decode_ppm(payload))
         if payload[:2] == b"\xff\xd8":
             return ("jpeg", _decode_jpeg_any(payload))
@@ -272,7 +272,9 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def _decode_ppm(buf: bytes) -> np.ndarray:
-    """Binary PPM (P6), maxval 255; `#` comments allowed in the header."""
+    """Binary PNM: PPM (P6) and grayscale PGM (P5), maxval 255; `#`
+    comments allowed in the header."""
+    gray = buf[:2] == b"P5"
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(buf) and buf[pos : pos + 1].isspace():
@@ -290,14 +292,14 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if w <= 0 or h <= 0 or maxval != 255:
-        raise ValueError("only 8-bit binary PPM is supported")
-    if len(buf) < pos + w * h * 3:
-        raise ValueError("truncated PPM pixel data")
-    return (
-        np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
-        .reshape(h, w, 3)
-        .copy()
-    )
+        raise ValueError("only 8-bit binary PNM is supported")
+    ch = 1 if gray else 3
+    if len(buf) < pos + w * h * ch:
+        raise ValueError("truncated PNM pixel data")
+    px = np.frombuffer(
+        buf, dtype=np.uint8, count=w * h * ch, offset=pos
+    ).reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2).copy() if gray else px.copy()
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -592,7 +594,7 @@ def probe_image_dims(payload: bytes | None) -> tuple[int, int] | None:
         if payload[:2] == b"BM" and len(payload) >= 26:
             w, h = struct.unpack_from("<ii", payload, 18)
             return (w, abs(h)) if w > 0 and h != 0 else None
-        if payload[:2] == b"P6":
+        if payload[:2] in (b"P5", b"P6"):
             pos, fields = 2, []
             while len(fields) < 2 and pos < len(payload):
                 while pos < len(payload) and payload[pos : pos + 1].isspace():

@@ -373,6 +373,22 @@ def test_probe_image_dims_agrees_with_decode_everywhere():
             M.probe_image_dims(p[:cut])
 
 
+def test_pgm_p5_grayscale_decodes():
+    import numpy as np
+
+    g = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7)
+    data = b"P5\n# comment\n7 5\n255\n" + g.tobytes()
+    fmt, px = M.decode_image(data)
+    assert fmt == "ppm" and px.shape == (5, 7, 3)
+    assert np.array_equal(px[..., 0], g)
+    assert np.array_equal(px[..., 1], px[..., 2])
+    assert M.probe_image_dims(data) == (7, 5)
+    # truncated pixel data rejects
+    assert M.decode_image(data[:-3]) is None
+    # 16-bit maxval rejects (stub fallback)
+    assert M.decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8) is None
+
+
 def test_bmp_ppm_codec_roundtrip():
     """Pure codec check, no Spark: decode(encode(x)) == x for both
     formats, including BMP's padded odd-width rows."""
