@@ -6,10 +6,11 @@ Covers the flavors ML corpora actually contain as TIFF: chunky
 byte orders (II little / MM big endian) — under the four strip
 compressions real writers emit: none (1), LZW (5, TIFF §13 MSB-first
 early-change codes), Deflate (8 / legacy 32946, zlib) and PackBits
-(32773, §9 RLE), plus horizontal-differencing Predictor=2 (§14).
-Everything else — JPEG-in-TIFF, tiles, planar layout, 16-bit — raises
-``ValueError`` so :func:`.multimodal.decode_image` falls back to its
-stub, same contract as the sibling codecs. Cross-validated against the
+(32773, §9 RLE), plus horizontal-differencing Predictor=2 (§14),
+16-bit samples (high-byte projection), and the TILED layout (§15,
+edge tiles cropped). Everything else — JPEG-in-TIFF, planar layout —
+raises ``ValueError`` so :func:`.multimodal.decode_image` falls back
+to its stub, same contract as the sibling codecs. Cross-validated against the
 system libtiff in ``tests`` (gated like the libwebp/giflib suites).
 
 Encoder: little-endian RGB with selectable compression/predictor and
@@ -261,48 +262,37 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         depth = 16
     else:
         raise ValueError("only 8- or 16-bit TIFF samples are supported")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF is not supported")
     if photometric not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
     if photometric == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples")
     if w <= 0 or h <= 0:
         raise ValueError("empty TIFF image")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip tables missing or inconsistent")
-    rps = one(278, h)
-    if rps <= 0:
-        raise ValueError("bad TIFF RowsPerStrip")
-    if len(offsets) != -(-h // rps):
-        raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
-    data = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        rows_in_strip = min(rps, h - i * rps)
-        expected = rows_in_strip * w * spp * (depth // 8)
+
+    def decode_chunk(off, cnt, rows, cols, label):
+        """One strip or tile: decompress, size-check, un-predict."""
+        expected = rows * cols * spp * (depth // 8)
         if off + cnt > len(payload):
-            raise ValueError("TIFF strip out of range")
+            raise ValueError(f"TIFF {label} out of range")
         try:
             raw = _DECOMPRESS[compression](
                 payload[off : off + cnt], expected
             )
         except zlib.error as e:
-            raise ValueError(f"corrupt TIFF deflate strip: {e}") from None
+            raise ValueError(f"corrupt TIFF deflate {label}: {e}") from None
         # a writer that pads strips would otherwise silently shift every
-        # subsequent pixel row (ADVICE r07) — require each strip to
+        # subsequent pixel row (ADVICE r07) — require each chunk to
         # decode to exactly its rows
         if len(raw) != expected:
             raise ValueError(
-                f"TIFF strip {i} decodes to {len(raw)} bytes, expected "
+                f"TIFF {label} decodes to {len(raw)} bytes, expected "
                 f"{expected} (padded/packed strips are not supported)"
             )
         if predictor == 2:
             # differencing is per SAMPLE, so 16-bit inverts on u2 values
             if depth == 16:
                 vals = np.frombuffer(raw, bo + "u2").reshape(
-                    rows_in_strip, w, spp
+                    rows, cols, spp
                 )
                 raw = (
                     np.cumsum(vals.astype(np.int64), axis=1)
@@ -311,19 +301,56 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 )
             else:
                 raw = _undo_predictor(
-                    np.frombuffer(raw, np.uint8).reshape(
-                        rows_in_strip, w, spp
-                    )
+                    np.frombuffer(raw, np.uint8).reshape(rows, cols, spp)
                 ).tobytes()
-        data += raw
+        dt = np.uint8 if depth == 8 else bo + "u2"
+        return np.frombuffer(raw, dt).reshape(rows, cols, spp)
+
+    if 322 in tags or 323 in tags:
+        # tiled layout (§15): fixed tw x th tiles, edge tiles padded to
+        # full size and cropped at assembly
+        tw, th = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("bad TIFF tile dimensions")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if not offsets or not counts or len(offsets) != across * down:
+            raise ValueError("TIFF tile tables missing or inconsistent")
+        dt = np.uint8 if depth == 8 else bo + "u2"
+        full = np.zeros((h, w, spp), dtype=np.dtype(dt))
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = decode_chunk(off, cnt, th, tw, f"tile {i}")
+            y0 = (i // across) * th
+            x0 = (i % across) * tw
+            full[y0 : y0 + th, x0 : x0 + tw] = tile[
+                : h - y0, : w - x0
+            ]
+        px = full
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or inconsistent")
+        rps = one(278, h)
+        if rps <= 0:
+            raise ValueError("bad TIFF RowsPerStrip")
+        if len(offsets) != -(-h // rps):
+            raise ValueError(
+                "TIFF strip count inconsistent with RowsPerStrip"
+            )
+        data = bytearray()
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows_in_strip = min(rps, h - i * rps)
+            data += decode_chunk(
+                off, cnt, rows_in_strip, w, f"strip {i}"
+            ).tobytes()
+        dt = np.uint8 if depth == 8 else bo + "u2"
+        px = np.frombuffer(bytes(data), dt).reshape(h, w, spp)
     if depth == 16:
         # high byte is the 8-bit projection (libtiff's RGBA read agrees)
-        px = (
-            np.frombuffer(bytes(data), bo + "u2").reshape(h, w, spp)
-            >> 8
-        ).astype(np.uint8)
-    else:
-        px = np.frombuffer(bytes(data), np.uint8).reshape(h, w, spp)
+        px = (px >> 8).astype(np.uint8)
     if photometric == 2:
         return np.ascontiguousarray(px[:, :, :3])  # drop alpha/extras
     g = px[:, :, 0]

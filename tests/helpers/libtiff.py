@@ -86,3 +86,49 @@ def write_rgb(
             return fh.read()
     finally:
         os.unlink(tmp)
+
+
+def write_rgb_tiled(
+    lib,
+    img: np.ndarray,
+    compression: int,
+    predictor: int = 1,
+    tile: tuple[int, int] = (32, 16),
+) -> bytes:
+    """Encode an RGB array as a TILED TIFF with libtiff's writer."""
+    h, w = img.shape[:2]
+    tw, th = tile
+    tmp = tempfile.mktemp(suffix=".tif")
+    tif = lib.TIFFOpen(tmp.encode(), b"w")
+    assert tif, "libtiff writer failed to open"
+    T = ctypes.c_void_p(tif)
+    lib.TIFFSetField(T, 256, ctypes.c_uint32(w))
+    lib.TIFFSetField(T, 257, ctypes.c_uint32(h))
+    lib.TIFFSetField(T, 258, ctypes.c_uint16(8))
+    lib.TIFFSetField(T, 259, ctypes.c_uint16(compression))
+    lib.TIFFSetField(T, 262, ctypes.c_uint16(2))
+    lib.TIFFSetField(T, 277, ctypes.c_uint16(3))
+    lib.TIFFSetField(T, 284, ctypes.c_uint16(1))
+    lib.TIFFSetField(T, 322, ctypes.c_uint32(tw))
+    lib.TIFFSetField(T, 323, ctypes.c_uint32(th))
+    if predictor == 2:
+        lib.TIFFSetField(T, 317, ctypes.c_uint16(2))
+    try:
+        across, down = -(-w // tw), -(-h // th)
+        for ty in range(down):
+            for tx in range(across):
+                buf = np.zeros((th, tw, 3), np.uint8)
+                sub = img[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+                buf[: sub.shape[0], : sub.shape[1]] = sub
+                r = lib.TIFFWriteEncodedTile(
+                    T,
+                    ctypes.c_uint32(ty * across + tx),
+                    np.ascontiguousarray(buf).tobytes(),
+                    ctypes.c_ssize_t(th * tw * 3),
+                )
+                assert r > 0, "tile write failed"
+        lib.TIFFClose(T)
+        with open(tmp, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(tmp)

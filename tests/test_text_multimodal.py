@@ -1905,6 +1905,44 @@ def test_tiff_compressions_against_libtiff():
         assert np.array_equal(got, small), ("16-bit", comp, pred)
 
 
+def test_tiff_tiled_layout_against_libtiff():
+    """Tiled TIFFs (SS15): libtiff writes 32x16-tile files across all
+    compressions and both predictors; our decoder reassembles them
+    exactly, including edge-tile cropping on non-multiple dims."""
+    import os
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    import libtiff
+
+    lib = libtiff.load()
+    if lib is None:
+        _pytest.skip("system libtiff not available")
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (70, 53, 3), dtype=np.uint8)
+    img[10:40, 5:30] = 99
+    for comp, pred in [(1, 1), (5, 1), (5, 2), (8, 2), (32773, 1)]:
+        data = libtiff.write_rgb_tiled(lib, img, comp, pred)
+        assert np.array_equal(T.decode_tiff(data), img), (comp, pred)
+    # malformed tile tables reject
+    import struct as _s
+
+    data = libtiff.write_rgb_tiled(lib, img, 1, 1)
+    mut = bytearray(data)
+    i = mut.find(_s.pack("<HHI", 322, 3, 1))
+    if i == -1:
+        i = mut.find(_s.pack("<HHI", 322, 4, 1))
+    assert i != -1
+    _s.pack_into("<I", mut, i + 8, 17)  # tile width not a multiple of 16
+    with _pytest.raises(ValueError):
+        T.decode_tiff(bytes(mut))
+
+
 def test_tiff_padded_strip_rejected():
     """A strip whose byte count exceeds rows_in_strip * row_size would
     silently shift every subsequent pixel row; it must ValueError like
