@@ -7,10 +7,11 @@ byte orders (II little / MM big endian) — under the four strip
 compressions real writers emit: none (1), LZW (5, TIFF §13 MSB-first
 early-change codes), Deflate (8 / legacy 32946, zlib) and PackBits
 (32773, §9 RLE), plus horizontal-differencing Predictor=2 (§14),
-16-bit samples (high-byte projection), and the TILED layout (§15,
-edge tiles cropped). Everything else — JPEG-in-TIFF, planar layout —
-raises ``ValueError`` so :func:`.multimodal.decode_image` falls back
-to its stub, same contract as the sibling codecs. Cross-validated against the
+16-bit samples (high-byte projection), the TILED layout (§15, edge
+tiles cropped), and separate-plane strips (PlanarConfig=2).
+Everything else — JPEG-in-TIFF, planar tiles — raises ``ValueError``
+so :func:`.multimodal.decode_image` falls back to its stub, same
+contract as the sibling codecs. Cross-validated against the
 system libtiff in ``tests`` (gated like the libwebp/giflib suites).
 
 Encoder: little-endian RGB with selectable compression/predictor and
@@ -254,8 +255,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         # TIFF 6.0 SS14 defines Predictor for LZW (and by extension
         # Deflate); libtiff rejects it elsewhere
         raise ValueError("Predictor=2 requires LZW/Deflate compression")
-    if planar != 1:
-        raise ValueError("planar TIFF is not supported")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported TIFF planar config {planar}")
     if all(b == 8 for b in bits):
         depth = 8
     elif all(b == 16 for b in bits):
@@ -269,9 +270,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError("empty TIFF image")
 
-    def decode_chunk(off, cnt, rows, cols, label):
-        """One strip or tile: decompress, size-check, un-predict."""
-        expected = rows * cols * spp * (depth // 8)
+    def decode_chunk(off, cnt, rows, cols, label, nsamp=None):
+        """One strip or tile: decompress, size-check, un-predict.
+        ``nsamp`` overrides samples-per-chunk (1 for planar planes)."""
+        nsamp = spp if nsamp is None else nsamp
+        expected = rows * cols * nsamp * (depth // 8)
         if off + cnt > len(payload):
             raise ValueError(f"TIFF {label} out of range")
         try:
@@ -292,7 +295,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             # differencing is per SAMPLE, so 16-bit inverts on u2 values
             if depth == 16:
                 vals = np.frombuffer(raw, bo + "u2").reshape(
-                    rows, cols, spp
+                    rows, cols, nsamp
                 )
                 raw = (
                     np.cumsum(vals.astype(np.int64), axis=1)
@@ -301,11 +304,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 )
             else:
                 raw = _undo_predictor(
-                    np.frombuffer(raw, np.uint8).reshape(rows, cols, spp)
+                    np.frombuffer(raw, np.uint8).reshape(rows, cols, nsamp)
                 ).tobytes()
         dt = np.uint8 if depth == 8 else bo + "u2"
-        return np.frombuffer(raw, dt).reshape(rows, cols, spp)
+        return np.frombuffer(raw, dt).reshape(rows, cols, nsamp)
 
+    if planar == 2 and (322 in tags or 323 in tags):
+        raise ValueError("planar tiled TIFF is not supported")
     if 322 in tags or 323 in tags:
         # tiled layout (§15): fixed tw x th tiles, edge tiles padded to
         # full size and cropped at assembly
@@ -336,18 +341,42 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         rps = one(278, h)
         if rps <= 0:
             raise ValueError("bad TIFF RowsPerStrip")
-        if len(offsets) != -(-h // rps):
+        if planar == 1 and len(offsets) != -(-h // rps):
             raise ValueError(
                 "TIFF strip count inconsistent with RowsPerStrip"
             )
-        data = bytearray()
-        for i, (off, cnt) in enumerate(zip(offsets, counts)):
-            rows_in_strip = min(rps, h - i * rps)
-            data += decode_chunk(
-                off, cnt, rows_in_strip, w, f"strip {i}"
-            ).tobytes()
-        dt = np.uint8 if depth == 8 else bo + "u2"
-        px = np.frombuffer(bytes(data), dt).reshape(h, w, spp)
+        if planar == 2:
+            # PlanarConfig 2 (SS: separate planes): all of channel 0's
+            # strips, then channel 1's, ... — reassemble by stacking
+            spp_strips = -(-h // rps)
+            if len(offsets) != spp_strips * spp:
+                raise ValueError(
+                    "planar TIFF strip count inconsistent with planes"
+                )
+            planes = []
+            for c in range(spp):
+                parts = bytearray()
+                for i in range(spp_strips):
+                    j = c * spp_strips + i
+                    rows_in_strip = min(rps, h - i * rps)
+                    parts += decode_chunk(
+                        offsets[j], counts[j], rows_in_strip, w,
+                        f"plane {c} strip {i}", nsamp=1,
+                    ).tobytes()
+                dt = np.uint8 if depth == 8 else bo + "u2"
+                planes.append(
+                    np.frombuffer(bytes(parts), dt).reshape(h, w)
+                )
+            px = np.stack(planes, axis=2)
+        else:
+            data = bytearray()
+            for i, (off, cnt) in enumerate(zip(offsets, counts)):
+                rows_in_strip = min(rps, h - i * rps)
+                data += decode_chunk(
+                    off, cnt, rows_in_strip, w, f"strip {i}"
+                ).tobytes()
+            dt = np.uint8 if depth == 8 else bo + "u2"
+            px = np.frombuffer(bytes(data), dt).reshape(h, w, spp)
     if depth == 16:
         # high byte is the 8-bit projection (libtiff's RGBA read agrees)
         px = (px >> 8).astype(np.uint8)

@@ -132,3 +132,43 @@ def write_rgb_tiled(
             return fh.read()
     finally:
         os.unlink(tmp)
+
+
+def write_rgb_planar(
+    lib,
+    img: np.ndarray,
+    compression: int,
+    predictor: int = 1,
+    rows_per_strip: int = 7,
+) -> bytes:
+    """Encode an RGB array as PlanarConfig=2 (separate planes)."""
+    h, w = img.shape[:2]
+    tmp = tempfile.mktemp(suffix=".tif")
+    tif = lib.TIFFOpen(tmp.encode(), b"w")
+    assert tif, "libtiff writer failed to open"
+    T = ctypes.c_void_p(tif)
+    lib.TIFFSetField(T, 256, ctypes.c_uint32(w))
+    lib.TIFFSetField(T, 257, ctypes.c_uint32(h))
+    lib.TIFFSetField(T, 258, ctypes.c_uint16(8))
+    lib.TIFFSetField(T, 259, ctypes.c_uint16(compression))
+    lib.TIFFSetField(T, 262, ctypes.c_uint16(2))
+    lib.TIFFSetField(T, 277, ctypes.c_uint16(3))
+    lib.TIFFSetField(T, 278, ctypes.c_uint32(rows_per_strip))
+    lib.TIFFSetField(T, 284, ctypes.c_uint16(2))
+    if predictor == 2:
+        lib.TIFFSetField(T, 317, ctypes.c_uint16(2))
+    try:
+        for c in range(3):
+            for y in range(h):
+                row = np.ascontiguousarray(img[y, :, c]).tobytes()
+                assert (
+                    lib.TIFFWriteScanline(
+                        T, row, ctypes.c_uint32(y), ctypes.c_uint16(c)
+                    )
+                    == 1
+                ), f"plane {c} scanline {y}"
+        lib.TIFFClose(T)
+        with open(tmp, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(tmp)

@@ -1943,6 +1943,31 @@ def test_tiff_tiled_layout_against_libtiff():
         T.decode_tiff(bytes(mut))
 
 
+def test_tiff_planar_layout_against_libtiff():
+    """PlanarConfig=2 (separate planes): libtiff writes plane-ordered
+    strips across compressions/predictors; our decoder restacks the
+    channels exactly."""
+    import os
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    import libtiff
+
+    lib = libtiff.load()
+    if lib is None:
+        _pytest.skip("system libtiff not available")
+    from neo4j_to_clickhouse_spark.operators import tiff as T
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    for comp, pred in [(1, 1), (5, 2), (8, 1), (32773, 1)]:
+        data = libtiff.write_rgb_planar(lib, img, comp, pred)
+        assert np.array_equal(T.decode_tiff(data), img), (comp, pred)
+
+
 def test_tiff_padded_strip_rejected():
     """A strip whose byte count exceeds rows_in_strip * row_size would
     silently shift every subsequent pixel row; it must ValueError like
