@@ -1896,7 +1896,9 @@ def test_tiff_compressions_against_libtiff():
     img16 = (small.astype(np.uint16) << 8) | rng.integers(
         0, 256, small.shape, dtype=np.uint16
     )
-    for comp, pred in [("none", 1), ("lzw", 2), ("deflate", 2)]:
+    for comp, pred in [
+        ("none", 1), ("packbits", 1), ("lzw", 2), ("deflate", 2),
+    ]:
         theirs = libtiff.write_rgb(
             lib, img16, name_to_code[comp], pred, rows_per_strip=13,
             bits=16,
