@@ -7445,112 +7445,62 @@ def revenue_pareto_report(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    "mp4_keyframe_stats",  # last green: r00
-    "multimodal_probe_stats",  # last green: r00
-    "asof_user_state",  # last green: r06
-    "daily_moving_stats",  # last green: r06
-    "dedup_survivors_by_source",  # last green: r06
-    "filter_array_membership",  # last green: r06
-    "filter_event_type",  # last green: r06
-    "retention_cohort_counts",  # last green: r06
-    "rollup_event_counts",  # last green: r06
-    "sequence_count_histogram",  # last green: r06
-    "sessionization",  # last green: r06
-    "sorted_regions",  # last green: r06
-    "token_count_extremes",  # last green: r06
-    "value_histogram",  # last green: r06
-    "window_funnel_steps",  # last green: r06
-    "acctbal_by_segment",  # last green: r07
-    "approx_distinct_users_bound",  # last green: r07
-    "asof_user_state_bucketed",  # last green: r07
-    "chunking_stats",  # last green: r07
-    "conjunctive_filters",  # last green: r07
-    "count_by_event_type",  # last green: r07
-    "count_distinct_by_type",  # last green: r07
-    "cross_source_span_overlap",  # last green: r07
-    "curation_funnel_report",  # last green: r07
-    "decontamination_bloom",  # last green: r07
-    "dedup_clusters",  # last green: r07
-    "dedup_exact_docs",  # last green: r07
-    "dedup_minhash_lsh",  # last green: r07
-    "dedup_ngram_jaccard",  # last green: r07
-    "dedup_simhash_planted",  # last green: r07
-    "dedup_validation",  # last green: r07
-    "duplicate_keys",  # last green: r07
-    "embedding_ivf_recall",  # last green: r07
-    "embedding_kmeans_cells",  # last green: r07
-    "embedding_knn",  # last green: r07
-    "embedding_lsh_near_dup",  # last green: r07
-    "embedding_pq_codes",  # last green: r07
-    "embedding_quantization_report",  # last green: r07
-    "filter_json_path",  # last green: r07
-    "filter_json_path_variant",  # last green: r07
-    "filter_time_range",  # last green: r07
-    "global_totals",  # last green: r07
-    "graph_degree_topk",  # last green: r07
-    "graph_two_hop_topk",  # last green: r07
-    "latest_events",  # last green: r07
-    "latest_state_per_entity",  # last green: r07
-    "lm_quality_by_source",  # last green: r07
-    "order_priority_count",  # last green: r07
-    "orders_per_customer_topk",  # last green: r07
-    "pii_redaction_stats",  # last green: r07
+    "pricing_summary",  # last green: r07
+    "repeated_span_stats",  # last green: r07
+    "retention_candidates",  # last green: r07
+    "revenue_by_nation",  # last green: r07
+    "sample_hash_fraction",  # last green: r07
+    "semantic_dedup_survivors",  # last green: r07
+    "sequence_packing_stats",  # last green: r07
+    "session_window_counts",  # last green: r07
+    "shard_balance_report",  # last green: r07
+    "span_dedup_rewrite_stats",  # last green: r07
+    "state_interval_stats",  # last green: r07
+    "text_stats_by_source",  # last green: r07
+    "tokenizer_comparison_by_source",  # last green: r07
+    "topk_words_approx",  # last green: r07
+    "window_funnel_strict_order_steps",  # last green: r07
+    "active_time_union_seconds",  # last green: r08
+    "approx_percentile_bound",  # last green: r08
+    "asof_next_event",  # last green: r08
+    "audience_overlap_by_type",  # last green: r08
+    "basket_cooccurrence_topk",  # last green: r08
+    "column_profile_events",  # last green: r08
+    "conversion_by_signup_cohort",  # last green: r08
+    "customers_inactive_since",  # last green: r08
+    "daily_anomaly_flags",  # last green: r08
+    "dedup_cluster_size_histogram",  # last green: r08
+    "dedup_incremental_batch",  # last green: r08
+    "distribution_shift_by_type",  # last green: r08
+    "dup_rate_by_lang",  # last green: r08
+    "embedding_centroid_spread",  # last green: r08
+    "embedding_coverage_report",  # last green: r08
+    "embedding_pq_adc_recall",  # last green: r08
+    "event_transition_matrix",  # last green: r08
+    "first_event_type_distribution",  # last green: r08
+    "gopher_quality_flags",  # last green: r08
+    "json_value_stats_by_type",  # last green: r08
+    "langid_confusion",  # last green: r08
+    "large_order_customers",  # last green: r08
+    "late_arrival_audit",  # last green: r08
+    "max_concurrent_sessions",  # last green: r08
+    "mixture_epochs_plan",  # last green: r08
+    "nation_trade_volume",  # last green: r08
+    "partition_skew_report",  # last green: r08
+    "priority_sample_by_length",  # last green: r08
+    "priority_sample_estimator",  # last green: r08
+    "purchase_gap_histogram",  # last green: r08
+    "returned_item_revenue",  # last green: r08
+    "revenue_forecast",  # last green: r08
+    "rolling_weekly_active_users",  # last green: r08
+    "session_path_topk",  # last green: r08
+    "ship_lag_stats",  # last green: r08
 ]
 
 _ROTATION = [
-    "pricing_summary",  # r07
-    "repeated_span_stats",  # r07
-    "retention_candidates",  # r07
-    "revenue_by_nation",  # r07
-    "sample_hash_fraction",  # r07
-    "semantic_dedup_survivors",  # r07
-    "sequence_packing_stats",  # r07
-    "session_window_counts",  # r07
-    "shard_balance_report",  # r07
-    "span_dedup_rewrite_stats",  # r07
-    "state_interval_stats",  # r07
-    "text_stats_by_source",  # r07
-    "tokenizer_comparison_by_source",  # r07
-    "topk_words_approx",  # r07
-    "window_funnel_strict_order_steps",  # r07
-    "active_time_union_seconds",  # r08
-    "approx_percentile_bound",  # r08
-    "asof_next_event",  # r08
-    "audience_overlap_by_type",  # r08
-    "basket_cooccurrence_topk",  # r08
-    "column_profile_events",  # r08
-    "conversion_by_signup_cohort",  # r08
-    "customers_inactive_since",  # r08
-    "daily_anomaly_flags",  # r08
-    "dedup_cluster_size_histogram",  # r08
-    "dedup_incremental_batch",  # r08
-    "distribution_shift_by_type",  # r08
-    "dup_rate_by_lang",  # r08
-    "embedding_centroid_spread",  # r08
-    "embedding_coverage_report",  # r08
-    "embedding_pq_adc_recall",  # r08
-    "event_transition_matrix",  # r08
-    "first_event_type_distribution",  # r08
-    "gopher_quality_flags",  # r08
-    "json_value_stats_by_type",  # r08
-    "langid_confusion",  # r08
-    "large_order_customers",  # r08
-    "late_arrival_audit",  # r08
-    "max_concurrent_sessions",  # r08
-    "mixture_epochs_plan",  # r08
-    "nation_trade_volume",  # r08
-    "partition_skew_report",  # r08
-    "priority_sample_by_length",  # r08
-    "priority_sample_estimator",  # r08
-    "purchase_gap_histogram",  # r08
-    "returned_item_revenue",  # r08
-    "revenue_forecast",  # r08
-    "rolling_weekly_active_users",  # r08
-    "session_path_topk",  # r08
-    "ship_lag_stats",  # r08
     "shipping_priority",  # r08
     "split_leakage_report",  # r08
     "template_prefix_audit",  # r08
@@ -7616,6 +7566,56 @@ _ROTATION = [
     "value_mad_by_type",  # r09
     "value_percentiles_by_type",  # r09
     "word_distribution",  # r09
+    "acctbal_by_segment",  # r10
+    "approx_distinct_users_bound",  # r10
+    "asof_user_state",  # r10
+    "asof_user_state_bucketed",  # r10
+    "chunking_stats",  # r10
+    "conjunctive_filters",  # r10
+    "count_by_event_type",  # r10
+    "count_distinct_by_type",  # r10
+    "cross_source_span_overlap",  # r10
+    "curation_funnel_report",  # r10
+    "daily_moving_stats",  # r10
+    "decontamination_bloom",  # r10
+    "dedup_clusters",  # r10
+    "dedup_exact_docs",  # r10
+    "dedup_minhash_lsh",  # r10
+    "dedup_ngram_jaccard",  # r10
+    "dedup_simhash_planted",  # r10
+    "dedup_survivors_by_source",  # r10
+    "dedup_validation",  # r10
+    "duplicate_keys",  # r10
+    "embedding_ivf_recall",  # r10
+    "embedding_kmeans_cells",  # r10
+    "embedding_knn",  # r10
+    "embedding_lsh_near_dup",  # r10
+    "embedding_pq_codes",  # r10
+    "embedding_quantization_report",  # r10
+    "filter_array_membership",  # r10
+    "filter_event_type",  # r10
+    "filter_json_path",  # r10
+    "filter_json_path_variant",  # r10
+    "filter_time_range",  # r10
+    "global_totals",  # r10
+    "graph_degree_topk",  # r10
+    "graph_two_hop_topk",  # r10
+    "latest_events",  # r10
+    "latest_state_per_entity",  # r10
+    "lm_quality_by_source",  # r10
+    "mp4_keyframe_stats",  # r10
+    "multimodal_probe_stats",  # r10
+    "order_priority_count",  # r10
+    "orders_per_customer_topk",  # r10
+    "pii_redaction_stats",  # r10
+    "retention_cohort_counts",  # r10
+    "rollup_event_counts",  # r10
+    "sequence_count_histogram",  # r10
+    "sessionization",  # r10
+    "sorted_regions",  # r10
+    "token_count_extremes",  # r10
+    "value_histogram",  # r10
+    "window_funnel_steps",  # r10
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only
