@@ -55,7 +55,20 @@ BENCH_QUERIES = [
     # survivor accounting (near-dup pairs -> keep-lowest-id anti-join)
     "dedup_incremental_batch",
     "semantic_dedup_survivors",
+    # round-11 additions (VERDICT r10 item 3): the headline set skewed
+    # to dedup/text — these give the window family, the as-of carry
+    # join, and the Arrow multimodal probe a standing wall-time row so
+    # a perf regression there surfaces in the bench, not only via the
+    # scale canary
+    "sessionization",
+    "asof_user_state",
+    "multimodal_probe_stats",
 ]
+
+# Timed OUTSIDE the registry loop: maintenance compact() mutates its
+# table, so each timed run gets a fresh (untimed) copy of a staged
+# month-partitioned event table derived from events.parquet.
+BENCH_MAINTENANCE = ["maintenance_compact"]
 
 
 def _wait_for_quiet_host(threshold: float = 2.0, max_wait_s: int = 180) -> float:
@@ -102,6 +115,63 @@ def _host_noise() -> dict:
     except (OSError, IndexError, ValueError):
         pass
     return out
+
+
+def _maintenance_jobs(spark, sf_dir: str) -> list:
+    """(name, prepare, run) jobs for the timed maintenance shapes
+    (VERDICT r10 item 3): compact() rewrites its table in place, so
+    `prepare` re-stages a fresh month-partitioned event table (derived
+    from events.parquet, one envelope row per event, dup-heavy on
+    entity_id so keep='latest' does real dedup work) before each timed
+    run. Staging is outside the timed region — the bench measures the
+    rewrite (read + window dedup + write + swap), not the fixture copy.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neo4j_to_clickhouse_spark.operators.maintenance import compact
+    from neo4j_to_clickhouse_spark.sources.snapshot import write_events
+
+    work = tempfile.mkdtemp(prefix="bench_compact_")
+    base = os.path.join(work, "base")
+    env = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("event_id"),
+            F.col("user_id").alias("entity_id"),
+            F.col("ts").alias("event_timestamp"),
+            F.date_format("ts", "yyyyMM").alias("event_month"),
+            F.col("event_type"),
+            F.col("props").alias("payload"),
+        )
+    )
+    write_events(env, base)
+
+    live = os.path.join(work, "live")
+
+    def prepare() -> None:
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.copytree(base, live)
+
+    def run_once() -> int:
+        months = compact(spark, live, keep="latest")
+        return len(months)
+
+    return [("maintenance_compact", prepare, run_once)]
+
+
+def _evidence_path(repo_dir: str) -> str:
+    """Self-archive target (VERDICT r10 item 4): the driver snapshots
+    only the tail of bench stdout, so the full per-query JSON is also
+    written here, named by the round the current driver window was
+    generated for."""
+    from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
+
+    return os.path.join(
+        repo_dir, "docs", "evidence", f"BENCH_r{_WINDOW_ROUND}_local.json"
+    )
 
 
 def main() -> None:
@@ -217,8 +287,22 @@ def main() -> None:
     # grouping keys), so those rounds under-measured; r08 renumbers.
     steal_dirty: list[str] = []
     ratio_dirty: list[str] = []
-    for name in BENCH_QUERIES:
+
+    # (name, prepare, run) triples: prepare() is UNTIMED per-run setup
+    # (a no-op for registry queries; a fresh table copy for compact),
+    # run() is the timed consumption and returns a row count.
+    def _registry_job(name: str):
         spec = QUERIES[name]
+        return (
+            name,
+            lambda: None,
+            lambda: len(spec.spark(spark, sf_dir).collect()),
+        )
+
+    jobs = [_registry_job(n) for n in BENCH_QUERIES]
+    jobs.extend(_maintenance_jobs(spark, sf_dir))
+
+    for name, prepare, run_once in jobs:
         runs: list[float] = []
         steals: list[int] = []
         cpus: list[float] = []
@@ -238,10 +322,11 @@ def main() -> None:
         while len(runs) < _MAX_RUNS and (
             len(runs) < 2 or sum(_clean_flags()) < 2
         ):
+            prepare()
             s0 = _steal_cs()
             c0 = _task_cpu_s()
             t0 = time.perf_counter()
-            n = len(spec.spark(spark, sf_dir).collect())
+            n = run_once()
             runs.append(round(time.perf_counter() - t0, 3))
             cpus.append(round(_task_cpu_s() - c0, 3))
             steals.append(_steal_cs() - s0)
@@ -268,8 +353,7 @@ def main() -> None:
     noise_after = _host_noise()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(times.values()), 3),
@@ -288,7 +372,17 @@ def main() -> None:
                 },
             }
         )
-    )
+    print(payload)
+    # full-JSON self-archive: the driver's stdout snapshot is tail-
+    # truncated (lost 13/20 wall times in r10); this copy is complete
+    evidence = _evidence_path(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        os.makedirs(os.path.dirname(evidence), exist_ok=True)
+        with open(evidence, "w") as fh:
+            fh.write(payload + "\n")
+        print(f"# archived full JSON -> {evidence}", file=sys.stderr)
+    except OSError as exc:  # archive failure must not fail the bench
+        print(f"# evidence archive failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
