@@ -714,6 +714,12 @@ def probe_assets(assets: DataFrame) -> DataFrame:
     schema = assets.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neo4j_to_clickhouse_spark.operators.audio_probe import (
+            is_flac,
+            is_mp3,
+            probe_flac,
+            probe_mp3,
+        )
         from neo4j_to_clickhouse_spark.operators.avi import is_avi, probe_avi
         from neo4j_to_clickhouse_spark.operators.isobmff import (
             is_heif_still,
@@ -772,7 +778,8 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         dims = (img[1].shape[1], img[1].shape[0])
                 w, h = dims if dims is not None else (None, None)
                 # duration: header walks only (WAV fmt chunk, AVI avih,
-                # mvhd, ANMF headers, fcTL headers)
+                # mvhd, ANMF headers, fcTL headers, FLAC STREAMINFO,
+                # MP3 Xing/VBRI or frame-header chain)
                 if payload is not None and payload[:4] == b"RIFF":
                     d = wav_duration_ms(payload)
                     if d is None and is_avi(payload):
@@ -793,6 +800,16 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                                 break
                 elif is_apng(payload):
                     d = sum(apng_frame_delays(payload))
+                elif is_flac(payload):
+                    info = probe_flac(payload)
+                    if info is not None:
+                        d = info["duration_ms"]
+                # MP3 last: frame sync is only a 12-bit pattern, every
+                # exact-magic format above must get first refusal
+                elif dims is None and is_mp3(payload):
+                    info = probe_mp3(payload)
+                    if info is not None:
+                        d = info["duration_ms"]
                 widths.append(w)
                 heights.append(h)
                 durations.append(d)

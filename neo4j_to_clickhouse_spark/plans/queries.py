@@ -1810,32 +1810,41 @@ def mp4_keyframe_stats(spark, sf_dir):
 
 @q(
     "multimodal_probe_stats",
-    # Certifies the WIRED probe_assets operator (not just the parser):
-    # the Spark side builds real AVIF (even doc_id) and MP4 (odd)
-    # containers with closed-form dims/durations, routes them through
-    # operators/multimodal.py::probe_assets (the ISOBMFF branch fills
-    # width/height from ispe, duration_ms from mvhd), and aggregates;
-    # the oracle recomputes the same totals from the closed form. A
-    # probe that misreads the item tree or movie header diverges.
+    # Certifies the WIRED probe_assets operator (not just the parsers):
+    # the Spark side builds real AVIF / MP4 / MP3 / FLAC containers
+    # (doc_id % 4 picks the format) with closed-form dims/durations,
+    # routes them through operators/multimodal.py::probe_assets (ISOBMFF
+    # ispe/mvhd, MP3 Xing-or-frame-walk, FLAC STREAMINFO), and
+    # aggregates; the oracle recomputes the same totals from the closed
+    # form. A probe that misreads any header diverges. The MP3 fixtures
+    # alternate Xing / plain-CBR / ID3v2-prefixed variants (all sharing
+    # one duration closed form), so every probe path is on the oracle.
     # 13 is coprime with the fixture's 20-way source assignment.
     """WITH sel AS (
          SELECT doc_id, source FROM documents WHERE doc_id % 13 = 0)
        SELECT source,
-              CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_images,
-              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_videos,
-              CAST(sum(CASE WHEN doc_id % 2 = 0
+              CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_timed,
+              CAST(sum(CASE WHEN doc_id % 4 = 0
                    THEN (16 + doc_id % 101) * (16 + (doc_id * 3) % 101)
                    ELSE 0 END) AS BIGINT) AS total_pixels,
-              CAST(sum(CASE WHEN doc_id % 2 = 1
+              CAST(sum(CASE WHEN doc_id % 4 = 1
                    THEN (2 + doc_id % 7) * (50 + doc_id % 40)
-                   ELSE 0 END) AS BIGINT) AS total_duration_ms
+                   ELSE 0 END) AS BIGINT) AS video_ms,
+              CAST(sum(CASE WHEN doc_id % 4 = 2
+                   THEN ((3 + doc_id % 50) * 1152 * 1000) // 44100
+                   ELSE 0 END) AS BIGINT) AS mp3_ms,
+              CAST(sum(CASE WHEN doc_id % 4 = 3
+                   THEN ((1000 + (doc_id * 11) % 100000) * 1000) // 16000
+                   ELSE 0 END) AS BIGINT) AS flac_ms
        FROM sel GROUP BY source ORDER BY source""",
-    "multimodal probe inventory over real AVIF/MP4 containers: per-"
-    "source image/video counts, pixel totals from the AVIF ispe walk, "
-    "duration totals from the MP4 movie header — certifies the wired "
-    "probe_assets ISOBMFF branch end-to-end",
+    "multimodal probe inventory over real AVIF/MP4/MP3/FLAC containers: "
+    "per-source image/timed counts, pixel totals from the AVIF ispe "
+    "walk, durations from the MP4 movie header, MP3 Xing/frame-walk and "
+    "FLAC STREAMINFO — certifies the wired probe_assets branches "
+    "end-to-end",
 )
 def multimodal_probe_stats(spark, sf_dir):
     from neo4j_to_clickhouse_spark.operators.multimodal import probe_assets
@@ -1846,13 +1855,17 @@ def multimodal_probe_stats(spark, sf_dir):
         .select("doc_id", "source")
     )
     schema = (
-        "source string, payload binary, width int, height int, "
-        "duration_ms long"
+        "source string, kind string, payload binary, width int, "
+        "height int, duration_ms long"
     )
 
     def build(batches):
         import pandas as pd  # noqa: PLC0415 — executor-side
 
+        from neo4j_to_clickhouse_spark.operators.audio_probe import (
+            encode_flac,
+            encode_mp3,
+        )
         from neo4j_to_clickhouse_spark.operators.isobmff import (
             encode_avif,
             encode_mp4,
@@ -1861,29 +1874,53 @@ def multimodal_probe_stats(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads = []
+            payloads, kinds = [], []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                if doc_id % 2 == 0:
+                fmt = doc_id % 4
+                if fmt == 0:
+                    kinds.append("image")
                     payloads.append(
                         encode_avif(
                             16 + doc_id % 101, 16 + (doc_id * 3) % 101
                         )
                     )
-                else:
+                elif fmt == 1:
                     n = 2 + doc_id % 7
                     delta = 50 + doc_id % 40
                     # width/height left 0: the video track reports no
                     # dims, so image/video rows split cleanly on
                     # width-vs-duration nullness downstream
+                    kinds.append("video")
                     payloads.append(
                         encode_mp4(
                             [b"\x00" * 20] * n, [delta] * n, keyframes=None
                         )
                     )
+                elif fmt == 2:
+                    # one closed form, three probe paths: Xing header,
+                    # plain CBR walk, ID3v2-prefixed walk
+                    n = 3 + doc_id % 50
+                    variant = (doc_id // 4) % 3
+                    kinds.append("mp3")
+                    payloads.append(
+                        encode_mp3(
+                            n,
+                            vbr_header="xing" if variant == 0 else None,
+                            id3v2_bytes=64 if variant == 2 else 0,
+                        )
+                    )
+                else:
+                    kinds.append("flac")
+                    payloads.append(
+                        encode_flac(
+                            1000 + (doc_id * 11) % 100000, 16000
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "source": pdf["source"],
+                    "kind": kinds,
                     "payload": payloads,
                     "width": pd.array([None] * len(pdf), dtype="Int32"),
                     "height": pd.array([None] * len(pdf), dtype="Int32"),
@@ -1894,18 +1931,27 @@ def multimodal_probe_stats(spark, sf_dir):
             )
 
     probed = probe_assets(d.mapInPandas(build, schema))
+
+    def _ms(kind):
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("kind") == kind, F.col("duration_ms"))
+            ),
+            F.lit(0),
+        )
+
     return (
         probed.groupBy("source")
         .agg(
             F.count("width").alias("n_images"),
-            F.count("duration_ms").alias("n_videos"),
+            F.count("duration_ms").alias("n_timed"),
             F.coalesce(
                 F.sum(F.col("width").cast("long") * F.col("height")),
                 F.lit(0),
             ).alias("total_pixels"),
-            F.coalesce(F.sum("duration_ms"), F.lit(0)).alias(
-                "total_duration_ms"
-            ),
+            _ms("video").alias("video_ms"),
+            _ms("mp3").alias("mp3_ms"),
+            _ms("flac").alias("flac_ms"),
         )
         .orderBy("source")
     )
