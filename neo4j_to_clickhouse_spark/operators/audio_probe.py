@@ -267,6 +267,127 @@ def encode_flac(
     )
 
 
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) container walk — Vorbis and Opus duration
+# ---------------------------------------------------------------------------
+
+
+def is_ogg(payload: bytes | None) -> bool:
+    return bool(payload) and payload[:4] == b"OggS"
+
+
+def _ogg_pages(payload: bytes):
+    """Yield (granule_position, header_type, body) per page. The walk
+    jumps exact page sizes from the lacing tables (no decode, no sync
+    scan — a forward walk can never false-sync on codec bytes)."""
+    pos = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS" or payload[pos + 4] != 0:
+            return
+        htype = payload[pos + 5]
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        nsegs = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            return
+        body_at = pos + 27 + nsegs
+        size = sum(lacing)
+        if body_at + size > len(payload):
+            return
+        yield granule, htype, payload[body_at : body_at + size]
+        pos = body_at + size
+
+
+def probe_ogg(payload: bytes | None) -> dict | None:
+    """Ogg Vorbis / Opus probe: ``{duration_ms, sample_rate, channels,
+    codec}``. Rate/channels come from the first page's identification
+    header (``\\x01vorbis`` / ``OpusHead``); duration from the LAST
+    page's granule position — Vorbis granules count output samples at
+    the stream rate, Opus granules are always 48 kHz minus the encoder
+    pre-skip (RFC 7845 §4)."""
+    if not is_ogg(payload):
+        return None
+    codec = rate = channels = None
+    preskip = 0
+    last_granule = None
+    for granule, _htype, body in _ogg_pages(payload):
+        if codec is None:
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                (rate,) = struct.unpack_from("<I", body, 12)
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                (preskip,) = struct.unpack_from("<H", body, 10)
+                rate = 48000  # granule clock, regardless of input rate
+            else:
+                return None
+        if granule >= 0:  # -1 marks a page with no finished packet
+            last_granule = granule
+    if codec is None or not rate or last_granule is None:
+        return None
+    samples = max(0, last_granule - (preskip if codec == "opus" else 0))
+    return {
+        "duration_ms": samples * 1000 // rate,
+        "sample_rate": rate,
+        "channels": channels,
+        "codec": codec,
+    }
+
+
+# ---------------------------------------------------------------------------
+# AIFF — COMM chunk (80-bit extended-precision sample rate)
+# ---------------------------------------------------------------------------
+
+
+def is_aiff(payload: bytes | None) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"FORM"
+        and payload[8:12] in (b"AIFF", b"AIFC")
+    )
+
+
+def _float80(b: bytes) -> int | None:
+    """IEEE 754 extended (sign 1 / exp 15 / mantissa 64) -> int rate."""
+    if len(b) < 10:
+        return None
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    exp = (se & 0x7FFF) - 16383
+    if se & 0x8000 or mant == 0 or not 0 <= exp <= 62:
+        return None
+    return mant >> (63 - exp)
+
+
+def probe_aiff(payload: bytes | None) -> dict | None:
+    """AIFF/AIFC COMM-chunk probe: ``{duration_ms, sample_rate,
+    channels, bits_per_sample, total_samples}`` — chunk walk only."""
+    if not is_aiff(payload):
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        if tag == b"COMM" and size >= 18 and pos + 8 + 18 <= len(payload):
+            channels, frames = struct.unpack_from(">HI", payload, pos + 8)
+            (bps,) = struct.unpack_from(">H", payload, pos + 14)
+            rate = _float80(payload[pos + 16 : pos + 26])
+            if not rate:
+                return None
+            return {
+                "duration_ms": frames * 1000 // rate,
+                "sample_rate": rate,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "total_samples": frames,
+            }
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def _mp3_header(
     bitrate_kbps: int, sample_rate: int, padding: int, channels: int
 ) -> bytes:
@@ -276,6 +397,82 @@ def _mp3_header(
     b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
     b3 = (3 if channels == 1 else 0) << 6
     return bytes([0xFF, b1, b2, b3])
+
+
+def _ogg_page(
+    granule: int, body: bytes, seq: int, htype: int = 0
+) -> bytes:
+    lacing = bytes([255] * (len(body) // 255) + [len(body) % 255])
+    return (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", 1, seq)
+        + b"\x00" * 4  # CRC unset — the probe never checks it
+        + bytes([len(lacing)])
+        + lacing
+        + body
+    )
+
+
+def encode_ogg(
+    total_samples: int,
+    sample_rate: int = 44100,
+    channels: int = 1,
+    codec: str = "vorbis",
+    n_audio_pages: int = 3,
+    preskip: int = 312,
+) -> bytes:
+    """Ogg fixture: BOS identification page + dummy audio pages whose
+    final page carries ``total_samples`` (+ preskip for Opus) as its
+    granule position with EOS set. The probe must return duration =
+    total_samples * 1000 // rate (rate = 48000 for Opus)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + b"\x00" * 13
+        )
+        final = total_samples
+    else:
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + struct.pack("<H", preskip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00\x00\x00"
+        )
+        final = total_samples + preskip
+    out = _ogg_page(0, ident, 0, htype=2)  # BOS
+    step = final // max(n_audio_pages, 1)
+    for i in range(1, n_audio_pages + 1):
+        granule = final if i == n_audio_pages else step * i
+        htype = 4 if i == n_audio_pages else 0  # EOS on the last
+        out += _ogg_page(granule, b"\x00" * 40, i, htype)
+    return out
+
+
+def encode_aiff(
+    total_samples: int,
+    sample_rate: int = 22050,
+    channels: int = 1,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """AIFF fixture: FORM/AIFF + spec-exact COMM (80-bit extended rate)
+    + a stub SSND chunk."""
+    exp = sample_rate.bit_length() - 1
+    mant = sample_rate << (63 - exp)
+    f80 = struct.pack(">HQ", 16383 + exp, mant)
+    comm = (
+        b"COMM" + struct.pack(">I", 18)
+        + struct.pack(">HIH", channels, total_samples, bits_per_sample)
+        + f80
+    )
+    ssnd = b"SSND" + struct.pack(">I", 8) + b"\x00" * 8
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
 
 
 def encode_mp3(

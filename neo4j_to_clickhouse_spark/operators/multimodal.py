@@ -715,10 +715,14 @@ def probe_assets(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from neo4j_to_clickhouse_spark.operators.audio_probe import (
+            is_aiff,
             is_flac,
             is_mp3,
+            is_ogg,
+            probe_aiff,
             probe_flac,
             probe_mp3,
+            probe_ogg,
         )
         from neo4j_to_clickhouse_spark.operators.avi import is_avi, probe_avi
         from neo4j_to_clickhouse_spark.operators.isobmff import (
@@ -802,6 +806,14 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                     d = sum(apng_frame_delays(payload))
                 elif is_flac(payload):
                     info = probe_flac(payload)
+                    if info is not None:
+                        d = info["duration_ms"]
+                elif is_ogg(payload):
+                    info = probe_ogg(payload)
+                    if info is not None:
+                        d = info["duration_ms"]
+                elif is_aiff(payload):
+                    info = probe_aiff(payload)
                     if info is not None:
                         d = info["duration_ms"]
                 # MP3 last: frame sync is only a 12-bit pattern, every

@@ -1811,39 +1811,48 @@ def mp4_keyframe_stats(spark, sf_dir):
 @q(
     "multimodal_probe_stats",
     # Certifies the WIRED probe_assets operator (not just the parsers):
-    # the Spark side builds real AVIF / MP4 / MP3 / FLAC containers
-    # (doc_id % 4 picks the format) with closed-form dims/durations,
-    # routes them through operators/multimodal.py::probe_assets (ISOBMFF
-    # ispe/mvhd, MP3 Xing-or-frame-walk, FLAC STREAMINFO), and
-    # aggregates; the oracle recomputes the same totals from the closed
-    # form. A probe that misreads any header diverges. The MP3 fixtures
-    # alternate Xing / plain-CBR / ID3v2-prefixed variants (all sharing
-    # one duration closed form), so every probe path is on the oracle.
+    # the Spark side builds real AVIF / MP4 / MP3 / FLAC / Ogg / AIFF
+    # containers (doc_id % 6 picks the format) with closed-form
+    # dims/durations, routes them through
+    # operators/multimodal.py::probe_assets (ISOBMFF ispe/mvhd, MP3
+    # Xing-or-frame-walk, FLAC STREAMINFO, Ogg granule walk, AIFF COMM),
+    # and aggregates; the oracle recomputes the same totals from the
+    # closed form. A probe that misreads any header diverges. The MP3
+    # fixtures alternate Xing / plain-CBR / ID3v2-prefixed variants and
+    # the Ogg fixtures alternate Vorbis@48k / Opus (one shared 48 kHz
+    # closed form), so every probe path is on the oracle.
     # 13 is coprime with the fixture's 20-way source assignment.
     """WITH sel AS (
          SELECT doc_id, source FROM documents WHERE doc_id % 13 = 0)
        SELECT source,
-              CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_images,
-              CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN doc_id % 6 <> 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_timed,
-              CAST(sum(CASE WHEN doc_id % 4 = 0
+              CAST(sum(CASE WHEN doc_id % 6 = 0
                    THEN (16 + doc_id % 101) * (16 + (doc_id * 3) % 101)
                    ELSE 0 END) AS BIGINT) AS total_pixels,
-              CAST(sum(CASE WHEN doc_id % 4 = 1
+              CAST(sum(CASE WHEN doc_id % 6 = 1
                    THEN (2 + doc_id % 7) * (50 + doc_id % 40)
                    ELSE 0 END) AS BIGINT) AS video_ms,
-              CAST(sum(CASE WHEN doc_id % 4 = 2
+              CAST(sum(CASE WHEN doc_id % 6 = 2
                    THEN ((3 + doc_id % 50) * 1152 * 1000) // 44100
                    ELSE 0 END) AS BIGINT) AS mp3_ms,
-              CAST(sum(CASE WHEN doc_id % 4 = 3
+              CAST(sum(CASE WHEN doc_id % 6 = 3
                    THEN ((1000 + (doc_id * 11) % 100000) * 1000) // 16000
-                   ELSE 0 END) AS BIGINT) AS flac_ms
+                   ELSE 0 END) AS BIGINT) AS flac_ms,
+              CAST(sum(CASE WHEN doc_id % 6 = 4
+                   THEN ((4800 + (doc_id * 7) % 96000) * 1000) // 48000
+                   ELSE 0 END) AS BIGINT) AS ogg_ms,
+              CAST(sum(CASE WHEN doc_id % 6 = 5
+                   THEN (800 + (doc_id * 13) % 80000) // 8
+                   ELSE 0 END) AS BIGINT) AS aiff_ms
        FROM sel GROUP BY source ORDER BY source""",
-    "multimodal probe inventory over real AVIF/MP4/MP3/FLAC containers: "
-    "per-source image/timed counts, pixel totals from the AVIF ispe "
-    "walk, durations from the MP4 movie header, MP3 Xing/frame-walk and "
-    "FLAC STREAMINFO — certifies the wired probe_assets branches "
+    "multimodal probe inventory over real AVIF/MP4/MP3/FLAC/Ogg/AIFF "
+    "containers: per-source image/timed counts, pixel totals from the "
+    "AVIF ispe walk, durations from the MP4 movie header, MP3 "
+    "Xing/frame-walk, FLAC STREAMINFO, Ogg Vorbis/Opus granule walk "
+    "and AIFF COMM — certifies the wired probe_assets branches "
     "end-to-end",
 )
 def multimodal_probe_stats(spark, sf_dir):
@@ -1863,8 +1872,10 @@ def multimodal_probe_stats(spark, sf_dir):
         import pandas as pd  # noqa: PLC0415 — executor-side
 
         from neo4j_to_clickhouse_spark.operators.audio_probe import (
+            encode_aiff,
             encode_flac,
             encode_mp3,
+            encode_ogg,
         )
         from neo4j_to_clickhouse_spark.operators.isobmff import (
             encode_avif,
@@ -1877,7 +1888,7 @@ def multimodal_probe_stats(spark, sf_dir):
             payloads, kinds = [], []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                fmt = doc_id % 4
+                fmt = doc_id % 6
                 if fmt == 0:
                     kinds.append("image")
                     payloads.append(
@@ -1901,7 +1912,7 @@ def multimodal_probe_stats(spark, sf_dir):
                     # one closed form, three probe paths: Xing header,
                     # plain CBR walk, ID3v2-prefixed walk
                     n = 3 + doc_id % 50
-                    variant = (doc_id // 4) % 3
+                    variant = (doc_id // 6) % 3
                     kinds.append("mp3")
                     payloads.append(
                         encode_mp3(
@@ -1910,11 +1921,29 @@ def multimodal_probe_stats(spark, sf_dir):
                             id3v2_bytes=64 if variant == 2 else 0,
                         )
                     )
-                else:
+                elif fmt == 3:
                     kinds.append("flac")
                     payloads.append(
                         encode_flac(
                             1000 + (doc_id * 11) % 100000, 16000
+                        )
+                    )
+                elif fmt == 4:
+                    # Vorbis@48k and Opus share the 48 kHz granule
+                    # clock, so both codecs sit on one closed form
+                    kinds.append("ogg")
+                    payloads.append(
+                        encode_ogg(
+                            4800 + (doc_id * 7) % 96000,
+                            48000,
+                            codec="opus" if (doc_id // 6) % 2 else "vorbis",
+                        )
+                    )
+                else:
+                    kinds.append("aiff")
+                    payloads.append(
+                        encode_aiff(
+                            800 + (doc_id * 13) % 80000, 8000
                         )
                     )
             yield pd.DataFrame(
@@ -1952,6 +1981,8 @@ def multimodal_probe_stats(spark, sf_dir):
             _ms("video").alias("video_ms"),
             _ms("mp3").alias("mp3_ms"),
             _ms("flac").alias("flac_ms"),
+            _ms("ogg").alias("ogg_ms"),
+            _ms("aiff").alias("aiff_ms"),
         )
         .orderBy("source")
     )

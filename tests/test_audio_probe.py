@@ -196,6 +196,128 @@ def test_flac_probe_recovers_closed_form(total, rate, ch, bps):
     assert info["duration_ms"] == (total * 1000 // rate if total else None)
 
 
+# ------------------------------------------------------------ Ogg / AIFF
+
+
+def test_ogg_vorbis_roundtrip():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_ogg,
+        is_ogg,
+        probe_ogg,
+    )
+
+    p = encode_ogg(441000, 44100, channels=2)
+    assert is_ogg(p)
+    info = probe_ogg(p)
+    assert info == {
+        "duration_ms": 10000,
+        "sample_rate": 44100,
+        "channels": 2,
+        "codec": "vorbis",
+    }
+
+
+def test_ogg_opus_preskip_and_48k_clock():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_ogg,
+        probe_ogg,
+    )
+
+    # input rate 16000 is metadata only: Opus granules tick at 48 kHz
+    info = probe_ogg(
+        encode_ogg(96000, 16000, codec="opus", preskip=312)
+    )
+    assert info["codec"] == "opus"
+    assert info["sample_rate"] == 48000
+    assert info["duration_ms"] == 2000
+
+
+def test_ogg_truncation_sweep_never_raises():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_ogg,
+        probe_ogg,
+    )
+
+    p = encode_ogg(48000, 48000)
+    for cut in range(len(p)):
+        probe_ogg(p[:cut])
+
+
+def test_ogg_unknown_codec_rejected():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        _ogg_page,
+        probe_ogg,
+    )
+
+    assert probe_ogg(_ogg_page(0, b"\x7fFLAC rest", 0, 2)) is None
+
+
+def test_aiff_roundtrip():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_aiff,
+        is_aiff,
+        probe_aiff,
+    )
+
+    p = encode_aiff(44100, 22050, channels=2, bits_per_sample=24)
+    assert is_aiff(p)
+    info = probe_aiff(p)
+    assert info["duration_ms"] == 2000
+    assert info["sample_rate"] == 22050
+    assert info["channels"] == 2
+    assert info["bits_per_sample"] == 24
+    assert info["total_samples"] == 44100
+
+
+def test_aiff_truncation_sweep_never_raises():
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_aiff,
+        probe_aiff,
+    )
+
+    p = encode_aiff(8000, 8000)
+    for cut in range(len(p)):
+        probe_aiff(p[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    total=st.integers(0, 1 << 40),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000, 96000]),
+    ch=st.integers(1, 8),
+    codec=st.sampled_from(["vorbis", "opus"]),
+    pages=st.integers(1, 6),
+)
+def test_ogg_probe_recovers_closed_form(total, rate, ch, codec, pages):
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_ogg,
+        probe_ogg,
+    )
+
+    info = probe_ogg(
+        encode_ogg(total, rate, channels=ch, codec=codec, n_audio_pages=pages)
+    )
+    clock = 48000 if codec == "opus" else rate
+    assert info["duration_ms"] == total * 1000 // clock
+    assert info["channels"] == ch
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    total=st.integers(0, 1 << 32 - 1),
+    rate=st.sampled_from([8000, 11025, 22050, 44100, 48000]),
+)
+def test_aiff_probe_recovers_closed_form(total, rate):
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_aiff,
+        probe_aiff,
+    )
+
+    info = probe_aiff(encode_aiff(total, rate))
+    assert info["total_samples"] == total
+    assert info["duration_ms"] == total * 1000 // rate
+
+
 # -------------------------------------------------- probe_assets wiring
 
 
@@ -212,10 +334,18 @@ def asset_df(spark):
             T.StructField("duration_ms", T.LongType()),
         ]
     )
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_aiff,
+        encode_ogg,
+    )
+
     rows = [
         ("mp3_cbr", encode_mp3(20), None, None, None),
         ("mp3_xing", encode_mp3(100, vbr_header="xing"), None, None, None),
         ("flac", encode_flac(32000, 16000), None, None, None),
+        ("ogg", encode_ogg(88200, 44100), None, None, None),
+        ("opus", encode_ogg(48000, 48000, codec="opus"), None, None, None),
+        ("aiff", encode_aiff(11025, 22050), None, None, None),
         ("junk", b"\x00" * 50, None, None, None),
     ]
     return spark.createDataFrame(rows, schema)
@@ -230,4 +360,7 @@ def test_probe_assets_fills_audio_durations(asset_df):
     assert got["mp3_cbr"] == 20 * 1152 * 1000 // 44100
     assert got["mp3_xing"] == 100 * 1152 * 1000 // 44100
     assert got["flac"] == 2000
+    assert got["ogg"] == 2000
+    assert got["opus"] == 1000
+    assert got["aiff"] == 500
     assert got["junk"] is None
