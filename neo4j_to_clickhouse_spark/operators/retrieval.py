@@ -1,0 +1,91 @@
+"""BM25 retrieval scoring over a document corpus.
+
+Training-data pipelines use lexical retrieval at scale for
+retrieval-based decontamination (find corpus docs matching eval-set
+queries), quality-by-query curation, and dedup candidate generation.
+The reference ships raw text to ClickHouse and has no retrieval surface
+(`README.md:316-588` query list); this is a pipeline extension in the
+same family as `operators/dedup.py`.
+
+Scoring is Okapi BM25 with the Lucene-style non-negative idf:
+
+    idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+    score(d) = sum_t idf(t) * tf_td*(k1+1) / (tf_td + k1*(1-b + b*|d|/avgdl))
+
+100 TB design: the per-term document frequencies and the corpus stats
+(N, avgdl) are tiny — one row per query term and one global row — so
+both sides broadcast; the only data-sized work is ONE scan that
+explodes to query-term hits (the `isin` filter prunes the explode
+output immediately, so the shuffle carries only matching (doc, term)
+pairs — for selective queries that is orders of magnitude below corpus
+size) and a TakeOrdered heap for the top-k (never a full sort).
+Per-term contributions round to 8 dp and sum as DECIMAL, so scores are
+ordering- and partitioning-independent (the lm.py pattern) and the
+DuckDB oracle can reproduce them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for the query ``terms``
+    (whitespace tokenization, consistent with the text family).
+    Returns ``(id_col, score)`` with ``score`` rounded to 6 dp,
+    ordered by score descending then ``id_col`` (deterministic)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    # corpus stats: ONE row (broadcast via the 1-row crossJoin pattern)
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )  # <= len(terms) rows
+
+    # expression shapes mirror the oracle SQL EXACTLY (same constant
+    # folding, same operation order) so doubles agree bit-for-bit
+    # before the 8 dp rounding
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    idf: Column = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        one_minus_b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.round(idf * (F.col("tf") * k1p1) / denom, 8).cast(
+        "decimal(20,8)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score_dec"))
+        .select(
+            id_col,
+            F.round(F.col("score_dec").cast("double"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -2076,6 +2076,50 @@ def tfidf_source_profile(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "query", "window", "fast")
+
+
+@q(
+    "bm25_topk_docs",
+    # Okapi BM25 (Lucene non-negative idf) top-20 for a fixed query —
+    # retrieval-based decontamination / quality-by-query primitive.
+    # Per-term contributions round to 8 dp and sum as DECIMAL (the
+    # lm.py pattern), so the score is partitioning-independent and both
+    # engines agree bit-exactly; the SQL mirrors the Spark expression
+    # tree operation-for-operation (k1+1 = 2.2, 1-b = 0.25 folded the
+    # same way). Ties break on doc_id.
+    f"""WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t,
+                len(string_split(text, ' ')) AS dl
+         FROM documents),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks),
+       tf AS (
+         SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks)
+         WHERE term IN {_BM25_TERMS!r}
+         GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tf GROUP BY term),
+       contrib AS (
+         SELECT tf.doc_id,
+                CAST(round(
+                  ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+                  8) AS DECIMAL(20,8)) AS c
+         FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s)
+       SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+       FROM contrib GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 20""",
+    "BM25 top-k retrieval (one pruned explode + broadcast df/stats + "
+    "TakeOrdered heap): the decontamination/quality-by-query primitive",
+)
+def bm25_topk_docs(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
 # PII patterns shared verbatim with the oracle (redact.py restricts them
 # to the Java-regex/RE2 common subset, so the one constant serves both
 # engines and cannot drift).  Interpolated via .replace() because the
@@ -7525,6 +7569,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
+    "bm25_topk_docs",  # last green: r00
     "pricing_summary",  # last green: r07
     "repeated_span_stats",  # last green: r07
     "retention_candidates",  # last green: r07
@@ -7574,10 +7619,10 @@ _DRIVER_WINDOW = [
     "revenue_forecast",  # last green: r08
     "rolling_weekly_active_users",  # last green: r08
     "session_path_topk",  # last green: r08
-    "ship_lag_stats",  # last green: r08
 ]
 
 _ROTATION = [
+    "ship_lag_stats",  # r08
     "shipping_priority",  # r08
     "split_leakage_report",  # r08
     "template_prefix_audit",  # r08

@@ -1,0 +1,75 @@
+"""BM25 retrieval operator: hand-computed scores on a tiny corpus plus
+plan-shape guards (broadcast stats/df, no full sort for top-k)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.retrieval import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark fast spark"),
+        (2, "slow table scan"),
+        (3, "spark query"),
+        (4, "the a the a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_ref(corpus_rows, terms, k1=1.2, b=0.75):
+    docs = {i: t.split(" ") for i, t in corpus_rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for t in terms:
+        df = sum(1 for toks in docs.values() if t in toks)
+        if not df:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, toks in docs.items():
+            tf = toks.count(t)
+            if not tf:
+                continue
+            c = round(
+                idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl)),
+                8,
+            )
+            scores[i] = scores.get(i, 0.0) + c
+    return {i: round(s, 6) for i, s in scores.items()}
+
+
+def test_bm25_matches_hand_computation(corpus):
+    rows = [(1, "spark fast spark"), (2, "slow table scan"),
+            (3, "spark query"), (4, "the a the a")]
+    want = _bm25_ref(rows, ("spark", "query"))
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(corpus, ("spark", "query"), k=10).collect()
+    }
+    assert got == pytest.approx(want)
+    # doc 3 matches both terms; rarity of 'query' (df=1) outweighs
+    # doc 1's double 'spark' (df=2, tf saturation)
+    assert max(got, key=got.get) == 3
+
+
+def test_bm25_k_cuts_and_orders(corpus):
+    out = bm25_topk(corpus, ("spark",), k=1).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1  # tf=2 in the shortest matching doc
+
+
+def test_bm25_unknown_terms_empty(corpus):
+    assert bm25_topk(corpus, ("nonexistent",), k=5).count() == 0
+
+
+def test_bm25_plan_shape(corpus):
+    plan = bm25_topk(corpus, ("spark", "query"), k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # df table and corpus stats both arrive broadcast
+    assert plan.count("BroadcastExchange") >= 2
+    # top-k is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
