@@ -89,3 +89,81 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_topk_per_query(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: top-``k`` documents PER QUERY for a whole query set
+    — the retrieval-based-decontamination shape (thousands of eval-set
+    queries against the full corpus in one pass).
+
+    ``queries`` is ``(query_id, term)`` (one row per query term; a
+    multi-token query is several rows). Returns ``(query_id, id_col,
+    score, rank)`` with rank 1..k per query.
+
+    100 TB design: the corpus is scanned and exploded ONCE; a broadcast
+    semi-join against the distinct query vocabulary prunes the explode
+    output to hits, per-(doc, term) contributions are computed once and
+    shared across every query containing the term (a term in 1000
+    queries costs one computation, not 1000), and the per-query top-k
+    runs as a rank window — Spark's WindowGroupLimit pushes the k-cut
+    into the shuffle read as a heap, so giant result groups are never
+    fully sorted or materialized.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    vocab = queries.select("term").distinct()
+    tf = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        one_minus_b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.round(idf * (F.col("tf") * k1p1) / denom, 8).cast(
+                "decimal(20,8)"
+            ),
+        )
+        .select(id_col, "term", "c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        contrib.join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -2120,6 +2120,73 @@ def bm25_topk_docs(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
 
 
+_BM25_QUERY_SET = (
+    ("q1", "spark"),
+    ("q1", "query"),
+    ("q2", "window"),
+    ("q2", "merge"),
+    ("q2", "hash"),
+    ("q3", "customer"),
+)
+_BM25_QS_SQL = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERY_SET)
+
+
+@q(
+    "bm25_multi_query_topk",
+    # batch retrieval: top-5 per query for a whole query SET in one
+    # corpus pass — the decontamination shape (thousands of eval
+    # queries at 100 TB). Same bit-exact contract as bm25_topk_docs;
+    # the per-query k-cut is a rank window (WindowGroupLimit heap).
+    f"""WITH q(query_id, term) AS (VALUES {_BM25_QS_SQL}),
+       toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t,
+                len(string_split(text, ' ')) AS dl
+         FROM documents),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks),
+       tf AS (
+         SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks)
+         WHERE term IN (SELECT DISTINCT term FROM q)
+         GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tf GROUP BY term),
+       contrib AS (
+         SELECT tf.doc_id, tf.term,
+                CAST(round(
+                  ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+                  8) AS DECIMAL(20,8)) AS c
+         FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s),
+       scored AS (
+         SELECT q.query_id, c.doc_id,
+                round(CAST(sum(c.c) AS DOUBLE), 6) AS score
+         FROM contrib c JOIN q USING (term)
+         GROUP BY q.query_id, c.doc_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         FROM scored)
+       SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+       FROM ranked WHERE rnk <= 5
+       ORDER BY query_id, rank""",
+    "batch BM25: top-5 docs per query for a query set in ONE corpus "
+    "pass (explode pruned by broadcast vocab, per-(doc,term) scores "
+    "shared across queries, WindowGroupLimit k-cut)",
+)
+def bm25_multi_query_topk(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_per_query,
+    )
+
+    qdf = spark.createDataFrame(
+        list(_BM25_QUERY_SET), "query_id string, term string"
+    )
+    return bm25_topk_per_query(
+        _t(spark, sf_dir, "documents"), qdf, k=5
+    ).orderBy("query_id", "rank")
+
+
 # PII patterns shared verbatim with the oracle (redact.py restricts them
 # to the Java-regex/RE2 common subset, so the one constant serves both
 # engines and cannot drift).  Interpolated via .replace() because the
@@ -7569,6 +7636,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
+    "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
     "pricing_summary",  # last green: r07
     "repeated_span_stats",  # last green: r07
@@ -7618,10 +7686,10 @@ _DRIVER_WINDOW = [
     "returned_item_revenue",  # last green: r08
     "revenue_forecast",  # last green: r08
     "rolling_weekly_active_users",  # last green: r08
-    "session_path_topk",  # last green: r08
 ]
 
 _ROTATION = [
+    "session_path_topk",  # r08
     "ship_lag_stats",  # r08
     "shipping_priority",  # r08
     "split_leakage_report",  # r08

@@ -66,6 +66,59 @@ def test_bm25_unknown_terms_empty(corpus):
     assert bm25_topk(corpus, ("nonexistent",), k=5).count() == 0
 
 
+def test_bm25_per_query_matches_single_query(spark, corpus):
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_per_query,
+    )
+
+    qdf = spark.createDataFrame(
+        [("a", "spark"), ("a", "query"), ("b", "scan")],
+        "query_id string, term string",
+    )
+    multi = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk_per_query(corpus, qdf, k=10).collect()
+    }
+    # each query's scores equal the single-query operator's
+    for qid, terms in (("a", ("spark", "query")), ("b", ("scan",))):
+        single = {
+            r.doc_id: r.score
+            for r in bm25_topk(corpus, terms, k=10).collect()
+        }
+        assert {d: s for (q, d), s in multi.items() if q == qid} == single
+
+
+def test_bm25_per_query_rank_and_k(spark, corpus):
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_per_query,
+    )
+
+    qdf = spark.createDataFrame(
+        [("a", "spark")], "query_id string, term string"
+    )
+    out = bm25_topk_per_query(corpus, qdf, k=1).collect()
+    assert len(out) == 1
+    assert out[0].rank == 1 and out[0].doc_id == 1
+
+
+def test_bm25_per_query_plan_uses_window_group_limit(spark, corpus):
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_per_query,
+    )
+
+    qdf = spark.createDataFrame(
+        [("a", "spark"), ("b", "scan")], "query_id string, term string"
+    )
+    plan = (
+        bm25_topk_per_query(corpus, qdf, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # k-cut heaps in the shuffle read
+
+
 def test_bm25_plan_shape(corpus):
     plan = bm25_topk(corpus, ("spark", "query"), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
