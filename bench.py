@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "sessionization",
     "asof_user_state",
     "multimodal_probe_stats",
+    # round-11: the new retrieval family's standing wall-time row
+    "bm25_multi_query_topk",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its

@@ -42,6 +42,7 @@ DEFAULT_QUERIES = [
     "text_stats_by_source",     # pure codegen text scan
     "token_zipf_coverage",      # explode + map-combined agg + TakeOrdered
     "repeated_span_stats",      # span-digest shuffle (heaviest text shape)
+    "bm25_multi_query_topk",    # pruned explode + broadcast vocab + window k-cut
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

@@ -49,6 +49,7 @@ CEILINGS: dict[str, float | None] = {
     "text_stats_by_source": None,
     "token_zipf_coverage": None,
     "repeated_span_stats": None,
+    "bm25_multi_query_topk": None,  # r11: pruned explode + window k-cut
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
