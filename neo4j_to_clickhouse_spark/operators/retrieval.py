@@ -167,3 +167,89 @@ def bm25_topk_per_query(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the BM25 inverted index: the production "index once,
+    query many" shape. Returns ``(postings, stats)`` where postings is
+    ``(term, id_col, tf, dl)`` — one row per (document, distinct term)
+    — and stats is the one-row ``(n_docs, avgdl)`` frame.
+
+    At 100 TB the corpus is scanned exactly once here; every subsequent
+    query set joins the postings on ``term`` (selective predicate
+    pushdown if persisted partitioned/bucketed by term — parquet scans
+    then read only the queried terms' row groups) instead of
+    re-tokenizing petabytes. Per-term df is derivable from postings
+    (`groupBy(term).count()`), so nothing else needs the raw text.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", id_col, "tf", "dl")
+    )
+    return postings, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch BM25 over a prebuilt index from :func:`build_bm25_index`
+    (or loaded from its persisted parquet). Bit-identical scores to
+    :func:`bm25_topk_per_query` — asserted by tests — without touching
+    document text. The postings filter (`join` on the broadcast query
+    vocabulary) is the only data-sized read; a term-partitioned store
+    turns it into partition pruning."""
+    vocab = queries.select("term").distinct()
+    hits = postings.join(F.broadcast(vocab), "term")
+    dfreq = hits.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        one_minus_b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.round(idf * (F.col("tf") * k1p1) / denom, 8).cast(
+                "decimal(20,8)"
+            ),
+        )
+        .select(id_col, "term", "c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        contrib.join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

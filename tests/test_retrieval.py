@@ -119,6 +119,38 @@ def test_bm25_per_query_plan_uses_window_group_limit(spark, corpus):
     assert "WindowGroupLimit" in plan  # k-cut heaps in the shuffle read
 
 
+def test_bm25_indexed_equals_direct(spark, corpus, tmp_path):
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        bm25_topk_per_query,
+        build_bm25_index,
+    )
+
+    qdf = spark.createDataFrame(
+        [("a", "spark"), ("a", "query"), ("b", "scan"), ("b", "slow")],
+        "query_id string, term string",
+    )
+    want = sorted(
+        map(tuple, bm25_topk_per_query(corpus, qdf, k=10).collect())
+    )
+    postings, stats = build_bm25_index(corpus)
+    # round-trip the index through its persisted form: the production
+    # path never re-reads document text
+    pdir = str(tmp_path / "postings")
+    sdir = str(tmp_path / "stats")
+    postings.write.parquet(pdir)
+    stats.write.parquet(sdir)
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk_indexed(
+                spark.read.parquet(pdir), spark.read.parquet(sdir), qdf, k=10
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_bm25_plan_shape(corpus):
     plan = bm25_topk(corpus, ("spark", "query"), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
