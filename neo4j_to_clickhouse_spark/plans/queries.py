@@ -2890,6 +2890,59 @@ def value_percentiles_by_type(spark, sf_dir):
     )
 
 
+_APPROX_PCT_ACC = 1000  # Spark guarantee: rank error <= n/accuracy
+
+
+@q(
+    "approx_percentile_bound_cert",
+    # Certification oracle (the embedding_ivf_recall pattern): the
+    # approx sketch (percentile_approx, a mergeable single-pass KLL-
+    # style summary — the 100 TB path that replaces the exact form's
+    # full per-group sort) is engine-specific by construction, so the
+    # oracle can't reproduce its VALUE; instead the Spark side verifies
+    # Spark's documented rank-error guarantee (<= n/accuracy) against
+    # the EXACT ranks computed from the same scan, and the oracle pins
+    # the claim: every group must certify within-bounds at both
+    # quantiles. A sketch regression (or a broken guarantee after a
+    # version bump) flips a boolean and the driver hash diverges.
+    """SELECT event_type,
+              true AS within_p50,
+              true AS within_p90
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "approx-percentile rank-error certification: percentile_approx "
+    "(mergeable sketch, no per-group sort) verified within its "
+    "documented n/accuracy rank bound against exact ranks",
+)
+def approx_percentile_bound_cert(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.5, 0.9], _APPROX_PCT_ACC
+        ).alias("ap"),
+        F.count("*").alias("n"),
+    )
+    eps = 1.0 / _APPROX_PCT_ACC
+    j = ev.join(F.broadcast(ap), "event_type")
+
+    def within(p: float, idx: int):
+        a = F.col("ap")[idx]
+        lt = F.sum(F.when(F.col("value") < a, 1).otherwise(0))
+        le = F.sum(F.when(F.col("value") <= a, 1).otherwise(0))
+        lo = F.floor((p - eps) * F.col("n"))
+        hi = F.ceil((p + eps) * F.col("n"))
+        return (le >= lo) & (lt <= hi)
+
+    return (
+        j.groupBy("event_type", "n")
+        .agg(
+            within(0.5, 0).alias("within_p50"),
+            within(0.9, 1).alias("within_p90"),
+        )
+        .select("event_type", "within_p50", "within_p90")
+        .orderBy("event_type")
+    )
+
+
 @q(
     "priority_sample_by_length",
     # Priority sampling (Duffield-Lund-Thorup) with a deterministic
@@ -7636,6 +7689,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
+    "approx_percentile_bound_cert",  # last green: r00
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
     "pricing_summary",  # last green: r07
@@ -7685,10 +7739,10 @@ _DRIVER_WINDOW = [
     "purchase_gap_histogram",  # last green: r08
     "returned_item_revenue",  # last green: r08
     "revenue_forecast",  # last green: r08
-    "rolling_weekly_active_users",  # last green: r08
 ]
 
 _ROTATION = [
+    "rolling_weekly_active_users",  # r08
     "session_path_topk",  # r08
     "ship_lag_stats",  # r08
     "shipping_priority",  # r08
