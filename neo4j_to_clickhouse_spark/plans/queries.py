@@ -2076,6 +2076,85 @@ def tfidf_source_profile(spark, sf_dir):
     )
 
 
+@q(
+    "warc_ingest_stats",
+    # Certifies the WARC source (sources/warc.py) end-to-end: the Spark
+    # side builds spec-exact WARC payloads per selected doc (HTTP
+    # response records; every odd doc as per-record-gzip members — the
+    # .warc.gz layout), splits them back through the REAL record parser
+    # executor-side, and aggregates; the oracle recomputes the closed
+    # form. A parser that misreads Content-Length framing, the gzip
+    # member walk, or the HTTP split diverges. 11 is coprime with the
+    # 20-way source assignment.
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 11 = 0)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+              CAST(sum(n_chars) AS BIGINT) AS total_bytes
+       FROM sel GROUP BY source ORDER BY source""",
+    "WARC (Common Crawl) ingestion stats over real record payloads: "
+    "per-source record/HTTP-200/body-byte totals through the ISO 28500 "
+    "record splitter incl. per-record gzip members",
+)
+def warc_ingest_stats(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 11) == 0)
+        .select("doc_id", "source", "text")
+    )
+    schema = "source string, http_status int, n_bytes long"
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from neo4j_to_clickhouse_spark.sources.warc import (
+            encode_warc,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                payload = encode_warc(
+                    [
+                        {
+                            "uri": f"http://example.com/{doc_id}",
+                            "body": text.encode(),
+                            "status": 404 if doc_id % 5 == 0 else 200,
+                        }
+                    ],
+                    gzip_per_record=bool(doc_id % 2),
+                )
+                for rec in parse_warc(payload):
+                    rows.append(
+                        (source, rec["http_status"], rec["n_bytes"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["source", "http_status", "n_bytes"]
+            )
+
+    return (
+        d.mapInPandas(run, schema)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(
+                F.when(F.col("http_status") == 200, 1).otherwise(0)
+            ).alias("n_ok"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -7692,6 +7771,7 @@ _DRIVER_WINDOW = [
     "approx_percentile_bound_cert",  # last green: r00
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
+    "warc_ingest_stats",  # last green: r00
     "pricing_summary",  # last green: r07
     "repeated_span_stats",  # last green: r07
     "retention_candidates",  # last green: r07
@@ -7738,10 +7818,10 @@ _DRIVER_WINDOW = [
     "priority_sample_estimator",  # last green: r08
     "purchase_gap_histogram",  # last green: r08
     "returned_item_revenue",  # last green: r08
-    "revenue_forecast",  # last green: r08
 ]
 
 _ROTATION = [
+    "revenue_forecast",  # r08
     "rolling_weekly_active_users",  # r08
     "session_path_topk",  # r08
     "ship_lag_stats",  # r08
