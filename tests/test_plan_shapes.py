@@ -341,6 +341,10 @@ def test_registry_wide_plan_lint(spark):
         # work, inherently Arrow-batched like the multimodal operators)
         "mp4_keyframe_stats",
         "multimodal_probe_stats",
+        # WARC record framing + HTML extraction (byte-level parsing,
+        # Arrow-batched by design — sources/warc.py, operators/html.py)
+        "warc_ingest_stats",
+        "html_extract_stats",
     }
     py_markers = (
         "BatchEvalPython",
