@@ -1,0 +1,72 @@
+"""URL canonicalization — the cheap dedup key ahead of content dedup.
+
+Crawl pipelines dedup by canonical URL before any content pass (same
+page fetched as http/https, with/without default port, tracking params,
+fragments, or trailing slashes). Everything here is a chain of Catalyst
+expressions (regexp_replace / lower / parse_url) — whole-stage codegen,
+zero Python, zero shuffle — so canonicalization is free inside the
+ingest scan at any scale.
+
+Rules (the conservative, safe-everywhere subset):
+- scheme and host lowercase; scheme-relative "//host/.." left intact;
+- default ports drop (":80" for http, ":443" for https);
+- the fragment (#...) drops;
+- known tracking params drop (utm_*, gclid, fbclid, ref);
+  a now-empty query string drops its "?";
+- a trailing "/" on a non-root path drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return _canonical_chain(c)
+
+
+def _canonical_chain(c: Column) -> Column:
+    # 1. drop fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # 2. drop tracking params, then tidy. Lookbehind keeps the ? / &
+    # delimiter unconsumed so ADJACENT tracking params both match in
+    # one pass ("?fbclid=f&ref=r" -> "?")
+    c = F.regexp_replace(c, r"(?<=[?&])" + _TRACKING + r"&?", "")
+    c = F.regexp_replace(c, r"[?&]+$", "")  # trailing ? / & left behind
+    c = F.regexp_replace(c, r"\?&", "?")  # "?&a=b" -> "?a=b"
+    # 3. lowercase scheme://host (authority ends at /, ? or end)
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(
+            c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+        ),
+    )
+    # 4. drop default ports
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"$1")
+    # 5. drop trailing slash on a non-root path (no query present):
+    # requires authority + '/' + at least one path char before the
+    # final '/', so the root slash itself is preserved
+    c = F.regexp_replace(
+        c, r"^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$", r"$1"
+    )
+    return c
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (port stripped) — the dedup / grouping key."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+def url_path(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )

@@ -2217,6 +2217,64 @@ def html_extract_stats(spark, sf_dir):
     )
 
 
+@q(
+    "url_canonical_dedup_stats",
+    # Certifies URL canonicalization (functions/url.py — the cheap
+    # dedup key ahead of content dedup): four messy variants of the
+    # same page (verbatim / UPPERCASE scheme+host + fragment /
+    # utm-tracking param / trailing slash, chosen by doc_id) must all
+    # collapse to one canonical per (host, page), so the per-host
+    # distinct-canonical count equals the closed-form distinct page
+    # count. Pure codegen — regexp_replace chains, no Python.
+    """WITH sel AS (
+         SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+       SELECT 'host' || CAST(doc_id % 10 AS VARCHAR)
+                || '.example.com' AS host,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(count(DISTINCT doc_id % 120) AS BIGINT)
+                AS n_canonical
+       FROM sel GROUP BY host ORDER BY host""",
+    "URL canonicalization dedup: messy scheme/fragment/tracking/slash "
+    "variants collapse to per-host canonical page counts",
+)
+def url_canonical_dedup_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3) == 0)
+        .select("doc_id")
+    )
+    h = (F.col("doc_id") % 10).cast("string")
+    p = (F.col("doc_id") % 120).cast("string")
+    v = (F.col("doc_id") / 3).cast("long") % 4
+    base = F.concat(
+        F.lit("http://host"), h, F.lit(".example.com/page"), p
+    )
+    upper = F.concat(
+        F.lit("HTTP://HOST"), h, F.lit(".EXAMPLE.COM/page"), p,
+        F.lit("#frag"),
+    )
+    url = (
+        F.when(v == 1, upper)
+        .when(v == 2, F.concat(base, F.lit("?utm_source=x")))
+        .when(v == 3, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    canon = d.select(canonicalize_url(url).alias("canonical"))
+    return (
+        canon.groupBy(url_host("canonical").alias("host"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct(F.col("canonical")).alias("n_canonical"),
+        )
+        .orderBy("host")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -7839,6 +7897,7 @@ _DRIVER_WINDOW = [
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
     "html_extract_stats",  # last green: r00
+    "url_canonical_dedup_stats",  # last green: r00
     "warc_ingest_stats",  # last green: r00
     "pricing_summary",  # last green: r07
     "repeated_span_stats",  # last green: r07
@@ -7884,10 +7943,10 @@ _DRIVER_WINDOW = [
     "partition_skew_report",  # last green: r08
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
-    "purchase_gap_histogram",  # last green: r08
 ]
 
 _ROTATION = [
+    "purchase_gap_histogram",  # r08
     "returned_item_revenue",  # r08
     "revenue_forecast",  # r08
     "rolling_weekly_active_users",  # r08

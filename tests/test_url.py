@@ -1,0 +1,88 @@
+"""URL canonicalization (functions/url.py): rule-by-rule cases through
+the real Catalyst expressions (collected via a tiny DataFrame)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.functions.url import (
+    canonicalize_url,
+    url_host,
+    url_path,
+)
+
+CASES = [
+    # fragment drops
+    ("http://a.com/x#frag", "http://a.com/x"),
+    # tracking params drop; real params survive
+    ("http://a.com/x?utm_source=tw&id=3", "http://a.com/x?id=3"),
+    ("http://a.com/x?id=3&utm_campaign=c", "http://a.com/x?id=3"),
+    ("http://a.com/x?gclid=g", "http://a.com/x"),
+    ("http://a.com/x?fbclid=f&ref=r", "http://a.com/x"),
+    # scheme+host lowercase; path case preserved
+    ("HTTP://WWW.A.COM/Path", "http://www.a.com/Path"),
+    # default ports drop; explicit ports survive
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    ("https://a.com:80/x", "https://a.com:80/x"),  # 80 is not https default
+    # trailing slash drops on non-root
+    ("http://a.com/x/", "http://a.com/x"),
+    ("http://a.com/", "http://a.com/"),
+    # combinations
+    (
+        "HTTPS://B.org:443/Y/?utm_medium=m#top",
+        "https://b.org/Y",
+    ),
+    # no-op on already-canonical
+    ("https://a.com/x?id=3", "https://a.com/x?id=3"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon(spark):
+    def run(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r.c
+            for r in df.select(
+                canonicalize_url("url").alias("c")
+            ).collect()
+        ]
+
+    return run
+
+
+def test_canonicalization_rules(canon):
+    got = canon([u for u, _ in CASES])
+    for (src, want), g in zip(CASES, got):
+        assert g == want, f"{src!r}: {g!r} != {want!r}"
+
+
+def test_idempotent(canon):
+    once = canon([u for u, _ in CASES])
+    twice = canon(once)
+    assert twice == once
+
+
+def test_host_and_path(spark):
+    df = spark.createDataFrame(
+        [("HTTP://X.COM:8080/a/b?q=1",), ("https://y.org",)],
+        "url string",
+    )
+    rows = df.select(
+        url_host("url").alias("h"), url_path("url").alias("p")
+    ).collect()
+    assert (rows[0].h, rows[0].p) == ("x.com", "/a/b")
+    assert rows[1].h == "y.org"
+
+
+def test_codegen_only(spark):
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = (
+        df.select(canonicalize_url("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
