@@ -2275,6 +2275,65 @@ def url_canonical_dedup_stats(spark, sf_dir):
     )
 
 
+@q(
+    "robots_filter_stats",
+    # Certifies the RFC 9309 crawl filter (sources/robots.py): every
+    # host carries "Disallow: /page1" + "Allow: /page11", so a URL is
+    # blocked iff its page number starts with 1 but not 11 — the
+    # longest-match override is ON the oracle. The rules parse from a
+    # real robots.txt body through parse_robots, and the decision runs
+    # as the zero-shuffle broadcast-join + array-aggregate plan.
+    """WITH sel AS (
+         SELECT doc_id, CAST(doc_id % 120 AS VARCHAR) AS p
+         FROM documents WHERE doc_id % 3 = 0)
+       SELECT 'host' || CAST(doc_id % 10 AS VARCHAR)
+                || '.example.com' AS host,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(CASE WHEN p LIKE '1%' AND p NOT LIKE '11%'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed
+       FROM sel GROUP BY host ORDER BY host""",
+    "robots.txt crawl filtering: per-host allowed-URL counts under a "
+    "Disallow-prefix + longer-Allow-override rule set (RFC 9309 "
+    "longest match), decided by the zero-shuffle broadcast plan",
+)
+def robots_filter_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.sources.robots import (
+        apply_robots,
+        robots_rules_df,
+    )
+
+    body = "User-agent: *\nDisallow: /page1\nAllow: /page11\n"
+    rules = robots_rules_df(
+        spark,
+        [(f"host{h}.example.com", body) for h in range(10)],
+    )
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3) == 0)
+        .select(
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.concat(
+                F.lit("/page"), (F.col("doc_id") % 120).cast("string")
+            ).alias("path"),
+        )
+    )
+    return (
+        apply_robots(urls, rules)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(
+                F.when(F.col("crawl_allowed"), 1).otherwise(0)
+            ).alias("n_allowed"),
+        )
+        .orderBy("host")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -7897,6 +7956,7 @@ _DRIVER_WINDOW = [
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
     "html_extract_stats",  # last green: r00
+    "robots_filter_stats",  # last green: r00
     "url_canonical_dedup_stats",  # last green: r00
     "warc_ingest_stats",  # last green: r00
     "pricing_summary",  # last green: r07
@@ -7942,10 +8002,10 @@ _DRIVER_WINDOW = [
     "nation_trade_volume",  # last green: r08
     "partition_skew_report",  # last green: r08
     "priority_sample_by_length",  # last green: r08
-    "priority_sample_estimator",  # last green: r08
 ]
 
 _ROTATION = [
+    "priority_sample_estimator",  # r08
     "purchase_gap_histogram",  # r08
     "returned_item_revenue",  # r08
     "revenue_forecast",  # r08
