@@ -2334,6 +2334,152 @@ def robots_filter_stats(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_ingest_pipeline_stats",
+    # The corpus-ingestion chain COMPOSED end-to-end on one oracle:
+    # WARC record parse (per-record gzip members) -> HTTP-200 filter ->
+    # URL canonicalization (4 messy variants) -> robots longest-match
+    # filter -> HTML text extraction. Each stage has its own certified
+    # query; this one certifies the handoffs (URI threading, binary->
+    # string body decode, filter composition). Closed form: a doc
+    # survives iff status 200 (doc_id%7!=0) and its page is not
+    # robots-blocked (page LIKE '1%' except '11%'); survivors
+    # contribute n_chars+2 extracted chars (the html wrapper's
+    # trailing entity).
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars,
+                CAST(doc_id % 120 AS VARCHAR) AS p
+         FROM documents WHERE doc_id % 9 = 0)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+              CAST(sum(CASE WHEN doc_id % 7 <> 0
+                        AND NOT (p LIKE '1%' AND p NOT LIKE '11%')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+              CAST(sum(CASE WHEN doc_id % 7 <> 0
+                        AND NOT (p LIKE '1%' AND p NOT LIKE '11%')
+                       THEN n_chars + 2 ELSE 0 END) AS BIGINT)
+                AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "end-to-end corpus ingestion: WARC parse -> HTTP filter -> URL "
+    "canonicalization -> robots filter -> HTML extraction, composed "
+    "and certified against one closed form",
+)
+def corpus_ingest_pipeline_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+        url_path,
+    )
+    from neo4j_to_clickhouse_spark.operators.html import (
+        extract_text_column,
+    )
+    from neo4j_to_clickhouse_spark.sources.robots import (
+        apply_robots,
+        robots_rules_df,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 0)
+        .select("doc_id", "source", "text")
+    )
+    schema = "source string, uri string, status int, body binary"
+
+    def build_and_parse(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from neo4j_to_clickhouse_spark.sources.warc import (
+            encode_warc,
+            parse_warc,
+        )
+
+        pre = (
+            '<html><head><title></title>'
+            '<script>var decoy = "<p>x</p>";</script>'
+            "<style>.m{}</style></head>"
+            "<body><!-- <div> --><div><p>"
+        )
+        post = "</p><p>&amp;</p></div></body></html>"
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                h, p = doc_id % 10, doc_id % 120
+                base = f"http://host{h}.example.com/page{p}"
+                v = (doc_id // 9) % 4
+                uri = (
+                    f"HTTP://HOST{h}.EXAMPLE.COM/page{p}#f"
+                    if v == 1
+                    else base + "?utm_source=x"
+                    if v == 2
+                    else base + "/"
+                    if v == 3
+                    else base
+                )
+                html = pre + text.replace(" ", "</p> <p>") + post
+                payload = encode_warc(
+                    [
+                        {
+                            "uri": uri,
+                            "body": html.encode(),
+                            "status": 404 if doc_id % 7 == 0 else 200,
+                            "content_type": "text/html",
+                        }
+                    ],
+                    gzip_per_record=bool(doc_id % 2),
+                )
+                for rec in parse_warc(payload):
+                    rows.append(
+                        (
+                            source,
+                            rec["target_uri"],
+                            rec["http_status"],
+                            rec["body"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["source", "uri", "status", "body"]
+            )
+
+    body = "User-agent: *\nDisallow: /page1\nAllow: /page11\n"
+    rules = robots_rules_df(
+        spark,
+        [(f"host{h}.example.com", body) for h in range(10)],
+    )
+    recs = d.mapInPandas(build_and_parse, schema)
+    canon = recs.withColumn(
+        "canonical", canonicalize_url(F.col("uri"))
+    ).withColumn("host", url_host("canonical")).withColumn(
+        "path", url_path("canonical")
+    )
+    filt = apply_robots(canon, rules)
+    ex = extract_text_column(
+        filt.withColumn("html", F.decode("body", "UTF-8")),
+        "html",
+        "extracted",
+    )
+    ok = F.col("status") == 200
+    kept = ok & F.col("crawl_allowed")
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_allowed"),
+            F.coalesce(
+                F.sum(F.when(kept, F.length("extracted"))), F.lit(0)
+            ).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -7955,6 +8101,7 @@ _DRIVER_WINDOW = [
     "approx_percentile_bound_cert",  # last green: r00
     "bm25_multi_query_topk",  # last green: r00
     "bm25_topk_docs",  # last green: r00
+    "corpus_ingest_pipeline_stats",  # last green: r00
     "html_extract_stats",  # last green: r00
     "robots_filter_stats",  # last green: r00
     "url_canonical_dedup_stats",  # last green: r00
@@ -8001,10 +8148,10 @@ _DRIVER_WINDOW = [
     "mixture_epochs_plan",  # last green: r08
     "nation_trade_volume",  # last green: r08
     "partition_skew_report",  # last green: r08
-    "priority_sample_by_length",  # last green: r08
 ]
 
 _ROTATION = [
+    "priority_sample_by_length",  # r08
     "priority_sample_estimator",  # r08
     "purchase_gap_histogram",  # r08
     "returned_item_revenue",  # r08

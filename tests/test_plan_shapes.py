@@ -345,6 +345,7 @@ def test_registry_wide_plan_lint(spark):
         # Arrow-batched by design — sources/warc.py, operators/html.py)
         "warc_ingest_stats",
         "html_extract_stats",
+        "corpus_ingest_pipeline_stats",
     }
     py_markers = (
         "BatchEvalPython",
