@@ -118,6 +118,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # audio header probes (r11): duration from headers alone — the
+    # probe cost must stay microseconds regardless of payload length
+    from neo4j_to_clickhouse_spark.operators.audio_probe import (
+        encode_aiff,
+        encode_flac,
+        encode_mp3,
+        encode_ogg,
+        probe_aiff,
+        probe_flac,
+        probe_mp3,
+        probe_ogg,
+    )
+
+    audio_probe_us: dict[str, float] = {}
+    for name, enc, probe in (
+        # ~60 s of 128 kbps CBR: ~2300 frames — the WALK path, the
+        # worst case (Xing/VBRI are one O(1) read)
+        ("mp3_walk_60s", lambda: encode_mp3(2300), probe_mp3),
+        ("mp3_xing", lambda: encode_mp3(2300, vbr_header="xing"), probe_mp3),
+        ("flac", lambda: encode_flac(16000 * 60, 16000, audio_bytes=200000), probe_flac),
+        ("ogg_vorbis", lambda: encode_ogg(48000 * 60, 48000, n_audio_pages=50), probe_ogg),
+        ("aiff", lambda: encode_aiff(22050 * 60, 22050), probe_aiff),
+    ):
+        payload = enc()
+        pt, info = _timed(probe, payload, repeat=20)
+        assert info and info.get("duration_ms"), name
+        audio_probe_us[name] = round(pt * 1e6, 1)
+        print(
+            f"# {name:13s} probe {pt*1e6:7.1f} us"
+            f"  ({len(payload)/1024:.0f} KiB payload)",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -126,6 +159,7 @@ def main() -> None:
                 "decode": decode,
                 "probe_speedup": probe_speedup,
                 "video_frames_per_s": video,
+                "audio_probe_us": audio_probe_us,
             }
         )
     )
