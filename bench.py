@@ -164,15 +164,20 @@ def _maintenance_jobs(spark, sf_dir: str) -> list:
     return [("maintenance_compact", prepare, run_once)]
 
 
-def _evidence_path(repo_dir: str) -> str:
+def _evidence_path(repo_dir: str, sf: str = "0.1") -> str:
     """Self-archive target (VERDICT r10 item 4): the driver snapshots
     only the tail of bench stdout, so the full per-query JSON is also
     written here, named by the round the current driver window was
-    generated for."""
+    generated for. Non-default scale factors get a suffixed name so a
+    smoke run at sf0.001 can never clobber the round's sf0.1 record."""
     from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
 
+    tag = "" if str(sf) == "0.1" else f"_sf{sf}"
     return os.path.join(
-        repo_dir, "docs", "evidence", f"BENCH_r{_WINDOW_ROUND}_local.json"
+        repo_dir,
+        "docs",
+        "evidence",
+        f"BENCH_r{_WINDOW_ROUND}{tag}_local.json",
     )
 
 
@@ -377,7 +382,9 @@ def main() -> None:
     print(payload)
     # full-JSON self-archive: the driver's stdout snapshot is tail-
     # truncated (lost 13/20 wall times in r10); this copy is complete
-    evidence = _evidence_path(os.path.dirname(os.path.abspath(__file__)))
+    evidence = _evidence_path(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
     try:
         os.makedirs(os.path.dirname(evidence), exist_ok=True)
         with open(evidence, "w") as fh:

@@ -32,6 +32,9 @@ def test_evidence_path_is_round_stamped(tmp_path):
     assert p == str(
         tmp_path / "docs" / "evidence" / f"BENCH_r{_WINDOW_ROUND}_local.json"
     )
+    # a smoke run at another SF must not clobber the sf0.1 record
+    p2 = bench._evidence_path(str(tmp_path), "0.001")
+    assert p2.endswith(f"BENCH_r{_WINDOW_ROUND}_sf0.001_local.json")
 
 
 def test_maintenance_jobs_shape(spark, tmp_path):
