@@ -8095,112 +8095,62 @@ def revenue_pareto_report(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
-    "approx_percentile_bound_cert",  # last green: r00
-    "bm25_multi_query_topk",  # last green: r00
-    "bm25_topk_docs",  # last green: r00
-    "corpus_ingest_pipeline_stats",  # last green: r00
-    "html_extract_stats",  # last green: r00
-    "robots_filter_stats",  # last green: r00
-    "url_canonical_dedup_stats",  # last green: r00
-    "warc_ingest_stats",  # last green: r00
-    "pricing_summary",  # last green: r07
-    "repeated_span_stats",  # last green: r07
-    "retention_candidates",  # last green: r07
-    "revenue_by_nation",  # last green: r07
-    "sample_hash_fraction",  # last green: r07
-    "semantic_dedup_survivors",  # last green: r07
-    "sequence_packing_stats",  # last green: r07
-    "session_window_counts",  # last green: r07
-    "shard_balance_report",  # last green: r07
-    "span_dedup_rewrite_stats",  # last green: r07
-    "state_interval_stats",  # last green: r07
-    "text_stats_by_source",  # last green: r07
-    "tokenizer_comparison_by_source",  # last green: r07
-    "topk_words_approx",  # last green: r07
-    "window_funnel_strict_order_steps",  # last green: r07
-    "active_time_union_seconds",  # last green: r08
-    "approx_percentile_bound",  # last green: r08
-    "asof_next_event",  # last green: r08
-    "audience_overlap_by_type",  # last green: r08
-    "basket_cooccurrence_topk",  # last green: r08
-    "column_profile_events",  # last green: r08
-    "conversion_by_signup_cohort",  # last green: r08
-    "customers_inactive_since",  # last green: r08
-    "daily_anomaly_flags",  # last green: r08
-    "dedup_cluster_size_histogram",  # last green: r08
-    "dedup_incremental_batch",  # last green: r08
-    "distribution_shift_by_type",  # last green: r08
-    "dup_rate_by_lang",  # last green: r08
-    "embedding_centroid_spread",  # last green: r08
-    "embedding_coverage_report",  # last green: r08
-    "embedding_pq_adc_recall",  # last green: r08
-    "event_transition_matrix",  # last green: r08
-    "first_event_type_distribution",  # last green: r08
-    "gopher_quality_flags",  # last green: r08
-    "json_value_stats_by_type",  # last green: r08
-    "langid_confusion",  # last green: r08
-    "large_order_customers",  # last green: r08
-    "late_arrival_audit",  # last green: r08
-    "max_concurrent_sessions",  # last green: r08
-    "mixture_epochs_plan",  # last green: r08
-    "nation_trade_volume",  # last green: r08
-    "partition_skew_report",  # last green: r08
+    "priority_sample_by_length",  # last green: r08
+    "priority_sample_estimator",  # last green: r08
+    "purchase_gap_histogram",  # last green: r08
+    "returned_item_revenue",  # last green: r08
+    "revenue_forecast",  # last green: r08
+    "rolling_weekly_active_users",  # last green: r08
+    "session_path_topk",  # last green: r08
+    "ship_lag_stats",  # last green: r08
+    "shipping_priority",  # last green: r08
+    "split_leakage_report",  # last green: r08
+    "template_prefix_audit",  # last green: r08
+    "token_zipf_coverage",  # last green: r08
+    "top_brands_per_nation",  # last green: r08
+    "topk_words_per_source",  # last green: r08
+    "ttr_by_length_decile",  # last green: r08
+    "urgent_customers_by_segment",  # last green: r08
+    "user_activity_gini",  # last green: r08
+    "user_growth_accounting",  # last green: r08
+    "user_halves_churn",  # last green: r08
+    "value_corr_by_type",  # last green: r08
+    "value_delta_sum_by_type",  # last green: r08
+    "value_skew_kurtosis_by_type",  # last green: r08
+    "vocab_growth_curve",  # last green: r08
+    "argmax_event_per_user",  # last green: r09
+    "clicker_purchaser_intersect",  # last green: r09
+    "conditional_aggregates",  # last green: r09
+    "count_distinct_salted",  # last green: r09
+    "cube_event_counts",  # last green: r09
+    "daily_counts_gapfilled",  # last green: r09
+    "decontamination_overlap",  # last green: r09
+    "dedup_jaccard_capped",  # last green: r09
+    "dedup_survivors_minhash",  # last green: r09
+    "dedup_token_savings_by_source",  # last green: r09
+    "doc_length_magnitude_histogram",  # last green: r09
+    "duplicate_metadata_conflicts",  # last green: r09
+    "embedding_dimension_stats",  # last green: r09
+    "embedding_ivf_full_probe",  # last green: r09
+    "embedding_near_duplicates",  # last green: r09
+    "event_share_of_total",  # last green: r09
+    "event_type_pivot",  # last green: r09
+    "events_by_dow_hour",  # last green: r09
+    "fingerprint_uniqueness",  # last green: r09
+    "first_event_salted",  # last green: r09
+    "first_events_per_user",  # last green: r09
+    "grouping_sets_event_report",  # last green: r09
+    "hourly_event_windows",  # last green: r09
+    "langid_distribution",  # last green: r09
+    "multimodal_inventory",  # last green: r09
+    "ngram_diversity_by_source",  # last green: r09
+    "order_line_count_histogram",  # last green: r09
 ]
 
 _ROTATION = [
-    "priority_sample_by_length",  # r08
-    "priority_sample_estimator",  # r08
-    "purchase_gap_histogram",  # r08
-    "returned_item_revenue",  # r08
-    "revenue_forecast",  # r08
-    "rolling_weekly_active_users",  # r08
-    "session_path_topk",  # r08
-    "ship_lag_stats",  # r08
-    "shipping_priority",  # r08
-    "split_leakage_report",  # r08
-    "template_prefix_audit",  # r08
-    "token_zipf_coverage",  # r08
-    "top_brands_per_nation",  # r08
-    "topk_words_per_source",  # r08
-    "ttr_by_length_decile",  # r08
-    "urgent_customers_by_segment",  # r08
-    "user_activity_gini",  # r08
-    "user_growth_accounting",  # r08
-    "user_halves_churn",  # r08
-    "value_corr_by_type",  # r08
-    "value_delta_sum_by_type",  # r08
-    "value_skew_kurtosis_by_type",  # r08
-    "vocab_growth_curve",  # r08
-    "argmax_event_per_user",  # r09
-    "clicker_purchaser_intersect",  # r09
-    "conditional_aggregates",  # r09
-    "count_distinct_salted",  # r09
-    "cube_event_counts",  # r09
-    "daily_counts_gapfilled",  # r09
-    "decontamination_overlap",  # r09
-    "dedup_jaccard_capped",  # r09
-    "dedup_survivors_minhash",  # r09
-    "dedup_token_savings_by_source",  # r09
-    "doc_length_magnitude_histogram",  # r09
-    "duplicate_metadata_conflicts",  # r09
-    "embedding_dimension_stats",  # r09
-    "embedding_ivf_full_probe",  # r09
-    "embedding_near_duplicates",  # r09
-    "event_share_of_total",  # r09
-    "event_type_pivot",  # r09
-    "events_by_dow_hour",  # r09
-    "fingerprint_uniqueness",  # r09
-    "first_event_salted",  # r09
-    "first_events_per_user",  # r09
-    "grouping_sets_event_report",  # r09
-    "hourly_event_windows",  # r09
-    "langid_distribution",  # r09
-    "multimodal_inventory",  # r09
-    "ngram_diversity_by_source",  # r09
-    "order_line_count_histogram",  # r09
     "orders_monthly_growth",  # r09
     "payload_profile",  # r09
     "quality_bands",  # r09
@@ -8274,6 +8224,56 @@ _ROTATION = [
     "token_count_extremes",  # r10
     "value_histogram",  # r10
     "window_funnel_steps",  # r10
+    "active_time_union_seconds",  # r11
+    "approx_percentile_bound",  # r11
+    "approx_percentile_bound_cert",  # r11
+    "asof_next_event",  # r11
+    "audience_overlap_by_type",  # r11
+    "basket_cooccurrence_topk",  # r11
+    "bm25_multi_query_topk",  # r11
+    "bm25_topk_docs",  # r11
+    "column_profile_events",  # r11
+    "conversion_by_signup_cohort",  # r11
+    "corpus_ingest_pipeline_stats",  # r11
+    "customers_inactive_since",  # r11
+    "daily_anomaly_flags",  # r11
+    "dedup_cluster_size_histogram",  # r11
+    "dedup_incremental_batch",  # r11
+    "distribution_shift_by_type",  # r11
+    "dup_rate_by_lang",  # r11
+    "embedding_centroid_spread",  # r11
+    "embedding_coverage_report",  # r11
+    "embedding_pq_adc_recall",  # r11
+    "event_transition_matrix",  # r11
+    "first_event_type_distribution",  # r11
+    "gopher_quality_flags",  # r11
+    "html_extract_stats",  # r11
+    "json_value_stats_by_type",  # r11
+    "langid_confusion",  # r11
+    "large_order_customers",  # r11
+    "late_arrival_audit",  # r11
+    "max_concurrent_sessions",  # r11
+    "mixture_epochs_plan",  # r11
+    "nation_trade_volume",  # r11
+    "partition_skew_report",  # r11
+    "pricing_summary",  # r11
+    "repeated_span_stats",  # r11
+    "retention_candidates",  # r11
+    "revenue_by_nation",  # r11
+    "robots_filter_stats",  # r11
+    "sample_hash_fraction",  # r11
+    "semantic_dedup_survivors",  # r11
+    "sequence_packing_stats",  # r11
+    "session_window_counts",  # r11
+    "shard_balance_report",  # r11
+    "span_dedup_rewrite_stats",  # r11
+    "state_interval_stats",  # r11
+    "text_stats_by_source",  # r11
+    "tokenizer_comparison_by_source",  # r11
+    "topk_words_approx",  # r11
+    "url_canonical_dedup_stats",  # r11
+    "warc_ingest_stats",  # r11
+    "window_funnel_strict_order_steps",  # r11
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only
