@@ -2335,6 +2335,77 @@ def robots_filter_stats(spark, sf_dir):
 
 
 @q(
+    "robots_wildcard_filter_stats",
+    # Certifies RFC 9309 §2.2.3 wildcard matching (VERDICT r11 item 2):
+    # mid-star ("/page1*7$" — Allow override), star+$ ("/page*7$" —
+    # blocks pages ending in 7), tail-star ("/page9*"), and a plain
+    # prefix ("/page4"), all resolved by most-octets-sans-wildcards
+    # precedence inside the same zero-shuffle broadcast plan. Closed
+    # form: a page p (doc_id%120) is allowed iff it starts with 1 AND
+    # ends with 7 (the weight-7 Allow), OR matches none of: ends-with-7,
+    # starts-with-4, starts-with-9.
+    """WITH sel AS (
+         SELECT doc_id, CAST(doc_id % 120 AS VARCHAR) AS p
+         FROM documents WHERE doc_id % 3 = 1)
+       SELECT 'host' || CAST(doc_id % 10 AS VARCHAR)
+                || '.example.com' AS host,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(CASE WHEN p LIKE '1%' AND p LIKE '%7' THEN 1
+                            WHEN p LIKE '%7' THEN 0
+                            WHEN p LIKE '4%' THEN 0
+                            WHEN p LIKE '9%' THEN 0
+                            ELSE 1 END) AS BIGINT) AS n_allowed
+       FROM sel GROUP BY host ORDER BY host""",
+    "robots.txt wildcard crawl filtering (RFC 9309 §2.2.3): '*' and "
+    "'$' match patterns with most-specific-match precedence, decided "
+    "by the zero-shuffle broadcast plan (regex precompiled into the "
+    "broadcast rule rows)",
+)
+def robots_wildcard_filter_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.sources.robots import (
+        apply_robots,
+        robots_rules_df,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /page*7$\n"   # weight 6: pages ending in 7
+        "Allow: /page1*7$\n"     # weight 7: ...unless starting with 1
+        "Disallow: /page9*\n"    # weight 6: tail star == prefix
+        "Disallow: /page4\n"     # weight 6: plain prefix
+    )
+    rules = robots_rules_df(
+        spark,
+        [(f"host{h}.example.com", body) for h in range(10)],
+    )
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 3) == 1)
+        .select(
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.concat(
+                F.lit("/page"), (F.col("doc_id") % 120).cast("string")
+            ).alias("path"),
+        )
+    )
+    return (
+        apply_robots(urls, rules)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(
+                F.when(F.col("crawl_allowed"), 1).otherwise(0)
+            ).alias("n_allowed"),
+        )
+        .orderBy("host")
+    )
+
+
+@q(
     "corpus_ingest_pipeline_stats",
     # The corpus-ingestion chain COMPOSED end-to-end on one oracle:
     # WARC record parse (per-record gzip members) -> HTTP-200 filter ->
@@ -8098,6 +8169,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
+    "robots_wildcard_filter_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
     "purchase_gap_histogram",  # last green: r08
@@ -8147,10 +8219,10 @@ _DRIVER_WINDOW = [
     "langid_distribution",  # last green: r09
     "multimodal_inventory",  # last green: r09
     "ngram_diversity_by_source",  # last green: r09
-    "order_line_count_histogram",  # last green: r09
 ]
 
 _ROTATION = [
+    "order_line_count_histogram",  # r09
     "orders_monthly_growth",  # r09
     "payload_profile",  # r09
     "quality_bands",  # r09

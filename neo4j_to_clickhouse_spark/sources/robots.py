@@ -10,20 +10,31 @@ Parsing (`parse_robots`) is a pure function over the robots body:
 groups of ``User-agent:`` lines followed by ``Allow:`` / ``Disallow:``
 rules; comments and blank lines per RFC 9309 §2.2. The match side is
 fully declarative (`apply_robots`): rules are a tiny table (a few per
-host) that broadcasts; URLs join on host, PREFIX rules match with
-``startswith``, and the RFC's longest-match-wins (Allow beats Disallow
-on ties) resolves with one rank window over the rules-sized join
-output. Wildcard patterns (`*`, `$`) are intentionally out of scope —
-they are rare in the wild and would force per-row regex; `parse_robots`
-surfaces them with ``has_wildcard=True`` so callers can route those
-few hosts to a stricter policy.
+host) that broadcasts; URLs join on host, plain rules match with
+``startswith`` and wildcard rules (RFC 9309 §2.2.3: ``*`` matches any
+character sequence, a trailing ``$`` anchors the end of the path) match
+with a JVM-side ``regexp_like`` against a regex compiled at parse time
+(``*`` -> ``.*``, trailing ``$`` -> end anchor, everything else
+escaped — the Java/RE2/Python-common regex subset, same discipline as
+`redact.py`). The RFC's most-specific-match-wins resolves on the rule's
+octet count excluding the ``*``/``$`` metacharacters, Allow beating
+Disallow on ties, with one rank fold over the rules-sized join output.
+
+Group selection per RFC 9309 §2.2.1: for each host the agent-specific
+group is used when one exists (matched as a lowercased exact product
+token), otherwise the ``*`` group — a host that only publishes
+``User-agent: *`` rules still constrains every crawler. Groups sharing
+a user-agent merge, as the RFC requires.
 
 100 TB design: rules-per-host is bounded, so they pre-aggregate into a
 per-host rule ARRAY (a tiny broadcast table); each URL broadcast-joins
 its host's array and resolves longest-match with a codegen
 ``aggregate`` over that array — ZERO shuffle of the URL set, no window,
-no Python. Unmatched URLs (or hosts with no robots) default to allowed
-inside the same expression.
+no Python. The wildcard regex is pre-compiled into the broadcast rule
+row, so the URL side stays pure codegen (``StartsWith`` for plain
+prefixes, ``RLike`` only for the rare wildcard rules). Unmatched URLs
+(or hosts with no robots) default to allowed inside the same
+expression.
 """
 
 from __future__ import annotations
@@ -31,7 +42,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROBOTS_RULE_SCHEMA = "host string, agent string, allow boolean, prefix string, has_wildcard boolean"
+ROBOTS_RULE_SCHEMA = (
+    "host string, agent string, allow boolean, prefix string, "
+    "has_wildcard boolean, pattern string, weight int"
+)
+
+_RULE_STRUCT = "struct<prefix:string,pattern:string,weight:int,allow:boolean>"
+
+# Regex metacharacters escaped in the Java/RE2/Python common subset.
+_RX_META = set("\\.[]{}()^$|?+*")
+
+
+def _rule_regex(value: str) -> str:
+    """RFC 9309 match pattern -> anchored regex (``*`` -> ``.*``,
+    trailing ``$`` -> end anchor, all other octets literal)."""
+    anchored = value.endswith("$")
+    core = value[:-1] if anchored else value
+    out = ["^"]
+    for ch in core:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RX_META:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
+
+def _rule_weight(value: str) -> int:
+    """Specificity per RFC 9309 §2.2.2 (most octets wins): the pattern
+    length excluding ``*`` wildcards and the trailing ``$`` anchor."""
+    core = value[:-1] if value.endswith("$") else value
+    return len(core.replace("*", ""))
 
 
 def parse_robots(host: str, body: str) -> list[tuple]:
@@ -67,10 +111,26 @@ def parse_robots(host: str, body: str) -> list[tuple]:
 
 
 def robots_rules_df(spark, bodies: list[tuple[str, str]]) -> DataFrame:
-    """(host, robots_body) pairs -> the broadcastable rules table."""
+    """(host, robots_body) pairs -> the broadcastable rules table.
+
+    The match machinery is pre-compiled here, driver-side, into the
+    tiny rule rows: ``pattern`` (the anchored regex; NULL for plain
+    prefix rules, which take the faster ``startswith`` path) and
+    ``weight`` (RFC specificity = octets sans wildcards)."""
     rows = []
     for host, body in bodies:
-        rows.extend(parse_robots(host, body))
+        for host_, agent, allow, prefix, wild in parse_robots(host, body):
+            rows.append(
+                (
+                    host_,
+                    agent,
+                    allow,
+                    prefix,
+                    wild,
+                    _rule_regex(prefix) if wild else None,
+                    _rule_weight(prefix),
+                )
+            )
     return spark.createDataFrame(rows, ROBOTS_RULE_SCHEMA)
 
 
@@ -81,54 +141,84 @@ def apply_robots(
     host_col: str = "host",
     path_col: str = "path",
 ) -> DataFrame:
-    """Adds ``crawl_allowed``: RFC 9309 longest-match decision for
-    ``agent`` (prefix rules only; see module docstring). URLs with no
-    matching rule — or no rules for their host at all — are allowed."""
+    """Adds ``crawl_allowed``: RFC 9309 most-specific-match decision
+    for ``agent``, wildcard rules included. Per host the
+    agent-specific group applies if one exists, else the ``*`` group
+    (RFC 9309 §2.2.1). URLs with no matching rule — or no rules for
+    their host at all — are allowed."""
+    agent = agent.lower()
+    # Per host: collect the candidate rules once, then keep the
+    # agent-specific group when the host has one, else the '*' group.
+    # All of this happens on the tiny rules side, before broadcast.
     per_host = (
         rules.filter(
-            (F.col("agent") == agent.lower()) & ~F.col("has_wildcard")
+            (F.col("agent") == agent) | (F.col("agent") == "*")
         )
         .groupBy(F.col("host").alias("__rhost"))
         .agg(
             F.collect_list(
                 F.struct(
+                    (F.col("agent") == F.lit(agent)).alias("spec"),
                     F.col("prefix").alias("prefix"),
+                    F.col("pattern").alias("pattern"),
+                    F.col("weight").alias("weight"),
                     F.col("allow").alias("allow"),
                 )
-            ).alias("__rules")
+            ).alias("__all")
         )
+    )
+    has_spec = F.exists(F.col("__all"), lambda r: r["spec"])
+    per_host = per_host.select(
+        "__rhost",
+        F.transform(
+            F.filter(
+                F.col("__all"),
+                lambda r: F.when(has_spec, r["spec"]).otherwise(
+                    F.lit(True)
+                ),
+            ),
+            lambda r: F.struct(
+                r["prefix"].alias("prefix"),
+                r["pattern"].alias("pattern"),
+                r["weight"].alias("weight"),
+                r["allow"].alias("allow"),
+            ),
+        ).alias("__rules"),
     )
     joined = urls.join(
         F.broadcast(per_host),
         F.col(host_col) == F.col("__rhost"),
         "left",
     )
-    # longest matching prefix wins; Allow beats Disallow on equal
-    # length; no match (or no rules for the host) -> allowed. One
-    # codegen aggregate over the per-host rule array, zero shuffle.
+    # Most specific (highest weight) matching rule wins; Allow beats
+    # Disallow on equal weight; no match (or no rules for the host)
+    # -> allowed. One codegen aggregate over the per-host rule array,
+    # zero shuffle of the URL set. Plain prefixes match with
+    # StartsWith; wildcard rules with RLike on the precompiled regex.
     path = F.col(path_col)
     decision = F.aggregate(
         F.coalesce(
             F.col("__rules"),
-            F.array().cast(
-                "array<struct<prefix:string,allow:boolean>>"
-            ),
+            F.array().cast(f"array<{_RULE_STRUCT}>"),
         ),
         F.struct(
             F.lit(-1).alias("len"), F.lit(True).alias("allow")
         ),
         lambda acc, r: F.when(
-            path.startswith(r["prefix"])
+            F.when(
+                r["pattern"].isNotNull(),
+                F.regexp_like(path, r["pattern"]),
+            ).otherwise(path.startswith(r["prefix"]))
             & (
-                (F.length(r["prefix"]) > acc["len"])
+                (r["weight"] > acc["len"])
                 | (
-                    (F.length(r["prefix"]) == acc["len"])
+                    (r["weight"] == acc["len"])
                     & r["allow"]
                     & ~acc["allow"]
                 )
             ),
             F.struct(
-                F.length(r["prefix"]).alias("len"),
+                r["weight"].alias("len"),
                 r["allow"].alias("allow"),
             ),
         ).otherwise(acc),

@@ -30,7 +30,7 @@ def test_parse_groups_and_comments():
     # consecutive user-agent lines share the group's rules
     assert ("a.com", "badbot", False, "/", False) in rules
     assert ("a.com", "otherbot", False, "/", False) in rules
-    # wildcard rules surface flagged, not silently matched
+    # wildcard rules surface flagged (and are matched downstream)
     wild = [r for r in rules if r[1] == "wildbot"]
     assert wild == [("a.com", "wildbot", False, "/tmp/*", True)]
 
@@ -94,9 +94,111 @@ def test_agent_specific_rules(spark):
     assert bad.crawl_allowed is False
 
 
+def test_wildcard_rules_match(spark):
+    # RFC 9309 §2.2.3: '*' matches any char sequence, trailing '$'
+    # anchors the end. Mid-star, tail-star, and $-anchor cases.
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a*7$\n"    # ends with 7 under /a -> blocked
+        "Allow: /a/x*7$\n"     # ...unless under /a/x (more octets)
+        "Disallow: /img*\n"    # tail star == prefix /img
+        "Disallow: /exact$\n"  # only the exact path /exact
+    )
+    rules = robots_rules_df(spark, [("a.com", body)])
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/a/page7"),    # mid-star + $: blocked
+            ("a.com", "/a/page70"),   # doesn't END in 7: allowed
+            ("a.com", "/a/x/page7"),  # allow override (weight 5 > 3)
+            ("a.com", "/img/logo"),   # tail star: blocked
+            ("a.com", "/exact"),      # $ exact: blocked
+            ("a.com", "/exact/sub"),  # not exact: allowed
+        ],
+        "host string, path string",
+    )
+    got = {
+        r.path: r.crawl_allowed
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert got == {
+        "/a/page7": False,
+        "/a/page70": True,
+        "/a/x/page7": True,
+        "/img/logo": False,
+        "/exact": False,
+        "/exact/sub": True,
+    }
+
+
+def test_wildcard_regex_metachars_literal(spark):
+    # Regex metacharacters in the rule are literal octets per the RFC.
+    body = "User-agent: *\nDisallow: /q?a=(1)*$\n"
+    rules = robots_rules_df(spark, [("a.com", body)])
+    urls = spark.createDataFrame(
+        [("a.com", "/q?a=(1)&b=2"), ("a.com", "/qXa=1")],
+        "host string, path string",
+    )
+    got = {
+        r.path: r.crawl_allowed
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert got == {"/q?a=(1)&b=2": False, "/qXa=1": True}
+
+
+def test_precedence_tie_wildcard_vs_prefix(spark):
+    # '/page$' (anchored, weight 5) ties '/page' (prefix, weight 5)
+    # on the exact path '/page': Allow wins the tie. On '/page2' only
+    # the prefix rule matches.
+    body = "User-agent: *\nDisallow: /page\nAllow: /page$\n"
+    rules = robots_rules_df(spark, [("a.com", body)])
+    urls = spark.createDataFrame(
+        [("a.com", "/page"), ("a.com", "/page2")],
+        "host string, path string",
+    )
+    got = {
+        r.path: r.crawl_allowed
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert got == {"/page": True, "/page2": False}
+
+
+def test_star_group_fallback_for_named_agent(spark):
+    # RFC 9309 §2.2.1: a host publishing only 'User-agent: *' rules
+    # still binds a named crawler; a host with an agent-specific
+    # group uses ONLY that group (star rules ignored there).
+    star_only = "User-agent: *\nDisallow: /blocked\n"
+    both = (
+        "User-agent: *\nDisallow: /star\n"
+        "User-agent: mybot\nDisallow: /mine\n"
+    )
+    rules = robots_rules_df(
+        spark, [("s.com", star_only), ("b.com", both)]
+    )
+    urls = spark.createDataFrame(
+        [
+            ("s.com", "/blocked/x"),  # star fallback applies
+            ("s.com", "/open"),
+            ("b.com", "/star/x"),     # star group ignored: specific exists
+            ("b.com", "/mine/x"),     # specific group applies
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r.host, r.path): r.crawl_allowed
+        for r in apply_robots(urls, rules, agent="MyBot").collect()
+    }
+    assert got == {
+        ("s.com", "/blocked/x"): False,
+        ("s.com", "/open"): True,
+        ("b.com", "/star/x"): True,
+        ("b.com", "/mine/x"): False,
+    }
+
+
 def test_zero_shuffle_plan(spark):
     rules = robots_rules_df(
-        spark, [("a.com", "User-agent: *\nDisallow: /x\n")]
+        spark,
+        [("a.com", "User-agent: *\nDisallow: /x\nDisallow: /y*z$\n")],
     )
     urls = spark.createDataFrame(
         [("a.com", "/x")], "host string, path string"
