@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 from neo4j_to_clickhouse_spark.sources.warc import (
     WARC_RECORD_SCHEMA,
     encode_warc,
+    iter_warc,
     parse_warc,
     read_warc,
     warc_records,
@@ -108,6 +109,47 @@ def test_roundtrip_property(bodies, gz):
     recs = [{"uri": f"u{i}", "body": b} for i, b in enumerate(bodies)]
     out = parse_warc(encode_warc(recs, gzip_per_record=gz))
     assert [r["body"] for r in out] == bodies
+
+
+@pytest.mark.parametrize("chunk", [7, 64, 1024])
+def test_chunked_inflate_equivalence(chunk):
+    # The incremental parse must be bit-identical no matter where the
+    # inflate steps land (headers, bodies, and the "WARC/" magic all
+    # get split across chunk boundaries at chunk=7).
+    payload = encode_warc(_recs(6), gzip_per_record=True)
+    assert list(iter_warc(payload, chunk_size=chunk)) == parse_warc(payload)
+    mixed = encode_warc(_recs(4))  # plain passes through whole
+    assert list(iter_warc(mixed, chunk_size=chunk)) == parse_warc(mixed)
+
+
+def test_chunked_truncation_sweep_never_raises():
+    p = encode_warc(_recs(2), gzip_per_record=True)
+    for cut in range(0, len(p), 3):
+        list(iter_warc(p[:cut], chunk_size=11))
+
+
+def test_streaming_peak_memory_is_record_bounded():
+    # VERDICT r11 item 3: peak memory must be O(largest record + one
+    # inflate step), not O(file). 300 records x ~8 KB decompress to
+    # ~2.4 MB; consuming the iterator lazily with a 64 KiB feed must
+    # peak far below the decompressed total.
+    import tracemalloc
+
+    recs = [
+        {"uri": f"u{i}", "body": bytes((i + j) % 251 for j in range(8192))}
+        for i in range(300)
+    ]
+    payload = encode_warc(recs, gzip_per_record=True)
+    total = sum(len(r["body"]) for r in recs)
+    assert total > 2_000_000
+    tracemalloc.start()
+    n = 0
+    for r in iter_warc(payload, chunk_size=65536):
+        n += 1  # consume without retaining
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 300
+    assert peak < total / 3, f"peak {peak} vs decompressed total {total}"
 
 
 def test_spark_read_warc(spark, tmp_path):
