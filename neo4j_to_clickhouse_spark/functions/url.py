@@ -13,7 +13,11 @@ Rules (the conservative, safe-everywhere subset):
 - the fragment (#...) drops;
 - known tracking params drop (utm_*, gclid, fbclid, ref);
   a now-empty query string drops its "?";
-- a trailing "/" on a non-root path drops.
+- a trailing "/" on a non-root path drops;
+- percent-encoding normalizes per RFC 3986 §6.2.2: hex digits
+  uppercase ("%2f" -> "%2F") and encoded UNRESERVED octets decode
+  ("%7E" -> "~", "%41" -> "A"); reserved/other octets stay encoded,
+  malformed escapes pass through untouched.
 """
 
 from __future__ import annotations
@@ -29,7 +33,34 @@ def canonicalize_url(url: Column | str) -> Column:
     return _canonical_chain(c)
 
 
+def _normalize_pct(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure codegen:
+    split on a lookahead so each part starts with one escape, uppercase
+    the hex pair, decode it when the octet is unreserved
+    ([A-Za-z0-9._~-]). Guarded by contains('%') so the common
+    escape-free URL skips the whole expression."""
+
+    def fix(p: Column) -> Column:
+        hex2 = F.upper(F.substring(p, 2, 2))
+        rest = F.substring(p, 4, 2147483647)
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        return F.when(
+            p.startswith("%") & hex2.rlike("^[0-9A-F]{2}$"),
+            F.when(
+                ch.rlike("^[A-Za-z0-9._~-]$"), F.concat(ch, rest)
+            ).otherwise(F.concat(F.lit("%"), hex2, rest)),
+        ).otherwise(p)
+
+    return F.when(
+        c.contains("%"),
+        F.array_join(F.transform(F.split(c, r"(?=%)"), fix), ""),
+    ).otherwise(c)
+
+
 def _canonical_chain(c: Column) -> Column:
+    # 0. normalize percent-encoding (before any other comparison-
+    # sensitive step so equivalent escapes dedup together)
+    c = _normalize_pct(c)
     # 1. drop fragment
     c = F.regexp_replace(c, r"#.*$", "")
     # 2. drop tracking params, then tidy. Lookbehind keeps the ? / &

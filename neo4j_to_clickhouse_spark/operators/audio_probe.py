@@ -148,6 +148,10 @@ def probe_mp3(payload: bytes | None) -> dict | None:
                 "n_frames": frames,
                 "method": "xing",
             }
+        # Xing/Info tag without a FRAMES field: the tag frame is
+        # metadata, not audio — skip it before the walk (mainstream
+        # readers never count the header frame).
+        pos += first[0]
     # VBRI sits at a fixed 32 bytes past the header (Fraunhofer spec)
     vbri_at = pos + 4 + 32
     if payload[vbri_at : vbri_at + 4] == b"VBRI" and len(payload) >= vbri_at + 18:
@@ -502,6 +506,13 @@ def encode_mp3(
         vf = bytearray(frame)
         at = 4 + _side_info_bytes(3, channels)
         vf[at : at + 12] = b"Xing" + struct.pack(">II", 1, n_frames)
+        out += vf
+    elif vbr_header == "xing_noframes":
+        # Xing tag with FRAMES flag unset — readers must skip the tag
+        # frame and fall back to the walk without counting it
+        vf = bytearray(frame)
+        at = 4 + _side_info_bytes(3, channels)
+        vf[at : at + 8] = b"Xing" + struct.pack(">I", 0)
         out += vf
     elif vbr_header == "vbri":
         vf = bytearray(frame)

@@ -8,7 +8,8 @@ No HTML library exists in this sandbox (no bs4/lxml/html5lib), and the
 pipeline wants a deterministic, versionable transform anyway — so this
 is a small state-machine extractor with explicit, documented behavior:
 
-- ``<script>``/``<style>`` elements drop with their content;
+- ``<script>``/``<style>`` elements drop with their content; an
+  UNCLOSED opener (truncated crawl HTML) drops to end-of-input;
   ``<!-- comments -->`` drop (including markup inside them);
 - all other tags are boundary markers: block-level tags contribute a
   separating space, text between tags survives;
@@ -29,6 +30,14 @@ from pyspark.sql import functions as F
 
 _DROP_CONTENT = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+# An opener with no closer (routine in truncated crawl HTML) drops to
+# end-of-input — otherwise the generic tag pass would strip only the
+# tags and leak raw script/CSS text into the document. Runs after the
+# comment pass so a commented-out opener can't eat trailing text.
+_DROP_UNCLOSED = re.compile(
+    r"<(script|style)\b[^>]*>.*\Z",
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
@@ -66,6 +75,7 @@ def extract_html_text(html):
         return None
     s = _DROP_CONTENT.sub(" ", html)
     s = _COMMENT.sub(" ", s)
+    s = _DROP_UNCLOSED.sub(" ", s)
     s = _TAG.sub(" ", s)
     s = _decode_entities(s)
     return _WS.sub(" ", s).strip()

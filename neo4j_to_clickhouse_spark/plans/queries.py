@@ -2220,12 +2220,14 @@ def html_extract_stats(spark, sf_dir):
 @q(
     "url_canonical_dedup_stats",
     # Certifies URL canonicalization (functions/url.py — the cheap
-    # dedup key ahead of content dedup): four messy variants of the
+    # dedup key ahead of content dedup): five messy variants of the
     # same page (verbatim / UPPERCASE scheme+host + fragment /
-    # utm-tracking param / trailing slash, chosen by doc_id) must all
-    # collapse to one canonical per (host, page), so the per-host
-    # distinct-canonical count equals the closed-form distinct page
-    # count. Pure codegen — regexp_replace chains, no Python.
+    # utm-tracking param / trailing slash / percent-encoded unreserved
+    # octet, chosen by doc_id) must all collapse to one canonical per
+    # (host, page), so the per-host distinct-canonical count equals
+    # the closed-form distinct page count — the oracle is
+    # variant-independent by construction. Pure codegen —
+    # regexp_replace + split/transform chains, no Python.
     """WITH sel AS (
          SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
        SELECT 'host' || CAST(doc_id % 10 AS VARCHAR)
@@ -2250,7 +2252,7 @@ def url_canonical_dedup_stats(spark, sf_dir):
     )
     h = (F.col("doc_id") % 10).cast("string")
     p = (F.col("doc_id") % 120).cast("string")
-    v = (F.col("doc_id") / 3).cast("long") % 4
+    v = (F.col("doc_id") / 3).cast("long") % 5
     base = F.concat(
         F.lit("http://host"), h, F.lit(".example.com/page"), p
     )
@@ -2258,10 +2260,14 @@ def url_canonical_dedup_stats(spark, sf_dir):
         F.lit("HTTP://HOST"), h, F.lit(".EXAMPLE.COM/page"), p,
         F.lit("#frag"),
     )
+    pct = F.concat(  # "pa%67e" -> "page" (RFC 3986 unreserved decode)
+        F.lit("http://host"), h, F.lit(".example.com/pa%67e"), p
+    )
     url = (
         F.when(v == 1, upper)
         .when(v == 2, F.concat(base, F.lit("?utm_source=x")))
         .when(v == 3, F.concat(base, F.lit("/")))
+        .when(v == 4, pct)
         .otherwise(base)
     )
     canon = d.select(canonicalize_url(url).alias("canonical"))

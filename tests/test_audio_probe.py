@@ -106,6 +106,16 @@ def test_mp3_xing_header_takes_precedence():
     assert info["duration_ms"] == 500 * 1152 * 1000 // 44100
 
 
+def test_mp3_xing_without_frames_flag_skips_tag_frame():
+    # ADVICE r11: Xing/Info magic with FRAMES flag unset falls back to
+    # the walk, which must NOT count the metadata tag frame itself.
+    p = encode_mp3(40, vbr_header="xing_noframes")
+    info = probe_mp3(p)
+    assert info["method"] == "walk"
+    assert info["n_frames"] == 40
+    assert info["duration_ms"] == 40 * 1152 * 1000 // 44100
+
+
 def test_mp3_vbri_header():
     p = encode_mp3(7, vbr_header="vbri")
     info = probe_mp3(p)

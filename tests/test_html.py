@@ -49,11 +49,25 @@ def test_none_and_plain_text():
     assert extract_html_text("") == ""
 
 
-def test_unterminated_script_drops_nothing_after_tag_strip():
-    # malformed HTML must not raise; unterminated script keeps its text
-    # (there is no closing tag to bound the drop) minus the tags
-    out = extract_html_text("<script>var x = 1; <p>tail")
-    assert "tail" in out
+def test_unterminated_script_drops_to_end():
+    # ADVICE r11: an unclosed <script>/<style> (truncated crawl HTML)
+    # drops to end-of-input — raw script/CSS must not leak into text
+    assert extract_html_text("<p>head</p><script>var x = 1; <p>tail") == "head"
+    assert extract_html_text("<p>head</p><style>.a{color:red}") == "head"
+
+
+def test_commented_out_opener_does_not_eat_tail():
+    # a script opener inside a comment is gone with the comment; the
+    # unclosed-drop must not trigger on it
+    out = extract_html_text("<p>a</p><!-- <script> --><p>b</p>")
+    assert out == "a b"
+
+
+def test_closed_script_then_unclosed_style():
+    out = extract_html_text(
+        "<script>x</script><p>mid</p><style>.q{} trailing css"
+    )
+    assert out == "mid"
 
 
 def test_invalid_numeric_ref_drops():

@@ -35,6 +35,16 @@ CASES = [
     ),
     # no-op on already-canonical
     ("https://a.com/x?id=3", "https://a.com/x?id=3"),
+    # percent-encoding (RFC 3986 §6.2.2): hex case normalizes,
+    # unreserved octets decode, reserved stay, malformed untouched
+    ("http://a.com/a%2fb", "http://a.com/a%2Fb"),
+    ("http://a.com/a%2Fb", "http://a.com/a%2Fb"),
+    ("http://a.com/%7Euser", "http://a.com/~user"),
+    ("http://a.com/%7euser", "http://a.com/~user"),
+    ("http://a.com/pa%67e9", "http://a.com/page9"),
+    ("http://a.com/x%G1y", "http://a.com/x%G1y"),
+    ("http://a.com/100%", "http://a.com/100%"),
+    ("http://a.com/%41%42?q=%5a", "http://a.com/AB?q=Z"),
 ]
 
 
