@@ -37,6 +37,20 @@ def test_evidence_path_is_round_stamped(tmp_path):
     assert p2.endswith(f"BENCH_r{_WINDOW_ROUND}_sf0.001_local.json")
 
 
+def test_bm25_index_jobs_shape(spark):
+    """The indexed-BM25 job persists the term-bucket index once in
+    setup; its timed run scores the standing query set off the pruned
+    postings and returns the per-query top-k row count — repeatable
+    (the index is read-only)."""
+    jobs = bench._bm25_index_jobs(spark, "/root/testdata/sf0.001")
+    assert [j[0] for j in jobs] == ["bm25_indexed_query"]
+    _, prepare, run_once = jobs[0]
+    prepare()
+    n = run_once()
+    assert n > 0
+    assert run_once() == n
+
+
 def test_maintenance_jobs_shape(spark, tmp_path):
     """The compact job stages a real month-partitioned table and its
     timed run returns the affected-month count (>0 on the sf0.001

@@ -151,6 +151,58 @@ def test_bm25_indexed_equals_direct(spark, corpus, tmp_path):
     assert got == want
 
 
+def test_bm25_partitioned_index_prunes_and_matches(spark, corpus, tmp_path):
+    # VERDICT r11 item 6: the term-bucket-partitioned store must (a)
+    # return bit-identical scores and (b) actually prune — the query
+    # scan opens only the queried terms' bucket directories and pushes
+    # In(term, ...) into parquet.
+    from neo4j_to_clickhouse_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        bm25_topk_per_query,
+        build_bm25_index,
+        load_bm25_index,
+        write_bm25_index,
+    )
+
+    qdf = spark.createDataFrame(
+        [("a", "spark"), ("a", "query"), ("b", "scan")],
+        "query_id string, term string",
+    )
+    want = sorted(
+        map(tuple, bm25_topk_per_query(corpus, qdf, k=10).collect())
+    )
+    postings, stats = build_bm25_index(corpus)
+    path = str(tmp_path / "idx")
+    write_bm25_index(postings, stats, path, n_buckets=8)
+
+    full, _ = load_bm25_index(spark, path)
+    pruned, pstats = load_bm25_index(spark, path, queries=qdf)
+    got = sorted(
+        map(tuple, bm25_topk_indexed(pruned, pstats, qdf, k=10).collect())
+    )
+    assert got == want
+
+    # partition pruning is real: the scan's own numFiles metric
+    # (inputFiles() lists the relation pre-pruning, so it can't prove
+    # this) — 3 query terms open at most 3 of the 8 bucket files
+    def files_read(df) -> int:
+        df.collect()
+        leaf = (
+            df._jdf.queryExecution().executedPlan().collectLeaves().head()
+        )
+        return leaf.metrics().apply("numFiles").value()
+
+    n_full, n_pruned = files_read(full), files_read(pruned)
+    assert n_full > 3  # tiny corpus still spans >3 buckets
+    assert n_pruned < n_full
+    assert n_pruned <= 3
+
+    # and the filters land where they should in the scan node
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "PushedFilters" in plan and "In(term, [" in plan
+
+
 def test_bm25_plan_shape(corpus):
     plan = bm25_topk(corpus, ("spark", "query"), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

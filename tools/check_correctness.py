@@ -93,6 +93,12 @@ def main() -> int:
         return 2
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # A runaway all-pairs oracle at a generated large SF can OOM-kill
+    # the whole host (observed: 105 GB anon RSS at sf3). With a cap the
+    # offending query FAILs and the sweep continues.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
