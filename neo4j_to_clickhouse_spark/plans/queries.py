@@ -2557,6 +2557,98 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
     )
 
 
+@q(
+    "charset_decode_stats",
+    # Certifies charset resolution + strict decode with quarantine
+    # (operators/charset.py — VERDICT r11 item 4): four planted lanes
+    # per doc_id%4 — (0) UTF-8 via Content-Type header param, (1)
+    # latin-1 via <meta charset> body sniff (+27 meta chars +1 'é'),
+    # (2) GBK via header param (+1 '中'), (3) an invalid UTF-8 byte
+    # with no declaration -> fallback utf-8 -> strict failure ->
+    # quarantine lane. Closed form: decoded char counts derive from
+    # n_chars per lane; lane 3 contributes only to n_quarantined.
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars, doc_id % 4 AS v
+         FROM documents WHERE doc_id % 9 = 3)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN v <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ok,
+              CAST(sum(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quarantined,
+              CAST(sum(CASE WHEN v = 0 THEN n_chars
+                            WHEN v = 1 THEN n_chars + 28
+                            WHEN v = 2 THEN n_chars + 1
+                            ELSE 0 END) AS BIGINT) AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "charset resolution (header param -> <meta> sniff -> UTF-8 "
+    "fallback, pure codegen) + strict Arrow decode with a quarantine "
+    "lane for undecodable bodies (M5 dead-letter pattern)",
+)
+def charset_decode_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.charset import (
+        charset_column,
+        decode_text_column,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 3)
+        .select("doc_id", "source", "text")
+    )
+    schema = "source string, content_type string, body binary"
+
+    def plant(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                v = int(doc_id) % 4
+                if v == 0:
+                    ct = "text/html; charset=utf-8"
+                    body = text.encode("utf-8")
+                elif v == 1:
+                    ct = "text/html"
+                    body = (
+                        '<meta charset="ISO-8859-1">' + text + "é"
+                    ).encode("iso-8859-1")
+                elif v == 2:
+                    ct = "text/html; charset=gbk"
+                    body = (text + "中").encode("gbk")
+                else:
+                    ct = "text/html"
+                    body = text.encode("utf-8") + b"\xff"
+                rows.append((source, ct, body))
+            yield pd.DataFrame(
+                rows, columns=["source", "content_type", "body"]
+            )
+
+    planted = d.mapInPandas(plant, schema)
+    dec = decode_text_column(
+        planted.withColumn(
+            "charset", charset_column("content_type", "body")
+        )
+    )
+    ok = F.col("decode_error").isNull()
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("n_quarantined"),
+            F.coalesce(
+                F.sum(F.when(ok, F.length("text"))), F.lit(0)
+            ).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ("spark", "query", "window", "fast")
 
 
@@ -8175,6 +8267,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
+    "charset_decode_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
@@ -8224,10 +8317,10 @@ _DRIVER_WINDOW = [
     "hourly_event_windows",  # last green: r09
     "langid_distribution",  # last green: r09
     "multimodal_inventory",  # last green: r09
-    "ngram_diversity_by_source",  # last green: r09
 ]
 
 _ROTATION = [
+    "ngram_diversity_by_source",  # r09
     "order_line_count_histogram",  # r09
     "orders_monthly_growth",  # r09
     "payload_profile",  # r09

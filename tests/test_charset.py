@@ -1,0 +1,96 @@
+"""Charset resolution + strict decode + quarantine lane
+(operators/charset.py — VERDICT r11 item 4)."""
+
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.charset import (
+    charset_column,
+    decode_text_column,
+    split_decoded,
+)
+
+
+def _decode_all(spark, rows):
+    df = spark.createDataFrame(
+        rows, "content_type string, body binary"
+    ).withColumn("charset", charset_column("content_type", "body"))
+    return {
+        bytes(r.body): (r.charset, r.text, r.decode_error)
+        for r in decode_text_column(df).collect()
+    }
+
+
+def test_resolution_precedence(spark):
+    got = _decode_all(
+        spark,
+        [
+            # header param wins over a conflicting meta tag
+            (
+                "text/html; charset=utf-8",
+                '<meta charset="gbk">abc'.encode(),
+            ),
+            # no header param -> meta sniff
+            ("text/html", '<meta charset="ISO-8859-1">caf\xe9'.encode("iso-8859-1")),
+            # http-equiv form sniffs too
+            (
+                "text/html",
+                b'<meta http-equiv="Content-Type" '
+                b'content="text/html; charset=utf-8">ok',
+            ),
+            # neither -> utf-8 fallback
+            (None, "plain".encode()),
+        ],
+    )
+    assert got['<meta charset="gbk">abc'.encode()][0] == "utf-8"
+    latin = '<meta charset="ISO-8859-1">caf\xe9'.encode("iso-8859-1")
+    assert got[latin][0] == "iso-8859-1"
+    assert got[latin][1].endswith("café")
+    assert got[b'<meta http-equiv="Content-Type" content="text/html; charset=utf-8">ok'][0] == "utf-8"
+    assert got[b"plain"] == ("utf-8", "plain", None)
+
+
+def test_gbk_and_error_lanes(spark):
+    got = _decode_all(
+        spark,
+        [
+            ("text/html; charset=gbk", "汉字ok".encode("gbk")),
+            ("text/html", b"broken \xff bytes"),
+            ("text/html; charset=not-a-charset", b"x"),
+        ],
+    )
+    assert got["汉字ok".encode("gbk")] == ("gbk", "汉字ok", None)
+    assert got[b"broken \xff bytes"] == (
+        "utf-8", None, "undecodable:utf-8",
+    )
+    assert got[b"x"] == (
+        "not-a-charset", None, "unknown_charset:not-a-charset",
+    )
+
+
+def test_split_decoded_dead_letter(spark):
+    df = spark.createDataFrame(
+        [("text/html", b"good"), ("text/html", b"bad \xff")],
+        "content_type string, body binary",
+    ).withColumn("charset", charset_column("content_type", "body"))
+    good, quar = split_decoded(decode_text_column(df))
+    assert [r.text for r in good.collect()] == ["good"]
+    q = quar.collect()
+    assert len(q) == 1
+    assert q[0].reason == "undecodable:utf-8"
+    assert bytes(q[0].body) == b"bad \xff"  # raw body survives for replay
+    # no row vanishes: good + quarantine partition the input
+    assert good.count() + quar.count() == df.count()
+
+
+def test_resolution_is_codegen(spark):
+    df = spark.createDataFrame(
+        [("text/html", b"x")], "content_type string, body binary"
+    )
+    plan = (
+        df.withColumn("cs", charset_column("content_type", "body"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -346,6 +346,9 @@ def test_registry_wide_plan_lint(spark):
         "warc_ingest_stats",
         "html_extract_stats",
         "corpus_ingest_pipeline_stats",
+        # per-row-charset strict decode (operators/charset.py —
+        # resolution is codegen, only the decode itself is Arrow)
+        "charset_decode_stats",
     }
     py_markers = (
         "BatchEvalPython",
