@@ -1,0 +1,161 @@
+"""Streaming corpus ingestion: ``.warc.gz`` drops -> documents table.
+
+The batch corpus chain (WARC parse -> HTTP filter -> URL
+canonicalization -> robots filter -> charset decode -> HTML extraction,
+each stage oracle-certified) composed over Structured Streaming
+(VERDICT r11 item 5): crawls land as file drops, and the engine's
+ingest paths run both ways (SURVEY §2.10). The transform is ONE shared
+function (:func:`corpus_documents`) applied identically by the batch
+reader and by every micro-batch, so batch/stream equivalence is by
+construction — asserted in ``tests/test_corpus_stream.py``.
+
+Sink: the same checkpointed idempotent machinery as CDC ingest —
+``foreachBatch`` staging + :func:`.._promote_staged`'s deterministic
+``batch-<query>~<id>-<i>`` renames, so a replayed micro-batch (crash
+between data write and checkpoint commit) replaces its own output
+instead of duplicating it, and a restart against the same checkpoint
+never re-reads drained files. Undecodable bodies flow to the
+quarantine lane (raw bytes + reason) exactly as in batch.
+
+100 TB design: the file-stream source hands whole ``.warc.gz`` files
+to executors (file-granular parallelism, ``maxFilesPerTrigger`` as the
+backpressure knob); every stage below is the batch chain's plan —
+Arrow map for WARC/decode/extract, codegen for canon, broadcast +
+array-aggregate for robots — so the stream inherits the batch plan's
+zero-URL-shuffle shape unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.url import canonicalize_url, url_host, url_path
+from ..operators.charset import (
+    charset_column,
+    decode_text_column,
+    split_decoded,
+)
+from ..operators.html import extract_text_column
+from ..sources.robots import apply_robots
+from ..sources.warc import warc_records
+
+# binaryFile's fixed schema — streaming file sources require it spelled
+# out (Spark refuses schema inference on a stream)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_file_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over a drop directory of ``.warc``/``.warc.gz``
+    files (one row per NEW file; the checkpoint's file log makes the
+    source exactly-once across restarts)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.load(path)
+
+
+def corpus_documents(
+    files: DataFrame, rules: DataFrame, agent: str = "*"
+) -> tuple[DataFrame, DataFrame]:
+    """The shared batch/stream transform: ``binaryFile`` rows ->
+    ``(documents, quarantine)``. Documents carry the canonical URL,
+    resolved charset, and extracted text; quarantine keeps raw bytes +
+    reason for undecodable bodies (M5 dead-letter)."""
+    recs = warc_records(files)
+    resp = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    )
+    canon = (
+        resp.withColumn("canonical", canonicalize_url(F.col("target_uri")))
+        .withColumn("host", url_host("canonical"))
+        .withColumn("path", url_path("canonical"))
+    )
+    allowed = apply_robots(canon, rules, agent=agent).where(
+        F.col("crawl_allowed")
+    )
+    dec = decode_text_column(
+        allowed.withColumn(
+            "charset", charset_column("content_type", "body")
+        ),
+        out_col="html",
+    )
+    good, quar = split_decoded(dec)
+    docs = extract_text_column(good, "html", "text").select(
+        "file",
+        "record_id",
+        "canonical",
+        "host",
+        "content_type",
+        "charset",
+        "text",
+        F.length("text").alias("n_chars"),
+    )
+    quarantine = quar.select(
+        "file",
+        "record_id",
+        "canonical",
+        "host",
+        "content_type",
+        "charset",
+        "body",
+        "reason",
+    )
+    return docs, quarantine
+
+
+def start_corpus_stream(
+    files_stream: DataFrame,
+    rules: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    agent: str = "*",
+    processing_time: str | None = None,
+    coalesce_output: int | None = None,
+    query_name: str = "corpus_ingest",
+) -> StreamingQuery:
+    """Run the corpus chain continuously into ``table_path`` with the
+    checkpointed idempotent sink (see module docstring). With
+    ``processing_time=None`` the query drains available files and
+    stops (``availableNow``) — the test/backfill mode."""
+    from .pipeline import _promote_staged
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        docs, quar = corpus_documents(batch_df, rules, agent=agent)
+        if coalesce_output:
+            docs = docs.coalesce(coalesce_output)
+            quar = quar.coalesce(1)
+        for frame, root in ((docs, table_path), (quar, quarantine_path)):
+            staging = os.path.join(
+                root, f".staging-{query_name}~{batch_id}"
+            )
+            frame.write.mode("overwrite").parquet(staging)
+            _promote_staged(staging, root, batch_id, query_name)
+
+    writer = (
+        files_stream.writeStream.queryName(query_name)
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
