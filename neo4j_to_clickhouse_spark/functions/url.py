@@ -88,6 +88,39 @@ def _canonical_chain(c: Column) -> Column:
     return c
 
 
+_PCT_RE = None  # compiled lazily (module import stays cheap)
+
+
+def normalize_pct_str(s: str) -> str:
+    """Driver-side Python mirror of :func:`_normalize_pct` — byte-for-
+    byte the same RFC 3986 §6.2.2 normalization (uppercase hex, decode
+    unreserved), for tiny broadcast-side tables (robots rule prefixes)
+    that must compare octet-consistently against paths canonicalized
+    by the Spark chain. Kept trivially in sync by the equivalence test
+    in ``tests/test_url.py``."""
+    global _PCT_RE
+    if "%" not in s:
+        return s
+    if _PCT_RE is None:
+        import re
+
+        _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+    def fix(m):
+        h = m.group(1).upper()
+        ch = chr(int(h, 16))
+        if (
+            "A" <= ch <= "Z"
+            or "a" <= ch <= "z"
+            or "0" <= ch <= "9"
+            or ch in "-._~"
+        ):
+            return ch
+        return "%" + h
+
+    return _PCT_RE.sub(fix, s)
+
+
 def url_host(url: Column | str) -> Column:
     """Lowercased host (port stripped) — the dedup / grouping key."""
     c = F.col(url) if isinstance(url, str) else url

@@ -116,10 +116,19 @@ def robots_rules_df(spark, bodies: list[tuple[str, str]]) -> DataFrame:
     The match machinery is pre-compiled here, driver-side, into the
     tiny rule rows: ``pattern`` (the anchored regex; NULL for plain
     prefix rules, which take the faster ``startswith`` path) and
-    ``weight`` (RFC specificity = octets sans wildcards)."""
+    ``weight`` (RFC specificity = octets sans wildcards). Rule paths
+    are percent-normalized with the SAME RFC 3986 §6.2.2 rules the URL
+    canonicalizer applies (`functions/url.normalize_pct_str`), so a
+    rule like ``Disallow: /%7Euser`` matches a canonicalized
+    ``/~user`` octet-wise as RFC 9309 §2.2.2 expects."""
+    from ..functions.url import normalize_pct_str
+
     rows = []
     for host, body in bodies:
-        for host_, agent, allow, prefix, wild in parse_robots(host, body):
+        for host_, agent, allow, raw_prefix, wild in parse_robots(
+            host, body
+        ):
+            prefix = normalize_pct_str(raw_prefix)
             rows.append(
                 (
                     host_,

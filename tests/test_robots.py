@@ -162,6 +162,35 @@ def test_precedence_tie_wildcard_vs_prefix(spark):
     assert got == {"/page": True, "/page2": False}
 
 
+def test_pct_encoded_rule_matches_canonicalized_path(spark):
+    # RFC 9309 §2.2.2: rule and URL paths compare octet-wise after
+    # percent-normalization; rule prefixes normalize with the same
+    # RFC 3986 rules canonicalize_url applies to the URL side.
+    body = (
+        "User-agent: *\n"
+        "Disallow: /%7Euser\n"      # == /~user after normalization
+        "Disallow: /q%2fraw\n"      # reserved: stays %2F (case-normed)
+    )
+    rules = robots_rules_df(spark, [("a.com", body)])
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/~user/page"),   # canonical form of /%7Euser/...
+            ("a.com", "/q%2Fraw/x"),    # canonical form of /q%2fraw/...
+            ("a.com", "/other"),
+        ],
+        "host string, path string",
+    )
+    got = {
+        r.path: r.crawl_allowed
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert got == {
+        "/~user/page": False,
+        "/q%2Fraw/x": False,
+        "/other": True,
+    }
+
+
 def test_star_group_fallback_for_named_agent(spark):
     # RFC 9309 §2.2.1: a host publishing only 'User-agent: *' rules
     # still binds a named crawler; a host with an agent-specific

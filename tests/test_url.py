@@ -86,6 +86,24 @@ def test_host_and_path(spark):
     assert rows[1].h == "y.org"
 
 
+def test_normalize_pct_str_mirrors_spark(spark):
+    # the Python mirror (used on broadcast-side robots rule prefixes)
+    # must agree byte-for-byte with the Spark expression
+    from neo4j_to_clickhouse_spark.functions.url import (
+        _normalize_pct,
+        normalize_pct_str,
+    )
+
+    samples = [
+        "/a%2fb", "/a%2Fb", "/%7Euser", "/%7euser", "/pa%67e9",
+        "/x%G1y", "/100%", "/%41%42?q=%5a", "/plain", "%", "%2",
+        "/%2f%2F%2e%2E./", "/a%00b",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.c for r in df.select(_normalize_pct(F.col("s")).alias("c")).collect()]
+    assert got == [normalize_pct_str(s) for s in samples]
+
+
 def test_codegen_only(spark):
     df = spark.createDataFrame([("http://a.com/x",)], "url string")
     plan = (
