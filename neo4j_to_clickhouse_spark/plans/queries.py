@@ -2558,6 +2558,105 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "wet_ingest_stats",
+    # Certifies WET (Common Crawl extracted-text) ingestion
+    # (sources/warc.py::wet_documents): per-doc WET payloads carry a
+    # warcinfo record (must be dropped — no text) plus one conversion
+    # record; every 5th doc's body gets an invalid UTF-8 byte and must
+    # land in the quarantine lane, not mojibake. Closed form: docs =
+    # conversions, ok iff doc_id%5 != 4, total extracted chars =
+    # n_chars of the ok docs.
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars, doc_id % 5 AS v
+         FROM documents WHERE doc_id % 9 = 6)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN v <> 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ok,
+              CAST(sum(CASE WHEN v = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quarantined,
+              CAST(sum(CASE WHEN v <> 4 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "WET (Common Crawl extracted-text) ingestion: conversion records "
+    "parsed and strictly UTF-8 decoded, warcinfo dropped, broken "
+    "bodies quarantined (M5 dead-letter)",
+)
+def wet_ingest_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.sources.warc import wet_documents
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 6)
+        .select("doc_id", "source", "text")
+    )
+    schema = "path string, content binary, source string"
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from neo4j_to_clickhouse_spark.sources.warc import encode_wet
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                body = text.encode("utf-8")
+                if doc_id % 5 == 4:
+                    body += b"\xff"
+                payload = encode_wet(
+                    [
+                        {
+                            "uri": f"http://example.com/{doc_id}",
+                            "body": body,
+                        }
+                    ],
+                    gzip_per_record=bool(doc_id % 2),
+                )
+                rows.append((f"wet-{doc_id}", payload, source))
+            yield pd.DataFrame(
+                rows, columns=["path", "content", "source"]
+            )
+
+    files = d.mapInPandas(build, schema)
+    docs, quar = wet_documents(files.select("path", "content", "source"))
+    # thread source back through the synthetic file name for grouping
+    src = F.regexp_extract(F.col("file"), r"wet-(\d+)", 1)
+    docs = docs.withColumn("doc_id", src.cast("long"))
+    quar = quar.withColumn("doc_id", src.cast("long"))
+    lookup = d.select("doc_id", "source")
+    g = docs.join(lookup, "doc_id").select("source", "n_chars")
+    b = quar.join(lookup, "doc_id").select("source")
+    agg_g = g.groupBy("source").agg(
+        F.count("*").alias("n_ok"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    agg_b = b.groupBy("source").agg(
+        F.count("*").alias("n_quarantined")
+    )
+    return (
+        agg_g.join(agg_b, "source", "full")
+        .select(
+            "source",
+            (
+                F.coalesce("n_ok", F.lit(0))
+                + F.coalesce("n_quarantined", F.lit(0))
+            ).alias("n_docs"),
+            F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
+            F.coalesce("n_quarantined", F.lit(0)).alias(
+                "n_quarantined"
+            ),
+            F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "charset_decode_stats",
     # Certifies charset resolution + strict decode with quarantine
     # (operators/charset.py — VERDICT r11 item 4): four planted lanes
@@ -8269,6 +8368,7 @@ _WINDOW_ROUND = 12
 _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
+    "wet_ingest_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
     "purchase_gap_histogram",  # last green: r08
@@ -8316,10 +8416,10 @@ _DRIVER_WINDOW = [
     "grouping_sets_event_report",  # last green: r09
     "hourly_event_windows",  # last green: r09
     "langid_distribution",  # last green: r09
-    "multimodal_inventory",  # last green: r09
 ]
 
 _ROTATION = [
+    "multimodal_inventory",  # r09
     "ngram_diversity_by_source",  # r09
     "order_line_count_histogram",  # r09
     "orders_monthly_growth",  # r09

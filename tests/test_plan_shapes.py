@@ -349,6 +349,8 @@ def test_registry_wide_plan_lint(spark):
         # per-row-charset strict decode (operators/charset.py —
         # resolution is codegen, only the decode itself is Arrow)
         "charset_decode_stats",
+        # WET conversion-record framing + strict UTF-8 decode
+        "wet_ingest_stats",
     }
     py_markers = (
         "BatchEvalPython",

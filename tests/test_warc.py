@@ -167,6 +167,49 @@ def test_spark_read_warc(spark, tmp_path):
     assert {bytes(r.body) for r in rows} >= {b"doc body 0"}
 
 
+def test_wet_roundtrip_and_quarantine(spark, tmp_path):
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_wet,
+        read_wet,
+    )
+
+    recs = [
+        {"uri": "http://a.com/1", "body": "extracted text one".encode()},
+        {"uri": "http://a.com/2", "body": "zwei ümläute".encode()},
+        {"uri": "http://a.com/3", "body": b"broken \xff"},
+    ]
+    (tmp_path / "crawl.warc.wet.gz").write_bytes(
+        encode_wet(recs, gzip_per_record=True)
+    )
+    docs, quar = read_wet(spark, str(tmp_path))
+    d = {r.target_uri: (r.text, r.n_chars) for r in docs.collect()}
+    # warcinfo dropped; both clean conversions decoded exactly
+    assert d == {
+        "http://a.com/1": ("extracted text one", 18),
+        "http://a.com/2": ("zwei ümläute", 12),
+    }
+    q = quar.collect()
+    assert len(q) == 1
+    assert q[0].target_uri == "http://a.com/3"
+    assert q[0].reason == "undecodable:utf-8"
+    assert bytes(q[0].body) == b"broken \xff"
+
+
+def test_wet_plain_and_no_warcinfo():
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_wet,
+        parse_warc,
+    )
+
+    payload = encode_wet(
+        [{"uri": "u", "body": b"t"}], with_warcinfo=False
+    )
+    out = parse_warc(payload)
+    assert [r["warc_type"] for r in out] == ["conversion"]
+    assert out[0]["body"] == b"t"
+    assert out[0]["content_type"] == "text/plain"
+
+
 def test_warc_records_empty_partitioning(spark):
     # empty input partitions yield clean empty frames, not schema errors
     files = spark.createDataFrame(
