@@ -99,6 +99,9 @@ def main() -> int:
     mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+        # no spill-to-disk either: an all-pairs oracle at a large SF
+        # can write tens of GB to .tmp before failing — fail fast
+        con.execute("SET temp_directory=''")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

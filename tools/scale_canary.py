@@ -50,6 +50,13 @@ CEILINGS: dict[str, float | None] = {
     "token_zipf_coverage": None,
     "repeated_span_stats": None,
     "bm25_multi_query_topk": None,  # r11: pruned explode + window k-cut
+    # r12: the corpus-ingestion family — scan-shaped Arrow/codegen
+    # chains (WARC framing, wildcard robots, strict charset decode,
+    # WET conversion parse); all must stay ~linear in input bytes
+    "corpus_ingest_pipeline_stats": None,
+    "robots_wildcard_filter_stats": None,
+    "charset_decode_stats": None,
+    "wet_ingest_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
