@@ -2557,6 +2557,93 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
     )
 
 
+from neo4j_to_clickhouse_spark.operators.textnorm import (
+    CTRL_FORMAT_CLASS as _CTRL_FMT,
+)
+
+
+@q(
+    "unicode_normalize_stats",
+    # Certifies Unicode normalization (operators/textnorm.py): four
+    # planted lanes per doc_id%4 — (0) untouched ASCII, (1) an NFD
+    # prefix 'Cafe'+U+0301+' ' that NFC composes 6 chars -> 5, (2)
+    # zero-width ZWSP/ZWJ + trailing BOM that strip to nothing, (3)
+    # BEL/SOH control bytes that strip. The strip pattern is ONE
+    # constant interpolated into both engines (Java-regex/RE2 common
+    # \x{...} syntax); NFC runs as Python unicodedata on the engine
+    # and utf8proc nfc_normalize on the oracle — the oracle certifies
+    # the two Unicode implementations agree, and the closed-form
+    # lane arithmetic pins both.
+    f"""WITH sel AS (
+         SELECT doc_id, source, text, doc_id % 4 AS v
+         FROM documents WHERE doc_id % 9 = 8),
+       planted AS (
+         SELECT source,
+                CASE v
+                  WHEN 1 THEN 'Cafe' || chr(769) || ' ' || text
+                  WHEN 2 THEN chr(8203) || chr(8205) || text
+                              || chr(65279)
+                  WHEN 3 THEN chr(7) || chr(1) || text
+                  ELSE text END AS t
+         FROM sel),
+       normed AS (
+         SELECT source, t,
+                regexp_replace(nfc_normalize(t),
+                               '{_CTRL_FMT}', '', 'g') AS n
+         FROM planted)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(t)) AS BIGINT) AS total_raw,
+              CAST(sum(length(n)) AS BIGINT) AS total_norm,
+              CAST(sum(CASE WHEN n <> t THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_changed
+       FROM normed GROUP BY source ORDER BY source""",
+    "Unicode normalization: NFC composition (Arrow unicodedata vs "
+    "DuckDB utf8proc) + control/format stripping via one shared "
+    "Java/RE2-common regex constant",
+)
+def unicode_normalize_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.textnorm import (
+        normalize_text_column,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 8)
+        .select("doc_id", "source", "text")
+    )
+    v = F.col("doc_id") % 4
+    planted = d.select(
+        "source",
+        # lane 1 plants the DECOMPOSED form (e + U+0301) so NFC has
+        # real composition work; zero-width/control lanes use
+        # explicit escapes
+        F.when(v == 1, F.concat(F.lit("Cafe\u0301 "), F.col("text")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("\u200b\u200d"), F.col("text"), F.lit("\ufeff")
+            ),
+        )
+        .when(v == 3, F.concat(F.lit("\x07\x01"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    normed = normalize_text_column(planted, "t", out_col="n")
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("t")).alias("total_raw"),
+            F.sum(F.length("n")).alias("total_norm"),
+            F.sum(
+                F.when(F.col("n") != F.col("t"), 1).otherwise(0)
+            ).alias("n_changed"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "wet_ingest_stats",
     # Certifies WET (Common Crawl extracted-text) ingestion
@@ -8368,6 +8455,7 @@ _WINDOW_ROUND = 12
 _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
+    "unicode_normalize_stats",  # last green: r00
     "wet_ingest_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
     "priority_sample_estimator",  # last green: r08
@@ -8415,10 +8503,10 @@ _DRIVER_WINDOW = [
     "first_events_per_user",  # last green: r09
     "grouping_sets_event_report",  # last green: r09
     "hourly_event_windows",  # last green: r09
-    "langid_distribution",  # last green: r09
 ]
 
 _ROTATION = [
+    "langid_distribution",  # r09
     "multimodal_inventory",  # r09
     "ngram_diversity_by_source",  # r09
     "order_line_count_histogram",  # r09

@@ -351,6 +351,8 @@ def test_registry_wide_plan_lint(spark):
         "charset_decode_stats",
         # WET conversion-record framing + strict UTF-8 decode
         "wet_ingest_stats",
+        # NFC composition (unicodedata) — the strip stage is codegen
+        "unicode_normalize_stats",
     }
     py_markers = (
         "BatchEvalPython",

@@ -1,0 +1,116 @@
+"""Unicode normalization (operators/textnorm.py): NFC composition +
+control/format stripping, engine-shared regex constant."""
+
+import unicodedata
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.textnorm import (
+    normalize_text_column,
+    strip_ctrl_format,
+)
+
+
+def _norm(spark, texts, **kw):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [
+        r.n
+        for r in normalize_text_column(df, "t", out_col="n", **kw)
+        .select("n")
+        .collect()
+    ]
+
+
+def test_nfc_composes(spark):
+    # NFD e + combining acute -> precomposed é; idempotent on NFC input
+    assert _norm(spark, ["Café", "Café"]) == ["Café", "Café"]
+
+
+def test_control_and_format_strip(spark):
+    got = _norm(
+        spark,
+        [
+            "a\x00b\x07c",            # C0 controls
+            "keep\tthese\ntwo\rseps",  # \t\n\r survive
+            "z​w‍j﻿",   # zero-width + BOM
+            "dir‪marks‮",    # bidi embeds
+            "tag\U000E0041chars",      # astral TAG block
+            "soft­hyphen",
+        ],
+    )
+    assert got == [
+        "abc",
+        "keep\tthese\ntwo\rseps",
+        "zwj",
+        "dirmarks",
+        "tagchars",
+        "softhyphen",
+    ]
+
+
+def test_collapse_ws(spark):
+    assert _norm(spark, ["  a \t b\n\nc  "], collapse_ws=True) == [
+        "a b c"
+    ]
+
+
+def test_strip_is_codegen_only(spark):
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = (
+        df.select(strip_ctrl_format("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+# characters drawn from the stripped ranges + ordinary text
+_STRIPPED = [
+    "\x01", "\x08", "\x0b", "\x1f", "\x7f", "\x9f", "­",
+    "​", "‎", "‪", "⁠", "⁦", "﻿",
+    "￹", "\U000110BD", "\U0001BCA0", "\U0001D173", "\U000E0020",
+    "\U000E007F",
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(_STRIPPED),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=6,
+            ),
+        ),
+        max_size=8,
+    )
+)
+def test_strip_matches_category_reference(spark, parts):
+    """The regex class must agree with the Unicode-category definition
+    (Cc minus tab/newline/CR, plus Cf) on arbitrary inputs."""
+    s = "".join(parts)
+
+    def ref(t: str) -> str:
+        return "".join(
+            ch
+            for ch in t
+            if not (
+                unicodedata.category(ch) in ("Cc", "Cf")
+                and ch not in "\t\n\r"
+            )
+        )
+
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(strip_ctrl_format("t").alias("n")).collect()[0].n
+    assert got == ref(s)
