@@ -2536,11 +2536,21 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
         "path", url_path("canonical")
     )
     filt = apply_robots(canon, rules)
-    ex = extract_text_column(
-        filt.withColumn("html", F.decode("body", "UTF-8")),
-        "html",
-        "extracted",
+    # the production decode stage (charset resolution + strict decode,
+    # VERDICT r11 item 4) — on this UTF-8 fixture it resolves to the
+    # fallback and never quarantines, so the closed form is unchanged
+    from neo4j_to_clickhouse_spark.operators.charset import (
+        charset_column,
+        decode_text_column,
     )
+
+    dec = decode_text_column(
+        filt.withColumn(
+            "charset", charset_column(F.lit("text/html"), F.col("body"))
+        ),
+        out_col="html",
+    )
+    ex = extract_text_column(dec, "html", "extracted")
     ok = F.col("status") == 200
     kept = ok & F.col("crawl_allowed")
     return (
