@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "multimodal_probe_stats",
     # round-11: the new retrieval family's standing wall-time row
     "bm25_multi_query_topk",
+    # round-12: the corpus-ingestion chain composed end-to-end (WARC
+    # framing + robots wildcard decision + charset strict decode +
+    # HTML extraction in one plan) and the NFC+strip text scan — the
+    # two new physical shapes get standing wall-time rows
+    "corpus_ingest_pipeline_stats",
+    "unicode_normalize_stats",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its
