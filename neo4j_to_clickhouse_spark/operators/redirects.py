@@ -1,0 +1,85 @@
+"""HTTP redirect-chain resolution — URL aliasing for crawl dedup.
+
+Crawls record 3xx responses as (url -> Location) edges; content dedup
+and canonical-URL accounting need every alias mapped to its FINAL
+target (the page that actually served content). This is transitive
+pointer-chasing over an edge table.
+
+100 TB design: POINTER DOUBLING, not per-hop loops. Each round
+self-joins the mapping with itself, so after r rounds every source
+knows its min(2^r, chain-end) successor — ceil(log2(max_hops)) rounds
+(4 for the default 16-hop cap, matching real crawler hop limits)
+instead of max_hops sequential joins. Every round is one equi-join
+shuffle keyed by URL over the redirect set (a few percent of a crawl),
+never the corpus. Cycles and over-cap chains never terminate by
+construction; they surface as ``resolved = false`` (their mapped
+target still has an outgoing edge) rather than looping forever.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+) -> DataFrame:
+    """One row per redirect SOURCE: ``(src, final, hops, resolved)``.
+
+    ``final`` is the chain's terminal URL and ``hops`` the real step
+    count when ``resolved``; a cycle member or a chain longer than
+    ``max_hops`` gets ``resolved = false`` (``final``/``hops`` are
+    then the doubling fixpoint's position, not meaningful — NULLed
+    out for safety)."""
+    m = edges.select(
+        F.col(src).alias("__a"), F.col(dst).alias("__b")
+    ).withColumn("__h", F.lit(1).cast("long"))
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    for _ in range(rounds):
+        x, y = m.alias("x"), m.alias("y")
+        m = (
+            x.join(y, F.col("x.__b") == F.col("y.__a"), "left")
+            .select(
+                F.col("x.__a").alias("__a"),
+                F.coalesce(F.col("y.__b"), F.col("x.__b")).alias("__b"),
+                (
+                    F.col("x.__h")
+                    + F.coalesce(F.col("y.__h"), F.lit(0))
+                ).alias("__h"),
+            )
+        )
+    heads = edges.select(F.col(src).alias("__head")).distinct()
+    out = (
+        m.join(heads, m["__b"] == heads["__head"], "left")
+        .withColumn("resolved", F.col("__head").isNull())
+        .select(
+            F.col("__a").alias(src),
+            F.when(F.col("resolved"), F.col("__b")).alias("final"),
+            F.when(F.col("resolved"), F.col("__h")).alias("hops"),
+            "resolved",
+        )
+    )
+    return out
+
+
+def redirect_edges(records: DataFrame) -> DataFrame:
+    """WARC response records -> (src, dst) redirect edges: 3xx status
+    with a Location header line in the body's HTTP message is already
+    split off by the WARC parser, so here a 3xx record simply pairs
+    its target URI with the ``location`` column when present."""
+    return (
+        records.where(
+            (F.col("http_status") >= 300) & (F.col("http_status") < 400)
+        )
+        .where(F.col("location").isNotNull())
+        .select(
+            F.col("target_uri").alias("src"),
+            F.col("location").alias("dst"),
+        )
+    )

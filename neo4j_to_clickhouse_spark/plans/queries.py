@@ -2567,6 +2567,79 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
     )
 
 
+@q(
+    "redirect_resolution_stats",
+    # Certifies redirect-chain resolution (operators/redirects.py —
+    # log-round pointer doubling): four planted per-doc graphs by
+    # (doc_id//9)%4 — (0) a->b->c two-hop chain, (1) a->b one hop,
+    # (2) an x<->y cycle, (3) an s->s self-loop. Closed form: lane 0
+    # contributes 2 sources both resolved (hops 2+1), lane 1 one
+    # resolved (hops 1), cycle/self-loop sources are detected
+    # unresolved — the doubling fixpoint must neither loop forever
+    # nor miscount hops.
+    """WITH sel AS (
+         SELECT source, (doc_id // 9) % 4 AS w
+         FROM documents WHERE doc_id % 9 = 5)
+       SELECT source,
+              CAST(sum(CASE w WHEN 0 THEN 2 WHEN 1 THEN 1
+                              WHEN 2 THEN 2 ELSE 1 END) AS BIGINT)
+                AS n_srcs,
+              CAST(sum(CASE WHEN w = 0 THEN 2 WHEN w = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_resolved,
+              CAST(sum(CASE WHEN w = 0 THEN 3 WHEN w = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS total_hops
+       FROM sel GROUP BY source ORDER BY source""",
+    "HTTP redirect-chain resolution: pointer-doubling transitive "
+    "closure (4 joins resolve 16 hops), cycles and self-loops "
+    "surfaced as unresolved instead of looping",
+)
+def redirect_resolution_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 5)
+        .select("doc_id", "source")
+    )
+    w = (F.col("doc_id") / 9).cast("long") % 4
+    u = F.col("doc_id").cast("string")
+
+    def node(p):
+        return F.concat(F.lit(p), u)
+
+    def edge(a, b):
+        return F.struct(node(a).alias("src"), node(b).alias("dst"))
+
+    arr = (
+        F.when(w == 0, F.array(edge("a", "b"), edge("b", "c")))
+        .when(w == 1, F.array(edge("a", "b")))
+        .when(w == 2, F.array(edge("x", "y"), edge("y", "x")))
+        .otherwise(F.array(edge("s", "s")))
+    )
+    edges = d.select(
+        "source", F.explode(arr).alias("e")
+    ).select("source", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    res = resolve_redirects(edges.select("src", "dst"))
+    src_source = edges.select("src", "source")
+    return (
+        res.join(src_source, "src")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_srcs"),
+            F.sum(F.when(F.col("resolved"), 1).otherwise(0)).alias(
+                "n_resolved"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("resolved"), F.col("hops"))),
+                F.lit(0),
+            ).alias("total_hops"),
+        )
+        .orderBy("source")
+    )
+
+
 from neo4j_to_clickhouse_spark.operators.textnorm import (
     CTRL_FORMAT_CLASS as _CTRL_FMT,
 )
@@ -8464,6 +8537,7 @@ _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
+    "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "unicode_normalize_stats",  # last green: r00
     "wet_ingest_stats",  # last green: r00
@@ -8512,10 +8586,10 @@ _DRIVER_WINDOW = [
     "first_event_salted",  # last green: r09
     "first_events_per_user",  # last green: r09
     "grouping_sets_event_report",  # last green: r09
-    "hourly_event_windows",  # last green: r09
 ]
 
 _ROTATION = [
+    "hourly_event_windows",  # r09
     "langid_distribution",  # r09
     "multimodal_inventory",  # r09
     "ngram_diversity_by_source",  # r09

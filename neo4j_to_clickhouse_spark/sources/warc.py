@@ -55,6 +55,7 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("warc_date", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
+        T.StructField("location", T.StringType()),
         T.StructField("body", T.BinaryType()),
         T.StructField("n_bytes", T.LongType()),
     ]
@@ -139,6 +140,7 @@ def _build_record(hdrs: dict, block: bytes) -> dict:
         "warc_date": hdrs.get("warc-date"),
         "http_status": None,
         "content_type": hdrs.get("content-type"),
+        "location": None,
         "body": block,
     }
     if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
@@ -154,6 +156,7 @@ def _build_record(hdrs: dict, block: bytes) -> dict:
         rec["content_type"] = http_hdrs.get(
             "content-type", rec["content_type"]
         )
+        rec["location"] = http_hdrs.get("location")
         rec["body"] = block[http_body_at:]
     rec["n_bytes"] = len(rec["body"])
     return rec
@@ -242,6 +245,7 @@ def warc_records(files: DataFrame) -> DataFrame:
                             r["warc_date"],
                             r["http_status"],
                             r["content_type"],
+                            r["location"],
                             r["body"],
                             r["n_bytes"],
                         )
@@ -384,9 +388,13 @@ def encode_warc(
     (the .warc.gz layout)."""
     out = bytearray()
     for i, r in enumerate(records):
+        loc = (
+            f"Location: {r['location']}\r\n" if r.get("location") else ""
+        )
         http = (
             f"HTTP/1.1 {r.get('status', 200)} OK\r\n"
             f"Content-Type: {r.get('content_type', 'text/plain')}\r\n"
+            f"{loc}"
             f"Content-Length: {len(r['body'])}\r\n\r\n"
         ).encode() + r["body"]
         hdr = (
