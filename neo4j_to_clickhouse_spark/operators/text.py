@@ -8,6 +8,7 @@ final aggregations, i.e. they are scan-bound at 100 TB, which is optimal.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -343,3 +344,30 @@ def pack_sequences(
         .withColumn("pack_offset", F.col("__start") % budget)
         .drop("__start")
     )
+
+
+def compression_ratio_column(
+    df: DataFrame, text_col: str, out_col: str = "compression_ratio"
+) -> DataFrame:
+    """zlib compression ratio (compressed/raw bytes) per document — the
+    CCNet/Gopher-family gibberish signal: boilerplate/repetition
+    compresses far below normal prose (ratio << 0.3) while random or
+    encrypted junk refuses to compress (ratio >> 0.5). The one
+    deliberately-Python stage in this module (zlib needs bytes), run
+    as an Arrow-batched pure map — bytes-proportional, zero shuffle,
+    same posture as the codec probes. Empty/NULL text -> NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(col: pd.Series) -> pd.Series:
+        import zlib  # noqa: PLC0415 — executor-side
+
+        def ratio(s: str):
+            b = s.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return col.map(ratio, na_action="ignore")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -2568,6 +2568,76 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "compression_ratio_flags",
+    # Certifies the zlib compression-ratio quality signal
+    # (operators/text.py::compression_ratio_column — the CCNet/Gopher
+    # gibberish detector): three planted lanes by doc_id%3 — (0) the
+    # fixture's natural prose (counted, not classified), (1) 'spam '
+    # repeated, which compresses far below the 0.2 repetitive
+    # threshold, (2) an md5-chain hex string (~4 bits/char entropy)
+    # that stays above the 0.35 incompressible threshold. Thresholds
+    # sit with wide margins on both sides, so the closed form is
+    # robust to zlib version/level differences.
+    """WITH sel AS (
+         SELECT source, doc_id % 3 AS v
+         FROM documents WHERE doc_id % 9 = 7)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_repetitive,
+              CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_incompressible
+       FROM sel GROUP BY source ORDER BY source""",
+    "zlib compression-ratio quality flags: repetitive (ratio < 0.2) "
+    "and incompressible (ratio > 0.35) lanes planted with wide "
+    "margins, counted per source",
+)
+def compression_ratio_flags(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.text import (
+        compression_ratio_column,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 7)
+        .select("doc_id", "source", "text")
+    )
+    v = F.col("doc_id") % 3
+    # lane 1: 'spam ' x (40 + doc_id%10); lane 2: md5-chain hex of
+    # ~8 x 32 chars (computed codegen-side — md5 of md5 of ...)
+    h = F.col("doc_id").cast("string")
+    for _ in range(8):
+        h = F.concat(h, F.md5(h))
+    planted = d.select(
+        "source",
+        F.when(
+            v == 1,
+            F.repeat(F.lit("spam "), 40 + (F.col("doc_id") % 10).cast("int")),
+        )
+        .when(v == 2, F.substring(h, 2, 256))
+        .otherwise(F.col("text"))
+        .alias("t"),
+        v.alias("v"),
+    )
+    r = compression_ratio_column(planted, "t", "ratio")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when((F.col("v") == 1) & (F.col("ratio") < 0.2), 1)
+                .otherwise(0)
+            ).alias("n_repetitive"),
+            F.sum(
+                F.when((F.col("v") == 2) & (F.col("ratio") > 0.35), 1)
+                .otherwise(0)
+            ).alias("n_incompressible"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "redirect_resolution_stats",
     # Certifies redirect-chain resolution (operators/redirects.py —
     # log-round pointer doubling): four planted per-doc graphs by
@@ -8537,6 +8607,7 @@ _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
+    "compression_ratio_flags",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "unicode_normalize_stats",  # last green: r00
@@ -8585,10 +8656,10 @@ _DRIVER_WINDOW = [
     "fingerprint_uniqueness",  # last green: r09
     "first_event_salted",  # last green: r09
     "first_events_per_user",  # last green: r09
-    "grouping_sets_event_report",  # last green: r09
 ]
 
 _ROTATION = [
+    "grouping_sets_event_report",  # r09
     "hourly_event_windows",  # r09
     "langid_distribution",  # r09
     "multimodal_inventory",  # r09

@@ -353,6 +353,8 @@ def test_registry_wide_plan_lint(spark):
         "wet_ingest_stats",
         # NFC composition (unicodedata) — the strip stage is codegen
         "unicode_normalize_stats",
+        # zlib compression-ratio signal (bytes-level, Arrow map)
+        "compression_ratio_flags",
     }
     py_markers = (
         "BatchEvalPython",

@@ -114,3 +114,32 @@ def test_strip_matches_category_reference(spark, parts):
     df = spark.createDataFrame([(s,)], "t string")
     got = df.select(strip_ctrl_format("t").alias("n")).collect()[0].n
     assert got == ref(s)
+
+
+def test_compression_ratio_signal(spark):
+    from neo4j_to_clickhouse_spark.operators.text import (
+        compression_ratio_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("rep", "spam " * 50),
+            ("prose", "The quick brown fox jumps over the lazy dog near the river bank."),
+            ("hex", __import__("hashlib").md5(b"0").hexdigest().join(
+                __import__("hashlib").md5(str(i).encode()).hexdigest()
+                for i in range(8)
+            )),
+            ("empty", ""),
+            ("null", None),
+        ],
+        "k string, t string",
+    )
+    got = {
+        r.k: r.ratio
+        for r in compression_ratio_column(df, "t", "ratio").collect()
+    }
+    assert got["rep"] < 0.2
+    assert got["hex"] > 0.35
+    assert 0.2 < got["prose"] < 1.2  # short prose barely compresses
+    assert got["empty"] is None
+    assert got["null"] is None
