@@ -118,6 +118,68 @@ def corpus_documents(
     return docs, quarantine
 
 
+def read_wet_file_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over a drop directory of ``.wet``/``.wet.gz``
+    files (Common Crawl extracted text)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.wet*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.load(path)
+
+
+def start_wet_stream(
+    files_stream: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    processing_time: str | None = None,
+    coalesce_output: int | None = None,
+    query_name: str = "wet_ingest",
+) -> StreamingQuery:
+    """WET drops -> documents table, continuously: conversion records
+    strictly UTF-8 decoded (quarantine lane for broken bodies) through
+    the same checkpointed idempotent sink as the WARC stream. The
+    transform is `sources.warc.wet_documents` verbatim — batch/stream
+    equivalence by construction."""
+    from ..sources.warc import wet_documents
+    from .pipeline import _promote_staged
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        docs, quar = wet_documents(batch_df)
+        if coalesce_output:
+            docs = docs.coalesce(coalesce_output)
+            quar = quar.coalesce(1)
+        for frame, root in ((docs, table_path), (quar, quarantine_path)):
+            staging = os.path.join(
+                root, f".staging-{query_name}~{batch_id}"
+            )
+            frame.write.mode("overwrite").parquet(staging)
+            _promote_staged(staging, root, batch_id, query_name)
+
+    writer = (
+        files_stream.writeStream.queryName(query_name)
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_corpus_stream(
     files_stream: DataFrame,
     rules: DataFrame,

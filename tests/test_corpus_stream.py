@@ -170,6 +170,51 @@ def test_stream_equals_batch_and_checkpoint_exactly_once(spark, tmp_path):
     assert after.where(F.col("text") == "late doc").count() == 1
 
 
+def test_wet_stream_equals_batch(spark, tmp_path):
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_wet,
+        wet_documents,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        read_wet_file_stream,
+        start_wet_stream,
+    )
+
+    drop = tmp_path / "wetdrop"
+    drop.mkdir()
+    for i in range(2):
+        recs = [
+            {"uri": f"http://w{i}.com/a", "body": f"text {i} alpha".encode()},
+            {"uri": f"http://w{i}.com/b", "body": b"bad \xff"},
+        ]
+        (drop / f"f{i}.warc.wet.gz").write_bytes(
+            encode_wet(recs, gzip_per_record=True)
+        )
+    files_b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(str(drop))
+    )
+    want_docs, want_quar = wet_documents(files_b)
+    want = sorted((r.target_uri, r.text) for r in want_docs.collect())
+    table = str(tmp_path / "wdocs")
+    quar = str(tmp_path / "wquar")
+    drain(
+        start_wet_stream(
+            read_wet_file_stream(spark, str(drop)),
+            table, quar, str(tmp_path / "wckpt"), coalesce_output=1,
+        )
+    )
+    got = sorted(
+        (r.target_uri, r.text)
+        for r in spark.read.parquet(table).collect()
+    )
+    assert got == want
+    assert (
+        spark.read.parquet(quar).count() == want_quar.count() == 2
+    )
+
+
 def test_microbatch_replay_is_idempotent(spark, tmp_path):
     """A re-run of the same batch_id (crash between data write and
     checkpoint commit) replaces its own output — no duplicates."""
