@@ -110,6 +110,46 @@ def parse_robots(host: str, body: str) -> list[tuple]:
     return rules
 
 
+def parse_robots_directives(host: str, body: str) -> dict:
+    """Non-rule directives from one robots.txt: ``sitemaps`` (the
+    RFC 9309 §2.2.4-style extension lines, group-independent) and
+    ``crawl_delay`` per lowercased agent (de-facto standard; seconds
+    as float). Malformed delays are ignored."""
+    sitemaps: list[str] = []
+    crawl_delay: dict[str, float] = {}
+    agents: list[str] = []
+    in_group_rules = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:
+                agents = []
+                in_group_rules = False
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_rules = True
+        elif field == "sitemap" and value:
+            sitemaps.append(value)
+        elif field == "crawl-delay":
+            in_group_rules = True
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for a in agents or ["*"]:
+                crawl_delay[a] = delay
+    return {
+        "host": host,
+        "sitemaps": sitemaps,
+        "crawl_delay": crawl_delay,
+    }
+
+
 def robots_rules_df(spark, bodies: list[tuple[str, str]]) -> DataFrame:
     """(host, robots_body) pairs -> the broadcastable rules table.
 

@@ -243,3 +243,29 @@ def test_zero_shuffle_plan(spark):
     for marker in ("SortMergeJoin", "Window", "BatchEvalPython",
                    "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_parse_directives_sitemaps_and_crawl_delay():
+    from neo4j_to_clickhouse_spark.sources.robots import (
+        parse_robots_directives,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "\n"
+        "User-agent: fastbot\n"
+        "Crawl-delay: 0.5\n"
+        "Crawl-delay: oops\n"
+        "Sitemap: https://a.com/news.xml\n"
+    )
+    d = parse_robots_directives("a.com", body)
+    assert d["sitemaps"] == [
+        "https://a.com/sitemap.xml",
+        "https://a.com/news.xml",
+    ]
+    assert d["crawl_delay"] == {"*": 2.5, "fastbot": 0.5}
+    empty = parse_robots_directives("b.com", "")
+    assert empty["sitemaps"] == [] and empty["crawl_delay"] == {}
