@@ -183,18 +183,77 @@ def robots_rules_df(spark, bodies: list[tuple[str, str]]) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS_RULE_SCHEMA)
 
 
+def robots_rules_from_records(records: DataFrame) -> DataFrame:
+    """Distributed rules builder: WARC ``response`` records of
+    robots.txt fetches -> the rules table, parsed EXECUTOR-side in
+    Arrow batches (`robots_rules_df` takes a driver-side list — fine
+    for test fixtures and per-job host sets, wrong for a full-web
+    crawl's millions of robots bodies). Hosts derive from the target
+    URI; bodies decode as UTF-8-with-replacement (robots files are
+    ASCII-per-RFC; a mangled byte can only mangle its own rule)."""
+    from collections.abc import Iterator
+
+    from ..functions.url import url_host
+
+    robots = records.where(
+        F.lower(F.col("target_uri")).endswith("/robots.txt")
+        & (F.col("http_status") == 200)
+    ).select(
+        url_host(F.col("target_uri")).alias("host"), F.col("body")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side
+
+        from ..functions.url import normalize_pct_str
+
+        cols = [
+            "host", "agent", "allow", "prefix",
+            "has_wildcard", "pattern", "weight",
+        ]
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                text = bytes(body).decode("utf-8", "replace")
+                for h, agent, allow, raw, wild in parse_robots(
+                    host, text
+                ):
+                    prefix = normalize_pct_str(raw)
+                    rows.append(
+                        (
+                            h, agent, allow, prefix, wild,
+                            _rule_regex(prefix) if wild else None,
+                            _rule_weight(prefix),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return robots.mapInPandas(
+        run,
+        "host string, agent string, allow boolean, prefix string, "
+        "has_wildcard boolean, pattern string, weight int",
+    )
+
+
 def apply_robots(
     urls: DataFrame,
     rules: DataFrame,
     agent: str = "*",
     host_col: str = "host",
     path_col: str = "path",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Adds ``crawl_allowed``: RFC 9309 most-specific-match decision
     for ``agent``, wildcard rules included. Per host the
     agent-specific group applies if one exists, else the ``*`` group
     (RFC 9309 §2.2.1). URLs with no matching rule — or no rules for
-    their host at all — are allowed."""
+    their host at all — are allowed.
+
+    ``broadcast_rules=True`` (default) pins the zero-shuffle plan for
+    per-job host sets; pass ``False`` for a full-web rules table
+    (millions of hosts) — the decision becomes one shuffle join keyed
+    by host, with the SAME per-host array-aggregate on the join
+    output."""
     agent = agent.lower()
     # Per host: collect the candidate rules once, then keep the
     # agent-specific group when the host has one, else the '*' group.
@@ -234,8 +293,9 @@ def apply_robots(
             ),
         ).alias("__rules"),
     )
+    rhs = F.broadcast(per_host) if broadcast_rules else per_host
     joined = urls.join(
-        F.broadcast(per_host),
+        rhs,
         F.col(host_col) == F.col("__rhost"),
         "left",
     )

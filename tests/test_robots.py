@@ -269,3 +269,67 @@ def test_parse_directives_sitemaps_and_crawl_delay():
     assert d["crawl_delay"] == {"*": 2.5, "fastbot": 0.5}
     empty = parse_robots_directives("b.com", "")
     assert empty["sitemaps"] == [] and empty["crawl_delay"] == {}
+
+
+def test_rules_from_records_distributed(spark, tmp_path):
+    # the executor-side rules builder must agree with the driver-side
+    # one and feed the same apply_robots plan (incl. non-broadcast)
+    from neo4j_to_clickhouse_spark.sources.robots import (
+        robots_rules_from_records,
+    )
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+    )
+
+    robots_body = (
+        "User-agent: *\nDisallow: /page*7$\nDisallow: /%7Epriv\n"
+    )
+    recs = [
+        {
+            "uri": "http://a.com/robots.txt",
+            "body": robots_body.encode(),
+            "status": 200,
+            "content_type": "text/plain",
+        },
+        {  # 404 robots must be ignored
+            "uri": "http://b.com/robots.txt",
+            "body": b"User-agent: *\nDisallow: /\n",
+            "status": 404,
+        },
+        {"uri": "http://a.com/page1", "body": b"x", "status": 200},
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(
+        encode_warc(recs, gzip_per_record=True)
+    )
+    rules = robots_rules_from_records(read_warc(spark, str(tmp_path)))
+    got = {
+        (r.host, r.prefix): (r.allow, r.has_wildcard, r.weight)
+        for r in rules.collect()
+    }
+    assert got == {
+        ("a.com", "/page*7$"): (False, True, 6),
+        ("a.com", "/~priv"): (False, False, 6),  # pct-normalized
+    }
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/page17"),
+            ("a.com", "/~priv/x"),
+            ("a.com", "/open"),
+            ("b.com", "/anything"),  # 404 robots -> no rules -> allowed
+        ],
+        "host string, path string",
+    )
+    for bc in (True, False):
+        got_u = {
+            r.path: r.crawl_allowed
+            for r in apply_robots(
+                urls, rules, broadcast_rules=bc
+            ).collect()
+        }
+        assert got_u == {
+            "/page17": False,
+            "/~priv/x": False,
+            "/open": True,
+            "/anything": True,
+        }, f"broadcast_rules={bc}"
