@@ -121,6 +121,19 @@ def normalize_pct_str(s: str) -> str:
     return _PCT_RE.sub(fix, s)
 
 
+def sitemap_urls(xml: Column | str) -> Column:
+    """``array<string>`` of ``<loc>`` URLs from a sitemap / sitemap-
+    index XML body — the step after `sources.robots` surfaces the
+    ``Sitemap:`` lines: fetched sitemaps expand into the URL frontier.
+    Pure codegen (``regexp_extract_all``); tolerant of whitespace
+    inside the element. CDATA and entity-escaped URLs pass through
+    verbatim (decode with `canonicalize_url`'s chain downstream)."""
+    c = F.col(xml) if isinstance(xml, str) else xml
+    return F.regexp_extract_all(
+        c, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1
+    )
+
+
 def url_host(url: Column | str) -> Column:
     """Lowercased host (port stripped) — the dedup / grouping key."""
     c = F.col(url) if isinstance(url, str) else url

@@ -2568,6 +2568,65 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "sitemap_url_expansion",
+    # Certifies sitemap XML -> URL-frontier expansion
+    # (functions/url.py::sitemap_urls): each selected doc becomes a
+    # sitemap body carrying (doc_id % 5 + 1) <loc> entries with
+    # whitespace-padded variants and one decoy <lastmod> element;
+    # closed form: per-source URL count = sum(doc_id % 5 + 1), all
+    # distinct by construction.
+    """WITH sel AS (
+         SELECT doc_id, source, doc_id % 5 + 1 AS n
+         FROM documents WHERE doc_id % 9 = 2)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_sitemaps,
+              CAST(sum(n) AS BIGINT) AS n_urls
+       FROM sel GROUP BY source ORDER BY source""",
+    "sitemap XML expansion: <loc> URLs extracted into the crawl "
+    "frontier by one codegen regexp_extract_all",
+)
+def sitemap_url_expansion(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.functions.url import sitemap_urls
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 2)
+        .select("doc_id", "source")
+    )
+    n = (F.col("doc_id") % 5 + 1).cast("int")
+    u = F.col("doc_id").cast("string")
+    # n <loc> entries (one whitespace-padded), plus a decoy element
+    entry = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.when(i % 2 == 0, F.lit("<loc>  http://s")).otherwise(
+                F.lit("<loc>http://s")
+            ),
+            u,
+            F.lit(".com/u"),
+            i.cast("string"),
+            F.when(i % 2 == 0, F.lit("  </loc>")).otherwise(
+                F.lit("</loc>")
+            ),
+        ),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url>'),
+        F.array_join(entry, "<lastmod>2026-01-01</lastmod>"),
+        F.lit("</url></urlset>"),
+    )
+    return (
+        d.select("source", sitemap_urls(xml).alias("urls"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sitemaps"),
+            F.sum(F.size("urls")).alias("n_urls"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "compression_ratio_flags",
     # Certifies the zlib compression-ratio quality signal
     # (operators/text.py::compression_ratio_column — the CCNet/Gopher
@@ -8610,6 +8669,7 @@ _DRIVER_WINDOW = [
     "compression_ratio_flags",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
+    "sitemap_url_expansion",  # last green: r00
     "unicode_normalize_stats",  # last green: r00
     "wet_ingest_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
@@ -8655,10 +8715,10 @@ _DRIVER_WINDOW = [
     "events_by_dow_hour",  # last green: r09
     "fingerprint_uniqueness",  # last green: r09
     "first_event_salted",  # last green: r09
-    "first_events_per_user",  # last green: r09
 ]
 
 _ROTATION = [
+    "first_events_per_user",  # r09
     "grouping_sets_event_report",  # r09
     "hourly_event_windows",  # r09
     "langid_distribution",  # r09

@@ -114,3 +114,23 @@ def test_codegen_only(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_sitemap_urls_extraction(spark):
+    from neo4j_to_clickhouse_spark.functions.url import sitemap_urls
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/1</loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>  http://a.com/2  </loc></url>"
+        "<sitemap><loc>http://a.com/more.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,), ("<urlset></urlset>",), (None,)], "x string")
+    got = [r.u for r in df.select(sitemap_urls("x").alias("u")).collect()]
+    assert got[0] == [
+        "http://a.com/1", "http://a.com/2", "http://a.com/more.xml",
+    ]
+    assert got[1] == []
+    assert got[2] is None
