@@ -37,9 +37,15 @@ def resolve_redirects(
     ``max_hops`` gets ``resolved = false`` (``final``/``hops`` are
     then the doubling fixpoint's position, not meaningful — NULLed
     out for safety)."""
-    m = edges.select(
-        F.col(src).alias("__a"), F.col(dst).alias("__b")
-    ).withColumn("__h", F.lit(1).cast("long"))
+    # crawls refetch: identical (src,dst) rows would multiply the
+    # doubling join's fan-out, so dedup at entry. A src with TWO
+    # DIFFERENT recorded targets (redirect changed between fetches)
+    # legitimately keeps one output row per distinct target.
+    m = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .distinct()
+        .withColumn("__h", F.lit(1).cast("long"))
+    )
     rounds = max(1, math.ceil(math.log2(max_hops)))
     for _ in range(rounds):
         x, y = m.alias("x"), m.alias("y")

@@ -80,3 +80,16 @@ def test_redirect_edges_from_warc_records(spark, tmp_path):
     assert [(e.src, e.dst) for e in edges] == [
         ("http://a.com/old", "http://a.com/new")
     ]
+
+
+def test_duplicate_edges_dedup_at_entry(spark):
+    # refetched identical edges must not multiply output rows
+    got = resolve_redirects(
+        spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("b", "c"), ("b", "c")],
+            "src string, dst string",
+        )
+    ).collect()
+    assert sorted((r.src, r.final, r.hops) for r in got) == [
+        ("a", "c", 2), ("b", "c", 1),
+    ]
