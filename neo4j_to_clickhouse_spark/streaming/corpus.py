@@ -69,12 +69,18 @@ def read_warc_file_stream(
 
 
 def corpus_documents(
-    files: DataFrame, rules: DataFrame, agent: str = "*"
+    files: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    enrich: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
     resolved charset, and extracted text; quarantine keeps raw bytes +
-    reason for undecodable bodies (M5 dead-letter)."""
+    reason for undecodable bodies (M5 dead-letter). With ``enrich``
+    the curation signals land in the same scan (all pure codegen —
+    free at any scale): ``lang`` (marker-lexicon language ID),
+    ``quality_score``, and ``n_tokens``."""
     recs = warc_records(files)
     resp = recs.where(
         (F.col("warc_type") == "response")
@@ -105,6 +111,18 @@ def corpus_documents(
         "text",
         F.length("text").alias("n_chars"),
     )
+    if enrich:
+        from ..operators.text import (
+            detect_language,
+            quality_score,
+            token_count,
+        )
+
+        docs = (
+            docs.withColumn("lang", detect_language("text"))
+            .withColumn("quality_score", quality_score("text"))
+            .withColumn("n_tokens", token_count("text"))
+        )
     quarantine = quar.select(
         "file",
         "record_id",

@@ -249,3 +249,33 @@ def test_microbatch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(table).count() == n1
     write_once(4)  # new batch appends
     assert spark.read.parquet(table).count() == 2 * n1
+
+
+def test_enriched_documents_carry_quality_columns(spark, tmp_path):
+    drop = _warc_files(tmp_path, n_files=1)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(str(drop))
+    )
+    docs, _ = corpus_documents(files, _rules(spark, 1), enrich=True)
+    rows = docs.collect()
+    assert {"lang", "quality_score", "n_tokens"} <= set(docs.columns)
+    en = [r for r in rows if r.text == "doc 0 alpha"][0]
+    assert en.n_tokens == 3
+    assert 0.0 <= en.quality_score <= 1.0
+    # enrichment stays codegen: the enriched plan has exactly as many
+    # Python stages as the plain one (decode + extract), none added.
+    # Fresh (unexecuted) frames both sides: a collected AQE plan's
+    # toString carries Final+Initial sections and double-counts nodes.
+    docs, _ = corpus_documents(files, _rules(spark, 1), enrich=True)
+    plain, _ = corpus_documents(files, _rules(spark, 1))
+
+    def py_ops(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        return (
+            plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        )
+
+    assert py_ops(docs) == py_ops(plain)
