@@ -94,3 +94,55 @@ def test_resolution_is_codegen(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CHARSETS = ["utf-8", "latin-1", "gbk", "shift_jis", "cp1252", "utf-16"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=24,
+            ),
+            st.sampled_from(_CHARSETS),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_decode_roundtrip_property(spark, cases):
+    """encode(text, cs) -> strict decode via the operator recovers the
+    text exactly for every encodable (text, charset) pair."""
+    rows = []
+    want = []
+    for i, (text, cs) in enumerate(cases):
+        try:
+            body = text.encode(cs)
+        except (UnicodeEncodeError, ValueError):
+            continue
+        rows.append((i, f"text/plain; charset={cs}", body))
+        # round-trip through the charset's own alphabet (utf-16 adds a
+        # BOM that decodes back out; others are exact)
+        want.append((i, body.decode(cs)))
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "i int, content_type string, body binary"
+    ).withColumn("charset", charset_column("content_type", "body"))
+    got = sorted(
+        (r.i, r.text)
+        for r in decode_text_column(df).where(
+            F.col("decode_error").isNull()
+        ).collect()
+    )
+    assert got == sorted(want)
