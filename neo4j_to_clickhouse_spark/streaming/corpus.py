@@ -208,6 +208,7 @@ def start_corpus_stream(
     processing_time: str | None = None,
     coalesce_output: int | None = None,
     query_name: str = "corpus_ingest",
+    enrich: bool = False,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
@@ -218,7 +219,9 @@ def start_corpus_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
-        docs, quar = corpus_documents(batch_df, rules, agent=agent)
+        docs, quar = corpus_documents(
+            batch_df, rules, agent=agent, enrich=enrich
+        )
         if coalesce_output:
             docs = docs.coalesce(coalesce_output)
             quar = quar.coalesce(1)

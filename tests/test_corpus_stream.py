@@ -279,3 +279,46 @@ def test_enriched_documents_carry_quality_columns(spark, tmp_path):
         )
 
     assert py_ops(docs) == py_ops(plain)
+
+
+def test_streamed_corpus_feeds_incremental_dedup(spark, tmp_path):
+    """End-to-end composition: enriched streamed documents table ->
+    incremental exact dedup against a hash store (the daily-ingest
+    loop closing over a crawl drop)."""
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        read_warc_file_stream,
+        start_corpus_stream,
+    )
+
+    drop = _warc_files(tmp_path, n_files=2)
+    table = str(tmp_path / "docs")
+    drain(
+        start_corpus_stream(
+            read_warc_file_stream(spark, str(drop)),
+            _rules(spark, 2),
+            table,
+            str(tmp_path / "quar"),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            enrich=True,
+        )
+    )
+    docs = spark.read.parquet(table)
+    assert {"lang", "quality_score", "n_tokens"} <= set(docs.columns)
+    # seed the store with file-0's doc hashes; the "next day" batch is
+    # the whole table — only file-1's three docs survive
+    from neo4j_to_clickhouse_spark.operators.dedup import content_hash
+
+    seen = (
+        docs.where(F.col("canonical").contains("h0.com"))
+        .select(content_hash("text").alias("content_hash"))
+    )
+    survivors = dedup_incremental(
+        docs, seen, id_col="record_id", text_col="text"
+    )
+    got = {r.canonical for r in survivors.collect()}
+    assert len(got) == 3
+    assert all("h1.com" in c for c in got)
