@@ -2568,6 +2568,133 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "line_dedup_rewrite_stats",
+    # Certifies cross-document frequent-line removal
+    # (operators/lines.py::line_dedup_rewrite — the RefinedWeb/CCNet
+    # boilerplate-line pass): every planted doc is a unique
+    # id-prefixed line plus the SAME cookie-banner line; the banner
+    # reaches min_count everywhere and must vanish, the unique line
+    # must survive the digest-count -> anti-join -> posexplode rebuild
+    # byte-exactly. Closed form: 1 line kept per doc, rebuilt chars =
+    # 2 + len(str(doc_id)) + n_chars ('u' + id + ' ' + text).
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id % 9 = 4)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(2 + length(CAST(doc_id AS VARCHAR)) + n_chars)
+                AS BIGINT) AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "cross-document frequent-line removal (C4/RefinedWeb boilerplate "
+    "pass): corpus-wide line counts over md5 digests, anti-join, "
+    "positional document rebuild",
+)
+def line_dedup_rewrite_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.lines import (
+        line_dedup_rewrite,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 4)
+        .select("doc_id", "source", "text")
+    )
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            F.lit("\nAccept all cookies to continue."),
+        ).alias("t"),
+    )
+    rebuilt = line_dedup_rewrite(
+        planted, id_col="doc_id", text_col="t", min_count=3
+    )
+    return (
+        rebuilt.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "c4_line_filter_stats",
+    # Certifies the C4 §2.2 cleanup (operators/lines.py::
+    # c4_line_filter): four planted lines per doc — only the
+    # terminal-punctuated >=3-word non-javascript line survives — and
+    # a doc-level brace lane (doc_id%4==0 appends '{', dropping the
+    # whole page). Closed form: kept docs = v != 0, each contributing
+    # exactly its 27+len(str(doc_id))-char keeper line.
+    """WITH sel AS (
+         SELECT doc_id, source, doc_id % 4 AS v
+         FROM documents WHERE doc_id % 9 = 4)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs_in,
+              CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_docs_kept,
+              CAST(sum(CASE WHEN v <> 0
+                       THEN 27 + length(CAST(doc_id AS VARCHAR))
+                       ELSE 0 END) AS BIGINT) AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "C4 line filters: terminal punctuation + min words + javascript "
+    "line drop, page-level brace/lorem-ipsum drop, positional rebuild",
+)
+def c4_line_filter_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.lines import (
+        c4_line_filter,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 4)
+        .select("doc_id", "source")
+    )
+    v = F.col("doc_id") % 4
+    u = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("Keep "), u, F.lit(" this line stays here.\n"),
+        F.lit("short.\n"),
+        F.lit("no terminal punctuation line\n"),
+        F.lit("Please enable JavaScript to view comments."),
+    )
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(v == 0, F.concat(body, F.lit("\ncode { brace }")))
+        .otherwise(body)
+        .alias("t"),
+    )
+    rebuilt = c4_line_filter(
+        planted, id_col="doc_id", text_col="t", min_words=3
+    )
+    joined = d.join(
+        rebuilt.select("doc_id", "text"), "doc_id", "left"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_in"),
+            F.sum(
+                F.when(F.col("text").isNotNull(), 1).otherwise(0)
+            ).alias("n_docs_kept"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias(
+                "total_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "sitemap_url_expansion",
     # Certifies sitemap XML -> URL-frontier expansion
     # (functions/url.py::sitemap_urls): each selected doc becomes a
@@ -8665,8 +8792,10 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
+    "c4_line_filter_stats",  # last green: r00
     "charset_decode_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
+    "line_dedup_rewrite_stats",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "sitemap_url_expansion",  # last green: r00
@@ -8713,11 +8842,11 @@ _DRIVER_WINDOW = [
     "event_share_of_total",  # last green: r09
     "event_type_pivot",  # last green: r09
     "events_by_dow_hour",  # last green: r09
-    "fingerprint_uniqueness",  # last green: r09
-    "first_event_salted",  # last green: r09
 ]
 
 _ROTATION = [
+    "fingerprint_uniqueness",  # r09
+    "first_event_salted",  # r09
     "first_events_per_user",  # r09
     "grouping_sets_event_report",  # r09
     "hourly_event_windows",  # r09
