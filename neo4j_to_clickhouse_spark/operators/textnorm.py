@@ -76,6 +76,45 @@ def nfc_column(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, _nfc(F.col(text_col)))
 
 
+def fix_double_utf8(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Repair the classic mojibake: UTF-8 bytes mis-decoded as
+    latin-1 or cp1252 somewhere upstream ("café" -> "cafÃ©",
+    "don't" -> "donâ€™t"), the core trick of ftfy. A string is
+    repaired iff it byte-round-trips through one of those charsets AND
+    the bytes strictly decode as UTF-8 (to something different) —
+    genuine latin-1 text fails the strict re-decode and passes through
+    untouched, pure ASCII short-circuits. One Arrow map; the cheap
+    prefilter (any UTF-8-lead-byte char U+00C2..U+00F4) skips the
+    try/except for the overwhelming clean majority."""
+    from pyspark.sql.functions import pandas_udf
+
+    out = out_col or text_col
+
+    @pandas_udf("string")
+    def _fix(col: pd.Series) -> pd.Series:
+        def fix(s: str) -> str:
+            if s.isascii() or not any(
+                "Â" <= ch <= "ô" for ch in s
+            ):
+                return s
+            for enc in ("latin-1", "cp1252"):
+                try:
+                    b = s.encode(enc)
+                except UnicodeEncodeError:
+                    continue
+                try:
+                    return b.decode("utf-8", "strict")
+                except UnicodeDecodeError:
+                    return s
+            return s
+
+        return col.map(fix, na_action="ignore")
+
+    return df.withColumn(out, _fix(F.col(text_col)))
+
+
 def normalize_text_column(
     df: DataFrame,
     text_col: str,

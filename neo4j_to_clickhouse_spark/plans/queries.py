@@ -2568,6 +2568,67 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "mojibake_repair_stats",
+    # Certifies ftfy-style double-encoding repair (operators/
+    # textnorm.py::fix_double_utf8): three lanes by (doc_id//9)%3 —
+    # (0) clean ASCII passes through, (1) planted latin-1 mojibake
+    # ' cafÃ©' repairs to ' café' (6 chars -> 5), (2) GENUINE
+    # accented text ' café' must NOT be touched (the strict UTF-8
+    # re-decode fails on real latin-1 characters). Closed form:
+    # chars after = n_chars + 5 for lanes 1/2, n_chars for lane 0;
+    # n_repaired counts lane 1 only.
+    """WITH sel AS (
+         SELECT doc_id, source, n_chars, (doc_id // 9) % 3 AS v
+         FROM documents WHERE doc_id % 9 = 6)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_repaired,
+              CAST(sum(CASE WHEN v = 0 THEN n_chars
+                            ELSE n_chars + 5 END) AS BIGINT)
+                AS total_chars
+       FROM sel GROUP BY source ORDER BY source""",
+    "mojibake repair (ftfy core trick): UTF-8-read-as-latin-1 double "
+    "encoding detected by byte round-trip + strict re-decode; genuine "
+    "accented text untouched",
+)
+def mojibake_repair_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.textnorm import (
+        fix_double_utf8,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 9) == 6)
+        .select("doc_id", "source", "text")
+    )
+    v = (F.col("doc_id") / 9).cast("long") % 3
+    planted = d.select(
+        "source",
+        # escapes, not literals: lane 1 is the DOUBLE-ENCODED bytes
+        # (U+00C3 U+00A9 = utf-8('é') read as latin-1), lane 2 the
+        # genuine single-encoded accent
+        F.when(v == 1, F.concat(F.col("text"), F.lit(" caf\u00c3\u00a9")))
+        .when(v == 2, F.concat(F.col("text"), F.lit(" caf\u00e9")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+        v.alias("v"),
+    )
+    fixed = fix_double_utf8(planted, "t", out_col="fixed")
+    return (
+        fixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("fixed") != F.col("t"), 1).otherwise(0)
+            ).alias("n_repaired"),
+            F.sum(F.length("fixed")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "line_dedup_rewrite_stats",
     # Certifies cross-document frequent-line removal
     # (operators/lines.py::line_dedup_rewrite — the RefinedWeb/CCNet
@@ -8796,6 +8857,7 @@ _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
+    "mojibake_repair_stats",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "sitemap_url_expansion",  # last green: r00
@@ -8841,10 +8903,10 @@ _DRIVER_WINDOW = [
     "embedding_near_duplicates",  # last green: r09
     "event_share_of_total",  # last green: r09
     "event_type_pivot",  # last green: r09
-    "events_by_dow_hour",  # last green: r09
 ]
 
 _ROTATION = [
+    "events_by_dow_hour",  # r09
     "fingerprint_uniqueness",  # r09
     "first_event_salted",  # r09
     "first_events_per_user",  # r09

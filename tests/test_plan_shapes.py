@@ -355,6 +355,8 @@ def test_registry_wide_plan_lint(spark):
         "unicode_normalize_stats",
         # zlib compression-ratio signal (bytes-level, Arrow map)
         "compression_ratio_flags",
+        # ftfy-style double-encoding repair (codec round-trip, Arrow)
+        "mojibake_repair_stats",
     }
     py_markers = (
         "BatchEvalPython",

@@ -143,3 +143,29 @@ def test_compression_ratio_signal(spark):
     assert 0.2 < got["prose"] < 1.2  # short prose barely compresses
     assert got["empty"] is None
     assert got["null"] is None
+
+
+def test_fix_double_utf8(spark):
+    from neo4j_to_clickhouse_spark.operators.textnorm import (
+        fix_double_utf8,
+    )
+
+    cases = [
+        ("ascii", "plain ascii text", "plain ascii text"),
+        # utf-8('caf\u00e9') read as latin-1
+        ("latin1-moji", "caf\u00c3\u00a9", "caf\u00e9"),
+        # utf-8 smart quote read as cp1252
+        ("cp1252-moji", "don\u00e2\u20ac\u2122t", "don\u2019t"),
+        # GENUINE accents must survive untouched
+        ("real-latin1", "caf\u00e9 r\u00e9sum\u00e9", "caf\u00e9 r\u00e9sum\u00e9"),
+        # CJK (not latin-1 encodable) untouched
+        ("cjk", "\u6c49\u5b57", "\u6c49\u5b57"),
+    ]
+    df = spark.createDataFrame(
+        [(k, t) for k, t, _ in cases], "k string, t string"
+    )
+    got = {
+        r.k: r.fixed
+        for r in fix_double_utf8(df, "t", out_col="fixed").collect()
+    }
+    assert got == {k: want for k, _, want in cases}
