@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # two new physical shapes get standing wall-time rows
     "corpus_ingest_pipeline_stats",
     "unicode_normalize_stats",
+    # round-12 wave 2: the line explode -> digest count -> anti-join
+    # -> positional rebuild shape, and the pointer-doubling iterative
+    # join (4 self-join rounds)
+    "line_dedup_rewrite_stats",
+    "redirect_resolution_stats",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its
