@@ -1,78 +1,55 @@
-"""Deterministic shard export (operators/export.py).
+"""Sharded JSONL training export (sources/export.py)."""
 
-The oracle certifies the balance report on the fixture; these pin the
-export contract itself: shard ids match an independent md5 computation,
-the written shards are a pure function of the data (byte-identical
-across reruns and input partitionings), and intra-shard order follows
-the md5 order key.
-"""
+import gzip
+import json
+import os
 
-from __future__ import annotations
-
-import hashlib
-
-from neo4j_to_clickhouse_spark.operators.export import (
-    assign_shards,
-    shard_balance_report,
-    write_training_shards,
+from neo4j_to_clickhouse_spark.sources.export import (
+    read_jsonl_shards,
+    write_jsonl_shards,
 )
 
 
-def _expected_shard(key, n):
-    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % n
+def test_roundtrip_manifest_and_sharding(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} café 汉字", [1.0, float(i)]) for i in range(57)],
+        "doc_id long, text string, embedding array<double>",
+    ).repartition(2)
+    path = str(tmp_path / "shards")
+    man = write_jsonl_shards(docs, path, max_records_per_file=10)
+    assert man["n_rows"] == 57
+    assert man["columns"] == ["doc_id", "text", "embedding"]
+    # maxRecordsPerFile respected: 57 rows / <=10 per shard over 2
+    # tasks -> at least 6 shards, none above the bound
+    assert man["n_shards"] >= 6
+    assert all(s["n_rows"] <= 10 for s in man["shards"])
+    assert sum(s["n_rows"] for s in man["shards"]) == 57
 
+    # the manifest matches the bytes on disk
+    disk = json.load(open(os.path.join(path, "MANIFEST.json")))
+    assert disk == man
 
-def _docs(spark, n=40, parts=None):
-    rows = [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(n)]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    return df.repartition(parts) if parts else df
+    # shards are plain gzip JSONL any loader can stream
+    shard = os.path.join(path, man["shards"][0]["file"])
+    with gzip.open(shard, "rt", encoding="utf-8") as fh:
+        first = json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text", "embedding"}
+    assert "café" in first["text"] or "汉字" in first["text"]
 
-
-def test_shard_matches_independent_md5(spark):
-    out = assign_shards(_docs(spark), "doc_id", 8).collect()
-    for r in out:
-        assert r["shard"] == _expected_shard(r["doc_id"], 8)
-        assert r["sort_key"] == hashlib.md5(
-            str(r["doc_id"]).encode()
-        ).hexdigest()
-
-
-def test_balance_report_conserves_docs(spark):
-    rep = shard_balance_report(_docs(spark), "doc_id", 8).collect()
-    assert sum(r["n_docs"] for r in rep) == 40
-    assert all(0 <= r["shard"] < 8 for r in rep)
-
-
-def _read_shards(spark, path):
-    df = spark.read.parquet(path)
-    rows = sorted(
-        df.collect(), key=lambda r: (r["shard"], r["sort_key"], r["doc_id"])
+    # Spark read-back is lossless
+    back = read_jsonl_shards(spark, path, schema=docs.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
     )
-    # partition-column type inference may surface `shard` as a string
-    return [(int(r["shard"]), r["doc_id"]) for r in rows]
 
 
-def test_written_shards_are_layout_invariant(spark, tmp_path):
-    a, b = str(tmp_path / "a"), str(tmp_path / "b")
-    write_training_shards(_docs(spark, parts=2), a, "doc_id", 4)
-    write_training_shards(_docs(spark, parts=7), b, "doc_id", 4)
-    assert _read_shards(spark, a) == _read_shards(spark, b)
-    # membership matches the closed-form hash
-    for shard, doc_id in _read_shards(spark, a):
-        assert shard == _expected_shard(doc_id, 4)
-
-
-def test_intra_shard_order_is_the_md5_order(spark, tmp_path):
-    path = str(tmp_path / "s")
-    write_training_shards(_docs(spark), path, "doc_id", 2)
-    df = spark.read.parquet(path)
-    for shard in (0, 1):
-        # physical row order within the shard's files is the sort order
-        got = [
-            r["doc_id"]
-            for r in df.filter(df.shard.cast("int") == shard).collect()
-        ]
-        expect = sorted(
-            got, key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
-        )
-        assert got == expect
+def test_uncompressed_and_no_manifest(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    path = str(tmp_path / "plain")
+    man = write_jsonl_shards(
+        docs, path, compress=False, manifest=False
+    )
+    assert man == {}
+    assert not os.path.exists(os.path.join(path, "MANIFEST.json"))
+    back = read_jsonl_shards(spark, path, schema=docs.schema)
+    assert back.collect()[0].text == "a"
