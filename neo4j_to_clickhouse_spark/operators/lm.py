@@ -139,3 +139,101 @@ def lm_quality_report(
         "oov_rate",
         "avg_nll",
     )
+
+
+def bigram_lm_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 64,
+) -> DataFrame:
+    """Per-group BIGRAM-LM quality rollup — the next rung toward
+    CCNet's n-gram scoring above :func:`lm_quality_report`'s unigram.
+
+    Model: tokens map to the top-``top_v`` vocabulary or ``<unk>``
+    BEFORE pairing, so the bigram alphabet is at most ``(V+1)^2`` — the
+    trick that keeps every model table broadcast-tiny at any corpus
+    size. Laplace-smoothed conditional:
+    ``p(w2|w1) = (b(w1,w2) + 1) / (ctx(w1) + V + 1)`` with exact
+    integer counts; per-bigram ``ln(p)`` rounds to 6 decimals and sums
+    as DECIMAL (the module's determinism contract).
+
+    Scale design: the vocabulary is one map-side-combined count
+    shuffle; the top-V terms come back as a 64-literal codegen array
+    (a contract-bounded collect, the `similarity.py` pattern), so the
+    token->vocab mapping and the in-document PAIRING are pure array
+    expressions on the scan — the corpus never shuffles. Bigram and
+    context counts shuffle <= (V+1)^2 keys; scoring joins broadcast.
+
+    Columns: ``n_docs``, ``n_bigrams``, ``unk_bigrams`` (pairs
+    touching ``<unk>``), ``unk_rate``, ``avg_nll`` (mean negative
+    ln-likelihood per bigram, nats)."""
+    from neo4j_to_clickhouse_spark.operators.dedup import spread, tokens
+
+    counts = term_counts(df, text_col)
+    vocab_terms = [
+        r.term for r in top_vocab(counts, top_v).collect()
+    ]  # <= top_v rows — contract-bounded
+    v_eff = len(vocab_terms)
+    vocab_arr = F.array(*[F.lit(t) for t in vocab_terms])
+
+    mapped = F.transform(
+        tokens(text_col),
+        lambda t: F.when(
+            F.array_contains(vocab_arr, t), t
+        ).otherwise(F.lit("<unk>")),
+    )
+    n = F.size(mapped)
+    pairs = F.zip_with(
+        F.slice(mapped, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(mapped, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bgs = spread(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(pairs).alias("b"),
+    ).select("grp", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    bcounts = bgs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    ctx = bcounts.groupBy("w1").agg(F.sum("bcnt").alias("ccnt"))
+
+    scored = (
+        bgs.join(F.broadcast(bcounts), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .select(
+            "grp",
+            (
+                (F.col("w1") == "<unk>") | (F.col("w2") == "<unk>")
+            ).cast("long").alias("unk"),
+            F.round(
+                F.log(
+                    (F.col("bcnt") + F.lit(1)).cast("double")
+                    / (F.col("ccnt") + F.lit(v_eff + 1)).cast("double")
+                ),
+                _LOG_SCALE,
+            )
+            .cast(f"decimal(28,{_LOG_SCALE})")
+            .alias("nll"),
+        )
+    )
+    per_grp = scored.groupBy("grp").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("unk").alias("unk_bigrams"),
+        (F.round(F.sum("unk").cast("double") / F.count("*"), 6) + F.lit(0.0))
+        .alias("unk_rate"),
+        (
+            F.round(-F.sum("nll").cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("avg_nll"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return docs.join(per_grp, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("unk_bigrams", F.lit(0)).alias("unk_bigrams"),
+        "unk_rate",
+        "avg_nll",
+    )

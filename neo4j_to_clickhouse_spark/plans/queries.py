@@ -2568,6 +2568,77 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
 
 
 @q(
+    "bigram_lm_quality_by_source",
+    # Bigram-LM quality scoring (operators/lm.py::bigram_lm_report) —
+    # the rung above the unigram toward CCNet's n-gram scoring.
+    # Tokens map to the top-64 vocabulary or <unk> BEFORE pairing (the
+    # bigram alphabet stays <= 65^2, every model table broadcast-tiny
+    # at any corpus size); Laplace conditional
+    # p(w2|w1) = (b+1)/(ctx+V+1) on exact integer counts; per-bigram
+    # ln rounds to 6dp DECIMAL before summation (the unigram oracle's
+    # determinism contract). The oracle rebuilds the identical model
+    # with a lead() window for adjacency — certifying the engine's
+    # shuffle-free array pairing against the window formulation.
+    r"""WITH tok AS (
+         SELECT doc_id, source,
+                unnest(string_split(text, ' ')) AS term,
+                unnest(range(1, len(string_split(text, ' ')) + 1))
+                  AS ord
+         FROM documents),
+       counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       vocab AS (SELECT term FROM counts
+                 ORDER BY cnt DESC, term LIMIT 64),
+       veff AS (SELECT count(*) AS v FROM vocab),
+       mapped AS (
+         SELECT t.doc_id, t.source, t.ord,
+                CASE WHEN v.term IS NULL THEN '<unk>'
+                     ELSE t.term END AS m
+         FROM tok t LEFT JOIN vocab v USING (term)),
+       bg AS (
+         SELECT source, m AS w1,
+                lead(m) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+         FROM mapped QUALIFY w2 IS NOT NULL),
+       bc AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY w1, w2),
+       cx AS (SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ccnt
+              FROM bc GROUP BY w1),
+       scored AS (
+         SELECT g.source,
+                CASE WHEN g.w1 = '<unk>' OR g.w2 = '<unk>'
+                     THEN 1 ELSE 0 END AS unk,
+                CAST(round(ln(CAST(b.bcnt + 1 AS DOUBLE)
+                              / CAST(c.ccnt + v.v + 1 AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS nll
+         FROM bg g JOIN bc b USING (w1, w2) JOIN cx c USING (w1)
+         CROSS JOIN veff v),
+       per AS (
+         SELECT source, count(*) AS n_bigrams,
+                CAST(sum(unk) AS BIGINT) AS unk_bigrams,
+                round(CAST(sum(unk) AS DOUBLE) / count(*), 6) + 0
+                  AS unk_rate,
+                round(-CAST(sum(nll) AS DOUBLE) / count(*), 6) + 0
+                  AS avg_nll
+         FROM scored GROUP BY source),
+       docs AS (SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source)
+       SELECT d.source, d.n_docs,
+              coalesce(p.n_bigrams, 0) AS n_bigrams,
+              coalesce(p.unk_bigrams, 0) AS unk_bigrams,
+              p.unk_rate, p.avg_nll
+       FROM docs d LEFT JOIN per p USING (source)
+       ORDER BY d.source""",
+    "bigram-LM quality scoring: top-V+<unk> mapped alphabet, Laplace "
+    "conditional NLL per bigram — shuffle-free array pairing on the "
+    "engine certified against the oracle's window formulation",
+)
+def bigram_lm_quality_by_source(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.lm import bigram_lm_report
+
+    return bigram_lm_report(
+        _t(spark, sf_dir, "documents"), "source", "text", top_v=64
+    ).orderBy("source")
+
+
+@q(
     "mojibake_repair_stats",
     # Certifies ftfy-style double-encoding repair (operators/
     # textnorm.py::fix_double_utf8): three lanes by (doc_id//9)%3 —
@@ -8853,6 +8924,7 @@ def revenue_pareto_report(spark, sf_dir):
 _WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
+    "bigram_lm_quality_by_source",  # last green: r00
     "c4_line_filter_stats",  # last green: r00
     "charset_decode_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
@@ -8902,10 +8974,10 @@ _DRIVER_WINDOW = [
     "embedding_ivf_full_probe",  # last green: r09
     "embedding_near_duplicates",  # last green: r09
     "event_share_of_total",  # last green: r09
-    "event_type_pivot",  # last green: r09
 ]
 
 _ROTATION = [
+    "event_type_pivot",  # r09
     "events_by_dow_hour",  # r09
     "fingerprint_uniqueness",  # r09
     "first_event_salted",  # r09

@@ -69,3 +69,51 @@ def test_sources_scored_against_shared_corpus_model(spark):
     rows += [(99, "weird", "zq zq zq zq")]
     out = _report(spark, rows, top_v=2)
     assert out["typical"]["avg_nll"] < out["weird"]["avg_nll"]
+
+
+def test_bigram_lm_hand_computation(spark):
+    from neo4j_to_clickhouse_spark.operators.lm import bigram_lm_report
+
+    # corpus: "a b a b" + "a b c" with top_v=2 -> vocab {a, b} (a:3,
+    # b:3 tie broken by term; c maps to <unk>). Bigrams:
+    # doc1: (a,b)(b,a)(a,b); doc2: (a,b)(b,<unk>)
+    # counts: (a,b)=3, (b,a)=1, (b,<unk>)=1; ctx: a=3, b=2; V=2
+    import math
+
+    docs = spark.createDataFrame(
+        [("s", "a b a b"), ("s", "a b c")], "source string, text string"
+    )
+    out = bigram_lm_report(docs, top_v=2).collect()[0]
+    assert out.n_docs == 2
+    assert out.n_bigrams == 5
+    assert out.unk_bigrams == 1
+    assert out.unk_rate == 0.2
+    from decimal import Decimal
+
+    def nll(b, c):
+        return Decimal(str(round(math.log((b + 1) / (c + 3)), 6)))
+
+    total = 3 * nll(3, 3) + nll(1, 2) + nll(1, 2)
+    want = round(-float(total) / 5, 6)
+    assert out.avg_nll == want
+
+
+def test_bigram_lm_no_corpus_shuffle(spark):
+    from neo4j_to_clickhouse_spark.operators.lm import bigram_lm_report
+
+    docs = spark.createDataFrame(
+        [("s", "x y z")], "source string, text string"
+    )
+    plan = (
+        bigram_lm_report(docs, top_v=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # model tables arrive broadcast (the scoring joins), pairing is
+    # array expressions on the scan, zero Python. (The final
+    # group-rollup join of two group-cardinality aggregates may plan
+    # SMJ statically; AQE converts it at runtime — not asserted.)
+    assert plan.count("BroadcastHashJoin") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
