@@ -35,9 +35,13 @@ _DROP_CONTENT = re.compile(
 # An opener with no closer (routine in truncated crawl HTML) drops to
 # end-of-input — otherwise the generic tag pass would strip only the
 # tags and leak raw script/CSS text into the document. Runs after the
-# comment pass so a commented-out opener can't eat trailing text.
+# comment pass so a commented-out opener can't eat trailing text. The
+# lookbehind skips '<script' sitting inside another tag's attribute
+# value ('<img alt="<script>">', onclick handlers): an HTML tokenizer
+# treats '<' as literal there, so a preceding quote or '=' means this
+# is not an element opener.
 _DROP_UNCLOSED = re.compile(
-    r"<(script|style)\b[^>]*>.*\Z",
+    r"""(?<!["'=])<(script|style)\b[^>]*>.*\Z""",
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)

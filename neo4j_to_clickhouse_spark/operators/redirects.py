@@ -63,7 +63,14 @@ def resolve_redirects(
     heads = edges.select(F.col(src).alias("__head")).distinct()
     out = (
         m.join(heads, m["__b"] == heads["__head"], "left")
-        .withColumn("resolved", F.col("__head").isNull())
+        # terminal target AND within the cap: doubling rounds resolve
+        # up to 2^rounds hops, which can exceed a non-power-of-two
+        # max_hops — the explicit hop check keeps the documented
+        # contract exact for any cap value
+        .withColumn(
+            "resolved",
+            F.col("__head").isNull() & (F.col("__h") <= max_hops),
+        )
         .select(
             F.col("__a").alias(src),
             F.when(F.col("resolved"), F.col("__b")).alias("final"),

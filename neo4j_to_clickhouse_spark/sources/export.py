@@ -5,9 +5,12 @@ size-bounded shards, a manifest for the loader).
 100 TB design: the write IS the Spark job — ``maxRecordsPerFile``
 bounds shard size without an extra repartition shuffle (each task
 rolls files as it passes the bound), gzip per shard keeps shards
-independently decompressible, and the manifest derives from one
-metadata-cheap read-back aggregation (rows per file), not from
-driver-side listing of contents.
+independently decompressible, and the manifest derives from a
+line-count pass with the TEXT reader (decompress only — no JSON parse,
+no schema application). The manifest itself is written through the
+Hadoop FileSystem API, so it lands next to the shards on whatever
+filesystem the shards went to (local, HDFS, s3a, ...), not on the
+driver's local disk.
 """
 
 from __future__ import annotations
@@ -19,6 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _write_text_file(spark: SparkSession, path: str, data: str) -> None:
+    """Small sidecar file via the Hadoop FileSystem of ``path`` — the
+    same filesystem resolution the DataFrame writers use, so a
+    non-local export URI gets its sidecar in the right place."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_jsonl_shards(
     docs: DataFrame,
     path: str,
@@ -28,7 +46,7 @@ def write_jsonl_shards(
 ) -> dict:
     """Write ``docs`` as sharded JSONL under ``path`` and (optionally)
     a ``MANIFEST.json`` next to the shards: shard file names, per-shard
-    row counts, total rows, and the column schema — what a training
+    row counts, total rows, and the column list — what a training
     loader needs to plan epochs without opening every shard. Returns
     the manifest dict."""
     writer = (
@@ -41,9 +59,10 @@ def write_jsonl_shards(
     if not manifest:
         return {}
     spark = docs.sparkSession
+    # rows per shard = line count: the text reader decompresses but
+    # never JSON-parses, so this pass is IO-bound, not CPU-bound
     rows = (
-        spark.read.schema(docs.schema)
-        .json(path)
+        spark.read.text(os.path.join(path, "part-*"))
         .groupBy(F.input_file_name().alias("file"))
         .agg(F.count("*").alias("n_rows"))
         .collect()
@@ -63,8 +82,11 @@ def write_jsonl_shards(
         "columns": docs.columns,
         "shards": shards,
     }
-    with open(os.path.join(path, "MANIFEST.json"), "w") as fh:
-        json.dump(man, fh, indent=1)
+    _write_text_file(
+        spark,
+        os.path.join(path, "MANIFEST.json"),
+        json.dumps(man, indent=1),
+    )
     return man
 
 

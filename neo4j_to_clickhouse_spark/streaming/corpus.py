@@ -48,6 +48,24 @@ _BINARY_FILE_SCHEMA = (
 )
 
 
+def _file_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.load(path)
+
+
 def read_warc_file_stream(
     spark: SparkSession,
     path: str,
@@ -56,16 +74,7 @@ def read_warc_file_stream(
     """Streaming source over a drop directory of ``.warc``/``.warc.gz``
     files (one row per NEW file; the checkpoint's file log makes the
     source exactly-once across restarts)."""
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    return reader.load(path)
+    return _file_stream(spark, path, "*.warc*", max_files_per_trigger)
 
 
 def corpus_documents(
@@ -143,39 +152,29 @@ def read_wet_file_stream(
 ) -> DataFrame:
     """Streaming source over a drop directory of ``.wet``/``.wet.gz``
     files (Common Crawl extracted text)."""
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.wet*")
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
-    return reader.load(path)
+    return _file_stream(spark, path, "*.wet*", max_files_per_trigger)
 
 
-def start_wet_stream(
+def _start_file_ingest(
     files_stream: DataFrame,
+    transform,
     table_path: str,
     quarantine_path: str,
     checkpoint_path: str,
-    processing_time: str | None = None,
-    coalesce_output: int | None = None,
-    query_name: str = "wet_ingest",
+    processing_time: str | None,
+    coalesce_output: int | None,
+    query_name: str,
 ) -> StreamingQuery:
-    """WET drops -> documents table, continuously: conversion records
-    strictly UTF-8 decoded (quarantine lane for broken bodies) through
-    the same checkpointed idempotent sink as the WARC stream. The
-    transform is `sources.warc.wet_documents` verbatim — batch/stream
-    equivalence by construction."""
-    from ..sources.warc import wet_documents
+    """The shared checkpointed idempotent sink: per micro-batch,
+    ``transform(batch) -> (docs, quarantine)``, both staged and
+    promoted under deterministic batch-tagged names (see
+    `.pipeline._promote_staged`)."""
     from .pipeline import _promote_staged
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
-        docs, quar = wet_documents(batch_df)
+        docs, quar = transform(batch_df)
         if coalesce_output:
             docs = docs.coalesce(coalesce_output)
             quar = quar.coalesce(1)
@@ -196,6 +195,34 @@ def start_wet_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_wet_stream(
+    files_stream: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    processing_time: str | None = None,
+    coalesce_output: int | None = None,
+    query_name: str = "wet_ingest",
+) -> StreamingQuery:
+    """WET drops -> documents table, continuously: conversion records
+    strictly UTF-8 decoded (quarantine lane for broken bodies) through
+    the same checkpointed idempotent sink as the WARC stream. The
+    transform is `sources.warc.wet_documents` verbatim — batch/stream
+    equivalence by construction."""
+    from ..sources.warc import wet_documents
+
+    return _start_file_ingest(
+        files_stream,
+        wet_documents,
+        table_path,
+        quarantine_path,
+        checkpoint_path,
+        processing_time,
+        coalesce_output,
+        query_name,
+    )
 
 
 def start_corpus_stream(
@@ -214,31 +241,15 @@ def start_corpus_stream(
     checkpointed idempotent sink (see module docstring). With
     ``processing_time=None`` the query drains available files and
     stops (``availableNow``) — the test/backfill mode."""
-    from .pipeline import _promote_staged
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        docs, quar = corpus_documents(
-            batch_df, rules, agent=agent, enrich=enrich
-        )
-        if coalesce_output:
-            docs = docs.coalesce(coalesce_output)
-            quar = quar.coalesce(1)
-        for frame, root in ((docs, table_path), (quar, quarantine_path)):
-            staging = os.path.join(
-                root, f".staging-{query_name}~{batch_id}"
-            )
-            frame.write.mode("overwrite").parquet(staging)
-            _promote_staged(staging, root, batch_id, query_name)
-
-    writer = (
-        files_stream.writeStream.queryName(query_name)
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_path)
+    return _start_file_ingest(
+        files_stream,
+        lambda batch: corpus_documents(
+            batch, rules, agent=agent, enrich=enrich
+        ),
+        table_path,
+        quarantine_path,
+        checkpoint_path,
+        processing_time,
+        coalesce_output,
+        query_name,
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()

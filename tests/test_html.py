@@ -63,6 +63,15 @@ def test_commented_out_opener_does_not_eat_tail():
     assert out == "a b"
 
 
+def test_script_token_inside_attribute_value_does_not_eat_doc():
+    # '<script' inside another tag's attribute value is literal text to
+    # an HTML tokenizer — the unclosed-drop must not trigger on it
+    out = extract_html_text('<img alt="<script>"><p>rest of doc</p>')
+    assert "rest of doc" in out
+    out2 = extract_html_text("<a onclick='x(\"<script>\")'>link</a><p>tail</p>")
+    assert "tail" in out2
+
+
 def test_closed_script_then_unclosed_style():
     out = extract_html_text(
         "<script>x</script><p>mid</p><style>.q{} trailing css"

@@ -57,6 +57,16 @@ def test_over_cap_chain_flagged(spark):
     assert got[f"n{n-1}"] == (f"n{n}", 1, True)
 
 
+def test_non_power_of_two_cap_is_exact(spark):
+    # doubling rounds reach 2^ceil(log2(cap)) hops; the explicit hop
+    # check must still enforce the DOCUMENTED cap for e.g. cap=10
+    pairs = [(f"m{i}", f"m{i+1}") for i in range(12)]
+    got = _resolve(spark, pairs, max_hops=10)
+    assert got["m0"] == (None, None, False)   # 12 hops > cap 10
+    assert got["m2"] == ("m12", 10, True)     # exactly at the cap
+    assert got["m3"] == ("m12", 9, True)
+
+
 def test_redirect_edges_from_warc_records(spark, tmp_path):
     from neo4j_to_clickhouse_spark.sources.warc import (
         encode_warc,
