@@ -9028,6 +9028,101 @@ def classifier_topp_selection_stats(spark, sf_dir):
     )
 
 
+@q(
+    "cdx_fetch_plan_stats",
+    # Certifies the CDX(J) crawl-index source (sources/cdx.py):
+    # Common Crawl's per-capture index lines are planted from doc_id
+    # (incl. a malformed-line lane at doc_id%7==0 that must quarantine),
+    # parsed by codegen regex + JSON-path on BOTH engines, then
+    # selected (status 200, text/html) into the per-WARC-file
+    # byte-range fetch plan. Hard full-recompute oracle: DuckDB builds
+    # and parses the very same lines.
+    r"""WITH lines AS (SELECT
+         CASE WHEN doc_id % 7 = 0 THEN 'not a cdx line'
+              ELSE 'com,example)/p' || doc_id || ' 20240101'
+                   || lpad(CAST(doc_id % 86400 AS VARCHAR), 6, '0')
+                   || ' {"url":"http://example.com/p' || doc_id
+                   || '","mime":"'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                           ELSE 'text/html' END
+                   || '","status":"'
+                   || CASE WHEN doc_id % 4 <= 1 THEN '200'
+                           WHEN doc_id % 4 = 2 THEN '301'
+                           ELSE '404' END
+                   || '","digest":"D' || doc_id
+                   || '","length":"' || (500 + doc_id % 300)
+                   || '","offset":"' || (doc_id * 1000)
+                   || '","filename":"crawl-' || (doc_id % 5)
+                   || '.warc.gz"}'
+         END AS line
+       FROM documents),
+       p AS (SELECT regexp_extract(line,
+                      '^(\S+) (\d{14}) (\{.*\})$', 3) AS j
+             FROM lines),
+       sel AS (SELECT
+                json_extract_string(j, '$.filename') AS warc_filename,
+                CAST(json_extract_string(j, '$.status') AS INT)
+                  AS status,
+                json_extract_string(j, '$.mime') AS mime,
+                CAST(json_extract_string(j, '$.length') AS BIGINT)
+                  AS len,
+                CAST(json_extract_string(j, '$.offset') AS BIGINT)
+                  AS off
+               FROM p WHERE j <> '')
+       SELECT warc_filename,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(len) AS BIGINT) AS bytes_total,
+              min(off) AS offset_min,
+              max(off) AS offset_max
+       FROM sel
+       WHERE status = 200 AND mime LIKE 'text/html%'
+       GROUP BY warc_filename ORDER BY warc_filename""",
+    "CDX crawl-index source: parse CDXJ capture lines (codegen regex "
+    "+ JSON path, malformed lines quarantined), select 200/text-html "
+    "captures, emit the per-WARC-file byte-range fetch plan",
+)
+def cdx_fetch_plan_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.sources.cdx import (
+        cdx_fetch_plan,
+        parse_cdxj,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    line = F.when(i % 7 == 0, F.lit("not a cdx line")).otherwise(
+        F.concat(
+            F.lit("com,example)/p"),
+            sid,
+            F.lit(" 20240101"),
+            F.lpad((i % 86400).cast("string"), 6, "0"),
+            F.lit(' {"url":"http://example.com/p'),
+            sid,
+            F.lit('","mime":"'),
+            F.when(i % 3 == 0, F.lit("image/png")).otherwise(
+                F.lit("text/html")
+            ),
+            F.lit('","status":"'),
+            F.when(i % 4 <= 1, F.lit("200"))
+            .when(i % 4 == 2, F.lit("301"))
+            .otherwise(F.lit("404")),
+            F.lit('","digest":"D'),
+            sid,
+            F.lit('","length":"'),
+            (i % 300 + 500).cast("string"),
+            F.lit('","offset":"'),
+            (i * 1000).cast("string"),
+            F.lit('","filename":"crawl-'),
+            (i % 5).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+    )
+    parsed = parse_cdxj(d.select(line.alias("line")), "line")
+    return cdx_fetch_plan(
+        parsed, statuses=(200,), mime_prefixes=("text/html",)
+    ).orderBy("warc_filename")
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9050,6 +9145,7 @@ _WINDOW_ROUND = 12
 _DRIVER_WINDOW = [
     "bigram_lm_quality_by_source",  # last green: r00
     "c4_line_filter_stats",  # last green: r00
+    "cdx_fetch_plan_stats",  # last green: r00
     "charset_decode_stats",  # last green: r00
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
@@ -9097,10 +9193,10 @@ _DRIVER_WINDOW = [
     "doc_length_magnitude_histogram",  # last green: r09
     "duplicate_metadata_conflicts",  # last green: r09
     "embedding_dimension_stats",  # last green: r09
-    "embedding_ivf_full_probe",  # last green: r09
 ]
 
 _ROTATION = [
+    "embedding_ivf_full_probe",  # r09
     "embedding_near_duplicates",  # r09
     "event_share_of_total",  # r09
     "event_type_pivot",  # r09
