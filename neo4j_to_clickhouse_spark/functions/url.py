@@ -147,3 +147,79 @@ def url_path(url: Column | str) -> Column:
     return F.regexp_extract(
         c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
     )
+
+
+# ---------------------------------------------------------------------
+# Anchor extraction + reference resolution (link graph / URL frontier)
+# ---------------------------------------------------------------------
+
+#: href attribute of an <a> tag, either quote style, case-insensitive.
+_ANCHOR_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']+)["']"""
+
+#: any URI scheme prefix (RFC 3986 §3.1)
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def anchor_hrefs(html: Column | str) -> Column:
+    """``array<string>`` of raw href values from ``<a>`` tags — one
+    codegen ``regexp_extract_all``, the same shape as
+    :func:`sitemap_urls`. Unquoted hrefs (rare, invalid-ish HTML) are
+    out of scope, like the documented exclusions above."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 1)
+
+
+def resolve_href(href: Column, base: Column) -> Column:
+    """Resolve an href against its page URL (RFC 3986 §5 reference
+    resolution, the cases crawl frontiers need): absolute and
+    protocol-relative pass through with the scheme filled in;
+    root-relative joins the base origin; path-relative joins the base
+    directory. Non-fetchable references (``javascript:``, ``mailto:``,
+    any non-http scheme, bare fragments, empty) resolve to NULL —
+    filter them out. Dot-segment collapsing (``../``) is out of scope
+    (documented, like the canonicalizer's exclusions).
+    """
+    origin = F.regexp_extract(
+        base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+    )
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    # greedy [^?#]* then a required '/' backtracks to the LAST slash of
+    # the path — the base directory; '' when the path has no slash
+    base_dir = F.regexp_extract(
+        base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)", 1
+    )
+    return (
+        F.when(href.rlike(_SCHEME_RE + "//"), href)
+        .when(href.rlike(_SCHEME_RE), F.lit(None))  # mailto:, js:, …
+        .when(
+            href.startswith("//"), F.concat(scheme, F.lit(":"), href)
+        )
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(
+            href.startswith("#") | (href == ""), F.lit(None)
+        )
+        .otherwise(
+            F.concat(
+                F.when(base_dir != "", base_dir).otherwise(
+                    F.concat(origin, F.lit("/"))
+                ),
+                href,
+            )
+        )
+    )
+
+
+def extract_links(
+    html: Column | str, base_url: Column | str
+) -> Column:
+    """Resolved out-links of a page as ``array<string>`` — anchor
+    extraction + reference resolution, nulls (non-fetchable schemes)
+    filtered. The edge-building step of a link graph: explode this
+    against :func:`url_host` for host-level edges, feed
+    ``operators/graph.py::pagerank`` downstream. Pure expressions —
+    zero Python, zero shuffle; the explode that follows is a generator,
+    not an exchange."""
+    h = F.col(html) if isinstance(html, str) else html
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    resolved = F.transform(anchor_hrefs(h), lambda u: resolve_href(u, b))
+    return F.filter(resolved, lambda x: x.isNotNull())

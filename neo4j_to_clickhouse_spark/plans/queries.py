@@ -9123,6 +9123,82 @@ def cdx_fetch_plan_stats(spark, sf_dir):
     ).orderBy("warc_filename")
 
 
+@q(
+    "link_extraction_stats",
+    # Certifies anchor extraction + RFC 3986 reference resolution
+    # (functions/url.py::extract_links — the link-graph edge builder):
+    # every doc gets 5 planted anchors — absolute external
+    # (h{doc_id%7}.test), root-relative (-> base origin), directory-
+    # relative (-> base dir), mailto: and #fragment (both must drop) —
+    # with one uppercase <A HREF> exercising case-insensitivity.
+    # Closed form: 3 resolved links/page, 2 internal, external host
+    # set = distinct doc_id%7 per source.
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_pages,
+              CAST(3 * count(*) AS BIGINT) AS n_links,
+              CAST(2 * count(*) AS BIGINT) AS n_internal,
+              CAST(count(DISTINCT doc_id % 7) AS BIGINT)
+                AS n_external_hosts
+       FROM documents GROUP BY source ORDER BY source""",
+    "anchor <a href> extraction + reference resolution (absolute / "
+    "protocol- and root-relative / directory-relative; javascript:, "
+    "mailto:, fragments dropped) — the link-graph edge builder",
+)
+def link_extraction_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.functions.url import (
+        extract_links,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    base = F.concat(
+        F.lit("http://base"),
+        (i % 3).cast("string"),
+        F.lit(".test/dir/page"),
+        sid,
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.col("text"),
+        F.lit('<a href="http://h'),
+        (i % 7).cast("string"),
+        F.lit(".test/x"),
+        sid,
+        F.lit('">e</a>'),
+        F.lit("<A HREF='/root'>r</A>"),
+        F.lit('<a href="rel'),
+        sid,
+        F.lit('.html">l</a>'),
+        F.lit('<a href="mailto:x@y.test">m</a>'),
+        F.lit('<a href="#frag">f</a>'),
+    )
+    pages = d.select(
+        "source",
+        url_host(base).alias("bh"),
+        extract_links(html, base).alias("links"),
+    )
+    ex = pages.select(
+        "source", "bh", F.explode("links").alias("link")
+    ).withColumn("host", url_host(F.col("link")))
+    per_page = pages.groupBy("source").agg(
+        F.count("*").alias("n_pages")
+    )
+    per_link = ex.groupBy("source").agg(
+        F.count("*").alias("n_links"),
+        F.sum(
+            F.when(F.col("host") == F.col("bh"), 1).otherwise(0)
+        ).alias("n_internal"),
+        F.countDistinct(
+            F.when(F.col("host") != F.col("bh"), F.col("host"))
+        ).alias("n_external_hosts"),
+    )
+    return per_page.join(per_link, "source").orderBy("source")
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9150,6 +9226,7 @@ _DRIVER_WINDOW = [
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
+    "link_extraction_stats",  # last green: r00
     "mojibake_repair_stats",  # last green: r00
     "quality_classifier_stats",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
@@ -9192,10 +9269,10 @@ _DRIVER_WINDOW = [
     "dedup_token_savings_by_source",  # last green: r09
     "doc_length_magnitude_histogram",  # last green: r09
     "duplicate_metadata_conflicts",  # last green: r09
-    "embedding_dimension_stats",  # last green: r09
 ]
 
 _ROTATION = [
+    "embedding_dimension_stats",  # r09
     "embedding_ivf_full_probe",  # r09
     "embedding_near_duplicates",  # r09
     "event_share_of_total",  # r09

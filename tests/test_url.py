@@ -134,3 +134,57 @@ def test_sitemap_urls_extraction(spark):
     ]
     assert got[1] == []
     assert got[2] is None
+
+
+def test_anchor_hrefs_and_resolution(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    html = (
+        'pre <a href="http://ext.test/abs">a</a>'
+        "<A HREF='/rooted'>b</A>"
+        '<a class="x" href="sub/rel.html">c</a>'
+        '<a href="//cdn.test/pr">d</a>'
+        '<a href="mailto:x@y">e</a>'
+        '<a href="javascript:void(0)">f</a>'
+        '<a href="#frag">g</a>'
+        '<a href="">h</a> post'
+    )
+    df = spark.createDataFrame(
+        [(html, "https://www.site.test/dir/page.html")],
+        "html string, base string",
+    )
+    got = df.select(
+        extract_links("html", "base").alias("links")
+    ).first()["links"]
+    assert got == [
+        "http://ext.test/abs",
+        "https://www.site.test/rooted",
+        "https://www.site.test/dir/sub/rel.html",
+        "https://cdn.test/pr",
+    ]
+
+
+def test_resolve_relative_against_slashless_base(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    # base path has no directory: relative joins origin + '/'
+    df = spark.createDataFrame(
+        [('<a href="page2">x</a>', "http://h.test")],
+        "html string, base string",
+    )
+    got = df.select(
+        extract_links("html", "base").alias("links")
+    ).first()["links"]
+    assert got == ["http://h.test/page2"]
+
+
+def test_extract_links_no_anchors(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    df = spark.createDataFrame(
+        [("plain text, no markup", "http://h.test/")],
+        "html string, base string",
+    )
+    assert df.select(
+        extract_links("html", "base").alias("l")
+    ).first()["l"] == []
