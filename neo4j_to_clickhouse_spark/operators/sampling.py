@@ -208,3 +208,77 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    weight: Column | dict[str, float],
+    token_budget: int,
+    token_col: Column | str,
+) -> DataFrame:
+    """Per-group keep-rates that hit a target token mixture: group ``g``
+    should contribute ``token_budget * w_g`` tokens, so its Bernoulli
+    keep-rate is ``min(1, (budget * w_g) / tokens_g)`` — the Pile/Dolma
+    mixture-planning step, computed distributed (one tiny aggregate, no
+    driver round-trip).
+
+    ``weight`` is either a dict ``{group value -> weight}`` (groups
+    absent from the dict get weight 0 = dropped) or a Column expression
+    over ``group_col`` for formula-derived weights. Output:
+    ``(group_col, mixture_rate)`` — rows ∝ groups, always broadcastable.
+
+    Determinism: the rate is two correctly-rounded double ops
+    (multiply, divide) on exact integer token sums, so any engine
+    reproduces it bit-for-bit (the certified oracle recomputes it).
+    """
+    if isinstance(weight, dict):
+        w: Column = F.lit(0.0)
+        for k, v in weight.items():
+            w = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(w)
+    else:
+        w = weight
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    tok = df.groupBy(group_col).agg(
+        F.sum(t).cast("long").alias("__tok")
+    )
+    return tok.select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(token_budget)) * w)
+            / F.col("__tok").cast("double"),
+        ).alias("mixture_rate"),
+    )
+
+
+def budget_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight: Column | dict[str, float],
+    token_budget: int,
+    token_col: Column | str,
+) -> DataFrame:
+    """Deterministic token-budget mixture sample: compute
+    :func:`mixture_rates`, broadcast them back, and keep a row iff its
+    32-bit md5 hash value falls under ``floor(rate * 2^32)`` — the
+    numeric-threshold form of :func:`hash_sample` (needed here because
+    the rate is a *column*, not a literal). The kept rows carry their
+    group's ``mixture_rate``.
+
+    Scale shape: one partial-aggregated token count per group + one
+    broadcast join; the keep decision is a scan-side filter — the
+    corpus never shuffles, and reruns pick the same documents on any
+    partitioning (hash of the key, not of the split).
+    """
+    rates = mixture_rates(df, group_col, weight, token_budget, token_col)
+    hash_num = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thresh = F.floor(
+        F.col("mixture_rate") * F.lit(4294967296.0)
+    ).cast("long")
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_num < thresh
+    )

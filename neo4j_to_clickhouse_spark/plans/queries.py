@@ -9199,6 +9199,85 @@ def link_extraction_stats(spark, sf_dir):
     return per_page.join(per_link, "source").orderBy("source")
 
 
+@q(
+    "token_budget_mixture_stats",
+    # Certifies the mixture planner + deterministic budget sample
+    # (operators/sampling.py::mixture_rates/budget_mixture — the
+    # Pile/Dolma "hit a target token mix" step): weight w_g =
+    # (1 + src_num % 4) / 10 derived from the source name, budget
+    # 20000 subword-estimate tokens, keep-rate min(1, budget*w/tok_g),
+    # member set = md5(doc_id) under floor(rate * 2^32). The oracle
+    # RECOMPUTES rates and the exact member set — a hard check of both
+    # the planning arithmetic and the hash-threshold sampling.
+    r"""WITH tok AS (SELECT source,
+                CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                     AS BIGINT) AS tok
+              FROM documents GROUP BY source),
+       r AS (SELECT source, tok,
+                least(1.0, (20000.0 *
+                    ((1 + CAST(regexp_extract(source, 'src(\d+)', 1)
+                               AS INT) % 4) / 10.0))
+                  / CAST(tok AS DOUBLE)) AS rate
+             FROM tok),
+       kept AS (SELECT d.source,
+                       CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS t
+                FROM documents d JOIN r USING (source)
+                WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT
+                      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+       agg AS (SELECT source, count(*) AS n_kept,
+                      CAST(sum(t) AS BIGINT) AS tokens_kept
+               FROM kept GROUP BY source)
+       SELECT r.source, round(r.rate, 6) + 0 AS mixture_rate,
+              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(coalesce(agg.tokens_kept, 0) AS BIGINT)
+                AS tokens_kept
+       FROM r LEFT JOIN agg USING (source)
+       ORDER BY r.source""",
+    "token-budget mixture sampling (Pile/Dolma mixture planning): "
+    "per-source keep-rates min(1, budget*w/tokens) computed "
+    "distributed, deterministic md5-threshold member set — rates AND "
+    "members recomputed by the oracle",
+)
+def token_budget_mixture_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        budget_mixture,
+        mixture_rates,
+    )
+    from neo4j_to_clickhouse_spark.operators.text import (
+        subword_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        1
+        + F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4
+    ) / 10.0
+    tok = subword_estimate("text")
+    kept = budget_mixture(
+        docs, "source", "doc_id", w, 20000, tok
+    )
+    rates = mixture_rates(docs, "source", w, 20000, tok)
+    agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(tok).alias("tokens_kept"),
+    )
+    return (
+        rates.join(agg, "source", "left")
+        .select(
+            "source",
+            (F.round(F.col("mixture_rate"), 6) + F.lit(0.0)).alias(
+                "mixture_rate"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9232,6 +9311,7 @@ _DRIVER_WINDOW = [
     "redirect_resolution_stats",  # last green: r00
     "robots_wildcard_filter_stats",  # last green: r00
     "sitemap_url_expansion",  # last green: r00
+    "token_budget_mixture_stats",  # last green: r00
     "unicode_normalize_stats",  # last green: r00
     "wet_ingest_stats",  # last green: r00
     "priority_sample_by_length",  # last green: r08
@@ -9268,10 +9348,10 @@ _DRIVER_WINDOW = [
     "dedup_survivors_minhash",  # last green: r09
     "dedup_token_savings_by_source",  # last green: r09
     "doc_length_magnitude_histogram",  # last green: r09
-    "duplicate_metadata_conflicts",  # last green: r09
 ]
 
 _ROTATION = [
+    "duplicate_metadata_conflicts",  # r09
     "embedding_dimension_stats",  # r09
     "embedding_ivf_full_probe",  # r09
     "embedding_near_duplicates",  # r09
