@@ -556,18 +556,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, bands: int = 32, num_hashes: int = 64
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a, id_b), a<b, from minhash signatures.
+    """(id, bucket) banded-LSH rows from minhash signatures.
 
     Each signature is cut into `bands` contiguous bands of
-    ``num_hashes/bands`` rows; docs agreeing on *any* full band collide in
-    a bucket. Default 32 bands x 2 rows: at J=0.5 the candidate-recall is
-    1-(1-0.25)^32 ~ 0.9999 — err on recall, since the exact-Jaccard
-    verification step prunes false candidates cheaply. The bucket id is a
-    hash of (band_index, band values) so the join key is a single long —
-    the self-join shuffles (id, bucket) pairs only.
+    ``num_hashes/bands`` rows; the bucket id is a hash of (band_index,
+    band values) so downstream join keys are a single long. This is the
+    persistable HALF of the LSH pipeline: write these rows (bucketed by
+    ``bucket``) as the historical store for
+    :func:`minhash_incremental`, or self-join them via
+    :func:`lsh_candidate_pairs` for the one-shot batch pipeline.
 
     The band cut is generated as `bands` FLAT bucket expressions (python
     loop over literal indices), not a `transform(sequence(...))` lambda:
@@ -607,13 +607,26 @@ def lsh_candidate_pairs(
     guarded = F.when(F.size("sig") == num_hashes, F.array(*buckets)).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("lsh_candidate_pairs: signature length "),
+                F.lit("band_buckets: signature length "),
                 F.size("sig").cast("string"),
                 F.lit(f" != num_hashes {num_hashes}"),
             )
         )
     )
-    banded = signatures.select("id", F.explode(guarded).alias("bucket"))
+    return signatures.select("id", F.explode(guarded).alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, num_hashes: int = 64
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a, id_b), a<b, from minhash
+    signatures: docs agreeing on *any* full band collide in a bucket.
+    Default 32 bands x 2 rows: at J=0.5 the candidate-recall is
+    1-(1-0.25)^32 ~ 0.9999 — err on recall, since the exact-Jaccard
+    verification step prunes false candidates cheaply. The self-join
+    shuffles (id, bucket) pairs only (see :func:`band_buckets`).
+    """
+    banded = band_buckets(signatures, bands, num_hashes)
     a = banded.select(F.col("id").alias("id_a"), "bucket")
     b = banded.select(F.col("id").alias("id_b"), "bucket")
     return (
@@ -691,6 +704,121 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_store_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """(id, bucket) rows for the persistent LSH store — the candidate-
+    generation half of :func:`minhash_incremental`. Write bucketed by
+    ``bucket`` (sources/bucketed.py) so incremental probes co-locate."""
+    sh = word_shingles(df, id_col, text_col, n)
+    return band_buckets(minhash_signatures(sh, num_hashes), bands, num_hashes)
+
+
+def lsh_store_digests(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, digest) rows — md5 shingle digests for the persistent store's
+    verification half. Hash-only, like :func:`dedup_incremental`'s
+    fingerprint store: at 10^12 documents the digests are a fraction of
+    the corpus bodies, and no text is ever re-read to verify."""
+    return word_shingles(df, id_col, text_col, n).select(
+        F.col("id"), F.md5("shingle").alias("digest")
+    )
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    seen_buckets: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup: drop new-batch documents whose verified
+    Jaccard against the historical corpus reaches ``threshold`` — the
+    daily-ingest companion of :func:`dedup_incremental` (which is
+    exact-hash only). The store is hash-only: ``seen_buckets`` =
+    :func:`lsh_store_buckets` rows (candidate generation),
+    ``seen_digests`` = :func:`lsh_store_digests` rows (exact-Jaccard
+    verification over md5 shingle digests — identical counts to raw
+    shingles). Returns the surviving rows of ``new_df``; append the
+    survivors' own bucket/digest rows to the store to close the loop.
+
+    Scale shape: the batch's (id, bucket) rows probe the store with one
+    equi-join on the band hash (bucketed store ⇒ co-located, shuffle ∝
+    batch); verification touches only candidate old-docs' digests
+    (semi-join first, THEN count sizes — the store is never fully
+    aggregated). Candidate recall at J>=threshold follows the
+    1-(1-J^r)^b band bound documented on :func:`lsh_candidate_pairs`.
+    Documents with fewer than ``n`` words have no shingles and always
+    survive (nothing to match on — pair them with exact-hash dedup).
+    In-batch duplicates are NOT dropped here: run the batch through
+    :func:`minhash_lsh_dedup`/:func:`dedup_by_pairs` first if the batch
+    itself may contain near-dups.
+    """
+    from pyspark import StorageLevel
+
+    sh = word_shingles(new_df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures(sh, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nb = band_buckets(sig, bands, num_hashes)
+    sb_cols = seen_buckets.columns
+    sb = seen_buckets.select(
+        F.col(sb_cols[0]).alias("old_id"), F.col(sb_cols[1]).alias("bucket")
+    )
+    cand = (
+        nb.join(sb, "bucket")
+        .select(F.col("id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    od_cols = seen_digests.columns
+    od = seen_digests.select(
+        F.col(od_cols[0]).alias("old_id"), F.col(od_cols[1]).alias("digest")
+    )
+    # only candidate old-docs' digests move: semi-join before any count
+    od_c = od.join(cand.select("old_id").distinct(), "old_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nd = sh.select(
+        F.col("id").alias("new_id"), F.md5("shingle").alias("digest")
+    )
+    inter = (
+        cand.join(nd, "new_id")
+        .join(od_c, ["old_id", "digest"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sig.select(F.col("id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    nbz = od_c.groupBy("old_id").agg(F.count("*").alias("n_b"))
+    dup_ids = (
+        inter.join(na, "new_id")
+        .join(nbz, "old_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")
 
 
 # --- pair graph -> clusters -> survivors -------------------------------------

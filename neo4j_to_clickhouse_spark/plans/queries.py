@@ -9278,6 +9278,118 @@ def token_budget_mixture_stats(spark, sf_dir):
     )
 
 
+@q(
+    "minhash_incremental_stats",
+    # Certifies incremental NEAR-dup against a hash-only persisted
+    # store (operators/dedup.py::minhash_incremental — the daily-crawl
+    # companion of dedup_incremental): old corpus = doc_id%3!=0, new
+    # batch = doc_id%3==0 with a planted clone lane (doc_id%6==0 takes
+    # the text of old doc doc_id+1 -> J=1, must drop). The engine runs
+    # banded-LSH candidates + digest-verified Jaccard vs the store; the
+    # oracle computes the EXHAUSTIVE new x old Jaccard — the same
+    # 1-(1-J^2)^32 >= 0.9999 candidate-recall argument certified on
+    # dedup_minhash_lsh makes the two coincide.
+    """WITH old AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id % 3 <> 0),
+       newb AS (SELECT n.doc_id, n.source,
+                  CASE WHEN n.doc_id % 6 = 0 AND o.text IS NOT NULL
+                       THEN o.text ELSE n.text END AS text
+                FROM documents n
+                LEFT JOIN old o ON o.doc_id = n.doc_id + 1
+                WHERE n.doc_id % 3 = 0),
+       osh AS (SELECT DISTINCT doc_id,
+                 list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+               FROM (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM old) d,
+                    (SELECT unnest(range(1, 100000)) AS i) idx
+               WHERE i <= len(w) - 2),
+       nsh AS (SELECT DISTINCT doc_id,
+                 list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+               FROM (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM newb) d,
+                    (SELECT unnest(range(1, 100000)) AS i) idx
+               WHERE i <= len(w) - 2),
+       nsz AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY doc_id),
+       osz AS (SELECT doc_id, count(*) AS n_b FROM osh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                        count(*) AS n_inter
+                 FROM nsh a JOIN osh b USING (shingle)
+                 GROUP BY a.doc_id, b.doc_id),
+       dropped AS (SELECT DISTINCT new_id FROM inter
+                   JOIN nsz ON nsz.doc_id = new_id
+                   JOIN osz ON osz.doc_id = old_id
+                   WHERE CAST(n_inter AS DOUBLE)
+                         / (n_a + n_b - n_inter) >= 0.5)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_new,
+              CAST(sum(CASE WHEN new_id IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN new_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_survivors
+       FROM newb LEFT JOIN dropped ON doc_id = new_id
+       GROUP BY source ORDER BY source""",
+    "incremental MinHash-LSH near-dup vs a hash-only persisted store "
+    "(band buckets for candidates, md5 shingle digests for exact "
+    "verification) — certified against the exhaustive oracle",
+)
+def minhash_incremental_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+        minhash_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text"
+    )
+    clone_src = old.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("__clone"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "source", "text")
+        .join(clone_src, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("doc_id") % 6 == 0)
+                & F.col("__clone").isNotNull(),
+                F.col("__clone"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    surv = minhash_incremental(
+        new,
+        lsh_store_buckets(old),
+        lsh_store_digests(old),
+        threshold=0.5,
+    )
+    n_new = new.groupBy("source").agg(F.count("*").alias("n_new"))
+    n_surv = surv.groupBy("source").agg(
+        F.count("*").alias("n_survivors")
+    )
+    return (
+        n_new.join(n_surv, "source", "left")
+        .select(
+            "source",
+            "n_new",
+            (
+                F.col("n_new")
+                - F.coalesce(F.col("n_survivors"), F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce(F.col("n_survivors"), F.lit(0)).alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9306,6 +9418,7 @@ _DRIVER_WINDOW = [
     "compression_ratio_flags",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
     "link_extraction_stats",  # last green: r00
+    "minhash_incremental_stats",  # last green: r00
     "mojibake_repair_stats",  # last green: r00
     "quality_classifier_stats",  # last green: r00
     "redirect_resolution_stats",  # last green: r00
@@ -9347,10 +9460,10 @@ _DRIVER_WINDOW = [
     "dedup_jaccard_capped",  # last green: r09
     "dedup_survivors_minhash",  # last green: r09
     "dedup_token_savings_by_source",  # last green: r09
-    "doc_length_magnitude_histogram",  # last green: r09
 ]
 
 _ROTATION = [
+    "doc_length_magnitude_histogram",  # r09
     "duplicate_metadata_conflicts",  # r09
     "embedding_dimension_stats",  # r09
     "embedding_ivf_full_probe",  # r09

@@ -420,3 +420,102 @@ def test_span_groups_roll_up_per_source(spark):
     # "dup span" crosses sources; occurrences counted in each source
     assert out["a"]["repeated_spans"] == 1
     assert out["b"]["repeated_spans"] == 1
+
+
+# --- incremental MinHash-LSH vs a persisted hash-only store ------------------
+
+
+def test_minhash_incremental_drops_store_near_dups(spark):
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+        minhash_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different historical content here ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact clone of old 1 -> drop
+            # near-dup of old 1 (one word changed) -> J well above 0.5
+            (11, base.replace("lazy", "sleepy")),
+            (12, "unrelated fresh document with entirely novel words"),
+            (13, "tiny"),  # < n words: no shingles, must survive
+        ],
+        "doc_id long, text string",
+    )
+    surv = minhash_incremental(
+        new, lsh_store_buckets(old), lsh_store_digests(old)
+    )
+    ids = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+    assert ids == [12, 13]
+
+
+def test_minhash_incremental_store_roundtrip(spark, tmp_path):
+    # the store persists as plain parquet and the loop closes by
+    # appending survivors' own rows
+    import os
+
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+        minhash_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bp = os.path.join(str(tmp_path), "buckets")
+    dp = os.path.join(str(tmp_path), "digests")
+    lsh_store_buckets(old).write.parquet(bp)
+    lsh_store_digests(old).write.parquet(dp)
+
+    batch1 = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    s1 = minhash_incremental(
+        batch1, spark.read.parquet(bp), spark.read.parquet(dp)
+    )
+    assert s1.count() == 1  # novel -> survives
+    lsh_store_buckets(s1).write.mode("append").parquet(bp)
+    lsh_store_digests(s1).write.mode("append").parquet(dp)
+
+    # replaying the same content in batch 2 now hits the grown store
+    batch2 = spark.createDataFrame(
+        [(20, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    s2 = minhash_incremental(
+        batch2, spark.read.parquet(bp), spark.read.parquet(dp)
+    )
+    assert s2.count() == 0
+
+
+def test_band_buckets_shape_and_guard(spark):
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(word_shingles(df, "doc_id", "text", 3), 64)
+    bb = band_buckets(sig, 32, 64)
+    rows = bb.collect()
+    assert len(rows) == 2 * 32  # one row per (doc, band)
+    # identical docs share every bucket
+    b1 = sorted(r["bucket"] for r in rows if r["id"] == 1)
+    b2 = sorted(r["bucket"] for r in rows if r["id"] == 2)
+    assert b1 == b2
+    with pytest.raises(ValueError):
+        band_buckets(sig, 48, 64)  # does not divide evenly
