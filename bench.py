@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     # join (4 self-join rounds)
     "line_dedup_rewrite_stats",
     "redirect_resolution_stats",
+    # round-12 wave 3: the three new curation shapes — per-row hashed-
+    # gram array aggregate (classifier inference, the hot quality-
+    # filter path), banded-bucket store probe + digest-verified
+    # Jaccard (incremental near-dup), and the two-pass broadcast
+    # mixture sample (tiny agg + scan-side hash filter)
+    "quality_classifier_stats",
+    "minhash_incremental_stats",
+    "token_budget_mixture_stats",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its

@@ -150,3 +150,30 @@ def test_select_top_fraction_no_global_sort_of_input(spark):
     # and the aggregate-side guarantee: at least one hash aggregate
     # (the histogram) feeds the plan
     assert "HashAggregate" in plan
+
+
+def test_xxhash64_hasher_path(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "")],
+        "id long, text string",
+    )
+    w = weight_table(64, 3)
+    s1 = {
+        r["id"]: r["score"]
+        for r in score_documents(
+            df, "text", w, seed=3, hasher="xxhash64"
+        ).collect()
+    }
+    s2 = {
+        r["id"]: r["score"]
+        for r in score_documents(
+            df.repartition(3), "text", w, seed=3, hasher="xxhash64"
+        ).collect()
+    }
+    assert s1 == s2  # partition-invariant
+    assert s1[2] == 0.0
+    assert -0.5 <= s1[1] <= 0.5
+    with pytest.raises(ValueError):
+        score_documents(df, "text", w, hasher="sha1")

@@ -57,6 +57,12 @@ CEILINGS: dict[str, float | None] = {
     "robots_wildcard_filter_stats": None,
     "charset_decode_stats": None,
     "wet_ingest_stats": None,
+    # r12 wave 3: classifier inference (per-row gram aggregate, scan-
+    # shaped), incremental near-dup (banded store probe + candidate-
+    # bounded digest verify), budget mixture (tiny agg + scan filter)
+    "quality_classifier_stats": None,
+    "minhash_incremental_stats": None,
+    "token_budget_mixture_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
