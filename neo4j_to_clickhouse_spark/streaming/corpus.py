@@ -155,6 +155,49 @@ def read_wet_file_stream(
     return _file_stream(spark, path, "*.wet*", max_files_per_trigger)
 
 
+def _stage_outputs(
+    outputs, batch_id: int, query_name: str
+) -> None:
+    """Stage-and-promote every ``(frame, root)`` pair under
+    deterministic batch-tagged names (`.pipeline._promote_staged`) —
+    the ONE idempotent-sink body every file-ingest stream shares."""
+    import os
+
+    from .pipeline import _promote_staged
+
+    for frame, root in outputs:
+        staging = os.path.join(root, f".staging-{query_name}~{batch_id}")
+        frame.write.mode("overwrite").parquet(staging)
+        _promote_staged(staging, root, batch_id, query_name)
+
+
+def _start_multi_ingest(
+    files_stream: DataFrame,
+    outputs_fn,
+    checkpoint_path: str,
+    processing_time: str | None,
+    query_name: str,
+) -> StreamingQuery:
+    """Checkpointed foreachBatch sink over
+    ``outputs_fn(batch_df, batch_id) -> [(frame, root), ...]``; with
+    ``processing_time=None`` the query drains available files and stops
+    (``availableNow`` — the test/backfill mode)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _stage_outputs(outputs_fn(batch_df, batch_id), batch_id, query_name)
+
+    writer = (
+        files_stream.writeStream.queryName(query_name)
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def _start_file_ingest(
     files_stream: DataFrame,
     transform,
@@ -167,34 +210,18 @@ def _start_file_ingest(
 ) -> StreamingQuery:
     """The shared checkpointed idempotent sink: per micro-batch,
     ``transform(batch) -> (docs, quarantine)``, both staged and
-    promoted under deterministic batch-tagged names (see
-    `.pipeline._promote_staged`)."""
-    from .pipeline import _promote_staged
+    promoted under deterministic batch-tagged names."""
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
+    def outputs(batch_df: DataFrame, batch_id: int):
         docs, quar = transform(batch_df)
         if coalesce_output:
             docs = docs.coalesce(coalesce_output)
             quar = quar.coalesce(1)
-        for frame, root in ((docs, table_path), (quar, quarantine_path)):
-            staging = os.path.join(
-                root, f".staging-{query_name}~{batch_id}"
-            )
-            frame.write.mode("overwrite").parquet(staging)
-            _promote_staged(staging, root, batch_id, query_name)
+        return ((docs, table_path), (quar, quarantine_path))
 
-    writer = (
-        files_stream.writeStream.queryName(query_name)
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_path)
+    return _start_multi_ingest(
+        files_stream, outputs, checkpoint_path, processing_time, query_name
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_wet_stream(
@@ -252,4 +279,120 @@ def start_corpus_stream(
         processing_time,
         coalesce_output,
         query_name,
+    )
+
+
+def start_corpus_neardup_stream(
+    files_stream: DataFrame,
+    rules: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    agent: str = "*",
+    processing_time: str | None = None,
+    coalesce_output: int | None = None,
+    query_name: str = "corpus_neardup",
+    enrich: bool = False,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """The corpus chain with CONTINUOUS near-dedup: each micro-batch
+    runs WARC -> canon -> robots -> charset -> extract, then
+    ``minhash_incremental`` against the hash-only store accumulated by
+    every PRIOR batch; only near-dup-free survivors land in
+    ``table_path``, and the survivors' own band-bucket / shingle-digest
+    rows append to ``store_path`` (``buckets/`` + ``digests/`` halves,
+    each row stamped with its batch id).
+
+    Exactly-once across replays: a replayed batch re-reads the store
+    filtered to ``batch < batch_id`` — its own half-written rows from a
+    crashed attempt are invisible to the probe AND overwritten by the
+    promote (deterministic batch-tagged names), so the batch can never
+    near-dup against itself. In-batch near-dups are NOT dropped here
+    (run the batch through ``minhash_lsh_dedup`` in a custom transform
+    if drops may contain intra-batch clones); exact in-batch dups are
+    cheap to add downstream via ``dedup_exact``.
+
+    Scale shape: the store probe is one equi-join on band hashes
+    (shuffle ∝ batch, not store) + the candidate-bounded digest verify
+    — the store is parquet the probe filters by the ``batch`` column,
+    never fully aggregated; store growth is hash-only (no bodies).
+    """
+    import os
+
+    from ..operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+        minhash_incremental,
+    )
+
+    bpath = os.path.join(store_path, "buckets")
+    dpath = os.path.join(store_path, "digests")
+
+    def _prior(spark, path: str, schema_df: DataFrame, batch_id: int):
+        try:
+            return (
+                spark.read.parquet(path)
+                .where(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+        except Exception:
+            # first batch: nothing persisted yet — schema-only frame
+            return schema_df
+
+    def outputs(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        docs, quar = corpus_documents(
+            batch_df, rules, agent=agent, enrich=enrich
+        )
+        kw = dict(n=n, num_hashes=num_hashes, bands=bands)
+        empty = docs.limit(0)
+        prior_b = _prior(
+            spark,
+            bpath,
+            lsh_store_buckets(empty, "record_id", "text", **kw),
+            batch_id,
+        )
+        prior_d = _prior(
+            spark,
+            dpath,
+            lsh_store_digests(empty, "record_id", "text", n=n),
+            batch_id,
+        )
+        surv = minhash_incremental(
+            docs,
+            prior_b,
+            prior_d,
+            id_col="record_id",
+            text_col="text",
+            threshold=threshold,
+            **kw,
+        )
+        from pyspark import StorageLevel
+
+        surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+        tag = F.lit(batch_id).cast("long").alias("batch")
+        new_b = lsh_store_buckets(surv, "record_id", "text", **kw).select(
+            "*", tag
+        )
+        new_d = lsh_store_digests(surv, "record_id", "text", n=n).select(
+            "*", tag
+        )
+        if coalesce_output:
+            surv = surv.coalesce(coalesce_output)
+            quar = quar.coalesce(1)
+            new_b = new_b.coalesce(1)
+            new_d = new_d.coalesce(1)
+        return (
+            (surv, table_path),
+            (quar, quarantine_path),
+            (new_b, bpath),
+            (new_d, dpath),
+        )
+
+    return _start_multi_ingest(
+        files_stream, outputs, checkpoint_path, processing_time, query_name
     )

@@ -322,3 +322,187 @@ def test_streamed_corpus_feeds_incremental_dedup(spark, tmp_path):
     got = {r.canonical for r in survivors.collect()}
     assert len(got) == 3
     assert all("h1.com" in c for c in got)
+
+
+# --- continuous near-dedup (start_corpus_neardup_stream) ---------------------
+
+_ND_BODY = (
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+)
+
+
+def _neardup_drop(tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir(exist_ok=True)
+    recs = [
+        {
+            "uri": "http://h0.com/a",
+            "body": f"<p>{_ND_BODY}</p>".encode(),
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+        {
+            "uri": "http://h0.com/b",
+            "body": b"<p>completely different historical content here</p>",
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+    ]
+    (drop / "f0.warc.gz").write_bytes(
+        encode_warc(recs, gzip_per_record=True)
+    )
+    return drop
+
+
+def _neardup_phase2(drop):
+    # a near-clone of /a (one word changed: J = 15/21 > 0.5) + a novel doc
+    recs = [
+        {
+            "uri": "http://h0.com/c",
+            "body": f"<p>{_ND_BODY.replace('eleven', 'ELEVEN')}</p>".encode(),
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+        {
+            "uri": "http://h0.com/d",
+            "body": b"<p>unrelated fresh page with entirely novel words</p>",
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+    ]
+    (drop / "f1.warc.gz").write_bytes(
+        encode_warc(recs, gzip_per_record=True)
+    )
+
+
+def test_neardup_stream_drops_cross_batch_clones(spark, tmp_path):
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_neardup_stream,
+    )
+
+    drop = _neardup_drop(tmp_path)
+    rules = _rules(spark, 1)
+    paths = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                rules,
+                coalesce_output=1,
+                **paths,
+            )
+        )
+
+    run()
+    docs = spark.read.parquet(paths["table_path"])
+    assert docs.count() == 2  # both batch-0 docs survive
+
+    _neardup_phase2(drop)
+    run()
+    docs = spark.read.parquet(paths["table_path"])
+    canon = {r.canonical for r in docs.collect()}
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/d",  # novel survives; /c near-dup dropped
+    }
+    # store halves carry per-batch stamps; only survivors' rows append
+    b = spark.read.parquet(paths["store_path"] + "/buckets")
+    d = spark.read.parquet(paths["store_path"] + "/digests")
+    assert {r.batch for r in b.select("batch").distinct().collect()} == {0, 1}
+    batch1_ids = {
+        r.id for r in b.where("batch = 1").select("id").distinct().collect()
+    }
+    assert len(batch1_ids) == 1  # only /d (the survivor) was appended
+    assert d.where("batch = 1").select("id").distinct().count() == 1
+
+
+def test_neardup_stream_replay_ignores_own_crashed_store_rows(
+    spark, tmp_path
+):
+    """Crash between the store write and the checkpoint commit: when
+    batch 1 replays (same id, same files), the probe must not see the
+    crashed attempt's OWN store rows — otherwise every replayed doc
+    near-dups against itself and is wrongly dropped. Forge the crash by
+    planting batch-1 store rows through the module's own staging
+    machinery BEFORE the stream ever runs batch 1."""
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        _stage_outputs,
+        corpus_documents,
+        start_corpus_neardup_stream,
+    )
+
+    drop = _neardup_drop(tmp_path)
+    rules = _rules(spark, 1)
+    paths = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                rules,
+                coalesce_output=1,
+                **paths,
+            )
+        )
+
+    run()  # batch 0 committed
+    _neardup_phase2(drop)
+
+    # the "crashed first attempt" of batch 1: its store rows landed,
+    # the checkpoint never committed — plant them with batch stamp 1
+    # through the real staging/promote path (same tags the replay uses)
+    f1 = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "f1.warc.gz")
+        .load(str(drop))
+    )
+    d1, _ = corpus_documents(f1, rules)
+    tag = F.lit(1).cast("long").alias("batch")
+    _stage_outputs(
+        (
+            (
+                lsh_store_buckets(d1, "record_id", "text").select("*", tag),
+                paths["store_path"] + "/buckets",
+            ),
+            (
+                lsh_store_digests(d1, "record_id", "text").select("*", tag),
+                paths["store_path"] + "/digests",
+            ),
+        ),
+        1,
+        "corpus_neardup",
+    )
+
+    run()  # the REAL batch 1 replays over the crashed attempt
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    # /d survives DESPITE its own crashed rows sitting at batch=1 (the
+    # probe filters batch < batch_id); /c still near-dups vs batch 0
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/d",
+    }
+    # and the promote replaced the crashed attempt's rows: only the
+    # SURVIVOR's store rows remain at batch 1
+    b = spark.read.parquet(paths["store_path"] + "/buckets")
+    assert b.where("batch = 1").select("id").distinct().count() == 1
