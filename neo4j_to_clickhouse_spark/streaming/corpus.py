@@ -298,6 +298,7 @@ def start_corpus_neardup_stream(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    in_batch: bool = False,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -311,10 +312,13 @@ def start_corpus_neardup_stream(
     filtered to ``batch < batch_id`` — its own half-written rows from a
     crashed attempt are invisible to the probe AND overwritten by the
     promote (deterministic batch-tagged names), so the batch can never
-    near-dup against itself. In-batch near-dups are NOT dropped here
-    (run the batch through ``minhash_lsh_dedup`` in a custom transform
-    if drops may contain intra-batch clones); exact in-batch dups are
-    cheap to add downstream via ``dedup_exact``.
+    near-dup against itself. With ``in_batch=True`` the batch is first
+    deduped against ITSELF (``minhash_lsh_dedup`` pair graph ->
+    ``dedup_by_pairs`` keep-lowest-record-id) before the store probe —
+    the full daily-crawl contract; deterministic, so replays still
+    converge. Off by default: intra-batch near-dup is often already
+    handled upstream, and the in-batch pair join is the one
+    batch-quadratic-ish stage of the chain.
 
     Scale shape: the store probe is one equi-join on band hashes
     (shuffle ∝ batch, not store) + the candidate-bounded digest verify
@@ -324,9 +328,11 @@ def start_corpus_neardup_stream(
     import os
 
     from ..operators.dedup import (
+        dedup_by_pairs,
         lsh_store_buckets,
         lsh_store_digests,
         minhash_incremental,
+        minhash_lsh_dedup,
     )
 
     bpath = os.path.join(store_path, "buckets")
@@ -349,6 +355,15 @@ def start_corpus_neardup_stream(
             batch_df, rules, agent=agent, enrich=enrich
         )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
+        if in_batch:
+            pairs = minhash_lsh_dedup(
+                docs,
+                id_col="record_id",
+                text_col="text",
+                threshold=threshold,
+                **kw,
+            )
+            docs = dedup_by_pairs(docs, pairs, id_col="record_id")
         empty = docs.limit(0)
         prior_b = _prior(
             spark,

@@ -506,3 +506,59 @@ def test_neardup_stream_replay_ignores_own_crashed_store_rows(
     # SURVIVOR's store rows remain at batch 1
     b = spark.read.parquet(paths["store_path"] + "/buckets")
     assert b.where("batch = 1").select("id").distinct().count() == 1
+
+
+def test_neardup_stream_in_batch_dedup(spark, tmp_path):
+    """in_batch=True: intra-batch near-clones collapse to the lowest
+    record id BEFORE the store probe, so one survivor lands and only
+    its rows seed the store."""
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        read_warc_file_stream,
+        start_corpus_neardup_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    recs = [
+        {
+            "uri": "http://h0.com/a",
+            "body": f"<p>{_ND_BODY}</p>".encode(),
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+        {
+            # intra-batch near-clone of /a
+            "uri": "http://h0.com/a2",
+            "body": f"<p>{_ND_BODY.replace('three', 'THREE')}</p>".encode(),
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+        {
+            "uri": "http://h0.com/b",
+            "body": b"<p>completely different historical content here</p>",
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        },
+    ]
+    (drop / "f0.warc.gz").write_bytes(
+        encode_warc(recs, gzip_per_record=True)
+    )
+    drain(
+        start_corpus_neardup_stream(
+            read_warc_file_stream(spark, str(drop)),
+            _rules(spark, 1),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            in_batch=True,
+        )
+    )
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    canon = {r.canonical for r in docs.collect()}
+    # exactly one of /a,/a2 survives (lowest record id), /b untouched
+    assert "http://h0.com/b" in canon and len(canon) == 2
+    assert len({"http://h0.com/a", "http://h0.com/a2"} & canon) == 1
+    b = spark.read.parquet(str(tmp_path / "store") + "/buckets")
+    assert b.select("id").distinct().count() == 2  # survivors only
