@@ -203,19 +203,27 @@ def supplier_triangle_count(spark, sf_dir):
     return triangle_count(edges, "s1", "s2")
 
 
-def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
-    """Unroll the fixed-iteration power method into chained CTEs — an
-    iterative algorithm certified against a closed-form SQL oracle. The
-    co-supply edge set is symmetrized, so there are no dangling nodes
-    and the dangling-mass term is identically zero on both sides."""
-    head = f"""WITH os AS (
+#: the co-supply edge CTEs (supplier_pagerank's graph) — must define
+#: ``e(s, t)``, symmetrized so there are no dangling nodes
+_COSUPPLY_EDGES_CTE = """os AS (
          SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
          FROM lineitem WHERE l_quantity > 45),
        ud AS (
          SELECT DISTINCT a.s AS x, b.s AS y
          FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
        e AS (SELECT x AS s, y AS t FROM ud UNION ALL
-             SELECT y AS s, x AS t FROM ud),
+             SELECT y AS s, x AS t FROM ud)"""
+
+
+def _pagerank_oracle_sql(
+    iters: int, damping: float = 0.85, edges_cte: str | None = None
+) -> str:
+    """Unroll the fixed-iteration power method into chained CTEs — an
+    iterative algorithm certified against a closed-form SQL oracle.
+    ``edges_cte`` must define ``e(s, t)`` SYMMETRIZED (no dangling
+    nodes, so the dangling-mass term is identically zero on both
+    sides); default is the co-supply graph."""
+    head = f"""WITH {edges_cte or _COSUPPLY_EDGES_CTE},
        nodes AS (SELECT DISTINCT s AS node FROM e),
        nn AS (SELECT count(*) AS n FROM nodes),
        outdeg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
@@ -9390,6 +9398,70 @@ def minhash_incremental_stats(spark, sf_dir):
     )
 
 
+@q(
+    "host_link_pagerank",
+    # Certifies the extract-links -> host-edge -> PageRank COMPOSITION
+    # (the CommonCrawl-style crawl-quality centrality path): pages get
+    # the same planted anchors as link_extraction_stats; the engine
+    # extracts + resolves them, builds the symmetrized distinct host
+    # edge set (self-edges dropped), and runs 4 power iterations. The
+    # oracle derives the identical edge set closed-form from doc_id
+    # (the extraction itself is certified by link_extraction_stats)
+    # and unrolls the same power method.
+    _pagerank_oracle_sql(
+        4,
+        edges_cte="""ud AS (
+         SELECT DISTINCT 'base' || (doc_id % 3) || '.test' AS x,
+                         'h' || (doc_id % 7) || '.test' AS y
+         FROM documents),
+       e AS (SELECT x AS s, y AS t FROM ud UNION ALL
+             SELECT y AS s, x AS t FROM ud)""",
+    ),
+    "host link-graph PageRank (crawl-quality centrality): anchors "
+    "extracted + resolved, host edges symmetrized, 4 power "
+    "iterations — the extract_links -> graph.pagerank composition",
+)
+def host_link_pagerank(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.functions.url import (
+        extract_links,
+        url_host,
+    )
+    from neo4j_to_clickhouse_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://base"),
+        (i % 3).cast("string"),
+        F.lit(".test/dir/page"),
+        i.cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.col("text"),
+        F.lit('<a href="http://h'),
+        (i % 7).cast("string"),
+        F.lit(".test/x"),
+        i.cast("string"),
+        F.lit('">e</a>'),
+        F.lit("<A HREF='/root'>r</A>"),
+        F.lit('<a href="mailto:x@y.test">m</a>'),
+    )
+    ex = d.select(
+        url_host(base).alias("src"),
+        F.explode(extract_links(html, base)).alias("link"),
+    ).select("src", url_host(F.col("link")).alias("dst"))
+    ud = ex.filter(F.col("src") != F.col("dst")).distinct()
+    edges = ud.unionAll(
+        ud.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=4)
+        .select("node", (F.round("rank", 5) + F.lit(0.0)).alias("rank"))
+        .orderBy("node")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9416,6 +9488,7 @@ _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
+    "host_link_pagerank",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
     "link_extraction_stats",  # last green: r00
     "minhash_incremental_stats",  # last green: r00
@@ -9459,10 +9532,10 @@ _DRIVER_WINDOW = [
     "decontamination_overlap",  # last green: r09
     "dedup_jaccard_capped",  # last green: r09
     "dedup_survivors_minhash",  # last green: r09
-    "dedup_token_savings_by_source",  # last green: r09
 ]
 
 _ROTATION = [
+    "dedup_token_savings_by_source",  # r09
     "doc_length_magnitude_histogram",  # r09
     "duplicate_metadata_conflicts",  # r09
     "embedding_dimension_stats",  # r09
