@@ -93,3 +93,102 @@ def curation_funnel(
             "as (stage_idx, stage, n_docs, n_tokens)"
         )
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------
+# Lexicon flags + domain blocklist (the C4/FineWeb exclusion stages)
+# ---------------------------------------------------------------------
+
+def lexicon_hits(text: Column | str, lexicon: tuple[str, ...]) -> Column:
+    """Occurrences of any lexicon word among lowercased whitespace
+    tokens — the C4 "bad words" / FineWeb adult-content signal, as flat
+    per-word codegen counts (``text._marker_hits``; no interpreted
+    lambdas). Lexicon words must be distinct and lowercase."""
+    from neo4j_to_clickhouse_spark.operators.text import (
+        _marker_hits,
+        tokens,
+    )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _marker_hits(tokens(F.lower(c)), lexicon)
+
+
+def lexicon_ratio(text: Column | str, lexicon: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are lexicon words (0 for empty text)."""
+    from neo4j_to_clickhouse_spark.operators.text import tokens
+
+    c = F.col(text) if isinstance(text, str) else text
+    return lexicon_hits(c, lexicon) / F.greatest(
+        F.size(tokens(c)), F.lit(1)
+    )
+
+
+def flag_lexicon(
+    df: DataFrame,
+    text_col: str,
+    lexicon: tuple[str, ...],
+    max_ratio: float = 0.0,
+    flag_col: str = "lexicon_flagged",
+) -> DataFrame:
+    """Flag documents whose lexicon-word token ratio EXCEEDS
+    ``max_ratio`` (default 0: any hit flags — the C4 rule). Adds
+    ``flag_col`` (bool) and ``lexicon_hits`` (long); pure scan-side
+    expressions, zero shuffle at any corpus size."""
+    hits = lexicon_hits(text_col, lexicon)
+    return df.withColumn("lexicon_hits", hits).withColumn(
+        flag_col,
+        lexicon_ratio(text_col, lexicon) > F.lit(float(max_ratio)),
+    )
+
+
+def domain_suffixes(host: Column | str, max_levels: int = 6) -> Column:
+    """The dot-suffix chain of a host as an array —
+    ``a.b.example.com -> [com, example.com, b.example.com,
+    a.b.example.com]`` (deduped; hosts deeper than ``max_levels``
+    match on their last ``max_levels`` labels plus the full host).
+    Flat ``substring_index`` expressions, no lambdas."""
+    c = F.col(host) if isinstance(host, str) else host
+    parts = [
+        F.substring_index(c, ".", -i) for i in range(1, max_levels + 1)
+    ]
+    return F.array_distinct(F.array(*parts, c))
+
+
+def flag_blocked_domains(
+    df: DataFrame,
+    host_col: str,
+    blocklist: DataFrame,
+    max_levels: int = 6,
+    flag_col: str = "domain_blocked",
+) -> DataFrame:
+    """Flag rows whose host matches a blocklist entry exactly OR as a
+    parent domain (``ads.example.com`` is blocked by an ``example.com``
+    entry) — the URL-exclusion stage every web pipeline runs first
+    (adult/spam domain lists are ~10^5-10^6 entries).
+
+    Scale shape: one broadcast LEFT JOIN per suffix level (default 6)
+    against the one-column ``blocklist`` (col: ``domain``) — the corpus
+    side never shuffles and never explodes, so cost is K hash probes
+    per row; the blocklist broadcasts once per join. No literal-array
+    plan bloat: the list stays a DataFrame, so a million-entry list is
+    a normal broadcast, not a 10 MB plan constant.
+    """
+    c = F.col(host_col)
+    out = df
+    flags = []
+    bl = F.broadcast(blocklist.select(F.col(blocklist.columns[0]).alias("__bl")).distinct())
+    for i in range(1, max_levels + 1):
+        suf = F.substring_index(c, ".", -i)
+        m = f"__m{i}"
+        out = out.join(
+            bl.select(F.col("__bl").alias(m)),
+            suf == F.col(m),
+            "left",
+        )
+        flags.append(F.col(m).isNotNull())
+    blocked = flags[0]
+    for f in flags[1:]:
+        blocked = blocked | f
+    return out.withColumn(flag_col, blocked).drop(
+        *[f"__m{i}" for i in range(1, max_levels + 1)]
+    )

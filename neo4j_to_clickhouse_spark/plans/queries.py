@@ -9462,6 +9462,106 @@ def host_link_pagerank(spark, sf_dir):
     )
 
 
+@q(
+    "lexicon_flag_stats",
+    # Certifies the C4-style bad-words lexicon flag
+    # (operators/curate.py::flag_lexicon — flat codegen marker counts,
+    # zero shuffle): lane doc_id%9==2 appends ' badwordx badwordy
+    # badwordx' (3 hits — repeats count), every other doc is verified
+    # lexicon-free in the fixture. Closed form: flagged = lane,
+    # hits = 3 per lane doc.
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 9 = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flagged,
+              CAST(sum(CASE WHEN doc_id % 9 = 2 THEN 3 ELSE 0 END)
+                   AS BIGINT) AS total_hits
+       FROM documents GROUP BY source ORDER BY source""",
+    "lexicon (bad-words) content flag, the C4 exclusion rule: flat "
+    "per-word codegen counts over lowercased tokens, any hit flags",
+)
+def lexicon_flag_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.curate import flag_lexicon
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(F.col("text"), F.lit(" badwordx badwordy badwordx")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    flagged = flag_lexicon(
+        planted, "t", ("badwordx", "badwordy"), max_ratio=0.0
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lexicon_flagged"), 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.sum("lexicon_hits").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "domain_blocklist_stats",
+    # Certifies parent-domain blocklist matching
+    # (operators/curate.py::flag_blocked_domains — K broadcast left
+    # joins, corpus never shuffles): host = sub{doc_id%5}.dom{doc_id%11}
+    # .test; blocklist = {dom3.test (parent match), sub2.dom7.test
+    # (exact 3-label match)}. Closed form: blocked iff doc_id%11==3 OR
+    # (doc_id%5==2 AND doc_id%11==7).
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 11 = 3
+                            OR (doc_id % 5 = 2 AND doc_id % 11 = 7)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+       FROM documents GROUP BY source ORDER BY source""",
+    "domain blocklist with parent-domain matching (the URL-exclusion "
+    "stage): suffix-chain probes as K broadcast joins — a million-"
+    "entry list broadcasts instead of bloating the plan",
+)
+def domain_blocklist_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.curate import (
+        flag_blocked_domains,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    hosted = d.select(
+        "source",
+        F.concat(
+            F.lit("sub"),
+            (i % 5).cast("string"),
+            F.lit(".dom"),
+            (i % 11).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+    )
+    bl = hosted.sparkSession.createDataFrame(
+        [("dom3.test",), ("sub2.dom7.test",)], "domain string"
+    )
+    flagged = flag_blocked_domains(hosted, "host", bl)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("domain_blocked"), 1).otherwise(0)
+            ).alias("n_blocked"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9488,7 +9588,9 @@ _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
+    "domain_blocklist_stats",  # last green: r00
     "host_link_pagerank",  # last green: r00
+    "lexicon_flag_stats",  # last green: r00
     "line_dedup_rewrite_stats",  # last green: r00
     "link_extraction_stats",  # last green: r00
     "minhash_incremental_stats",  # last green: r00
@@ -9530,11 +9632,11 @@ _DRIVER_WINDOW = [
     "cube_event_counts",  # last green: r09
     "daily_counts_gapfilled",  # last green: r09
     "decontamination_overlap",  # last green: r09
-    "dedup_jaccard_capped",  # last green: r09
-    "dedup_survivors_minhash",  # last green: r09
 ]
 
 _ROTATION = [
+    "dedup_jaccard_capped",  # r09
+    "dedup_survivors_minhash",  # r09
     "dedup_token_savings_by_source",  # r09
     "doc_length_magnitude_histogram",  # r09
     "duplicate_metadata_conflicts",  # r09

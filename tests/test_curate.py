@@ -95,3 +95,105 @@ def test_report_row_order_and_schema(spark):
     )
     assert out.columns == ["stage_idx", "stage", "n_docs", "n_tokens"]
     assert [r["stage_idx"] for r in out.collect()] == [0, 1]
+
+
+# --- lexicon flag + domain blocklist ------------------------------------------
+
+
+def test_lexicon_hits_and_ratio(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import flag_lexicon
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "some BadWordX in CAPS and badwordx again"),
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["lexicon_hits"], r["lexicon_flagged"])
+        for r in flag_lexicon(
+            df, "text", ("badwordx", "badwordy")
+        ).collect()
+    }
+    assert out[1] == (0, False)
+    assert out[2] == (2, True)  # case-insensitive, repeats counted
+    assert out[3] == (0, False)
+
+
+def test_lexicon_ratio_threshold(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import flag_lexicon
+
+    # 1 hit over 10 tokens = 0.1: flagged at max_ratio 0.05, not at 0.2
+    df = spark.createDataFrame(
+        [(1, "badwordx " + " ".join(f"w{i}" for i in range(9)))],
+        "id long, text string",
+    )
+    hi = flag_lexicon(df, "text", ("badwordx",), max_ratio=0.2)
+    lo = flag_lexicon(df, "text", ("badwordx",), max_ratio=0.05)
+    assert hi.first()["lexicon_flagged"] is False
+    assert lo.first()["lexicon_flagged"] is True
+
+
+def test_domain_suffixes_chain(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import domain_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",)],
+        "h string",
+    )
+    got = [
+        sorted(r["s"])
+        for r in df.select(domain_suffixes("h").alias("s")).collect()
+    ]
+    assert got[0] == sorted(
+        ["com", "example.com", "b.example.com", "a.b.example.com"]
+    )
+    assert got[1] == sorted(["com", "example.com"])
+    assert got[2] == ["localhost"]
+
+
+def test_flag_blocked_domains_parent_and_exact(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import (
+        flag_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ads.example.com"),    # parent match on example.com
+            (2, "example.com"),        # exact match
+            (3, "goodsite.org"),       # no match
+            (4, "example.com.evil.io"),  # example.com NOT a suffix
+            (5, "deep.a.b.c.d.e.tracker.net"),  # deeper than 6 labels
+        ],
+        "id long, host string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("tracker.net",)], "domain string"
+    )
+    got = {
+        r["id"]: r["domain_blocked"]
+        for r in flag_blocked_domains(df, "host", bl).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_flag_blocked_domains_plan_is_broadcast(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import (
+        flag_blocked_domains,
+    )
+
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".x.test"))
+        .alias("host")
+    )
+    bl = spark.createDataFrame([("x.test",)], "domain string")
+    plan = (
+        flag_blocked_domains(df, "host", bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
