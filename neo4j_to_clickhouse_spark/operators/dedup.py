@@ -736,6 +736,33 @@ def lsh_store_digests(
     )
 
 
+def lsh_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Both store halves — ``(buckets, digests)`` — from ONE shingle
+    pass: the tokenize→ngram→distinct pipeline is the dominant cost of
+    building the store, and the separate :func:`lsh_store_buckets` /
+    :func:`lsh_store_digests` calls each recompute it. The shared
+    shingle table persists MEMORY_AND_DISK (same caller-owned-cache
+    contract as :func:`minhash_lsh_dedup`), so bootstrapping a store
+    over a historical corpus scans it once, not twice."""
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    buckets = band_buckets(
+        minhash_signatures(sh, num_hashes), bands, num_hashes
+    )
+    digests = sh.select(F.col("id"), F.md5("shingle").alias("digest"))
+    return buckets, digests
+
+
 def minhash_incremental(
     new_df: DataFrame,
     seen_buckets: DataFrame,

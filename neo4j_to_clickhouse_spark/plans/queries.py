@@ -9342,8 +9342,7 @@ def token_budget_mixture_stats(spark, sf_dir):
 )
 def minhash_incremental_stats(spark, sf_dir):
     from neo4j_to_clickhouse_spark.operators.dedup import (
-        lsh_store_buckets,
-        lsh_store_digests,
+        lsh_store,
         minhash_incremental,
     )
 
@@ -9371,12 +9370,8 @@ def minhash_incremental_stats(spark, sf_dir):
             .alias("text"),
         )
     )
-    surv = minhash_incremental(
-        new,
-        lsh_store_buckets(old),
-        lsh_store_digests(old),
-        threshold=0.5,
-    )
+    store_b, store_d = lsh_store(old)
+    surv = minhash_incremental(new, store_b, store_d, threshold=0.5)
     n_new = new.groupBy("source").agg(F.count("*").alias("n_new"))
     n_surv = surv.groupBy("source").agg(
         F.count("*").alias("n_survivors")

@@ -519,3 +519,22 @@ def test_band_buckets_shape_and_guard(spark):
     assert b1 == b2
     with pytest.raises(ValueError):
         band_buckets(sig, 48, 64)  # does not divide evenly
+
+
+def test_lsh_store_tuple_matches_separate_builders(spark):
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store,
+        lsh_store_buckets,
+        lsh_store_digests,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    b2, d2 = lsh_store(df)
+    b1 = lsh_store_buckets(df)
+    d1 = lsh_store_digests(df)
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
