@@ -9557,6 +9557,77 @@ def domain_blocklist_stats(spark, sf_dir):
     )
 
 
+@q(
+    "cdx_latest_capture_stats",
+    # Certifies the latest-capture-per-urlkey view (sources/cdx.py::
+    # latest_captures — recrawl dedup, the standard "current snapshot"
+    # read of a CDX index): every URL gets TWO planted captures. Lane
+    # doc_id%13==0 plants an equal-timestamp pair differing only in
+    # offset (tie-break -> lowest (filename, offset) = capture A);
+    # all other docs get a later second capture (newest ts wins =
+    # capture B, which sits in the NEXT warc file with offset+7).
+    # Closed form over the survivors' file/offset arithmetic.
+    """WITH s AS (SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN 'crawl-' || (doc_id % 5) || '.warc.gz'
+              ELSE 'crawl-' || ((doc_id + 1) % 5) || '.warc.gz'
+         END AS warc_filename,
+         CASE WHEN doc_id % 13 = 0 THEN doc_id * 1000
+              ELSE doc_id * 1000 + 7 END AS off
+       FROM documents)
+       SELECT warc_filename,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(off) AS BIGINT) AS sum_offset
+       FROM s GROUP BY warc_filename ORDER BY warc_filename""",
+    "latest capture per urlkey over a CDX index (recrawl dedup): "
+    "newest timestamp wins, deterministic (filename, offset) "
+    "tie-break — WindowGroupLimit shape, certified closed-form",
+)
+def cdx_latest_capture_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+
+    def line(ts, fidx, off):
+        return F.concat(
+            F.lit("com,example)/p"),
+            sid,
+            F.lit(f" {ts} "),
+            F.lit('{"url":"http://example.com/p'),
+            sid,
+            F.lit('","mime":"text/html","status":"200","digest":"D'),
+            sid,
+            F.lit('","length":"100","offset":"'),
+            off.cast("string"),
+            F.lit('","filename":"crawl-'),
+            fidx.cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+
+    tie = i % 13 == 0
+    line_a = line("20240101000000", i % 5, i * 1000)
+    line_b = F.when(
+        tie, line("20240101000000", i % 5, i * 1000 + 7)
+    ).otherwise(line("20240202000000", (i + 1) % 5, i * 1000 + 7))
+    lines = d.select(
+        F.explode(F.array(line_a, line_b)).alias("line")
+    )
+    latest = latest_captures(parse_cdxj(lines, "line"))
+    return (
+        latest.groupBy("warc_filename")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("warc_offset").alias("sum_offset"),
+        )
+        .orderBy("warc_filename")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9580,6 +9651,7 @@ _DRIVER_WINDOW = [
     "bigram_lm_quality_by_source",  # last green: r00
     "c4_line_filter_stats",  # last green: r00
     "cdx_fetch_plan_stats",  # last green: r00
+    "cdx_latest_capture_stats",  # last green: r00
     "charset_decode_stats",  # last green: r00
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
@@ -9626,10 +9698,10 @@ _DRIVER_WINDOW = [
     "count_distinct_salted",  # last green: r09
     "cube_event_counts",  # last green: r09
     "daily_counts_gapfilled",  # last green: r09
-    "decontamination_overlap",  # last green: r09
 ]
 
 _ROTATION = [
+    "decontamination_overlap",  # r09
     "dedup_jaccard_capped",  # r09
     "dedup_survivors_minhash",  # r09
     "dedup_token_savings_by_source",  # r09
