@@ -175,9 +175,10 @@ def resolve_href(href: Column, base: Column) -> Column:
     protocol-relative pass through with the scheme filled in;
     root-relative joins the base origin; path-relative joins the base
     directory. Non-fetchable references (``javascript:``, ``mailto:``,
-    any non-http scheme, bare fragments, empty) resolve to NULL —
-    filter them out. Dot-segment collapsing (``../``) is out of scope
-    (documented, like the canonicalizer's exclusions).
+    any non-http(s) scheme — ``ftp://``/``ws://``/app links included,
+    bare fragments, empty) resolve to NULL — filter them out.
+    Dot-segment collapsing (``../``) is out of scope (documented, like
+    the canonicalizer's exclusions).
     """
     origin = F.regexp_extract(
         base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
@@ -189,8 +190,8 @@ def resolve_href(href: Column, base: Column) -> Column:
         base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^?#]*/)", 1
     )
     return (
-        F.when(href.rlike(_SCHEME_RE + "//"), href)
-        .when(href.rlike(_SCHEME_RE), F.lit(None))  # mailto:, js:, …
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.rlike(_SCHEME_RE), F.lit(None))  # mailto:, ftp://, …
         .when(
             href.startswith("//"), F.concat(scheme, F.lit(":"), href)
         )

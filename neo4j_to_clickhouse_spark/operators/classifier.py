@@ -173,6 +173,12 @@ def select_top_fraction(
        only the ``score == t`` tie set by id — a window partitioned on a
        single score value whose input is just the boundary ties.
 
+    NULL scores sort LAST (``desc_nulls_last``, matching the naive
+    window's default): they are selected only when ``k`` exceeds the
+    non-null row count, in id order — all comparisons against the
+    threshold are null-safe, so a NULL boundary cannot silently drop
+    rows.
+
     The certified oracle for this operator states the naive global
     window; this plan is the 100 TB-safe equivalent (shuffle = one
     histogram aggregate + the boundary ties).
@@ -181,7 +187,7 @@ def select_top_fraction(
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     s = F.col(score_col)
     hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
-    w = Window.orderBy(s.desc()).rowsBetween(
+    w = Window.orderBy(s.desc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.select(
@@ -205,10 +211,16 @@ def select_top_fraction(
         )
     )
     joined = df.crossJoin(F.broadcast(thresh))
-    above = joined.filter(s > F.col("__t")).drop("__t", "__r")
+    # null-safe: when the threshold group is the NULL-score group,
+    # every NON-null score is "above" it; otherwise plain >
+    above = joined.filter(
+        F.when(F.col("__t").isNull(), s.isNotNull()).otherwise(
+            s > F.col("__t")
+        )
+    ).drop("__t", "__r")
     tie_w = Window.partitionBy(score_col).orderBy(F.col(id_col))
     ties = (
-        joined.filter(s == F.col("__t"))
+        joined.filter(s.eqNullSafe(F.col("__t")))
         .withColumn("__rn", F.row_number().over(tie_w))
         .filter(F.col("__rn") <= F.col("__r"))
         .drop("__t", "__r", "__rn")

@@ -134,10 +134,12 @@ def flag_lexicon(
     ``max_ratio`` (default 0: any hit flags — the C4 rule). Adds
     ``flag_col`` (bool) and ``lexicon_hits`` (long); pure scan-side
     expressions, zero shuffle at any corpus size."""
+    from neo4j_to_clickhouse_spark.operators.text import tokens
+
     hits = lexicon_hits(text_col, lexicon)
+    ratio = hits / F.greatest(F.size(tokens(text_col)), F.lit(1))
     return df.withColumn("lexicon_hits", hits).withColumn(
-        flag_col,
-        lexicon_ratio(text_col, lexicon) > F.lit(float(max_ratio)),
+        flag_col, ratio > F.lit(float(max_ratio))
     )
 
 
@@ -176,19 +178,26 @@ def flag_blocked_domains(
     c = F.col(host_col)
     out = df
     flags = []
-    bl = F.broadcast(blocklist.select(F.col(blocklist.columns[0]).alias("__bl")).distinct())
-    for i in range(1, max_levels + 1):
-        suf = F.substring_index(c, ".", -i)
+    bl = F.broadcast(
+        blocklist.select(
+            F.col(blocklist.columns[0]).alias("__bl")
+        ).distinct()
+    )
+    # level 0 = the FULL host: a host deeper than max_levels labels must
+    # still match its own exact blocklist entry (same reason
+    # domain_suffixes appends the full host)
+    probes = [c] + [
+        F.substring_index(c, ".", -i) for i in range(1, max_levels + 1)
+    ]
+    for i, suf in enumerate(probes):
         m = f"__m{i}"
         out = out.join(
-            bl.select(F.col("__bl").alias(m)),
-            suf == F.col(m),
-            "left",
+            bl.select(F.col("__bl").alias(m)), suf == F.col(m), "left"
         )
         flags.append(F.col(m).isNotNull())
     blocked = flags[0]
     for f in flags[1:]:
         blocked = blocked | f
     return out.withColumn(flag_col, blocked).drop(
-        *[f"__m{i}" for i in range(1, max_levels + 1)]
+        *[f"__m{i}" for i in range(len(probes))]
     )

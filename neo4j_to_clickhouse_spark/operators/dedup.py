@@ -645,6 +645,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    caches: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> banded
     buckets -> candidate pairs -> exact-Jaccard verification >= threshold.
@@ -683,6 +684,8 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(sh, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.extend((sh, sig))
     cand = lsh_candidate_pairs(sig, bands, num_hashes)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -743,6 +746,7 @@ def lsh_store(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 32,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Both store halves — ``(buckets, digests)`` — from ONE shingle
     pass: the tokenize→ngram→distinct pipeline is the dominant cost of
@@ -756,6 +760,8 @@ def lsh_store(
     sh = word_shingles(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(sh)
     buckets = band_buckets(
         minhash_signatures(sh, num_hashes), bands, num_hashes
     )
@@ -773,6 +779,7 @@ def minhash_incremental(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    caches: list | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: drop new-batch documents whose verified
     Jaccard against the historical corpus reaches ``threshold`` — the
@@ -804,6 +811,8 @@ def minhash_incremental(
     sig = minhash_signatures(sh, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.extend((sh, sig))
     nb = band_buckets(sig, bands, num_hashes)
     sb_cols = seen_buckets.columns
     sb = seen_buckets.select(
@@ -822,6 +831,8 @@ def minhash_incremental(
     od_c = od.join(cand.select("old_id").distinct(), "old_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(od_c)
     nd = sh.select(
         F.col("id").alias("new_id"), F.md5("shingle").alias("digest")
     )
@@ -851,7 +862,9 @@ def minhash_incremental(
 # --- pair graph -> clusters -> survivors -------------------------------------
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    caches: list | None = None,
 ) -> DataFrame:
     """Connected components of a near-dup pair graph: (id, cluster_id),
     cluster_id = the component's minimum id, one row per id that appears
@@ -875,7 +888,11 @@ def duplicate_clusters(
     super-linearly, the classic iterative-algorithm stall (measured: a
     12-round chain spent minutes planning, milliseconds executing). On a
     cluster with a checkpoint dir, ``checkpoint()`` gives the same
-    truncation plus executor-loss safety.
+    truncation plus executor-loss safety. Superseded rounds' checkpoint
+    RDDs are freed by the ContextCleaner as the loop rebinds past them;
+    the FINAL frame backs the returned DataFrame and is freed the same
+    way once the caller drops it — ``caches`` receives it so batch-
+    scoped callers (the streaming sink) document that ownership.
     """
     from pyspark import StorageLevel
 
@@ -924,6 +941,11 @@ def duplicate_clusters(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the superseded round's localCheckpoint RDD is dead weight the
+        # moment `changed` is counted; rebinding drops the last Python
+        # reference and the ContextCleaner frees its storage (checkpoint
+        # frames live outside the SQL CacheManager — DataFrame.unpersist
+        # would be a silent no-op on them)
         labels = new_labels
         if changed == 0:
             break
@@ -940,11 +962,16 @@ def duplicate_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    if caches is not None:
+        caches.append(labels)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
 def dedup_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
     """Materialize the deduplicated corpus: keep one survivor (the minimum
     id) per near-dup cluster, all original columns preserved. The loser
@@ -953,7 +980,7 @@ def dedup_by_pairs(
     is DATA-sized (a heavily duplicated corpus retires a large fraction
     of itself), so AQE broadcasts when the set is actually small and
     falls back to a shuffle join instead of OOMing on a forced hint."""
-    losers = duplicate_clusters(pairs).filter(
+    losers = duplicate_clusters(pairs, caches=caches).filter(
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")

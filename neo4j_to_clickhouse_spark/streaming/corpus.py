@@ -171,21 +171,16 @@ def _stage_outputs(
         _promote_staged(staging, root, batch_id, query_name)
 
 
-def _start_multi_ingest(
+def _start_foreach(
     files_stream: DataFrame,
-    outputs_fn,
+    process,
     checkpoint_path: str,
     processing_time: str | None,
     query_name: str,
 ) -> StreamingQuery:
-    """Checkpointed foreachBatch sink over
-    ``outputs_fn(batch_df, batch_id) -> [(frame, root), ...]``; with
+    """Shared writer wiring: checkpointed foreachBatch; with
     ``processing_time=None`` the query drains available files and stops
     (``availableNow`` — the test/backfill mode)."""
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        _stage_outputs(outputs_fn(batch_df, batch_id), batch_id, query_name)
-
     writer = (
         files_stream.writeStream.queryName(query_name)
         .foreachBatch(process)
@@ -196,6 +191,24 @@ def _start_multi_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def _start_multi_ingest(
+    files_stream: DataFrame,
+    outputs_fn,
+    checkpoint_path: str,
+    processing_time: str | None,
+    query_name: str,
+) -> StreamingQuery:
+    """Checkpointed foreachBatch sink over
+    ``outputs_fn(batch_df, batch_id) -> [(frame, root), ...]``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _stage_outputs(outputs_fn(batch_df, batch_id), batch_id, query_name)
+
+    return _start_foreach(
+        files_stream, process, checkpoint_path, processing_time, query_name
+    )
 
 
 def _start_file_ingest(
@@ -327,8 +340,11 @@ def start_corpus_neardup_stream(
     """
     import os
 
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import (
         dedup_by_pairs,
+        lsh_store,
         lsh_store_buckets,
         lsh_store_digests,
         minhash_incremental,
@@ -339,18 +355,25 @@ def start_corpus_neardup_stream(
     dpath = os.path.join(store_path, "digests")
 
     def _prior(spark, path: str, schema_df: DataFrame, batch_id: int):
+        # ONLY a missing path means "first batch". Any other read
+        # failure (corrupt footer, transient FS error) must raise — an
+        # empty-store fallback there would silently commit near-dups.
+        if not os.path.isdir(path):
+            return schema_df
         try:
             return (
                 spark.read.parquet(path)
                 .where(F.col("batch") < batch_id)
                 .drop("batch")
             )
-        except Exception:
-            # first batch: nothing persisted yet — schema-only frame
-            return schema_df
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return schema_df
+            raise
 
-    def outputs(batch_df: DataFrame, batch_id: int):
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        caches: list[DataFrame] = []
         docs, quar = corpus_documents(
             batch_df, rules, agent=agent, enrich=enrich
         )
@@ -361,9 +384,12 @@ def start_corpus_neardup_stream(
                 id_col="record_id",
                 text_col="text",
                 threshold=threshold,
+                caches=caches,
                 **kw,
             )
-            docs = dedup_by_pairs(docs, pairs, id_col="record_id")
+            docs = dedup_by_pairs(
+                docs, pairs, id_col="record_id", caches=caches
+            )
         empty = docs.limit(0)
         prior_b = _prior(
             spark,
@@ -384,30 +410,44 @@ def start_corpus_neardup_stream(
             id_col="record_id",
             text_col="text",
             threshold=threshold,
+            caches=caches,
             **kw,
         )
         from pyspark import StorageLevel
 
         surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(surv)
+        # ONE shared shingle pass for both store halves (lsh_store)
+        new_b, new_d = lsh_store(
+            surv, "record_id", "text", caches=caches, **kw
+        )
         tag = F.lit(batch_id).cast("long").alias("batch")
-        new_b = lsh_store_buckets(surv, "record_id", "text", **kw).select(
-            "*", tag
-        )
-        new_d = lsh_store_digests(surv, "record_id", "text", n=n).select(
-            "*", tag
-        )
+        new_b = new_b.select("*", tag)
+        new_d = new_d.select("*", tag)
+        out_docs = surv
         if coalesce_output:
-            surv = surv.coalesce(coalesce_output)
+            out_docs = surv.coalesce(coalesce_output)
             quar = quar.coalesce(1)
             new_b = new_b.coalesce(1)
             new_d = new_d.coalesce(1)
-        return (
-            (surv, table_path),
-            (quar, quarantine_path),
-            (new_b, bpath),
-            (new_d, dpath),
-        )
+        try:
+            _stage_outputs(
+                (
+                    (out_docs, table_path),
+                    (quar, quarantine_path),
+                    (new_b, bpath),
+                    (new_d, dpath),
+                ),
+                batch_id,
+                query_name,
+            )
+        finally:
+            # the batch's writes are done — release every cache this
+            # batch registered, or a long-running stream accrues dead
+            # CacheManager entries until eviction thrash
+            for frame in caches:
+                frame.unpersist()
 
-    return _start_multi_ingest(
-        files_stream, outputs, checkpoint_path, processing_time, query_name
+    return _start_foreach(
+        files_stream, process, checkpoint_path, processing_time, query_name
     )

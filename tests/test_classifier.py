@@ -177,3 +177,31 @@ def test_xxhash64_hasher_path(spark):
     assert -0.5 <= s1[1] <= 0.5
     with pytest.raises(ValueError):
         score_documents(df, "text", w, hasher="sha1")
+
+
+def test_select_top_fraction_with_null_scores(spark):
+    # NULLs sort last (desc_nulls_last, = the naive window default);
+    # they enter the selection only when k reaches past the non-nulls
+    df = spark.createDataFrame(
+        [(1, 0.7), (2, None), (3, None), (4, 0.2)],
+        "id long, score double",
+    )
+    # k=1: just the best non-null row
+    got = sorted(
+        r["id"]
+        for r in select_top_fraction(df, "score", "id", 0.25).collect()
+    )
+    assert got == [1]
+    # k=4: everything, including both NULL rows (regression: this
+    # returned EMPTY before the null-safe threshold comparisons)
+    got = sorted(
+        r["id"]
+        for r in select_top_fraction(df, "score", "id", 1.0).collect()
+    )
+    assert got == [1, 2, 3, 4]
+    # k=3: nulls are tie-broken by id — lowest null id wins
+    got = sorted(
+        r["id"]
+        for r in select_top_fraction(df, "score", "id", 0.75).collect()
+    )
+    assert got == [1, 2, 4]

@@ -562,3 +562,29 @@ def test_neardup_stream_in_batch_dedup(spark, tmp_path):
     assert len({"http://h0.com/a", "http://h0.com/a2"} & canon) == 1
     b = spark.read.parquet(str(tmp_path / "store") + "/buckets")
     assert b.select("id").distinct().count() == 2  # survivors only
+
+
+def test_neardup_stream_releases_batch_caches(spark, tmp_path):
+    """A long-running stream must not accrue CacheManager entries: every
+    persist the batch registers is unpersisted after its writes."""
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_neardup_stream,
+    )
+
+    drop = _neardup_drop(tmp_path)
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    drain(
+        start_corpus_neardup_stream(
+            read_warc_file_stream(spark, str(drop)),
+            _rules(spark, 1),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            in_batch=True,
+        )
+    )
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after <= before

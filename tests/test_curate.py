@@ -197,3 +197,16 @@ def test_flag_blocked_domains_plan_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_flag_blocked_domains_full_host_beyond_max_levels(spark):
+    from neo4j_to_clickhouse_spark.operators.curate import (
+        flag_blocked_domains,
+    )
+
+    # 8-label host, its EXACT name blocklisted, no shorter entry:
+    # level-0 (full host) probe must match (regression)
+    host = "a.b.c.d.e.f.example.com"
+    df = spark.createDataFrame([(1, host)], "id long, host string")
+    bl = spark.createDataFrame([(host,)], "domain string")
+    assert flag_blocked_domains(df, "host", bl).first()["domain_blocked"]

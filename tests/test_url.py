@@ -188,3 +188,19 @@ def test_extract_links_no_anchors(spark):
     assert df.select(
         extract_links("html", "base").alias("l")
     ).first()["l"] == []
+
+
+def test_non_http_schemes_with_slashes_drop(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    html = (
+        '<a href="ftp://mirror.test/f.iso">a</a>'
+        '<a href="ws://live.test/sock">b</a>'
+        '<a href="android-app://com.foo/x">c</a>'
+        '<a href="HTTPS://UPPER.test/ok">d</a>'
+    )
+    df = spark.createDataFrame(
+        [(html, "http://base.test/")], "html string, base string"
+    )
+    got = df.select(extract_links("html", "base").alias("l")).first()["l"]
+    assert got == ["HTTPS://UPPER.test/ok"]
