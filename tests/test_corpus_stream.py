@@ -588,3 +588,33 @@ def test_neardup_stream_releases_batch_caches(spark, tmp_path):
     )
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after <= before
+
+
+def test_neardup_stream_corrupt_store_raises(spark, tmp_path):
+    """A store path that EXISTS but cannot be read must fail the batch
+    loudly — the silent empty-store fallback would commit near-dups
+    (review finding); only a missing path means 'first batch'."""
+    import os
+
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_neardup_stream,
+    )
+
+    drop = _neardup_drop(tmp_path)
+    store = tmp_path / "store"
+    (store / "buckets").mkdir(parents=True)
+    # a present-but-garbage parquet file: read must raise, not fall back
+    (store / "buckets" / "part-00000.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception) as ei:
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                _rules(spark, 1),
+                str(tmp_path / "docs"),
+                str(tmp_path / "quar"),
+                str(store),
+                str(tmp_path / "ckpt"),
+                coalesce_output=1,
+            )
+        )
+    assert "parquet" in str(ei.value).lower() or "Stream" in str(ei.value)
