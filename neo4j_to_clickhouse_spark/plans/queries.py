@@ -9064,8 +9064,8 @@ def classifier_topp_selection_stats(spark, sf_dir):
                    || '.warc.gz"}'
          END AS line
        FROM documents),
-       p AS (SELECT regexp_extract(line,
-                      '^(\S+) (\d{14}) (\{.*\})$', 3) AS j
+       p AS (SELECT NULLIF(regexp_extract(line,
+                      '^(\S+) (\d{14}) (\{.*\})$', 3), '') AS j
              FROM lines),
        sel AS (SELECT
                 json_extract_string(j, '$.filename') AS warc_filename,
@@ -9076,7 +9076,7 @@ def classifier_topp_selection_stats(spark, sf_dir):
                   AS len,
                 CAST(json_extract_string(j, '$.offset') AS BIGINT)
                   AS off
-               FROM p WHERE j <> '')
+               FROM p WHERE j IS NOT NULL)
        SELECT warc_filename,
               CAST(count(*) AS BIGINT) AS n_records,
               CAST(sum(len) AS BIGINT) AS bytes_total,
