@@ -972,17 +972,43 @@ def dedup_by_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     caches: list | None = None,
+    keep_by: Column | str | None = None,
 ) -> DataFrame:
-    """Materialize the deduplicated corpus: keep one survivor (the minimum
-    id) per near-dup cluster, all original columns preserved. The loser
-    set is (ids in clusters) minus (cluster minima), and the removal is a
-    left-anti join of ids only — with NO broadcast hint: the loser count
-    is DATA-sized (a heavily duplicated corpus retires a large fraction
-    of itself), so AQE broadcasts when the set is actually small and
-    falls back to a shuffle join instead of OOMing on a forced hint."""
-    losers = duplicate_clusters(pairs, caches=caches).filter(
-        F.col("id") != F.col("cluster_id")
-    ).select(F.col("id").alias(id_col))
+    """Materialize the deduplicated corpus: keep one survivor per
+    near-dup cluster, all original columns preserved.
+
+    Survivor rule: the minimum id by default; with ``keep_by`` (a column
+    name or expression over ``df``) the survivor is the cluster's ARGMAX
+    of that metric, ties broken by lowest id — the RefinedWeb-style
+    "keep the longest / highest-quality duplicate" rule
+    (``keep_by="n_chars"`` or a quality score).
+
+    Scale shape: the cluster table is pair-graph-sized (tiny vs the
+    corpus); with ``keep_by`` the metric values for CLUSTERED ids only
+    join in (AQE-broadcast of the cluster side), the per-cluster argmax
+    is a cluster-count-sized aggregate, and the removal stays a
+    left-anti join of ids — with NO broadcast hint: the loser count is
+    DATA-sized (a heavily duplicated corpus retires a large fraction of
+    itself), so AQE broadcasts when the set is actually small and falls
+    back to a shuffle join instead of OOMing on a forced hint."""
+    clusters = duplicate_clusters(pairs, caches=caches)
+    if keep_by is None:
+        losers = clusters.filter(
+            F.col("id") != F.col("cluster_id")
+        ).select(F.col("id").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    m = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    memb = df.select(
+        F.col(id_col).alias("id"), m.alias("__m")
+    ).join(clusters, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__m").desc_nulls_last(), F.col("id")
+    )
+    losers = (
+        memb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -9628,6 +9628,46 @@ def cdx_latest_capture_stats(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_quality_survivors_by_source",
+    # Certifies the keep-BEST survivor rule (dedup_by_pairs(keep_by=…)
+    # — RefinedWeb keeps the longest duplicate, not the lowest id):
+    # same Jaccard>=0.5 cluster graph as dedup_survivors_by_source,
+    # survivor = argmax(n_chars) per cluster, ties by lowest id. The
+    # oracle ranks cluster members inside the same recursive-closure
+    # CTE the id-rule query certifies against.
+    "WITH RECURSIVE" + _JACCARD_PAIRS_CTE
+    + """,
+       memb AS (SELECT c.id, c.cluster_id, d.n_chars
+                FROM clusters c JOIN documents d ON d.doc_id = c.id),
+       losers AS (SELECT id FROM memb
+                  QUALIFY row_number() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, id) > 1)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM losers)
+       GROUP BY source ORDER BY source""",
+    "near-dup survivors keeping the LONGEST duplicate per cluster "
+    "(argmax n_chars, ties lowest id) — the RefinedWeb survivor rule, "
+    "vs the keep-lowest-id baseline certified separately",
+)
+def dedup_quality_survivors_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        D.dedup_by_pairs(docs, pairs, "doc_id", keep_by="n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9655,6 +9695,7 @@ _DRIVER_WINDOW = [
     "charset_decode_stats",  # last green: r00
     "classifier_topp_selection_stats",  # last green: r00
     "compression_ratio_flags",  # last green: r00
+    "dedup_quality_survivors_by_source",  # last green: r00
     "domain_blocklist_stats",  # last green: r00
     "host_link_pagerank",  # last green: r00
     "lexicon_flag_stats",  # last green: r00
@@ -9697,10 +9738,10 @@ _DRIVER_WINDOW = [
     "conditional_aggregates",  # last green: r09
     "count_distinct_salted",  # last green: r09
     "cube_event_counts",  # last green: r09
-    "daily_counts_gapfilled",  # last green: r09
 ]
 
 _ROTATION = [
+    "daily_counts_gapfilled",  # r09
     "decontamination_overlap",  # r09
     "dedup_jaccard_capped",  # r09
     "dedup_survivors_minhash",  # r09

@@ -538,3 +538,35 @@ def test_lsh_store_tuple_matches_separate_builders(spark):
     d1 = lsh_store_digests(df)
     assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
     assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+
+
+def test_dedup_by_pairs_keep_by_metric(spark):
+    from neo4j_to_clickhouse_spark.operators.dedup import dedup_by_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the long version of it", 22),   # cluster {1,2,3}: argmax len
+            (3, "medium one", 10),
+            (4, "solo", 4),                       # unclustered: survives
+            (5, "tie a", 7),
+            (6, "tie b", 7),                      # tie -> lowest id (5) wins
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_by_pairs(df, pairs, "doc_id", keep_by="n_chars")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == [2, 4, 5]
+    # default rule unchanged: lowest id per cluster
+    got_id = sorted(
+        r["doc_id"]
+        for r in dedup_by_pairs(df, pairs, "doc_id").select("doc_id").collect()
+    )
+    assert got_id == [1, 4, 5]
