@@ -113,14 +113,20 @@ def lexicon_hits(text: Column | str, lexicon: tuple[str, ...]) -> Column:
     return _marker_hits(tokens(F.lower(c)), lexicon)
 
 
-def lexicon_ratio(text: Column | str, lexicon: tuple[str, ...]) -> Column:
-    """Fraction of tokens that are lexicon words (0 for empty text)."""
+def lexicon_ratio(
+    text: Column | str,
+    lexicon: tuple[str, ...],
+    hits: Column | None = None,
+) -> Column:
+    """Fraction of tokens that are lexicon words (0 for empty text).
+    Pass a precomputed :func:`lexicon_hits` column via ``hits`` to share
+    the marker-expression tree with other uses of the count."""
     from neo4j_to_clickhouse_spark.operators.text import tokens
 
     c = F.col(text) if isinstance(text, str) else text
-    return lexicon_hits(c, lexicon) / F.greatest(
-        F.size(tokens(c)), F.lit(1)
-    )
+    if hits is None:
+        hits = lexicon_hits(c, lexicon)
+    return hits / F.greatest(F.size(tokens(c)), F.lit(1))
 
 
 def flag_lexicon(
@@ -134,10 +140,8 @@ def flag_lexicon(
     ``max_ratio`` (default 0: any hit flags — the C4 rule). Adds
     ``flag_col`` (bool) and ``lexicon_hits`` (long); pure scan-side
     expressions, zero shuffle at any corpus size."""
-    from neo4j_to_clickhouse_spark.operators.text import tokens
-
     hits = lexicon_hits(text_col, lexicon)
-    ratio = hits / F.greatest(F.size(tokens(text_col)), F.lit(1))
+    ratio = lexicon_ratio(text_col, lexicon, hits=hits)
     return df.withColumn("lexicon_hits", hits).withColumn(
         flag_col, ratio > F.lit(float(max_ratio))
     )

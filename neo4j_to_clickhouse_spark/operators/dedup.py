@@ -862,9 +862,7 @@ def minhash_incremental(
 # --- pair graph -> clusters -> survivors -------------------------------------
 
 def duplicate_clusters(
-    pairs: DataFrame,
-    max_iterations: int = 20,
-    caches: list | None = None,
+    pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
     """Connected components of a near-dup pair graph: (id, cluster_id),
     cluster_id = the component's minimum id, one row per id that appears
@@ -888,11 +886,12 @@ def duplicate_clusters(
     super-linearly, the classic iterative-algorithm stall (measured: a
     12-round chain spent minutes planning, milliseconds executing). On a
     cluster with a checkpoint dir, ``checkpoint()`` gives the same
-    truncation plus executor-loss safety. Superseded rounds' checkpoint
-    RDDs are freed by the ContextCleaner as the loop rebinds past them;
-    the FINAL frame backs the returned DataFrame and is freed the same
-    way once the caller drops it — ``caches`` receives it so batch-
-    scoped callers (the streaming sink) document that ownership.
+    truncation plus executor-loss safety. Checkpoint storage lives
+    OUTSIDE the SQL CacheManager (``DataFrame.unpersist`` is a silent
+    no-op on it): superseded rounds are freed by the ContextCleaner as
+    the loop rebinds past them, and the final frame the same way once
+    the caller drops its reference — nothing here needs (or can use) a
+    caller-side unpersist.
     """
     from pyspark import StorageLevel
 
@@ -962,8 +961,6 @@ def duplicate_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    if caches is not None:
-        caches.append(labels)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
@@ -971,7 +968,6 @@ def dedup_by_pairs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    caches: list | None = None,
     keep_by: Column | str | None = None,
 ) -> DataFrame:
     """Materialize the deduplicated corpus: keep one survivor per
@@ -991,7 +987,7 @@ def dedup_by_pairs(
     DATA-sized (a heavily duplicated corpus retires a large fraction of
     itself), so AQE broadcasts when the set is actually small and falls
     back to a shuffle join instead of OOMing on a forced hint."""
-    clusters = duplicate_clusters(pairs, caches=caches)
+    clusters = duplicate_clusters(pairs)
     if keep_by is None:
         losers = clusters.filter(
             F.col("id") != F.col("cluster_id")

@@ -337,10 +337,29 @@ def start_corpus_neardup_stream(
     (shuffle ∝ batch, not store) + the candidate-bounded digest verify
     — the store is parquet the probe filters by the ``batch`` column,
     never fully aggregated; store growth is hash-only (no bodies).
+
+    Paths must be LOCAL-filesystem (like every sink built on
+    ``_promote_staged``'s ``os.replace`` renames): a remote URI would
+    silently defeat the first-batch store check, so it is rejected up
+    front instead.
     """
     import os
+    from urllib.parse import urlparse
 
     from pyspark.errors import AnalysisException
+
+    for label, pth in (
+        ("table_path", table_path),
+        ("quarantine_path", quarantine_path),
+        ("store_path", store_path),
+    ):
+        if urlparse(pth).scheme not in ("", "file"):
+            raise ValueError(
+                f"{label}={pth!r}: the staged-promote sink and the "
+                "store's first-batch check are local-filesystem only "
+                "(os.replace / os.path.isdir) — mount the store "
+                "locally or extend _promote_staged for remote FS"
+            )
 
     from ..operators.dedup import (
         dedup_by_pairs,
@@ -355,10 +374,16 @@ def start_corpus_neardup_stream(
     dpath = os.path.join(store_path, "digests")
 
     def _prior(spark, path: str, schema_df: DataFrame, batch_id: int):
-        # ONLY a missing path means "first batch". Any other read
-        # failure (corrupt footer, transient FS error) must raise — an
-        # empty-store fallback there would silently commit near-dups.
-        if not os.path.isdir(path):
+        # ONLY "no committed data yet" means first batch: a missing dir,
+        # or a dir holding nothing but hidden entries (a crashed first
+        # attempt leaves a .staging-* dir the promote never moved —
+        # Spark ignores dot-files, so reading would raise
+        # UNABLE_TO_INFER_SCHEMA and wedge every replay). Any OTHER
+        # read failure (corrupt footer, transient FS error) must raise —
+        # an empty-store fallback there would silently commit near-dups.
+        if not os.path.isdir(path) or not any(
+            not e.startswith((".", "_")) for e in os.listdir(path)
+        ):
             return schema_df
         try:
             return (
@@ -374,6 +399,16 @@ def start_corpus_neardup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         caches: list[DataFrame] = []
+        try:
+            _process_inner(spark, batch_df, batch_id, caches)
+        finally:
+            # release every cache the batch registered no matter where
+            # it failed — a retried batch re-registers a fresh set, and
+            # without this the CacheManager accrues dead entries
+            for frame in caches:
+                frame.unpersist()
+
+    def _process_inner(spark, batch_df, batch_id, caches):
         docs, quar = corpus_documents(
             batch_df, rules, agent=agent, enrich=enrich
         )
@@ -387,9 +422,7 @@ def start_corpus_neardup_stream(
                 caches=caches,
                 **kw,
             )
-            docs = dedup_by_pairs(
-                docs, pairs, id_col="record_id", caches=caches
-            )
+            docs = dedup_by_pairs(docs, pairs, id_col="record_id")
         empty = docs.limit(0)
         prior_b = _prior(
             spark,
@@ -430,23 +463,16 @@ def start_corpus_neardup_stream(
             quar = quar.coalesce(1)
             new_b = new_b.coalesce(1)
             new_d = new_d.coalesce(1)
-        try:
-            _stage_outputs(
-                (
-                    (out_docs, table_path),
-                    (quar, quarantine_path),
-                    (new_b, bpath),
-                    (new_d, dpath),
-                ),
-                batch_id,
-                query_name,
-            )
-        finally:
-            # the batch's writes are done — release every cache this
-            # batch registered, or a long-running stream accrues dead
-            # CacheManager entries until eviction thrash
-            for frame in caches:
-                frame.unpersist()
+        _stage_outputs(
+            (
+                (out_docs, table_path),
+                (quar, quarantine_path),
+                (new_b, bpath),
+                (new_d, dpath),
+            ),
+            batch_id,
+            query_name,
+        )
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name

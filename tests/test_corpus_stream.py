@@ -566,7 +566,10 @@ def test_neardup_stream_in_batch_dedup(spark, tmp_path):
 
 def test_neardup_stream_releases_batch_caches(spark, tmp_path):
     """A long-running stream must not accrue CacheManager entries: every
-    persist the batch registers is unpersisted after its writes."""
+    persist the batch registers is unpersisted after its writes.
+    in_batch=False keeps the count deterministic — the in-batch path's
+    localCheckpoint storage is ContextCleaner-freed on GC timing, which
+    getRDDStorageInfo would race against."""
     from neo4j_to_clickhouse_spark.streaming.corpus import (
         start_corpus_neardup_stream,
     )
@@ -583,7 +586,6 @@ def test_neardup_stream_releases_batch_caches(spark, tmp_path):
             str(tmp_path / "store"),
             str(tmp_path / "ckpt"),
             coalesce_output=1,
-            in_batch=True,
         )
     )
     after = len(sc._jsc.sc().getRDDStorageInfo())
@@ -618,3 +620,50 @@ def test_neardup_stream_corrupt_store_raises(spark, tmp_path):
             )
         )
     assert "parquet" in str(ei.value).lower() or "Stream" in str(ei.value)
+
+
+def test_neardup_stream_recovers_from_staging_only_store(spark, tmp_path):
+    """A crashed first attempt can leave a store half holding ONLY the
+    hidden .staging dir (written but never promoted). Replay must treat
+    that as 'no committed data yet' and proceed — not wedge on
+    UNABLE_TO_INFER_SCHEMA forever (review finding)."""
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_neardup_stream,
+    )
+
+    drop = _neardup_drop(tmp_path)
+    store = tmp_path / "store"
+    staging = store / "buckets" / ".staging-corpus_neardup~0"
+    staging.mkdir(parents=True)
+    (staging / "part-00000.parquet").write_bytes(b"half-written junk")
+    drain(
+        start_corpus_neardup_stream(
+            read_warc_file_stream(spark, str(drop)),
+            _rules(spark, 1),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            str(store),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+        )
+    )
+    assert spark.read.parquet(str(tmp_path / "docs")).count() == 2
+    # and the batch committed real store rows alongside the leftovers
+    b = spark.read.parquet(str(store / "buckets"))
+    assert b.where("batch = 0").count() > 0
+
+
+def test_neardup_stream_rejects_remote_store_uri(spark, tmp_path):
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_neardup_stream,
+    )
+
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        start_corpus_neardup_stream(
+            read_warc_file_stream(spark, str(tmp_path)),
+            _rules(spark, 1),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            "s3a://bucket/store",
+            str(tmp_path / "ckpt"),
+        )
