@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from neo4j_to_clickhouse_spark.operators.dedup import ngram_array, tokens
+from neo4j_to_clickhouse_spark.operators.sampling import md5_u32
 
 #: micro-units per 1.0 of score weight (weights are ints; exact sums).
 WEIGHT_SCALE = 1_000_000
@@ -79,16 +80,7 @@ def hash_bucket(
         return F.pmod(F.xxhash64(F.lit(seed), gram), F.lit(n_buckets))
     if hasher != "md5":
         raise ValueError(f"unknown hasher: {hasher!r}")
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), gram)), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_buckets
-    )
+    return md5_u32(F.concat(F.lit(f"{seed}:"), gram)) % n_buckets
 
 
 def ngram_features(text: Column | str, bigrams: bool = True) -> Column:

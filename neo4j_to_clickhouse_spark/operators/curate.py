@@ -147,17 +147,22 @@ def flag_lexicon(
     )
 
 
+def _suffix_probes(c: Column, max_levels: int) -> list[Column]:
+    """Full host + its last 1..max_levels dot-suffixes, as flat
+    ``substring_index`` expressions (no lambdas) — the probe set both
+    :func:`domain_suffixes` and :func:`flag_blocked_domains` share."""
+    return [c] + [
+        F.substring_index(c, ".", -i) for i in range(1, max_levels + 1)
+    ]
+
+
 def domain_suffixes(host: Column | str, max_levels: int = 6) -> Column:
     """The dot-suffix chain of a host as an array —
     ``a.b.example.com -> [com, example.com, b.example.com,
     a.b.example.com]`` (deduped; hosts deeper than ``max_levels``
-    match on their last ``max_levels`` labels plus the full host).
-    Flat ``substring_index`` expressions, no lambdas."""
+    match on their last ``max_levels`` labels plus the full host)."""
     c = F.col(host) if isinstance(host, str) else host
-    parts = [
-        F.substring_index(c, ".", -i) for i in range(1, max_levels + 1)
-    ]
-    return F.array_distinct(F.array(*parts, c))
+    return F.array_distinct(F.array(*_suffix_probes(c, max_levels)))
 
 
 def flag_blocked_domains(
@@ -182,23 +187,21 @@ def flag_blocked_domains(
     c = F.col(host_col)
     out = df
     flags = []
+    # one canonical broadcast frame joined per level (the per-level
+    # rename happens AFTER the join, keeping every build side the same
+    # subtree — AQE's broadcast-stage cache can then reuse the built
+    # list across levels at runtime)
     bl = F.broadcast(
         blocklist.select(
             F.col(blocklist.columns[0]).alias("__bl")
         ).distinct()
     )
-    # level 0 = the FULL host: a host deeper than max_levels labels must
-    # still match its own exact blocklist entry (same reason
-    # domain_suffixes appends the full host)
-    probes = [c] + [
-        F.substring_index(c, ".", -i) for i in range(1, max_levels + 1)
-    ]
+    probes = _suffix_probes(c, max_levels)
     for i, suf in enumerate(probes):
-        m = f"__m{i}"
-        out = out.join(
-            bl.select(F.col("__bl").alias(m)), suf == F.col(m), "left"
+        out = out.join(bl, suf == bl["__bl"], "left").withColumnRenamed(
+            "__bl", f"__m{i}"
         )
-        flags.append(F.col(m).isNotNull())
+        flags.append(F.col(f"__m{i}").isNotNull())
     blocked = flags[0]
     for f in flags[1:]:
         blocked = blocked | f

@@ -27,6 +27,15 @@ def _hash_key(key: Column | str) -> Column:
     return F.md5(c.cast("string"))
 
 
+def md5_u32(c: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit unsigned value (long) — THE
+    cross-engine deterministic hash number (DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``). Shared by the sampling
+    thresholds here, the classifier's feature hashing, and oracle-paired
+    queries — one definition so the idiom cannot drift."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float
 ) -> DataFrame:
@@ -198,9 +207,7 @@ def priority_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    hx = F.conv(
-        F.substring(_hash_key(key_col), 1, 8), 16, 10
-    ).cast("double")
+    hx = md5_u32(F.col(key_col).cast("string")).cast("double")
     u = (hx + F.lit(1.0)) / F.lit(float(16**8))
     q = F.col(weight_col).cast("double") / u
     return (
@@ -273,9 +280,7 @@ def budget_mixture(
     partitioning (hash of the key, not of the split).
     """
     rates = mixture_rates(df, group_col, weight, token_budget, token_col)
-    hash_num = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    hash_num = md5_u32(F.col(key_col).cast("string"))
     thresh = F.floor(
         F.col("mixture_rate") * F.lit(4294967296.0)
     ).cast("long")
