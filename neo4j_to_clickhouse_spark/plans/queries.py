@@ -9685,112 +9685,62 @@ def dedup_quality_survivors_by_source(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
-    "bigram_lm_quality_by_source",  # last green: r00
-    "c4_line_filter_stats",  # last green: r00
-    "cdx_fetch_plan_stats",  # last green: r00
-    "cdx_latest_capture_stats",  # last green: r00
-    "charset_decode_stats",  # last green: r00
-    "classifier_topp_selection_stats",  # last green: r00
-    "compression_ratio_flags",  # last green: r00
-    "dedup_quality_survivors_by_source",  # last green: r00
-    "domain_blocklist_stats",  # last green: r00
-    "host_link_pagerank",  # last green: r00
-    "lexicon_flag_stats",  # last green: r00
-    "line_dedup_rewrite_stats",  # last green: r00
-    "link_extraction_stats",  # last green: r00
-    "minhash_incremental_stats",  # last green: r00
-    "mojibake_repair_stats",  # last green: r00
-    "quality_classifier_stats",  # last green: r00
-    "redirect_resolution_stats",  # last green: r00
-    "robots_wildcard_filter_stats",  # last green: r00
-    "sitemap_url_expansion",  # last green: r00
-    "token_budget_mixture_stats",  # last green: r00
-    "unicode_normalize_stats",  # last green: r00
-    "wet_ingest_stats",  # last green: r00
-    "priority_sample_by_length",  # last green: r08
-    "priority_sample_estimator",  # last green: r08
-    "purchase_gap_histogram",  # last green: r08
-    "returned_item_revenue",  # last green: r08
-    "revenue_forecast",  # last green: r08
-    "rolling_weekly_active_users",  # last green: r08
-    "session_path_topk",  # last green: r08
-    "ship_lag_stats",  # last green: r08
-    "shipping_priority",  # last green: r08
-    "split_leakage_report",  # last green: r08
-    "template_prefix_audit",  # last green: r08
-    "token_zipf_coverage",  # last green: r08
-    "top_brands_per_nation",  # last green: r08
-    "topk_words_per_source",  # last green: r08
-    "ttr_by_length_decile",  # last green: r08
-    "urgent_customers_by_segment",  # last green: r08
-    "user_activity_gini",  # last green: r08
-    "user_growth_accounting",  # last green: r08
-    "user_halves_churn",  # last green: r08
-    "value_corr_by_type",  # last green: r08
-    "value_delta_sum_by_type",  # last green: r08
-    "value_skew_kurtosis_by_type",  # last green: r08
-    "vocab_growth_curve",  # last green: r08
-    "argmax_event_per_user",  # last green: r09
-    "clicker_purchaser_intersect",  # last green: r09
-    "conditional_aggregates",  # last green: r09
-    "count_distinct_salted",  # last green: r09
-    "cube_event_counts",  # last green: r09
+    "daily_counts_gapfilled",  # last green: r09
+    "decontamination_overlap",  # last green: r09
+    "dedup_jaccard_capped",  # last green: r09
+    "dedup_survivors_minhash",  # last green: r09
+    "dedup_token_savings_by_source",  # last green: r09
+    "doc_length_magnitude_histogram",  # last green: r09
+    "duplicate_metadata_conflicts",  # last green: r09
+    "embedding_dimension_stats",  # last green: r09
+    "embedding_ivf_full_probe",  # last green: r09
+    "embedding_near_duplicates",  # last green: r09
+    "event_share_of_total",  # last green: r09
+    "event_type_pivot",  # last green: r09
+    "events_by_dow_hour",  # last green: r09
+    "fingerprint_uniqueness",  # last green: r09
+    "first_event_salted",  # last green: r09
+    "first_events_per_user",  # last green: r09
+    "grouping_sets_event_report",  # last green: r09
+    "hourly_event_windows",  # last green: r09
+    "langid_distribution",  # last green: r09
+    "multimodal_inventory",  # last green: r09
+    "ngram_diversity_by_source",  # last green: r09
+    "order_line_count_histogram",  # last green: r09
+    "orders_monthly_growth",  # last green: r09
+    "payload_profile",  # last green: r09
+    "quality_bands",  # last green: r09
+    "range_join_interval_stats",  # last green: r09
+    "repetition_by_source",  # last green: r09
+    "revenue_by_part_type",  # last green: r09
+    "revenue_pareto_report",  # last green: r09
+    "sample_stratified_per_source",  # last green: r09
+    "sample_temperature_weighted",  # last green: r09
+    "signup_to_purchase_latency",  # last green: r09
+    "summary_stats",  # last green: r09
+    "supplier_pagerank",  # last green: r09
+    "supplier_triangle_count",  # last green: r09
+    "tfidf_source_profile",  # last green: r09
+    "top_revenue_orders",  # last green: r09
+    "train_val_test_split_counts",  # last green: r09
+    "union_counts",  # last green: r09
+    "user_activity_percentiles",  # last green: r09
+    "user_entropy_bands",  # last green: r09
+    "value_deciles_by_type",  # last green: r09
+    "value_mad_by_type",  # last green: r09
+    "value_percentiles_by_type",  # last green: r09
+    "word_distribution",  # last green: r09
+    "acctbal_by_segment",  # last green: r10
+    "approx_distinct_users_bound",  # last green: r10
+    "asof_user_state",  # last green: r10
+    "asof_user_state_bucketed",  # last green: r10
+    "chunking_stats",  # last green: r10
 ]
 
 _ROTATION = [
-    "daily_counts_gapfilled",  # r09
-    "decontamination_overlap",  # r09
-    "dedup_jaccard_capped",  # r09
-    "dedup_survivors_minhash",  # r09
-    "dedup_token_savings_by_source",  # r09
-    "doc_length_magnitude_histogram",  # r09
-    "duplicate_metadata_conflicts",  # r09
-    "embedding_dimension_stats",  # r09
-    "embedding_ivf_full_probe",  # r09
-    "embedding_near_duplicates",  # r09
-    "event_share_of_total",  # r09
-    "event_type_pivot",  # r09
-    "events_by_dow_hour",  # r09
-    "fingerprint_uniqueness",  # r09
-    "first_event_salted",  # r09
-    "first_events_per_user",  # r09
-    "grouping_sets_event_report",  # r09
-    "hourly_event_windows",  # r09
-    "langid_distribution",  # r09
-    "multimodal_inventory",  # r09
-    "ngram_diversity_by_source",  # r09
-    "order_line_count_histogram",  # r09
-    "orders_monthly_growth",  # r09
-    "payload_profile",  # r09
-    "quality_bands",  # r09
-    "range_join_interval_stats",  # r09
-    "repetition_by_source",  # r09
-    "revenue_by_part_type",  # r09
-    "revenue_pareto_report",  # r09
-    "sample_stratified_per_source",  # r09
-    "sample_temperature_weighted",  # r09
-    "signup_to_purchase_latency",  # r09
-    "summary_stats",  # r09
-    "supplier_pagerank",  # r09
-    "supplier_triangle_count",  # r09
-    "tfidf_source_profile",  # r09
-    "top_revenue_orders",  # r09
-    "train_val_test_split_counts",  # r09
-    "union_counts",  # r09
-    "user_activity_percentiles",  # r09
-    "user_entropy_bands",  # r09
-    "value_deciles_by_type",  # r09
-    "value_mad_by_type",  # r09
-    "value_percentiles_by_type",  # r09
-    "word_distribution",  # r09
-    "acctbal_by_segment",  # r10
-    "approx_distinct_users_bound",  # r10
-    "asof_user_state",  # r10
-    "asof_user_state_bucketed",  # r10
-    "chunking_stats",  # r10
     "conjunctive_filters",  # r10
     "count_by_event_type",  # r10
     "count_distinct_by_type",  # r10
@@ -9886,6 +9836,56 @@ _ROTATION = [
     "url_canonical_dedup_stats",  # r11
     "warc_ingest_stats",  # r11
     "window_funnel_strict_order_steps",  # r11
+    "argmax_event_per_user",  # r12
+    "bigram_lm_quality_by_source",  # r12
+    "c4_line_filter_stats",  # r12
+    "cdx_fetch_plan_stats",  # r12
+    "cdx_latest_capture_stats",  # r12
+    "charset_decode_stats",  # r12
+    "classifier_topp_selection_stats",  # r12
+    "clicker_purchaser_intersect",  # r12
+    "compression_ratio_flags",  # r12
+    "conditional_aggregates",  # r12
+    "count_distinct_salted",  # r12
+    "cube_event_counts",  # r12
+    "dedup_quality_survivors_by_source",  # r12
+    "domain_blocklist_stats",  # r12
+    "host_link_pagerank",  # r12
+    "lexicon_flag_stats",  # r12
+    "line_dedup_rewrite_stats",  # r12
+    "link_extraction_stats",  # r12
+    "minhash_incremental_stats",  # r12
+    "mojibake_repair_stats",  # r12
+    "priority_sample_by_length",  # r12
+    "priority_sample_estimator",  # r12
+    "purchase_gap_histogram",  # r12
+    "quality_classifier_stats",  # r12
+    "redirect_resolution_stats",  # r12
+    "returned_item_revenue",  # r12
+    "revenue_forecast",  # r12
+    "robots_wildcard_filter_stats",  # r12
+    "rolling_weekly_active_users",  # r12
+    "session_path_topk",  # r12
+    "ship_lag_stats",  # r12
+    "shipping_priority",  # r12
+    "sitemap_url_expansion",  # r12
+    "split_leakage_report",  # r12
+    "template_prefix_audit",  # r12
+    "token_budget_mixture_stats",  # r12
+    "token_zipf_coverage",  # r12
+    "top_brands_per_nation",  # r12
+    "topk_words_per_source",  # r12
+    "ttr_by_length_decile",  # r12
+    "unicode_normalize_stats",  # r12
+    "urgent_customers_by_segment",  # r12
+    "user_activity_gini",  # r12
+    "user_growth_accounting",  # r12
+    "user_halves_churn",  # r12
+    "value_corr_by_type",  # r12
+    "value_delta_sum_by_type",  # r12
+    "value_skew_kurtosis_by_type",  # r12
+    "vocab_growth_curve",  # r12
+    "wet_ingest_stats",  # r12
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only
