@@ -79,10 +79,12 @@ BENCH_QUERIES = [
     # round-12 wave 3: the three new curation shapes — per-row hashed-
     # gram array aggregate (classifier inference, the hot quality-
     # filter path), banded-bucket store probe + digest-verified
-    # Jaccard (incremental near-dup), and the two-pass broadcast
-    # mixture sample (tiny agg + scan-side hash filter)
+    # Jaccard (incremental near-dup — timed as the separate
+    # minhash_incremental_probe job below, store built untimed: the
+    # r12 registry-row timing folded the fixture's store bootstrap
+    # into the headline, VERDICT r12 nit 2), and the two-pass
+    # broadcast mixture sample (tiny agg + scan-side hash filter)
     "quality_classifier_stats",
-    "minhash_incremental_stats",
     "token_budget_mixture_stats",
 ]
 
@@ -219,6 +221,42 @@ def _bm25_index_jobs(spark, sf_dir: str) -> list:
         )
 
     return [("bm25_indexed_query", lambda: None, run_once)]
+
+
+def _minhash_probe_jobs(spark, sf_dir: str) -> list:
+    """The incremental near-dup PROBE, store built untimed (VERDICT r12
+    nit 2): production runs probe a persisted hash-only store, so the
+    headline row must time one batch's probe — banded-bucket equi-join +
+    candidate-bounded digest verify — not the fixture's store bootstrap
+    over 2/3 of the corpus. Same split/clone lanes as the certified
+    minhash_incremental_stats registry row; the store round-trips
+    through parquet exactly as the streaming chain persists it."""
+    import tempfile
+
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store,
+        minhash_incremental,
+    )
+    from neo4j_to_clickhouse_spark.plans.queries import (
+        _minhash_incremental_frames,
+    )
+
+    old, new = _minhash_incremental_frames(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bench_lsh_store_")
+    store_b, store_d = lsh_store(old)
+    store_b.write.parquet(root + "/buckets")
+    store_d.write.parquet(root + "/digests")
+
+    def run_once() -> int:
+        surv = minhash_incremental(
+            new,
+            spark.read.parquet(root + "/buckets"),
+            spark.read.parquet(root + "/digests"),
+            threshold=0.5,
+        )
+        return len(surv.collect())
+
+    return [("minhash_incremental_probe", lambda: None, run_once)]
 
 
 def _evidence_path(repo_dir: str, sf: str = "0.1") -> str:
@@ -366,6 +404,7 @@ def main() -> None:
     jobs = [_registry_job(n) for n in BENCH_QUERIES]
     jobs.extend(_maintenance_jobs(spark, sf_dir))
     jobs.extend(_bm25_index_jobs(spark, sf_dir))
+    jobs.extend(_minhash_probe_jobs(spark, sf_dir))
 
     for name, prepare, run_once in jobs:
         runs: list[float] = []

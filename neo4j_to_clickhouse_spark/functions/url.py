@@ -153,32 +153,45 @@ def url_path(url: Column | str) -> Column:
 # Anchor extraction + reference resolution (link graph / URL frontier)
 # ---------------------------------------------------------------------
 
-#: href attribute of an <a> tag, either quote style, case-insensitive.
-_ANCHOR_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']+)["']"""
+#: href attribute of an <a> tag, one pattern per quote style so a
+#: double-quoted value may contain ' and vice versa (a single combined
+#: ["']...["'] pair would let a "-opened href close at a ' and truncate
+#: the URL). href must follow whitespace — `<a\s(?:[^>]*?\s)?href` —
+#: so attributes merely ENDING in href (data-href) never match (a \b
+#: boundary alone would: '-h' is a word boundary).
+_ANCHOR_DQ_RE = r"""(?i)<a\s(?:[^>]*?\s)?href\s*=\s*"([^"]+)\""""
+_ANCHOR_SQ_RE = r"""(?i)<a\s(?:[^>]*?\s)?href\s*=\s*'([^']+)'"""
 
 #: any URI scheme prefix (RFC 3986 §3.1)
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def anchor_hrefs(html: Column | str) -> Column:
-    """``array<string>`` of raw href values from ``<a>`` tags — one
-    codegen ``regexp_extract_all``, the same shape as
+    """``array<string>`` of raw href values from ``<a>`` tags — two
+    codegen ``regexp_extract_all`` passes (one per quote style,
+    concatenated: double-quoted hrefs first), the same shape as
     :func:`sitemap_urls`. Unquoted hrefs (rare, invalid-ish HTML) are
     out of scope, like the documented exclusions above."""
     c = F.col(html) if isinstance(html, str) else html
-    return F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 1)
+    return F.concat(
+        F.regexp_extract_all(c, F.lit(_ANCHOR_DQ_RE), 1),
+        F.regexp_extract_all(c, F.lit(_ANCHOR_SQ_RE), 1),
+    )
 
 
 def resolve_href(href: Column, base: Column) -> Column:
     """Resolve an href against its page URL (RFC 3986 §5 reference
     resolution, the cases crawl frontiers need): absolute and
     protocol-relative pass through with the scheme filled in;
-    root-relative joins the base origin; path-relative joins the base
-    directory. Non-fetchable references (``javascript:``, ``mailto:``,
-    any non-http(s) scheme — ``ftp://``/``ws://``/app links included,
-    bare fragments, empty) resolve to NULL — filter them out.
-    Dot-segment collapsing (``../``) is out of scope (documented, like
-    the canonicalizer's exclusions).
+    root-relative joins the base origin; query-only references
+    (``?page=2``) keep the base's FULL path and swap the query
+    (RFC 3986 §5.3's merge for an empty reference path);
+    path-relative joins the base directory. Non-fetchable references
+    (``javascript:``, ``mailto:``, any non-http(s) scheme —
+    ``ftp://``/``ws://``/app links included, bare fragments, empty)
+    resolve to NULL — filter them out. Dot-segment collapsing
+    (``../``) is out of scope (documented, like the canonicalizer's
+    exclusions).
     """
     origin = F.regexp_extract(
         base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
@@ -196,6 +209,12 @@ def resolve_href(href: Column, base: Column) -> Column:
             href.startswith("//"), F.concat(scheme, F.lit(":"), href)
         )
         .when(href.startswith("/"), F.concat(origin, href))
+        .when(
+            href.startswith("?"),
+            # base path + new query (§5.3, empty reference path): strip
+            # the base's own query/fragment, keep its full path
+            F.concat(F.regexp_extract(base, r"^([^?#]*)", 1), href),
+        )
         .when(
             href.startswith("#") | (href == ""), F.lit(None)
         )

@@ -148,10 +148,23 @@ def select_top_fraction(
     score_col: str,
     id_col: str,
     fraction: float,
+    round_decimals: int | None = 6,
 ) -> DataFrame:
     """Exactly the top ``ceil(fraction * n)`` rows by
     ``(score DESC, id ASC)`` — equivalent to a global
     ``row_number() <= k`` window, computed WITHOUT a global sort.
+
+    The selection KEY is the score rounded to ``round_decimals``
+    (output rows are returned unmodified): the plan's 100 TB-safety
+    rests on the histogram's cardinality being bounded by the score
+    DOMAIN, and an unrounded continuous score would silently degrade
+    the cumulative window below into a single-partition sort of
+    corpus-cardinality distinct values. The default enforces the
+    bound inside the function instead of relying on callers having
+    rounded (rows within half an ulp of the rounding become ties,
+    broken by id). ``round_decimals=None`` opts out for callers whose
+    score domain is ALREADY discrete (integer grades, pre-rounded
+    scores) and must match a naive window on the raw values.
 
     Algorithm (two broadcast joins, no corpus shuffle):
     1. histogram: ``groupBy(score).count()`` — cardinality bounded by
@@ -177,13 +190,22 @@ def select_top_fraction(
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    s = F.col(score_col)
-    hist = df.groupBy(score_col).agg(F.count("*").alias("__n"))
+    out_cols = df.columns
+    if round_decimals is not None:
+        df = df.withColumn(
+            "__sel_score",
+            F.round(F.col(score_col).cast("double"), round_decimals),
+        )
+        sel_col = "__sel_score"
+    else:
+        sel_col = score_col
+    s = F.col(sel_col)
+    hist = df.groupBy(sel_col).agg(F.count("*").alias("__n"))
     w = Window.orderBy(s.desc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.select(
-        score_col, "__n", F.sum("__n").over(w).alias("__cum")
+        sel_col, "__n", F.sum("__n").over(w).alias("__cum")
     )
     total = cum.agg(F.sum("__n").alias("__total"))
     thresh = (
@@ -210,11 +232,11 @@ def select_top_fraction(
             s > F.col("__t")
         )
     ).drop("__t", "__r")
-    tie_w = Window.partitionBy(score_col).orderBy(F.col(id_col))
+    tie_w = Window.partitionBy(sel_col).orderBy(F.col(id_col))
     ties = (
         joined.filter(s.eqNullSafe(F.col("__t")))
         .withColumn("__rn", F.row_number().over(tie_w))
         .filter(F.col("__rn") <= F.col("__r"))
         .drop("__t", "__r", "__rn")
     )
-    return above.unionByName(ties)
+    return above.unionByName(ties).select(*out_cols)

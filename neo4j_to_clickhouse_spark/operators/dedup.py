@@ -769,6 +769,36 @@ def lsh_store(
     return buckets, digests
 
 
+def _bind_store_half(store: DataFrame, key: str) -> DataFrame:
+    """Bind one persisted LSH-store half to (old_id, <key>) — by NAME
+    when the expected columns ('id', key) are present, positionally only
+    for an exactly-two-column frame with other names. A frame with extra
+    columns (the classic slip: a caller forgetting to drop the 'batch'
+    stamp after the replay filter) fails loudly instead of silently
+    mis-binding the id/key roles and corrupting candidate generation."""
+    cols = store.columns
+    if "id" in cols and key in cols:
+        if len(cols) != 2:
+            extra = [c for c in cols if c not in ("id", key)]
+            raise ValueError(
+                f"store half has unexpected columns {extra}: expected "
+                f"exactly ('id', {key!r}) — drop the replay/batch stamp "
+                "before probing (see start_corpus_neardup_stream._prior)"
+            )
+        return store.select(
+            F.col("id").alias("old_id"), F.col(key).alias(key)
+        )
+    if len(cols) == 2:
+        return store.select(
+            F.col(cols[0]).alias("old_id"), F.col(cols[1]).alias(key)
+        )
+    raise ValueError(
+        f"store half columns {cols} are not bindable to ('id', {key!r}): "
+        "pass the two store columns only, named as lsh_store_* produce "
+        "them"
+    )
+
+
 def minhash_incremental(
     new_df: DataFrame,
     seen_buckets: DataFrame,
@@ -814,19 +844,13 @@ def minhash_incremental(
     if caches is not None:
         caches.extend((sh, sig))
     nb = band_buckets(sig, bands, num_hashes)
-    sb_cols = seen_buckets.columns
-    sb = seen_buckets.select(
-        F.col(sb_cols[0]).alias("old_id"), F.col(sb_cols[1]).alias("bucket")
-    )
+    sb = _bind_store_half(seen_buckets, "bucket")
     cand = (
         nb.join(sb, "bucket")
         .select(F.col("id").alias("new_id"), "old_id")
         .distinct()
     )
-    od_cols = seen_digests.columns
-    od = seen_digests.select(
-        F.col(od_cols[0]).alias("old_id"), F.col(od_cols[1]).alias("digest")
-    )
+    od = _bind_store_half(seen_digests, "digest")
     # only candidate old-docs' digests move: semi-join before any count
     od_c = od.join(cand.select("old_id").distinct(), "old_id").persist(
         StorageLevel.MEMORY_AND_DISK

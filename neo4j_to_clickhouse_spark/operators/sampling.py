@@ -249,13 +249,26 @@ def mixture_rates(
     tok = df.groupBy(group_col).agg(
         F.sum(t).cast("long").alias("__tok")
     )
+    # a zero-token group needs the division guarded: weight 0 there
+    # computes 0.0/0.0 = NaN, and least(1.0, NaN) is 1.0 in Spark's
+    # ordering — the group would be KEPT in full instead of dropped as
+    # the dict contract ("weight 0 = dropped") states. Zero tokens with
+    # a POSITIVE weight keeps the group in full (rate 1.0): its rows
+    # cost nothing against the token budget.
     return tok.select(
         group_col,
-        F.least(
-            F.lit(1.0),
-            (F.lit(float(token_budget)) * w)
-            / F.col("__tok").cast("double"),
-        ).alias("mixture_rate"),
+        F.when(
+            F.col("__tok") > 0,
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(token_budget)) * w)
+                / F.col("__tok").cast("double"),
+            ),
+        )
+        .otherwise(
+            F.when(w > F.lit(0.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        .alias("mixture_rate"),
     )
 
 

@@ -9286,6 +9286,41 @@ def token_budget_mixture_stats(spark, sf_dir):
     )
 
 
+def _minhash_incremental_frames(spark, sf_dir):
+    """(old, new) corpus split for the incremental near-dup fixture:
+    old = 2/3 of documents (the historical store's contents), new = the
+    remaining 1/3 with every doc_id % 6 == 0 row replaced by a clone of
+    an old document (the planted near-dup lane). Shared by the
+    certified registry query (which builds the store inline) and the
+    bench probe row (which builds the store UNTIMED — production probes
+    a persisted store, so the timed path must be the probe alone)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text"
+    )
+    clone_src = old.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("__clone"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "source", "text")
+        .join(clone_src, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("doc_id") % 6 == 0)
+                & F.col("__clone").isNotNull(),
+                F.col("__clone"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return old, new
+
+
 @q(
     "minhash_incremental_stats",
     # Certifies incremental NEAR-dup against a hash-only persisted
@@ -9346,30 +9381,7 @@ def minhash_incremental_stats(spark, sf_dir):
         minhash_incremental,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 3 != 0).select(
-        "doc_id", "text"
-    )
-    clone_src = old.select(
-        (F.col("doc_id") - 1).alias("doc_id"),
-        F.col("text").alias("__clone"),
-    )
-    new = (
-        docs.filter(F.col("doc_id") % 3 == 0)
-        .select("doc_id", "source", "text")
-        .join(clone_src, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.when(
-                (F.col("doc_id") % 6 == 0)
-                & F.col("__clone").isNotNull(),
-                F.col("__clone"),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
+    old, new = _minhash_incremental_frames(spark, sf_dir)
     store_b, store_d = lsh_store(old)
     surv = minhash_incremental(new, store_b, store_d, threshold=0.5)
     n_new = new.groupBy("source").agg(F.count("*").alias("n_new"))

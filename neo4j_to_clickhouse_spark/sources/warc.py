@@ -365,7 +365,8 @@ def encode_wet(
             (
                 "WARC/1.0\r\n"
                 "WARC-Type: conversion\r\n"
-                f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+                f"WARC-Record-ID: "
+                f"{r.get('record_id', f'<urn:uuid:{i:032x}>')}\r\n"
                 f"WARC-Target-URI: {r.get('uri', 'http://example.com/')}\r\n"
                 f"WARC-Date: {r.get('date', '2026-01-01T00:00:00Z')}\r\n"
                 "Content-Type: text/plain\r\n"
@@ -385,7 +386,11 @@ def encode_warc(
     ``{uri, date, body: bytes, status: int, content_type: str}`` —
     emitted as a ``response`` record wrapping an HTTP/1.1 message.
     With ``gzip_per_record``, each record becomes its own gzip member
-    (the .warc.gz layout)."""
+    (the .warc.gz layout). ``record_id`` overrides the default
+    ``<urn:uuid:<index>>`` — real crawlers mint globally-unique uuid4
+    ids, and multi-file fixtures MUST do the same: downstream keying
+    (the near-dedup store, exact dedup) treats the record id as the
+    document identity, so per-file index ids collide across files."""
     out = bytearray()
     for i, r in enumerate(records):
         loc = (
@@ -400,7 +405,8 @@ def encode_warc(
         hdr = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
-            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Record-ID: "
+            f"{r.get('record_id', f'<urn:uuid:{i:032x}>')}\r\n"
             f"WARC-Target-URI: {r.get('uri', 'http://example.com/')}\r\n"
             f"WARC-Date: {r.get('date', '2026-01-01T00:00:00Z')}\r\n"
             "Content-Type: application/http; msgtype=response\r\n"

@@ -295,6 +295,225 @@ def start_corpus_stream(
     )
 
 
+# --- LSH-store maintenance ---------------------------------------------------
+#
+# The near-dedup stream appends one batch-stamped parquet file per
+# micro-batch per store half (buckets/ + digests/) — correct, but at a
+# 1 s trigger that is ~86k files/day/half, the classic small-files
+# hazard. compact_lsh_store() folds committed batch files into a few
+# consolidated files while preserving the replay contract: rows keep
+# their per-row ``batch`` stamp verbatim, so a replayed micro-batch's
+# ``batch < batch_id`` probe filter behaves identically against
+# consolidated files, and the newest batch present is NEVER folded by
+# default — its promote-then-crash replay must still find (and replace)
+# its own ``batch-*`` files by name.
+#
+# Swap protocol per half (the LocalPartitionStore marker/aside idiom,
+# operators/maintenance.py — adapted to flat files):
+#
+#   1. write consolidated output to ``.compact_staging/``  (invisible)
+#   2. write marker ``.compact_swap`` (tmp + rename: atomic)
+#   3. move every folded file -> ``.compact_old/``         (set aside)
+#   4. rename staged parts -> ``compacted-<gen>-<i>.parquet``
+#   5. delete ``.compact_old/``                            (no return)
+#   6. delete marker
+#
+# A crash at any point is classified by _recover_lsh_half(): any final
+# ``compacted-<gen>-*`` present => step 4 started => roll FORWARD
+# (staged files are all on disk since step 1); none present => roll
+# BACK (aside files return under their original names). The stream's
+# own _prior() runs recovery before every read, so a crashed compactor
+# can never silently hide store rows from the probe. Like every
+# rename-protocol maintenance job: do NOT run concurrently with the
+# stream's writes — stop the stream (or call between micro-batches on
+# the same driver).
+
+_COMPACT_MARKER = ".compact_swap"
+_COMPACT_ASIDE = ".compact_old"
+_COMPACT_STAGING = ".compact_staging"
+_BATCH_FILE_RE = r"^batch-(?:[A-Za-z0-9_\-]+~)?(\d{9})-\d+\.parquet$"
+_COMPACTED_FILE_RE = r"^compacted-(\d{9})-\d+\.parquet$"
+
+
+def _half_files(path: str) -> tuple[dict[str, int], dict[str, int]]:
+    """(batch_files, compacted_files) in a store half: name -> stamp
+    (batch id for stream appends, generation for consolidated files)."""
+    import os
+    import re
+
+    batches: dict[str, int] = {}
+    compacted: dict[str, int] = {}
+    if not os.path.isdir(path):
+        return batches, compacted
+    for name in os.listdir(path):
+        m = re.match(_BATCH_FILE_RE, name)
+        if m:
+            batches[name] = int(m.group(1))
+            continue
+        m = re.match(_COMPACTED_FILE_RE, name)
+        if m:
+            compacted[name] = int(m.group(1))
+    return batches, compacted
+
+
+def _recover_lsh_half(path: str) -> bool:
+    """Finish (or roll back) a compaction swap a crash interrupted in
+    one store half; returns whether anything needed recovery. Idempotent
+    and cheap when clean (one isfile check) — the stream's _prior() runs
+    it before every read."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(path, _COMPACT_MARKER)
+    staging = os.path.join(path, _COMPACT_STAGING)
+    aside = os.path.join(path, _COMPACT_ASIDE)
+    if not os.path.isfile(marker):
+        # pre-marker crash can only leave an orphan staging dir (hidden
+        # from Spark anyway); clear it so the next compact starts clean
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        return False
+    with open(marker) as fh:
+        plan = json.load(fh)
+    finals = list(plan["adds"].values())
+    if any(os.path.exists(os.path.join(path, f)) for f in finals):
+        # step 4 started: every folded file is already aside and every
+        # staged part exists since step 1 -> roll forward
+        for staged, final in plan["adds"].items():
+            dst = os.path.join(path, final)
+            src = os.path.join(staging, staged)
+            if not os.path.exists(dst):
+                os.replace(src, dst)
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        # step 4 never ran: put the folded files back verbatim
+        if os.path.isdir(aside):
+            for name in os.listdir(aside):
+                os.replace(
+                    os.path.join(aside, name), os.path.join(path, name)
+                )
+            os.rmdir(aside)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def recover_lsh_store(store_path: str) -> list[str]:
+    """Run crash recovery on both store halves; returns the halves that
+    needed it."""
+    import os
+
+    return [
+        half
+        for half in ("buckets", "digests")
+        if _recover_lsh_half(os.path.join(store_path, half))
+    ]
+
+
+def _compact_lsh_half(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    upto_batch: int | None,
+    drop_ids: DataFrame | None,
+    target_files: int,
+) -> dict:
+    import json
+    import os
+    import shutil
+
+    _recover_lsh_half(path)
+    batches, compacted = _half_files(path)
+    max_batch = max(batches.values(), default=None)
+    if upto_batch is None:
+        # never fold the newest batch present: a crashed-before-commit
+        # attempt of it will replay and must find its own batch-* files
+        upto = max_batch if max_batch is not None else 0
+    else:
+        upto = upto_batch
+    fold = {n for n, b in batches.items() if b < upto} | set(compacted)
+    fresh = len(fold) - len(compacted)  # batch files newly folded
+    if not fold or (drop_ids is None and (fresh == 0 or len(fold) < 2)):
+        return {"folded": 0, "files": len(batches) + len(compacted)}
+    gen = max([upto, *(g + 1 for g in compacted.values())])
+    df = spark.read.parquet(*(os.path.join(path, n) for n in sorted(fold)))
+    if drop_ids is not None:
+        df = df.join(
+            drop_ids.select(F.col(drop_ids.columns[0]).alias("id")),
+            "id",
+            "left_anti",
+        )
+    staging = os.path.join(path, _COMPACT_STAGING)
+    shutil.rmtree(staging, ignore_errors=True)
+    # consolidated files clustered by the probe's join key: incremental
+    # probes of a compacted store co-locate on the bucket/digest hash
+    df.repartition(target_files, F.col(key_col)).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    staged = sorted(
+        n for n in os.listdir(staging) if n.startswith("part-")
+    )
+    adds = {
+        s: f"compacted-{gen:09d}-{i:05d}.parquet"
+        for i, s in enumerate(staged)
+    }
+    marker = os.path.join(path, _COMPACT_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"remove": sorted(fold), "adds": adds, "gen": gen}, fh)
+    os.replace(tmp, marker)
+    aside = os.path.join(path, _COMPACT_ASIDE)
+    os.makedirs(aside, exist_ok=True)
+    for name in sorted(fold):
+        os.replace(os.path.join(path, name), os.path.join(aside, name))
+    for s, final in adds.items():
+        os.replace(os.path.join(staging, s), os.path.join(path, final))
+    shutil.rmtree(aside)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(marker)
+    remaining = len(batches) + len(compacted) - len(fold)
+    return {"folded": len(fold), "files": remaining + len(adds)}
+
+
+def compact_lsh_store(
+    spark: SparkSession,
+    store_path: str,
+    upto_batch: int | None = None,
+    drop_ids: DataFrame | None = None,
+    target_files: int = 1,
+) -> dict:
+    """Fold the near-dedup store's per-micro-batch parquet appends into
+    ``target_files`` consolidated files per half, crash-recoverably (see
+    the swap-protocol comment above). Returns per-half stats.
+
+    ``upto_batch`` (exclusive) bounds which stream batches fold; the
+    default folds everything strictly older than the newest batch
+    present, which is the safe-under-replay choice — pass
+    ``max_batch + 1`` only when the stream is cleanly stopped (drained
+    AND checkpoint-committed).
+
+    ``drop_ids`` (single-column DataFrame of record ids) is the M3-style
+    retention hook: ids retired from the documents table (e.g. by
+    ``apply_retention``) are anti-joined out of the folded rows, so the
+    store stops near-dup-matching against documents the corpus no longer
+    keeps. Ids living only in not-yet-folded batch files are dropped by
+    the NEXT compaction that folds them.
+    """
+    import os
+
+    out = {}
+    for half, key in (("buckets", "bucket"), ("digests", "digest")):
+        hpath = os.path.join(store_path, half)
+        if not os.path.isdir(hpath):
+            out[half] = {"folded": 0, "files": 0}
+            continue
+        out[half] = _compact_lsh_half(
+            spark, hpath, key, upto_batch, drop_ids, target_files
+        )
+    return out
+
+
 def start_corpus_neardup_stream(
     files_stream: DataFrame,
     rules: DataFrame,
@@ -332,6 +551,14 @@ def start_corpus_neardup_stream(
     converge. Off by default: intra-batch near-dup is often already
     handled upstream, and the in-batch pair join is the one
     batch-quadratic-ish stage of the chain.
+
+    Document identity is the WARC record id: the store keys every
+    bucket/digest row by it, and a COLLIDING id (two different documents
+    sharing one record id — impossible with spec-compliant uuid4 minting
+    but easy to forge with synthetic fixtures) merges both documents'
+    digest sets, silently DEFLATING every Jaccard against them (the
+    union inflates ``n_b``) so near-dups leak through. Real crawls mint
+    unique ids; synthetic inputs must too (``encode_warc(record_id=)``).
 
     Scale shape: the store probe is one equi-join on band hashes
     (shuffle ∝ batch, not store) + the candidate-bounded digest verify
@@ -374,6 +601,11 @@ def start_corpus_neardup_stream(
     dpath = os.path.join(store_path, "digests")
 
     def _prior(spark, path: str, schema_df: DataFrame, batch_id: int):
+        # a compactor that crashed mid-swap leaves folded store rows set
+        # aside in a hidden dir — reading past that would silently hide
+        # history from the probe, so recovery runs first (idempotent,
+        # one isfile check when clean)
+        _recover_lsh_half(path)
         # ONLY "no committed data yet" means first batch: a missing dir,
         # or a dir holding nothing but hidden entries (a crashed first
         # attempt leaves a .staging-* dir the promote never moved —

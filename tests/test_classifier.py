@@ -120,6 +120,34 @@ def test_select_top_fraction_all_one_score(spark):
     assert got == list(range(10))
 
 
+def test_select_top_fraction_enforces_rounded_selection_key(spark):
+    # continuous (unrounded) scores: the default rounds the SELECTION
+    # key to 6 decimals inside the function — the histogram cardinality
+    # stays domain-bounded instead of degrading to corpus-cardinality —
+    # while output rows keep their original score values untouched.
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id").cast("double") * 1e-9 + 0.1).alias("score"),
+    )
+    got = select_top_fraction(df, "score", "id", 0.2)
+    rows = sorted((r["id"], r["score"]) for r in got.collect())
+    # all 100 scores round to 0.1 -> pure id-order tie-break
+    assert [i for i, _ in rows] == list(range(20))
+    # original (unrounded) values returned, no helper column
+    assert got.columns == ["id", "score"]
+    assert all(s == i * 1e-9 + 0.1 for i, s in rows)
+
+    # round_decimals=None opts out: raw-score selection (naive window
+    # on the exact values — here the TOP 20 raw scores, ids 80..99)
+    raw = sorted(
+        r["id"]
+        for r in select_top_fraction(
+            df, "score", "id", 0.2, round_decimals=None
+        ).collect()
+    )
+    assert raw == list(range(80, 100))
+
+
 def test_select_top_fraction_rejects_bad_fraction(spark):
     df = spark.range(3).select(
         F.col("id"), F.lit(0.0).alias("score")

@@ -1,0 +1,382 @@
+"""LSH-store maintenance for the streaming near-dedup chain (VERDICT
+r12 item 2): compact_lsh_store folds per-micro-batch store appends into
+consolidated files without changing a single probe-visible row, the
+marker/aside swap is crash-recoverable in both directions, a replayed
+micro-batch straddling a compaction stays exactly-once, and the
+drop_ids retention hook retires documents from the store."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.sources.robots import robots_rules_df
+from neo4j_to_clickhouse_spark.sources.warc import encode_warc
+from neo4j_to_clickhouse_spark.streaming.corpus import (
+    _COMPACT_ASIDE,
+    _COMPACT_MARKER,
+    _COMPACT_STAGING,
+    _recover_lsh_half,
+    compact_lsh_store,
+    corpus_documents,
+    read_warc_file_stream,
+    recover_lsh_store,
+    start_corpus_neardup_stream,
+)
+from neo4j_to_clickhouse_spark.streaming.pipeline import drain
+
+ROBOTS = "User-agent: *\nDisallow: /blocked\n"
+
+_BODY = (
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+)
+_BODY2 = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+    "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+)
+
+
+def _warc(drop, name, pages):
+    # record ids must be globally unique across files (like real
+    # crawlers' uuid4): the store keys documents by record id, and the
+    # encoder's per-file-index default collides across files
+    import hashlib
+
+    recs = [
+        {
+            "uri": uri,
+            "record_id": f"<urn:uuid:{hashlib.md5(uri.encode()).hexdigest()}>",
+            "body": f"<p>{body}</p>".encode(),
+            "status": 200,
+            "content_type": "text/html; charset=utf-8",
+        }
+        for uri, body in pages
+    ]
+    (drop / name).write_bytes(encode_warc(recs, gzip_per_record=True))
+
+
+def _setup(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir(exist_ok=True)
+    rules = robots_rules_df(spark, [("h0.com", ROBOTS)])
+    paths = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                rules,
+                coalesce_output=1,
+                **paths,
+            )
+        )
+
+    return drop, rules, paths, run
+
+
+def _store_rows(spark, store_path):
+    out = {}
+    for half in ("buckets", "digests"):
+        rows = spark.read.parquet(os.path.join(store_path, half)).collect()
+        out[half] = sorted(tuple(r) for r in rows)
+    return out
+
+
+def _data_files(store_path, half):
+    return sorted(
+        n
+        for n in os.listdir(os.path.join(store_path, half))
+        if n.endswith(".parquet")
+    )
+
+
+def test_compact_preserves_rows_shrinks_files_and_probe_still_sees_history(
+    spark, tmp_path
+):
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()  # batch 0
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()  # batch 1
+    _warc(drop, "f2.warc.gz", [("http://h0.com/c", "tiny unique page nine")])
+    run()  # batch 2
+
+    before = _store_rows(spark, paths["store_path"])
+    assert len(_data_files(paths["store_path"], "buckets")) == 3
+
+    stats = compact_lsh_store(spark, paths["store_path"])
+    # default upto = newest batch present (2): batches 0+1 folded, 2 kept
+    assert stats["buckets"]["folded"] == 2
+    assert _data_files(paths["store_path"], "buckets") == [
+        "batch-corpus_neardup~000000002-00000.parquet",
+        "compacted-000000002-00000.parquet",
+    ]
+    # not one probe-visible row changed — same (id, key, batch) multiset
+    assert _store_rows(spark, paths["store_path"]) == before
+
+    # the probe still sees FOLDED history: clones of the batch-0 and
+    # batch-1 docs drop, a novel doc survives
+    _warc(
+        drop,
+        "f3.warc.gz",
+        [
+            ("http://h0.com/a2", _BODY.replace("eleven", "ELEVEN")),
+            ("http://h0.com/b2", _BODY2.replace("kappa", "KAPPA")),
+            ("http://h0.com/d", "entirely novel words appear here today"),
+        ],
+    )
+    run()  # batch 3 probes the compacted store
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/c",
+        "http://h0.com/d",
+    }
+    # a second compact folds batch 2+3 files into the next generation
+    stats2 = compact_lsh_store(spark, paths["store_path"], upto_batch=4)
+    assert stats2["digests"]["folded"] == 3  # batch-2, batch-3, gen-2
+    assert _data_files(paths["store_path"], "digests") == [
+        "compacted-000000004-00000.parquet"
+    ]
+
+
+def test_compact_skips_when_nothing_new_to_fold(spark, tmp_path):
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    # one batch only: nothing strictly older than the newest
+    stats = compact_lsh_store(spark, paths["store_path"])
+    assert stats == {
+        "buckets": {"folded": 0, "files": 1},
+        "digests": {"folded": 0, "files": 1},
+    }
+    assert recover_lsh_store(paths["store_path"]) == []
+
+
+def test_recovery_rolls_back_before_first_promote(spark, tmp_path):
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()
+    half = os.path.join(paths["store_path"], "buckets")
+    before = _store_rows(spark, paths["store_path"])
+
+    # forge a crash after step 3 (all folds aside, marker down, staged
+    # written, NO final promoted yet)
+    import json
+    import shutil
+
+    fold = _data_files(paths["store_path"], "buckets")[:1]
+    staging = os.path.join(half, _COMPACT_STAGING)
+    os.makedirs(staging)
+    shutil.copy(os.path.join(half, fold[0]), os.path.join(staging, "part-0.parquet"))
+    with open(os.path.join(half, _COMPACT_MARKER), "w") as fh:
+        json.dump(
+            {
+                "remove": fold,
+                "adds": {"part-0.parquet": "compacted-000000009-00000.parquet"},
+                "gen": 9,
+            },
+            fh,
+        )
+    aside = os.path.join(half, _COMPACT_ASIDE)
+    os.makedirs(aside)
+    os.replace(os.path.join(half, fold[0]), os.path.join(aside, fold[0]))
+
+    assert _recover_lsh_half(half) is True
+    assert _store_rows(spark, paths["store_path"]) == before
+    assert not os.path.exists(os.path.join(half, _COMPACT_MARKER))
+    assert not os.path.exists(aside)
+    assert not os.path.exists(staging)
+
+
+def test_recovery_rolls_forward_after_first_promote(spark, tmp_path):
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()
+    _warc(drop, "f2.warc.gz", [("http://h0.com/c", "tiny unique page nine")])
+    run()
+    half = os.path.join(paths["store_path"], "digests")
+    before = _store_rows(spark, paths["store_path"])
+
+    # run a real compact but crash it between step 4 and 5: reproduce by
+    # compacting fully, then reconstructing the mid-promote state —
+    # instead forge directly: two staged parts, one promoted, one not
+    import json
+    import shutil
+
+    fold = _data_files(paths["store_path"], "digests")[:2]
+    staging = os.path.join(half, _COMPACT_STAGING)
+    os.makedirs(staging)
+    for i, n in enumerate(fold):
+        shutil.copy(
+            os.path.join(half, n), os.path.join(staging, f"part-{i}.parquet")
+        )
+    adds = {
+        "part-0.parquet": "compacted-000000009-00000.parquet",
+        "part-1.parquet": "compacted-000000009-00001.parquet",
+    }
+    with open(os.path.join(half, _COMPACT_MARKER), "w") as fh:
+        json.dump({"remove": fold, "adds": adds, "gen": 9}, fh)
+    aside = os.path.join(half, _COMPACT_ASIDE)
+    os.makedirs(aside)
+    for n in fold:
+        os.replace(os.path.join(half, n), os.path.join(aside, n))
+    # first promote happened, then crash
+    os.replace(
+        os.path.join(staging, "part-0.parquet"),
+        os.path.join(half, "compacted-000000009-00000.parquet"),
+    )
+
+    assert _recover_lsh_half(half) is True
+    assert _store_rows(spark, paths["store_path"]) == before
+    files = _data_files(paths["store_path"], "digests")
+    assert "compacted-000000009-00001.parquet" in files
+    assert not os.path.exists(aside)
+
+
+def test_replay_straddling_compaction_stays_exactly_once(spark, tmp_path):
+    """Batch 1 crashes between its store promote and the checkpoint
+    commit; a compaction runs during the outage (default bound: folds
+    batch 0 only — the newest batch present is never folded); then the
+    stream restarts and batch 1 replays. The probe must not see the
+    crashed attempt's own rows, and the replay's promote must still
+    replace them by name."""
+    from neo4j_to_clickhouse_spark.operators.dedup import (
+        lsh_store_buckets,
+        lsh_store_digests,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import _stage_outputs
+
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()  # batch 0 committed
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()  # batch 1 committed
+    _warc(
+        drop,
+        "f2.warc.gz",
+        [
+            ("http://h0.com/c", _BODY.replace("eleven", "ELEVEN")),
+            ("http://h0.com/d", "unrelated fresh page entirely novel words"),
+        ],
+    )
+    # crashed attempt of batch 2: store rows landed, checkpoint did not
+    f2 = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "f2.warc.gz")
+        .load(str(drop))
+    )
+    d2, _ = corpus_documents(f2, rules)
+    tag = F.lit(2).cast("long").alias("batch")
+    _stage_outputs(
+        (
+            (
+                lsh_store_buckets(d2, "record_id", "text").select("*", tag),
+                paths["store_path"] + "/buckets",
+            ),
+            (
+                lsh_store_digests(d2, "record_id", "text").select("*", tag),
+                paths["store_path"] + "/digests",
+            ),
+        ),
+        2,
+        "corpus_neardup",
+    )
+
+    stats = compact_lsh_store(spark, paths["store_path"])
+    # batches 0+1 folded; 2 is the newest present, NEVER folded
+    assert stats["buckets"]["folded"] == 2
+    assert any(
+        n.startswith("batch-") and "000000002" in n
+        for n in _data_files(paths["store_path"], "buckets")
+    )
+
+    run()  # batch 2 replays over the crashed attempt + compacted store
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/d",
+    }
+    b = spark.read.parquet(paths["store_path"] + "/buckets")
+    # the crashed attempt wrote rows for BOTH /c and /d; the replay's
+    # promote replaced them with the single survivor's rows
+    assert b.where("batch = 2").select("id").distinct().count() == 1
+
+
+def test_retention_drop_ids_retires_documents_from_store(spark, tmp_path):
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()
+    _warc(drop, "f2.warc.gz", [("http://h0.com/c", "tiny unique page nine")])
+    run()
+
+    docs = spark.read.parquet(paths["table_path"])
+    gone = docs.where(
+        F.col("canonical") == "http://h0.com/a"
+    ).select("record_id")
+    stats = compact_lsh_store(spark, paths["store_path"], drop_ids=gone)
+    assert stats["buckets"]["folded"] == 2
+    gone_id = gone.collect()[0][0]
+    b = spark.read.parquet(paths["store_path"] + "/buckets")
+    assert b.where(F.col("id") == gone_id).count() == 0
+
+    # a clone of the retired /a now SURVIVES (store no longer matches
+    # it); a clone of the retained /b still drops
+    _warc(
+        drop,
+        "f3.warc.gz",
+        [
+            ("http://h0.com/a2", _BODY.replace("eleven", "ELEVEN")),
+            ("http://h0.com/b2", _BODY2.replace("kappa", "KAPPA")),
+        ],
+    )
+    run()
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/c",
+        "http://h0.com/a2",
+    }
+
+
+def test_bind_store_half_rejects_extra_columns(spark):
+    from neo4j_to_clickhouse_spark.operators.dedup import _bind_store_half
+
+    good = spark.createDataFrame([(1, 2)], "id long, bucket long")
+    assert _bind_store_half(good, "bucket").columns == ["old_id", "bucket"]
+    renamed = spark.createDataFrame([(1, 2)], "doc long, b long")
+    assert _bind_store_half(renamed, "bucket").columns == ["old_id", "bucket"]
+    stamped = spark.createDataFrame(
+        [(1, 2, 0)], "id long, bucket long, batch long"
+    )
+    with pytest.raises(ValueError, match="batch"):
+        _bind_store_half(stamped, "bucket")
+    with pytest.raises(ValueError, match="not bindable"):
+        _bind_store_half(
+            spark.createDataFrame([(1, 2, 3)], "a long, b long, c long"),
+            "bucket",
+        )

@@ -56,6 +56,32 @@ def test_zero_weight_group_dropped(spark):
     assert kept.filter("g = 'a'").count() == 200
 
 
+def test_zero_token_groups_follow_the_weight_contract(spark):
+    # a group whose token sum is 0: weight 0 must still DROP it (the
+    # unguarded 0.0/0.0 was NaN, and least(1.0, NaN) = 1.0 kept it in
+    # full); a positive weight keeps it in full (costs no budget)
+    df = spark.range(6).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "z0")
+        .otherwise("zp")
+        .alias("g"),
+        F.when(F.col("id") % 3 == 0, 10).otherwise(0).alias("tok"),
+    )
+    rates = {
+        r["g"]: r["mixture_rate"]
+        for r in mixture_rates(
+            df, "g", {"a": 1.0, "zp": 0.5}, 40, "tok"
+        ).collect()
+    }
+    assert rates["z0"] == 0.0  # zero tokens, weight 0 -> dropped
+    assert rates["zp"] == 1.0  # zero tokens, positive weight -> kept
+    assert rates["a"] == 1.0
+    kept = budget_mixture(df, "g", "id", {"a": 1.0, "zp": 0.5}, 40, "tok")
+    assert kept.filter("g = 'z0'").count() == 0
+    assert kept.filter("g = 'zp'").count() == 2
+
+
 def test_expression_weight(spark):
     df = _corpus(spark)
     w = F.when(F.col("g") == "a", 0.25).otherwise(0.05)

@@ -156,12 +156,59 @@ def test_anchor_hrefs_and_resolution(spark):
     got = df.select(
         extract_links("html", "base").alias("links")
     ).first()["links"]
+    # double-quoted hrefs extract first, then single-quoted (two
+    # regexp passes, one per quote style)
     assert got == [
         "http://ext.test/abs",
-        "https://www.site.test/rooted",
         "https://www.site.test/dir/sub/rel.html",
         "https://cdn.test/pr",
+        "https://www.site.test/rooted",
     ]
+
+
+def test_anchor_attribute_boundary_and_quote_nesting(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    html = (
+        # data-href is NOT an href (attribute merely ends in 'href')
+        '<a data-href="http://wrong.test/x">a</a>'
+        # href first attribute after the tag name
+        '<a href="http://ok.test/1">b</a>'
+        # double-quoted value containing a single quote survives whole
+        "<a href=\"http://ok.test/it's\">c</a>"
+        # single-quoted value containing a double quote survives whole
+        "<a href='http://ok.test/q%22x'>d</a>"
+        # data-href on an <a> that ALSO has a real href: real one wins
+        '<a data-href="http://wrong.test/y" href="http://ok.test/2">e</a>'
+    )
+    df = spark.createDataFrame(
+        [(html, "http://base.test/")], "html string, base string"
+    )
+    got = df.select(extract_links("html", "base").alias("l")).first()["l"]
+    assert got == [
+        "http://ok.test/1",
+        "http://ok.test/it's",
+        "http://ok.test/2",
+        'http://ok.test/q%22x',
+    ]
+
+
+def test_query_only_reference_keeps_base_path(spark):
+    from neo4j_to_clickhouse_spark.functions.url import extract_links
+
+    # RFC 3986 §5.3 empty-path reference: base FULL path + new query
+    # (the base's own query is replaced, fragment dropped)
+    df = spark.createDataFrame(
+        [
+            (
+                '<a href="?page=2">n</a>',
+                "http://h.test/dir/list.html?page=1#top",
+            )
+        ],
+        "html string, base string",
+    )
+    got = df.select(extract_links("html", "base").alias("l")).first()["l"]
+    assert got == ["http://h.test/dir/list.html?page=2"]
 
 
 def test_resolve_relative_against_slashless_base(spark):

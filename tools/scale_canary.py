@@ -63,6 +63,13 @@ CEILINGS: dict[str, float | None] = {
     "quality_classifier_stats": None,
     "minhash_incremental_stats": None,
     "token_budget_mixture_stats": None,
+    # r13: the streaming chain's in_batch=True intra-batch near-dedup
+    # is exactly this composition (minhash_lsh_dedup pair graph ->
+    # duplicate_clusters -> dedup_by_pairs anti-join) over a
+    # planted-clone corpus — the stage start_corpus_neardup_stream
+    # documents as "the one batch-quadratic-ish stage"; canary it so a
+    # super-linear drift forces the bucketed-pair-graph fix
+    "dedup_survivors_minhash": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
