@@ -1,0 +1,183 @@
+"""Merge-rank byte-pair encoding: real token ids for the corpus.
+
+Everything upstream of training accounting — shard balance
+(`operators/export.py`), sequence packing (`operators/text.py`),
+token-budget mixtures (`operators/sampling.py`) — consumes token
+counts, and until now the engine only ESTIMATED them (whitespace /
+regex pieces / chars÷4, ``tokenizer_comparison_by_source``). This
+module produces actual BPE token ids with caller-supplied merges and
+vocabulary (the public GPT-2-style artifacts: an ordered merge list +
+a token→id map), so those consumers can run on real counts.
+
+Algorithm (Sennrich et al. 2016 as deployed by GPT-2's public
+encoder): a word starts as its character sequence; each iteration
+finds the LOWEST-RANK adjacent pair present and merges every
+occurrence of it; stops when no adjacent pair is in the merge table.
+Deterministic for a fixed merge list — any two implementations agree
+token-for-token, which is what the certified closed-form oracle and
+the property test against :func:`bpe_encode_word` rely on.
+
+100 TB shape: the merge table and vocabulary broadcast once per job
+(``SparkContext.broadcast`` — a GPT-2-sized 50k-merge table is ~1 MB);
+encoding is ONE Arrow-batched map over the corpus — zero shuffle,
+bytes-proportional like the charset/zlib stages. Per-batch unique-word
+caching makes the inner loop run once per distinct word per batch, not
+per occurrence (natural-language batches repeat most words). Python is
+the right tier here, not an escape hatch: the iterative data-dependent
+merge loop has no codegen expression form, the same documented
+boundary as `operators/charset.py`'s decode stage.
+
+Reference surface parity: the reference pipeline has no tokenizer —
+this is beyond-reference capability for the LLM-training-data charter
+(SURVEY §8), like dedup/ANN/export.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bpe_merge_ranks",
+    "bpe_encode_word",
+    "bpe_encode",
+    "bpe_token_count",
+    "char_vocab",
+]
+
+
+def bpe_merge_ranks(
+    merges: list[tuple[str, str]],
+) -> dict[tuple[str, str], int]:
+    """Merge list (rank order) -> ``{(left, right): rank}``. Duplicate
+    pairs are rejected: the rank of a pair must be unambiguous."""
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        key = (pair[0], pair[1])
+        if key in ranks:
+            raise ValueError(f"duplicate merge pair {key!r} at rank {i}")
+        ranks[key] = i
+    return ranks
+
+
+def bpe_encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Pure-Python reference encoder for ONE pre-token: character
+    pieces, then repeatedly merge every occurrence of the lowest-rank
+    adjacent pair until none applies. This is the semantics contract —
+    the distributed path must match it token-for-token (property test
+    in ``tests/test_bpe.py``)."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (parts[i], parts[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    out_col: str = "token_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Add ``out_col``: the text's BPE token ids (``array<int>``).
+
+    Pre-tokenization is whitespace split (the engine's corpus contract
+    everywhere — shingles, spans, packing all count whitespace words);
+    each word encodes independently via the merge loop above, pieces
+    map through ``vocab`` (absent pieces -> ``unk_id``, the <unk>
+    convention — with a byte/char-complete vocabulary this never
+    fires). NULL text -> NULL ids. One Arrow map, zero shuffle; the
+    merge table and vocab ride one broadcast each.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = bpe_merge_ranks(merges)
+    sc = df.sparkSession.sparkContext
+    b_ranks = sc.broadcast(ranks)
+    b_vocab = sc.broadcast(dict(vocab))
+    b_unk = int(unk_id)
+
+    @pandas_udf("array<int>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        rk = b_ranks.value
+        vb = b_vocab.value
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is None:
+                got = [
+                    vb.get(p, b_unk) for p in bpe_encode_word(w, rk)
+                ]
+                cache[w] = got
+            return got
+
+        def encode(t):
+            ids: list[int] = []
+            for w in t.split():
+                ids.extend(word_ids(w))
+            return ids
+
+        return texts.map(encode, na_action="ignore")
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Add ``out_col``: the REAL token count (``size`` of the encoded
+    ids; NULL text -> NULL). The column shard-balance, packing
+    (``pack_sequences(count_col=...)``) and mixture planning
+    (``budget_mixture(token_col=...)``) should consume once a real
+    tokenizer exists — replacing the documented estimators."""
+    tmp = f"__{out_col}_ids"
+    enc = bpe_encode(
+        df, text_col, merges, vocab, out_col=tmp
+    )
+    return enc.withColumn(out_col, F.size(F.col(tmp))).drop(tmp)
+
+
+def char_vocab(
+    merges: list[tuple[str, str]], alphabet: str
+) -> dict[str, int]:
+    """Vocabulary covering ``alphabet``'s characters plus every merge
+    product, ids dense in that order — the micro-vocab builder for
+    closed-form fixtures and tests (a real deployment supplies its
+    trained vocab.json instead)."""
+    vocab: dict[str, int] = {}
+    for ch in alphabet:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
+    return vocab

@@ -310,6 +310,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign each document the
     training-sequence bin where its first token lands when the shard's
@@ -323,6 +324,11 @@ def pack_sequences(
     sum parallelizes across shards, so pick shards sized for one task's
     sort (the same contract as any partitioned window; a single global
     ordering would serialize the corpus through one task).
+
+    ``count_col`` supplies REAL per-document token counts (e.g.
+    ``operators/bpe.bpe_token_count``'s column) instead of the default
+    whitespace estimate over ``text_col`` — the packing arithmetic is
+    identical, only the length measure changes.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -333,7 +339,11 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.size(tokens(text_col))
+    n_tok = (
+        F.col(count_col)
+        if count_col is not None
+        else F.size(tokens(text_col))
+    )
     start = (F.sum(n_tok).over(w) - n_tok).cast("long")
     return (
         df.withColumn("__start", start)

@@ -9680,6 +9680,97 @@ def dedup_quality_survivors_by_source(spark, sf_dir):
     )
 
 
+# micro-BPE fixture (operators/bpe.py): the closed-form merge chain
+# both engines can state. Merges [(t,h) r0, (th,e) r1, (s,t) r2] over
+# the dense char vocab a..z (0-25), th=26, the=27, st=28. Closed form
+# per word (proof sketch in tests/test_bpe.py; guarded there by a
+# hypothesis property test vs the pure-Python reference encoder):
+#   every 'th' substring merges (th/th can't overlap; t is consumed
+#   only by its own th, h only by its own t), every 'the' substring
+#   then merges its th with its e, and every 'st' substring NOT
+#   followed by 'h' merges (the t of 'sth' is already gone — (t,h) is
+#   rank 0). So with non-overlapping substring counts occ():
+#     n_tokens = len(w) - occ('th') - occ('the') - (occ('st') - occ('sth'))
+#     id_sum   = sum(ascii(c)-97) - 3*occ('the') - 9*(occ('st')-occ('sth'))
+#   (id deltas: th-merge 26-19-7 = 0, the-merge 27-26-4 = -3,
+#    st-merge 28-18-19 = -9.)
+_BPE_MICRO_MERGES = [("t", "h"), ("th", "e"), ("s", "t")]
+
+
+@q(
+    "bpe_token_count_stats",
+    # Certifies the merge-rank BPE encoder (operators/bpe.py) at the
+    # id level: token counts certify the (t,h)/(th,e)/(s,t) merge
+    # loop, the id_sum certifies the vocabulary mapping (each merge's
+    # id delta is closed-form). occ() via non-overlapping replace().
+    """WITH w AS (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+       o AS (SELECT doc_id, source, length(w) AS n,
+                    (length(w) - length(replace(w, 'th', ''))) / 2
+                      AS occ_th,
+                    (length(w) - length(replace(w, 'the', ''))) / 3
+                      AS occ_the,
+                    (length(w) - length(replace(w, 'st', ''))) / 2
+                      - (length(w) - length(replace(w, 'sth', ''))) / 3
+                      AS occ_st,
+                    list_sum(list_transform(
+                      regexp_extract_all(w, '.'),
+                      c -> ascii(c) - 97)) AS char_sum
+             FROM w WHERE length(w) > 0),
+       per_doc AS (SELECT doc_id, source,
+                          sum(n - occ_th - occ_the - occ_st) AS n_tok,
+                          sum(char_sum - 3 * occ_the - 9 * occ_st)
+                            AS id_sum
+                   FROM o GROUP BY doc_id, source)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+              CAST(sum(id_sum) AS BIGINT) AS id_sum,
+              CAST(min(n_tok) AS BIGINT) AS min_doc_tokens,
+              CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "merge-rank BPE encode on the closed-form micro-vocab: real token "
+    "ids via one Arrow map (broadcast merges + vocab), certified at "
+    "token-count AND id-sum level",
+)
+def bpe_token_count_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        char_vocab,
+    )
+
+    vocab = char_vocab(
+        _BPE_MICRO_MERGES, "abcdefghijklmnopqrstuvwxyz"
+    )
+    enc = bpe_encode(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "text",
+        _BPE_MICRO_MERGES,
+        vocab,
+    )
+    per_doc = enc.select(
+        "source",
+        F.size("token_ids").alias("n_tok"),
+        F.aggregate(
+            "token_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.sum("id_sum").alias("id_sum"),
+            F.min("n_tok").alias("min_doc_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -9700,6 +9791,7 @@ def dedup_quality_survivors_by_source(spark, sf_dir):
 _WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
+    "bpe_token_count_stats",  # last green: r00
     "daily_counts_gapfilled",  # last green: r09
     "decontamination_overlap",  # last green: r09
     "dedup_jaccard_capped",  # last green: r09
@@ -9749,10 +9841,10 @@ _DRIVER_WINDOW = [
     "approx_distinct_users_bound",  # last green: r10
     "asof_user_state",  # last green: r10
     "asof_user_state_bucketed",  # last green: r10
-    "chunking_stats",  # last green: r10
 ]
 
 _ROTATION = [
+    "chunking_stats",  # r10
     "conjunctive_filters",  # r10
     "count_by_event_type",  # r10
     "count_distinct_by_type",  # r10

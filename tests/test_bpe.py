@@ -1,0 +1,167 @@
+"""Merge-rank BPE (operators/bpe.py — VERDICT r12 item 4).
+
+The distributed Arrow encoder must match the pure-Python reference
+token-for-token on arbitrary inputs (hypothesis property), the
+reference itself is pinned on closed-form cases (including the merge-
+contention corners the certified oracle's formula was derived from),
+and real counts thread through pack_sequences/budget_mixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from neo4j_to_clickhouse_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encode_word,
+    bpe_merge_ranks,
+    bpe_token_count,
+    char_vocab,
+)
+
+MERGES = [("t", "h"), ("th", "e"), ("s", "t")]
+RANKS = bpe_merge_ranks(MERGES)
+VOCAB = char_vocab(MERGES, "abcdefghijklmnopqrstuvwxyz")
+
+
+def test_reference_encoder_closed_form_cases():
+    # the contention corners the oracle formula rests on
+    cases = {
+        "the": ["the"],
+        "them": ["the", "m"],
+        "that": ["th", "a", "t"],
+        "other": ["o", "the", "r"],
+        "ththe": ["th", "the"],
+        "tthe": ["t", "the"],
+        "sth": ["s", "th"],  # (t,h) rank 0 beats (s,t)
+        "stthe": ["st", "the"],  # st's t is NOT followed by h
+        "ssth": ["s", "s", "th"],
+        "stst": ["st", "st"],
+        "fast": ["f", "a", "st"],
+        "a": ["a"],
+        "": [],
+    }
+    for word, want in cases.items():
+        assert bpe_encode_word(word, RANKS) == want, word
+
+
+def test_merge_ranks_rejects_duplicates():
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_merge_ranks([("a", "b"), ("a", "b")])
+
+
+def _closed_form_tokens(word: str) -> int:
+    def occ(sub):
+        return (len(word) - len(word.replace(sub, ""))) // len(sub)
+
+    return len(word) - occ("th") - occ("the") - (occ("st") - occ("sth"))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="sthea", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_reference_matches_closed_form_formula(words):
+    # the oracle's occ() arithmetic equals the real merge loop on the
+    # adversarial alphabet (s/t/h/e/a only — maximal merge contention)
+    for w in words:
+        assert len(bpe_encode_word(w, RANKS)) == _closed_form_tokens(w), w
+
+
+@given(
+    st.lists(
+        st.text(alphabet="sthear", min_size=0, max_size=10),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_spark_encoder_matches_reference(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    got = bpe_encode(df, "text", MERGES, VOCAB).first()["token_ids"]
+    want = [
+        VOCAB[p]
+        for w in text.split()
+        for p in bpe_encode_word(w, RANKS)
+    ]
+    assert got == want
+
+
+def test_spark_encoder_null_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(0, "the Zü"), (1, None)], "id long, text string"
+    )
+    rows = {r["id"]: r["token_ids"] for r in
+            bpe_encode(df, "text", MERGES, VOCAB).collect()}
+    # 'the' -> [27]; 'Zü' -> two unknown chars -> [-1, -1]
+    assert rows[0] == [VOCAB["the"], -1, -1]
+    assert rows[1] is None
+
+
+def test_token_count_column_and_packing_threading(spark):
+    from neo4j_to_clickhouse_spark.operators.text import pack_sequences
+
+    texts = {
+        0: "the fast sort",
+        1: "that stream",
+        2: "other other",
+    }
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in texts.items()],
+        "doc_id long, source string, text string",
+    )
+    counted = bpe_token_count(df, "text", MERGES, VOCAB)
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in counted.collect()}
+    # expectations from the pinned reference encoder, not hand-counted
+    ref = {
+        i: sum(len(bpe_encode_word(w, RANKS)) for w in t.split())
+        for i, t in texts.items()
+    }
+    assert got == ref
+    assert ref[2] == 6  # other = o,the,r twice — spot-pin one value
+
+    # real counts drive packing: budget 8 with counts from BPE
+    packed = pack_sequences(
+        counted,
+        shard_col="source",
+        order_col="doc_id",
+        budget=8,
+        count_col="n_bpe_tokens",
+    ).orderBy("doc_id")
+    rows = [(r["pack_id"], r["pack_offset"]) for r in packed.collect()]
+    starts = [0, ref[0], ref[0] + ref[1]]  # cumulative BPE starts
+    assert rows == [(s // 8, s % 8) for s in starts]
+
+
+def test_budget_mixture_consumes_bpe_counts(spark):
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "the the the the")
+         for i in range(40)],
+        "doc_id long, g string, text string",
+    )
+    counted = bpe_token_count(df, "text", MERGES, VOCAB)
+    # 20 docs * 4 tokens = 80 tokens per group
+    rates = {
+        r["g"]: r["mixture_rate"]
+        for r in mixture_rates(
+            counted, "g", {"a": 0.5, "b": 0.25}, 80, "n_bpe_tokens"
+        ).collect()
+    }
+    assert rates["a"] == 0.5  # 80*0.5/80
+    assert rates["b"] == 0.25
