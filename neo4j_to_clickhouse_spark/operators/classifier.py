@@ -143,6 +143,136 @@ def score_documents(
     return df.withColumn(out_col, score)
 
 
+def fit_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+    seed: int = 7,
+    bigrams: bool = True,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    hasher: str = "md5",
+    init: list[int] | None = None,
+) -> list[int]:
+    """Train the hashed-n-gram logistic classifier the DCLM/FineWeb-Edu
+    loop needs — distributed full-batch gradient descent producing the
+    exact micro-unit weight vector :func:`score_documents` consumes.
+
+    Model: ``p_i = sigmoid(w · x_i)`` with the SAME feature map as
+    inference — ``x_i[b] = count of grams hashing to b / n_grams`` — so
+    a trained model's scores are its margins and the fitted weights
+    plug straight into scoring/selection.
+
+    Determinism (bit-for-bit across any partitioning / cluster size,
+    the house posture): the per-document residual ``(p_i - y_i)/n_i``
+    is QUANTIZED to integer micro-units on the executors, so the
+    per-bucket gradient is an exact BIGINT sum — order-independent,
+    unlike a float reduction — and the driver applies a fixed number
+    of integer weight updates. A pure-numpy replica reproduces the
+    final vector exactly (``tests/test_classifier_fit.py``).
+
+    Scale shape: the corpus is bucketized ONCE (tokenize + hash, the
+    dominant cost) and persisted; each of the ``iters`` rounds is one
+    scan computing margins with the current weights as a plan literal
+    (zero join) plus one ``n_buckets``-bounded aggregate — the ONLY
+    shuffle, ``n_buckets`` rows. Nothing Python touches the corpus;
+    the driver handles ``n_buckets`` integers per round. Plan-literal
+    weights cap practical ``n_buckets`` at ~100k (plan size); past
+    that, swap the literal for a broadcast-join formulation (the
+    documented trade at :func:`score_documents`).
+
+    Docs with no grams carry no feature signal and are excluded (they
+    score 0 at inference regardless). Returns micro-unit integer
+    weights, ``init`` (default zeros) updated in place semantics-free.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from pyspark import StorageLevel
+
+    grams = ngram_features(text_col, bigrams=bigrams)
+    b = (
+        df.select(
+            F.col(label_col).cast("int").alias("__y"),
+            F.transform(
+                grams,
+                lambda g: hash_bucket(g, n_buckets, seed, hasher).cast(
+                    "int"
+                ),
+            ).alias("__b"),
+        )
+        .withColumn("__n", F.size("__b"))
+        .filter(F.col("__n") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_docs = b.count()
+        if n_docs == 0:
+            raise ValueError("no documents with features to fit on")
+        w = list(init) if init is not None else [0] * n_buckets
+        if len(w) != n_buckets:
+            raise ValueError(
+                f"init has {len(w)} weights, expected {n_buckets}"
+            )
+        for _ in range(iters):
+            w_arr = F.array(*[F.lit(int(x)) for x in w])
+            margin = F.aggregate(
+                F.col("__b"),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + F.element_at(w_arr, i + 1),
+            ) / (F.col("__n").cast("double") * float(WEIGHT_SCALE))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            resid_q = F.round(
+                (p - F.col("__y"))
+                / F.col("__n")
+                * float(WEIGHT_SCALE),
+                0,
+            ).cast("long")
+            grad = (
+                b.withColumn("__r", resid_q)
+                .select(
+                    F.explode("__b").alias("__bkt"), F.col("__r")
+                )
+                .groupBy("__bkt")
+                .agg(F.sum("__r").alias("__g"))
+                .collect()
+            )
+            g = {row["__bkt"]: row["__g"] for row in grad}
+            for bkt in range(n_buckets):
+                step = round(lr * g.get(bkt, 0) / n_docs)
+                if l2:
+                    step += round(lr * l2 * w[bkt])
+                w[bkt] -= int(step)
+        return w
+    finally:
+        b.unpersist()
+
+
+def confusion_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.0,
+    by: str | None = None,
+) -> DataFrame:
+    """Integer-exact confusion counts of ``score > threshold`` against
+    a 0/1 label, optionally per ``by`` group: (tp, fp, tn, fn) — the
+    evaluation half of the train→score→select loop. Pure single-pass
+    aggregate."""
+    pred = (F.col(score_col) > F.lit(float(threshold))).cast("int")
+    y = F.col(label_col).cast("int")
+    aggs = [
+        F.sum(((pred == 1) & (y == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (y == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
+        F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
+    ]
+    if by is not None:
+        return df.groupBy(by).agg(*aggs).orderBy(by)
+    return df.agg(*aggs)
+
+
 def select_top_fraction(
     df: DataFrame,
     score_col: str,

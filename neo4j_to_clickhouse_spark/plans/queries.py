@@ -9680,6 +9680,51 @@ def dedup_quality_survivors_by_source(spark, sf_dir):
     )
 
 
+@q(
+    "classifier_confusion_report",
+    # Certifies the evaluation half of the classifier loop
+    # (operators/classifier.py::confusion_counts): integer-exact
+    # confusion counts of `score > 0` against a closed-form label
+    # (document contains the token 'spark'), per source. The scoring
+    # pipeline is the already-certified md5 path (same CTE as
+    # quality_classifier_stats); the label and counts are recomputed
+    # end-to-end by the oracle — a hard check, nothing planted.
+    f"""WITH {_CLS_SCORED_CTE},
+       lab AS (SELECT doc_id,
+                      CASE WHEN list_contains(toks, 'spark')
+                           THEN 1 ELSE 0 END AS y
+               FROM t),
+       j AS (SELECT s.source, s.score, l.y
+             FROM scored s JOIN lab l USING (doc_id))
+       SELECT source,
+              CAST(sum(CASE WHEN score > 0 AND y = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN score > 0 AND y = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN score <= 0 AND y = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              CAST(sum(CASE WHEN score <= 0 AND y = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       FROM j GROUP BY source ORDER BY source""",
+    "classifier evaluation report: integer-exact confusion counts at "
+    "a fixed threshold per source — the train->score->evaluate loop's "
+    "measurement stage",
+)
+def classifier_confusion_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        confusion_counts,
+        score_documents,
+    )
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
+    ).withColumn(
+        "y",
+        F.array_contains(D.tokens(F.col("text")), "spark").cast("int"),
+    )
+    return confusion_counts(scored, "score", "y", threshold=0.0, by="source")
+
+
 # micro-BPE fixture (operators/bpe.py): the closed-form merge chain
 # both engines can state. Merges [(t,h) r0, (th,e) r1, (s,t) r2] over
 # the dense char vocab a..z (0-25), th=26, the=27, st=28. Closed form
@@ -9792,6 +9837,7 @@ _WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
     "bpe_token_count_stats",  # last green: r00
+    "classifier_confusion_report",  # last green: r00
     "daily_counts_gapfilled",  # last green: r09
     "decontamination_overlap",  # last green: r09
     "dedup_jaccard_capped",  # last green: r09
@@ -9840,10 +9886,10 @@ _DRIVER_WINDOW = [
     "acctbal_by_segment",  # last green: r10
     "approx_distinct_users_bound",  # last green: r10
     "asof_user_state",  # last green: r10
-    "asof_user_state_bucketed",  # last green: r10
 ]
 
 _ROTATION = [
+    "asof_user_state_bucketed",  # r10
     "chunking_stats",  # r10
     "conjunctive_filters",  # r10
     "count_by_event_type",  # r10
