@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     # broadcast mixture sample (tiny agg + scan-side hash filter)
     "quality_classifier_stats",
     "token_budget_mixture_stats",
+    # round-13: the BPE encode shape — Arrow map with broadcast merge
+    # table + per-batch word cache, the one new physical shape of the
+    # round (training and compaction are multi-job, not bench rows)
+    "bpe_token_count_stats",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its

@@ -44,6 +44,8 @@ __all__ = [
     "bpe_encode",
     "bpe_token_count",
     "char_vocab",
+    "learn_bpe",
+    "learn_bpe_from_counts",
 ]
 
 
@@ -163,6 +165,96 @@ def bpe_token_count(
         df, text_col, merges, vocab, out_col=tmp
     )
     return enc.withColumn(out_col, F.size(F.col(tmp))).drop(tmp)
+
+
+def learn_bpe_from_counts(
+    counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich-style merge learning over a word-frequency table: each
+    round counts adjacent-piece pairs weighted by word frequency,
+    merges the most frequent pair everywhere, and records it. Ties
+    break to the lexicographically smallest pair — fully deterministic
+    for a fixed count table. Stops early when no pair repeats."""
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in counts.items():
+        if len(w) >= 2:
+            key = tuple(w)
+            words[key] = words.get(key, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for parts, c in words.items():
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        nxt: dict[tuple[str, ...], int] = {}
+        for parts, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(parts):
+                if (
+                    i < len(parts) - 1
+                    and parts[i] == a
+                    and parts[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        words = nxt
+    return merges
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus — the training side of
+    :func:`bpe_encode`.
+
+    Split of labor (how production tokenizer trainers work, and the
+    posture `operators/lm.py` uses for its top-V remap): the CORPUS
+    pass is one distributed word-frequency aggregate — the only part
+    proportional to corpus size; the merge loop then runs on the
+    count table, which is VOCABULARY-sized (Heaps' law: ~millions of
+    rows for a 100 TB corpus, not trillions), truncated to the
+    ``max_words`` most frequent words (count desc, word asc — a
+    deterministic vocab-sized sort, nowhere near the corpus).
+    Integer counts make the whole path bit-deterministic across any
+    partitioning; the loop itself is :func:`learn_bpe_from_counts`,
+    pinned by pytest.
+    """
+    rows = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col(text_col), r"^\s+|\s+$", ""
+                    ),
+                    r"\s+",
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return learn_bpe_from_counts(
+        {r["w"]: r["c"] for r in rows}, num_merges
+    )
 
 
 def char_vocab(

@@ -531,6 +531,7 @@ def start_corpus_neardup_stream(
     bands: int = 32,
     threshold: float = 0.5,
     in_batch: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -564,6 +565,19 @@ def start_corpus_neardup_stream(
     (shuffle ∝ batch, not store) + the candidate-bounded digest verify
     — the store is parquet the probe filters by the ``batch`` column,
     never fully aggregated; store growth is hash-only (no bodies).
+
+    ``compact_every=k`` folds the store's accumulated batch files into
+    consolidated files every ``k`` micro-batches, INSIDE the
+    foreachBatch body after the batch's own promote — the
+    one-write-per-batch-per-half accretion (~86k files/day/half at a
+    1 s trigger) stays bounded at ~k + 1 files per half without an
+    external maintenance job. Safe under replay by construction:
+    foreachBatch is sequential on the driver, and
+    :func:`compact_lsh_store`'s default bound never folds the newest
+    batch present — exactly the one that could still replay (crash
+    between the compact and the checkpoint commit leaves this batch's
+    files unfolded, so its replay still replaces them by name; the
+    compacted older batches were already checkpoint-committed).
 
     Paths must be LOCAL-filesystem (like every sink built on
     ``_promote_staged``'s ``os.replace`` renames): a remote URI would
@@ -705,6 +719,8 @@ def start_corpus_neardup_stream(
             batch_id,
             query_name,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_lsh_store(spark, store_path)
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name

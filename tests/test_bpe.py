@@ -145,6 +145,48 @@ def test_token_count_column_and_packing_threading(spark):
     assert rows == [(s // 8, s % 8) for s in starts]
 
 
+def test_learn_bpe_from_counts_pinned():
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        learn_bpe_from_counts,
+    )
+
+    # hand-derived: r1 (a,a):6 beats (a,b):5; r2 (a,b):5 beats
+    # (aa,a):3; r3 only (aa,ab):3 remains
+    merges = learn_bpe_from_counts({"aaab": 3, "ab": 2}, 5)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # count tie -> lexicographically smallest pair
+    assert learn_bpe_from_counts({"ab": 2, "cd": 2}, 1) == [("a", "b")]
+    # single-char words carry no pairs; early stop
+    assert learn_bpe_from_counts({"a": 9, "b": 9}, 3) == []
+
+
+def test_learn_bpe_distributed_and_roundtrip(spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab ab"), (1, "aaab")], "id long, text string"
+    ).repartition(5)
+    merges = learn_bpe(df, "text", num_merges=5)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # learned merges drive the certified encoder: 'aaab' collapses to
+    # ONE learned piece at encode time (encode merges to fixpoint,
+    # unlike training's one-merge-per-round view)
+    vocab = char_vocab(merges, "ab")
+    got = bpe_encode(df, "text", merges, vocab).collect()
+    ids = {r["id"]: r["token_ids"] for r in got}
+    assert ids[1] == [vocab["aaab"]]
+    assert ids[0] == [vocab["aaab"], vocab["aaab"], vocab["ab"]]
+
+
+def test_learn_bpe_max_words_truncates_deterministically(spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(
+        [(0, "zz zz zz zz zz yy")], "id long, text string"
+    )
+    assert learn_bpe(df, "text", 1, max_words=1) == [("z", "z")]
+
+
 def test_budget_mixture_consumes_bpe_counts(spark):
     from neo4j_to_clickhouse_spark.operators.sampling import (
         mixture_rates,

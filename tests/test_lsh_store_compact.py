@@ -363,6 +363,63 @@ def test_retention_drop_ids_retires_documents_from_store(spark, tmp_path):
     }
 
 
+def test_compact_every_bounds_store_files_in_stream(spark, tmp_path):
+    """The in-stream hook: every 2 batches the store folds, file count
+    stays bounded, and near-dedup results equal the uncompacted run."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rules = robots_rules_df(spark, [("h0.com", ROBOTS)])
+    paths = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                rules,
+                coalesce_output=1,
+                compact_every=2,
+                **paths,
+            )
+        )
+
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()  # batch 0: no compact (batch_id 0)
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()  # batch 1
+    _warc(drop, "f2.warc.gz", [("http://h0.com/c", "tiny unique page nine")])
+    run()  # batch 2: compacts batches 0+1
+    files = _data_files(paths["store_path"], "buckets")
+    assert files == [
+        "batch-corpus_neardup~000000002-00000.parquet",
+        "compacted-000000002-00000.parquet",
+    ]
+    # dedup semantics unchanged: clones of every prior batch still drop
+    _warc(
+        drop,
+        "f3.warc.gz",
+        [
+            ("http://h0.com/a2", _BODY.replace("eleven", "ELEVEN")),
+            ("http://h0.com/d", "entirely novel words appear here today"),
+        ],
+    )
+    run()  # batch 3
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    assert canon == {
+        "http://h0.com/a",
+        "http://h0.com/b",
+        "http://h0.com/c",
+        "http://h0.com/d",
+    }
+
+
 def test_bind_store_half_rejects_extra_columns(spark):
     from neo4j_to_clickhouse_spark.operators.dedup import _bind_store_half
 

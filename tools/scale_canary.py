@@ -70,6 +70,9 @@ CEILINGS: dict[str, float | None] = {
     # documents as "the one batch-quadratic-ish stage"; canary it so a
     # super-linear drift forces the bucketed-pair-graph fix
     "dedup_survivors_minhash": None,
+    # r13: BPE encode (Arrow map + broadcast merges — must stay linear
+    # in corpus bytes like the other scan-shaped Arrow stages)
+    "bpe_token_count_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
