@@ -331,8 +331,10 @@ def start_corpus_stream(
 _COMPACT_MARKER = ".compact_swap"
 _COMPACT_ASIDE = ".compact_old"
 _COMPACT_STAGING = ".compact_staging"
-_BATCH_FILE_RE = r"^batch-(?:[A-Za-z0-9_\-]+~)?(\d{9})-\d+\.parquet$"
-_COMPACTED_FILE_RE = r"^compacted-(\d{9})-\d+\.parquet$"
+# {batch_id:09d} zero-pads to AT LEAST 9 digits — the pattern must
+# accept longer ids or a >1e9-batch stream's files silently never fold
+_BATCH_FILE_RE = r"^batch-(?:[A-Za-z0-9_\-]+~)?(\d{9,})-\d+\.parquet$"
+_COMPACTED_FILE_RE = r"^compacted-(\d{9,})-\d+\.parquet$"
 
 
 def _half_files(path: str) -> tuple[dict[str, int], dict[str, int]]:

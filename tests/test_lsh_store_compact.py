@@ -420,6 +420,60 @@ def test_compact_every_bounds_store_files_in_stream(spark, tmp_path):
     }
 
 
+def test_stream_self_heals_crashed_compactor_before_probe(spark, tmp_path):
+    """A compactor that crashed mid-swap (folded files set aside, no
+    final promoted) must not hide history from the probe: the stream's
+    _prior runs recovery before every read, so the next micro-batch
+    still near-dups against the rolled-back rows."""
+    import json
+    import shutil
+
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()
+
+    # forge the crash on BOTH halves: all files aside, marker down
+    for half in ("buckets", "digests"):
+        hpath = os.path.join(paths["store_path"], half)
+        fold = _data_files(paths["store_path"], half)
+        staging = os.path.join(hpath, _COMPACT_STAGING)
+        os.makedirs(staging)
+        for i, n in enumerate(fold):
+            shutil.copy(
+                os.path.join(hpath, n),
+                os.path.join(staging, f"part-{i}.parquet"),
+            )
+        adds = {
+            f"part-{i}.parquet": f"compacted-000000009-{i:05d}.parquet"
+            for i in range(len(fold))
+        }
+        with open(os.path.join(hpath, _COMPACT_MARKER), "w") as fh:
+            json.dump({"remove": fold, "adds": adds, "gen": 9}, fh)
+        aside = os.path.join(hpath, _COMPACT_ASIDE)
+        os.makedirs(aside)
+        for n in fold:
+            os.replace(
+                os.path.join(hpath, n), os.path.join(aside, n)
+            )
+
+    # without recovery the store halves look EMPTY here; the stream
+    # must roll back before probing, so the /a clone still drops
+    _warc(
+        drop,
+        "f2.warc.gz",
+        [("http://h0.com/a2", _BODY.replace("eleven", "ELEVEN"))],
+    )
+    run()
+    canon = {
+        r.canonical
+        for r in spark.read.parquet(paths["table_path"]).collect()
+    }
+    assert canon == {"http://h0.com/a", "http://h0.com/b"}
+    assert recover_lsh_store(paths["store_path"]) == []  # already clean
+
+
 def test_bind_store_half_rejects_extra_columns(spark):
     from neo4j_to_clickhouse_spark.operators.dedup import _bind_store_half
 
