@@ -356,6 +356,83 @@ def pack_sequences(
     )
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    budget: int = 512,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences: one row per
+    ``(shard, pack_id)`` whose ``out_col`` is the fixed-length window's
+    actual token ids — documents concatenated in ``order_col`` order
+    and cut every ``budget`` tokens, the emission step a training
+    pipeline consumes (:func:`pack_sequences` only PLANS the layout;
+    this produces it). The trailing partial pack of each shard is kept
+    (its array is shorter than ``budget``). Empty/NULL id arrays
+    contribute nothing.
+
+    Scale shape: token ids necessarily move once — that IS the output —
+    in one shuffle keyed ``(shard, pack_id)`` with every output row
+    bounded by ``budget``; the per-shard running sum is the same
+    single partitioned window as :func:`pack_sequences` (shard-sized
+    sort, never global). Order inside a pack is restored by an
+    ``array_sort`` over (offset, id) structs — exact positions, no
+    reliance on collect order.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.coalesce(F.size(ids_col), F.lit(0))
+    start = (F.sum(n).over(w) - n).cast("long")
+    # the running sum MUST resolve before the explode: a window and a
+    # generator in one select evaluates the window over the exploded
+    # rows (each token row re-adds its doc's full length)
+    staged = df.select(
+        F.col(shard_col), F.col(ids_col), start.alias("__start")
+    )
+    tok = staged.select(
+        F.col(shard_col),
+        F.col("__start"),
+        F.posexplode(ids_col).alias("__p", "__id"),
+    ).select(
+        shard_col,
+        (
+            (F.col("__start") + F.col("__p"))
+            - (F.col("__start") + F.col("__p")) % budget
+        ).cast("long").alias("__cut"),
+        ((F.col("__start") + F.col("__p")) % budget)
+        .cast("int")
+        .alias("__off"),
+        F.col("__id"),
+    )
+    return (
+        tok.groupBy(
+            shard_col,
+            (F.col("__cut") / budget).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__off"), F.col("__id")))
+            ).alias("__s")
+        )
+        .select(
+            shard_col,
+            "pack_id",
+            F.transform(F.col("__s"), lambda x: x["__id"]).alias(
+                out_col
+            ),
+        )
+    )
+
+
 def compression_ratio_column(
     df: DataFrame, text_col: str, out_col: str = "compression_ratio"
 ) -> DataFrame:

@@ -9681,6 +9681,93 @@ def dedup_quality_survivors_by_source(spark, sf_dir):
 
 
 @q(
+    "packed_sequence_emission_stats",
+    # Certifies packed-sequence MATERIALIZATION (operators/text.py::
+    # pack_token_sequences — the training-data emission step): docs
+    # concatenated per source in doc_id order, cut every 64 tokens,
+    # each pack's ids in exact positional order. Token ids here are
+    # the cross-engine md5_u32(word) % 1000; the checksum weights each
+    # id by (offset+1) so ANY in-pack reordering, drop, or boundary
+    # slip changes it — order-exact certification without shipping
+    # arrays through the compare.
+    """WITH d AS (SELECT doc_id, source,
+                         string_split(text, ' ') AS wl
+                  FROM documents),
+       st AS (SELECT doc_id, source, wl,
+                     sum(len(wl)) OVER (PARTITION BY source
+                                        ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                       - len(wl) AS start
+              FROM d),
+       tok AS (SELECT source,
+                      start + i - 1 AS pos,
+                      ('0x' || substr(md5(wl[i]), 1, 8))::BIGINT
+                        % 1000 AS id
+               FROM st, (SELECT unnest(range(1, 100000)) AS i) idx
+               WHERE i <= len(wl)),
+       pk AS (SELECT source,
+                     pos // 64 AS pack_id,
+                     count(*) AS n_tok,
+                     sum((pos % 64 + 1) * id) AS checksum
+              FROM tok GROUP BY source, pos // 64)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_packs,
+              CAST(sum(CASE WHEN n_tok = 64 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS full_packs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(checksum) AS BIGINT) AS order_checksum
+       FROM pk GROUP BY source ORDER BY source""",
+    "packed-sequence emission: concat-and-chunk token ids into 64-"
+    "token training windows, certified order-exact via a position-"
+    "weighted checksum",
+)
+def packed_sequence_emission_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.sampling import md5_u32
+    from neo4j_to_clickhouse_spark.operators.text import (
+        pack_token_sequences,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: (md5_u32(w) % 1000).cast("long"),
+        ).alias("token_ids"),
+    )
+    packed = pack_token_sequences(
+        ids, "token_ids", "source", "doc_id", budget=64
+    )
+    per_pack = packed.select(
+        "source",
+        F.size("token_ids").alias("n_tok"),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(
+                    F.lit(1), F.size("token_ids")
+                ),
+                F.col("token_ids"),
+                lambda o, i: o.cast("long") * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("checksum"),
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum(
+                F.when(F.col("n_tok") == 64, 1).otherwise(0)
+            ).alias("full_packs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("checksum").alias("order_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "classifier_confusion_report",
     # Certifies the evaluation half of the classifier loop
     # (operators/classifier.py::confusion_counts): integer-exact
@@ -9838,6 +9925,7 @@ _WINDOW_ROUND = 13
 _DRIVER_WINDOW = [
     "bpe_token_count_stats",  # last green: r00
     "classifier_confusion_report",  # last green: r00
+    "packed_sequence_emission_stats",  # last green: r00
     "daily_counts_gapfilled",  # last green: r09
     "decontamination_overlap",  # last green: r09
     "dedup_jaccard_capped",  # last green: r09
@@ -9885,10 +9973,10 @@ _DRIVER_WINDOW = [
     "word_distribution",  # last green: r09
     "acctbal_by_segment",  # last green: r10
     "approx_distinct_users_bound",  # last green: r10
-    "asof_user_state",  # last green: r10
 ]
 
 _ROTATION = [
+    "asof_user_state",  # r10
     "asof_user_state_bucketed",  # r10
     "chunking_stats",  # r10
     "conjunctive_filters",  # r10

@@ -147,3 +147,78 @@ def test_pack_sequences_concat_and_chunk(spark):
         for r in pack_sequences(df, "source", "doc_id", "text", 5).collect()
     }
     assert rows == {1: (0, 0), 2: (0, 3), 3: (1, 2), 10: (0, 0), 11: (1, 0)}
+
+
+def test_pack_token_sequences_materializes_windows(spark):
+    """The emission sibling of pack_sequences: actual fixed-length id
+    arrays, cross-doc boundaries split, trailing partial kept, shards
+    independent, empty/NULL id arrays contribute nothing."""
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators.text import (
+        pack_token_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", [10, 11, 12]),
+            (2, "s1", [13, 14, 15, 16]),
+            (3, "s1", []),           # empty: no tokens, no shift
+            (4, "s1", None),         # NULL: same
+            (5, "s1", [17, 18]),
+            (10, "s2", [90, 91, 92, 93, 94, 95]),
+        ],
+        "doc_id long, source string, token_ids array<long>",
+    )
+    got = {
+        (r["source"], r["pack_id"]): r["token_ids"]
+        for r in pack_token_sequences(
+            df, "token_ids", "source", "doc_id", budget=5
+        ).collect()
+    }
+    assert got == {
+        ("s1", 0): [10, 11, 12, 13, 14],
+        ("s1", 1): [15, 16, 17, 18],     # trailing partial kept
+        ("s2", 0): [90, 91, 92, 93, 94],
+        ("s2", 1): [95],
+    }
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_sequences(df, budget=0)
+
+
+def test_pack_token_sequences_composes_with_bpe(spark):
+    # text -> BPE ids -> packed training windows, end to end
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_word,
+        bpe_merge_ranks,
+        char_vocab,
+    )
+    from neo4j_to_clickhouse_spark.operators.text import (
+        pack_token_sequences,
+    )
+
+    merges = [("t", "h"), ("th", "e")]
+    vocab = char_vocab(merges, "abcdefghijklmnopqrstuvwxyz")
+    ranks = bpe_merge_ranks(merges)
+    texts = [(0, "g", "the cat"), (1, "g", "at the mat")]
+    df = spark.createDataFrame(
+        texts, "doc_id long, source string, text string"
+    )
+    enc = bpe_encode(df, "text", merges, vocab)
+    packed = pack_token_sequences(
+        enc, "token_ids", "source", "doc_id", budget=4
+    ).collect()
+    flat_got = [
+        i
+        for r in sorted(packed, key=lambda r: r["pack_id"])
+        for i in r["token_ids"]
+    ]
+    flat_want = [
+        vocab[p]
+        for _, _, t in texts
+        for w in t.split()
+        for p in bpe_encode_word(w, ranks)
+    ]
+    assert flat_got == flat_want
+    assert all(len(r["token_ids"]) <= 4 for r in packed)
