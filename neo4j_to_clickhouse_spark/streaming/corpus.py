@@ -82,6 +82,7 @@ def corpus_documents(
     rules: DataFrame,
     agent: str = "*",
     enrich: bool = False,
+    classifier_weights: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -89,7 +90,13 @@ def corpus_documents(
     reason for undecodable bodies (M5 dead-letter). With ``enrich``
     the curation signals land in the same scan (all pure codegen —
     free at any scale): ``lang`` (marker-lexicon language ID),
-    ``quality_score``, and ``n_tokens``."""
+    ``quality_score``, and ``n_tokens``. ``classifier_weights`` (the
+    micro-unit vector ``operators/classifier.fit_classifier`` trains)
+    additionally scores every document in the same scan
+    (``classifier_score`` — plan-literal weights, xxhash64 production
+    hashing, zero shuffle): the DCLM/FineWeb-Edu quality filter
+    running INSIDE the ingest stream, so downstream selection never
+    re-reads the corpus."""
     recs = warc_records(files)
     resp = recs.where(
         (F.col("warc_type") == "response")
@@ -131,6 +138,16 @@ def corpus_documents(
             docs.withColumn("lang", detect_language("text"))
             .withColumn("quality_score", quality_score("text"))
             .withColumn("n_tokens", token_count("text"))
+        )
+    if classifier_weights is not None:
+        from ..operators.classifier import score_documents
+
+        docs = score_documents(
+            docs,
+            "text",
+            classifier_weights,
+            out_col="classifier_score",
+            hasher="xxhash64",
         )
     quarantine = quar.select(
         "file",
@@ -276,15 +293,22 @@ def start_corpus_stream(
     coalesce_output: int | None = None,
     query_name: str = "corpus_ingest",
     enrich: bool = False,
+    classifier_weights: list[int] | None = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
     ``processing_time=None`` the query drains available files and
-    stops (``availableNow``) — the test/backfill mode."""
+    stops (``availableNow``) — the test/backfill mode.
+    ``classifier_weights`` scores every document in-stream (see
+    :func:`corpus_documents`)."""
     return _start_file_ingest(
         files_stream,
         lambda batch: corpus_documents(
-            batch, rules, agent=agent, enrich=enrich
+            batch,
+            rules,
+            agent=agent,
+            enrich=enrich,
+            classifier_weights=classifier_weights,
         ),
         table_path,
         quarantine_path,

@@ -376,6 +376,49 @@ def _neardup_phase2(drop):
     )
 
 
+def test_stream_scores_documents_with_trained_classifier(spark, tmp_path):
+    """classifier_weights threads a trained model into the ingest
+    stream: every stored document carries classifier_score, equal to
+    batch score_documents on the same weights."""
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents,
+        weight_table,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_stream,
+    )
+
+    drop = _warc_files(tmp_path, 2)
+    rules = _rules(spark, 2)
+    w = weight_table(64)
+    drain(
+        start_corpus_stream(
+            read_warc_file_stream(spark, str(drop)),
+            rules,
+            table_path=str(tmp_path / "docs"),
+            quarantine_path=str(tmp_path / "quar"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            classifier_weights=w,
+        )
+    )
+    got = spark.read.parquet(str(tmp_path / "docs"))
+    assert "classifier_score" in got.columns
+    want = {
+        r["canonical"]: r["classifier_score"]
+        for r in score_documents(
+            got.drop("classifier_score"),
+            "text",
+            w,
+            out_col="classifier_score",
+            hasher="xxhash64",
+        ).collect()
+    }
+    for r in got.collect():
+        assert r["classifier_score"] == want[r["canonical"]]
+    assert any(v != 0.0 for v in want.values())
+
+
 def test_neardup_stream_drops_cross_batch_clones(spark, tmp_path):
     from neo4j_to_clickhouse_spark.streaming.corpus import (
         start_corpus_neardup_stream,

@@ -357,6 +357,10 @@ def test_registry_wide_plan_lint(spark):
         "compression_ratio_flags",
         # ftfy-style double-encoding repair (codec round-trip, Arrow)
         "mojibake_repair_stats",
+        # merge-rank BPE encode: iterative data-dependent merge loop
+        # has no codegen expression form — one Arrow map with
+        # broadcast merges + per-batch word cache (operators/bpe.py)
+        "bpe_token_count_stats",
     }
     py_markers = (
         "BatchEvalPython",
