@@ -395,10 +395,15 @@ def _recover_lsh_half(path: str) -> bool:
     staging = os.path.join(path, _COMPACT_STAGING)
     aside = os.path.join(path, _COMPACT_ASIDE)
     if not os.path.isfile(marker):
-        # pre-marker crash can only leave an orphan staging dir (hidden
-        # from Spark anyway); clear it so the next compact starts clean
+        # pre-marker crash can only leave an orphan staging dir and/or
+        # a half-written marker tmp (both hidden from Spark); clear
+        # them so the next compact starts clean
         if os.path.isdir(staging):
             shutil.rmtree(staging)
+        try:
+            os.remove(marker + ".tmp")
+        except FileNotFoundError:
+            pass
         return False
     with open(marker) as fh:
         plan = json.load(fh)
@@ -465,6 +470,11 @@ def _compact_lsh_half(
     gen = max([upto, *(g + 1 for g in compacted.values())])
     df = spark.read.parquet(*(os.path.join(path, n) for n in sorted(fold)))
     if drop_ids is not None:
+        if len(drop_ids.columns) != 1:
+            raise ValueError(
+                f"drop_ids must be a single-column frame of record "
+                f"ids, got columns {drop_ids.columns}"
+            )
         df = df.join(
             drop_ids.select(F.col(drop_ids.columns[0]).alias("id")),
             "id",
