@@ -73,6 +73,11 @@ CEILINGS: dict[str, float | None] = {
     # r13: BPE encode (Arrow map + broadcast merges — must stay linear
     # in corpus bytes like the other scan-shaped Arrow stages)
     "bpe_token_count_stats": None,
+    # r13: packed-sequence emission — ids shuffle once on the shard
+    # partitioning (that IS the output); must stay ~linear
+    "packed_sequence_emission_stats": None,
+    # r13: classifier evaluation (scan + confusion aggregate)
+    "classifier_confusion_report": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
