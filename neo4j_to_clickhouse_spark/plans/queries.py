@@ -9812,6 +9812,58 @@ def classifier_confusion_report(spark, sf_dir):
     return confusion_counts(scored, "score", "y", threshold=0.0, by="source")
 
 
+@q(
+    "bpe_learned_merges",
+    None,  # iterative merge learning is not SQL-expressible ->
+    # rows-only; the loop itself is pinned by tests/test_bpe.py
+    # (hand-derived merge sequences + learn->encode roundtrip) and the
+    # word-count aggregate it runs on is the certified A3 shape
+    "learn a BPE merge table from the corpus: one distributed "
+    "word-frequency aggregate + the deterministic Sennrich merge loop "
+    "over the vocabulary-sized count table (rank, left, right rows)",
+)
+def bpe_learned_merges(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.bpe import learn_bpe
+
+    merges = learn_bpe(
+        _t(spark, sf_dir, "documents"), "text", num_merges=8
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@q(
+    "classifier_training_report",
+    None,  # the trained weight vector is the fixed point of an
+    # iterative gradient loop — not SQL-expressible; bit-determinism
+    # is pinned against a pure-Python replica in
+    # tests/test_classifier_fit.py, and the evaluation algebra is the
+    # certified classifier_confusion_report shape
+    "the full DCLM loop executed end-to-end: fit_classifier (8 "
+    "deterministic integer-GD iterations, label = document contains "
+    "'spark') -> score_documents with the trained weights -> "
+    "integer-exact confusion counts per source",
+)
+def classifier_training_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        confusion_counts,
+        fit_classifier,
+        score_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y",
+        F.array_contains(D.tokens(F.col("text")), "spark").cast("int"),
+    )
+    w = fit_classifier(
+        docs, "text", "y", n_buckets=256, iters=8, lr=4.0
+    )
+    scored = score_documents(docs, "text", w, seed=7)
+    return confusion_counts(scored, "score", "y", threshold=0.0, by="source")
+
+
 # micro-BPE fixture (operators/bpe.py): the closed-form merge chain
 # both engines can state. Merges [(t,h) r0, (th,e) r1, (s,t) r2] over
 # the dense char vocab a..z (0-25), th=26, the=27, st=28. Closed form
@@ -10124,6 +10176,8 @@ _ROTATION = [
     "value_skew_kurtosis_by_type",  # r12
     "vocab_growth_curve",  # r12
     "wet_ingest_stats",  # r12
+    "bpe_learned_merges",  # rows-only
+    "classifier_training_report",  # rows-only
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only

@@ -86,7 +86,16 @@ def test_entry_contract_exposes_reordered_registry():
     oracles = E.oracle_sql()
     # every in-window query except documented rows-only specs has an oracle
     rows_only = {n for n, spec in Q.QUERIES.items() if spec.oracle is None}
-    assert rows_only == {"random_sample", "dedup_simhash", "embedding_ivf_topk"}
+    assert rows_only == {
+        "random_sample",
+        "dedup_simhash",
+        "embedding_ivf_topk",
+        # r13: iterative training loops — merge learning and integer-GD
+        # classifier fitting have no SQL form; both are pinned
+        # bit-exactly by pytest (test_bpe.py, test_classifier_fit.py)
+        "bpe_learned_merges",
+        "classifier_training_report",
+    }
     for name in Q._DRIVER_WINDOW:
         if name not in rows_only:
             assert name in oracles, f"in-window query {name} lost its oracle"
