@@ -96,6 +96,14 @@ def bpe_encode_word(
     return parts
 
 
+#: regex pre-tokenization (pretokenize="regex"): letter runs, digit
+#: runs, single other-punctuation — the Python mirror of the engine's
+#: `_PRETOKEN_PATTERN` estimator (plans/queries.py), the simplified
+#: ASCII shape of GPT-2's pre-tokenizer (its \p{L}/\p{N} classes and
+#: contraction splits need the `regex` module, absent here).
+_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,
@@ -103,29 +111,44 @@ def bpe_encode(
     vocab: dict[str, int],
     out_col: str = "token_ids",
     unk_id: int = -1,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """Add ``out_col``: the text's BPE token ids (``array<int>``).
 
-    Pre-tokenization is whitespace split (the engine's corpus contract
-    everywhere — shingles, spans, packing all count whitespace words);
-    each word encodes independently via the merge loop above, pieces
-    map through ``vocab`` (absent pieces -> ``unk_id``, the <unk>
-    convention — with a byte/char-complete vocabulary this never
-    fires). NULL text -> NULL ids. One Arrow map, zero shuffle; the
-    merge table and vocab ride one broadcast each.
+    ``pretokenize="whitespace"`` (default) splits on whitespace — the
+    engine's corpus contract everywhere (shingles, spans, packing all
+    count whitespace words). ``"regex"`` splits into letter runs /
+    digit runs / single punctuation (the GPT-2-style piece shape the
+    ``tokenizer_comparison_by_source`` estimator counts), so
+    punctuation-bearing text encodes per-piece instead of gluing
+    ``word,`` into one pre-token. Each pre-token encodes independently
+    via the merge loop above; pieces map through ``vocab`` (absent
+    pieces -> ``unk_id``, the <unk> convention — with a
+    char-complete vocabulary this never fires). NULL text -> NULL
+    ids. One Arrow map, zero shuffle; the merge table and vocab ride
+    one broadcast each.
     """
     from pyspark.sql.functions import pandas_udf
 
+    if pretokenize not in ("whitespace", "regex"):
+        raise ValueError(
+            f"pretokenize must be 'whitespace' or 'regex', "
+            f"got {pretokenize!r}"
+        )
     ranks = bpe_merge_ranks(merges)
     sc = df.sparkSession.sparkContext
     b_ranks = sc.broadcast(ranks)
     b_vocab = sc.broadcast(dict(vocab))
     b_unk = int(unk_id)
+    use_regex = pretokenize == "regex"
 
     @pandas_udf("array<int>")
     def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
         rk = b_ranks.value
         vb = b_vocab.value
+        pat = re.compile(_PRETOKEN_RE) if use_regex else None
         cache: dict[str, list[int]] = {}
 
         def word_ids(w: str) -> list[int]:
@@ -138,8 +161,9 @@ def bpe_encode(
             return got
 
         def encode(t):
+            pieces = pat.findall(t) if pat is not None else t.split()
             ids: list[int] = []
-            for w in t.split():
+            for w in pieces:
                 ids.extend(word_ids(w))
             return ids
 

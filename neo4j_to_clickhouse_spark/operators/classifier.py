@@ -210,6 +210,18 @@ def fit_classifier(
         n_docs = b.count()
         if n_docs == 0:
             raise ValueError("no documents with features to fit on")
+        # logistic loss needs y ∈ {0, 1}: a stray label (NULL from a
+        # bad cast, a 5 from a score column) would silently poison
+        # every gradient — one cheap aggregate over the already-
+        # persisted frame fails loudly instead
+        bad = b.filter(
+            ~F.col("__y").isin(0, 1) | F.col("__y").isNull()
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{label_col} must be 0/1 (binary labels): "
+                f"{bad} rows are NULL or outside {{0, 1}}"
+            )
         w = list(init) if init is not None else [0] * n_buckets
         if len(w) != n_buckets:
             raise ValueError(

@@ -374,12 +374,18 @@ def pack_token_sequences(
     contribute nothing.
 
     Scale shape: token ids necessarily move once — that IS the output —
-    in one shuffle keyed ``(shard, pack_id)`` with every output row
-    bounded by ``budget``; the per-shard running sum is the same
-    single partitioned window as :func:`pack_sequences` (shard-sized
-    sort, never global). Order inside a pack is restored by an
+    in ONE shuffle: the trailing ``(shard, pack_id)`` aggregate reuses
+    the window exchange's shard partitioning (grouping-key superset),
+    verified in the compiled plan. Every output row is bounded by
+    ``budget``; the per-shard running sum is the same single
+    partitioned window as :func:`pack_sequences` (shard-sized sort,
+    never global). Order inside a pack is restored by an
     ``array_sort`` over (offset, id) structs — exact positions, no
     reliance on collect order.
+
+    ``order_col`` must be UNIQUE per shard (like every ordered window
+    in the engine): ties make the concatenation order — and therefore
+    the emitted windows — nondeterministic across runs.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")

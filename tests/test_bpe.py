@@ -145,6 +145,39 @@ def test_token_count_column_and_packing_threading(spark):
     assert rows == [(s // 8, s % 8) for s in starts]
 
 
+def test_regex_pretokenization_splits_punctuation(spark):
+    df = spark.createDataFrame(
+        [(0, "the, end.")], "id long, text string"
+    )
+    ws = bpe_encode(df, "text", MERGES, VOCAB).first()["token_ids"]
+    rx = bpe_encode(
+        df, "text", MERGES, VOCAB, pretokenize="regex"
+    ).first()["token_ids"]
+    # regex pieces: 'the' ',' 'end' '.' -> the, unk, e, n, d, unk
+    assert rx == [
+        VOCAB["the"], -1, VOCAB["e"], VOCAB["n"], VOCAB["d"], -1
+    ]
+    # same ids in whitespace mode HERE (these punctuation marks join
+    # no merge), but the boundary matters when punctuation is
+    # merge-adjacent: 'e'+'s' merges inside the whitespace pre-token
+    # 'apes' but regex keeps 'ape' + 's' apart across "ape,s"? — pin
+    # the divergence directly instead:
+    assert ws == rx
+    m2 = [("e", ",")]
+    v2 = char_vocab(m2, "abcdefghijklmnopqrstuvwxyz,")
+    df2 = spark.createDataFrame([(0, "the, end")], "id long, text string")
+    ws2 = bpe_encode(df2, "text", m2, v2).first()["token_ids"]
+    rx2 = bpe_encode(
+        df2, "text", m2, v2, pretokenize="regex"
+    ).first()["token_ids"]
+    # whitespace pre-token 'the,' lets (e,,) merge; regex splits the
+    # comma out first, so the merge never fires
+    assert v2["e,"] in ws2
+    assert v2["e,"] not in rx2
+    with pytest.raises(ValueError, match="pretokenize"):
+        bpe_encode(df, "text", MERGES, VOCAB, pretokenize="bytes")
+
+
 def test_learn_bpe_from_counts_pinned():
     from neo4j_to_clickhouse_spark.operators.bpe import (
         learn_bpe_from_counts,

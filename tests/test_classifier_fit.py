@@ -169,6 +169,18 @@ def test_fit_input_validation(spark):
     )
     with pytest.raises(ValueError, match="no documents"):
         fit_classifier(df, "text", "y", n_buckets=8, iters=1)
+    # non-binary and NULL labels fail loudly instead of silently
+    # poisoning every gradient
+    bad = spark.createDataFrame(
+        [("a b", 1), ("c d", 5)], "text string, y int"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        fit_classifier(bad, "text", "y", n_buckets=8, iters=1)
+    nulls = spark.createDataFrame(
+        [("a b", 1), ("c d", None)], "text string, y int"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        fit_classifier(nulls, "text", "y", n_buckets=8, iters=1)
     ok = spark.createDataFrame([("a b", 1)], "text string, y int")
     with pytest.raises(ValueError, match="init has"):
         fit_classifier(ok, "text", "y", n_buckets=8, init=[0] * 4)
