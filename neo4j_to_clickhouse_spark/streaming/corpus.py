@@ -568,6 +568,7 @@ def start_corpus_neardup_stream(
     threshold: float = 0.5,
     in_batch: bool = False,
     compact_every: int | None = None,
+    classifier_weights: list[int] | None = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -692,7 +693,11 @@ def start_corpus_neardup_stream(
 
     def _process_inner(spark, batch_df, batch_id, caches):
         docs, quar = corpus_documents(
-            batch_df, rules, agent=agent, enrich=enrich
+            batch_df,
+            rules,
+            agent=agent,
+            enrich=enrich,
+            classifier_weights=classifier_weights,
         )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
         if in_batch:
