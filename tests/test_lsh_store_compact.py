@@ -474,6 +474,96 @@ def test_stream_self_heals_crashed_compactor_before_probe(spark, tmp_path):
     assert recover_lsh_store(paths["store_path"]) == []  # already clean
 
 
+def test_crash_injection_at_every_fs_boundary(spark, tmp_path):
+    """Kill the REAL compact_lsh_store at every filesystem-op boundary
+    (os.replace / os.remove / shutil.rmtree / os.makedirs counted and
+    aborted one-by-one), then recover: the probe-visible row multiset
+    must be invariant at EVERY crash point, and a re-run must converge
+    to the consolidated layout. This sweeps all seven swap states the
+    protocol comment enumerates, through the production code path —
+    not hand-forged directory states."""
+    import os as os_mod
+    import shutil as sh_mod
+
+    from neo4j_to_clickhouse_spark.streaming import corpus as C
+
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    _warc(drop, "f0.warc.gz", [("http://h0.com/a", _BODY)])
+    run()
+    _warc(drop, "f1.warc.gz", [("http://h0.com/b", _BODY2)])
+    run()
+    _warc(drop, "f2.warc.gz", [("http://h0.com/c", "tiny unique page nine")])
+    run()
+
+    pristine = tmp_path / "pristine"
+    sh_mod.copytree(paths["store_path"], pristine)
+    want = _store_rows(spark, str(pristine))
+
+    class Crash(Exception):
+        pass
+
+    state = {"armed": False, "left": 0}
+    real = {
+        "replace": os_mod.replace,
+        "remove": os_mod.remove,
+        "rmtree": sh_mod.rmtree,
+        "makedirs": os_mod.makedirs,
+    }
+
+    def wrap(name):
+        def inner(*a, **k):
+            if state["armed"]:
+                if state["left"] == 0:
+                    raise Crash(f"injected at {name} {a[:1]}")
+                state["left"] -= 1
+            return real[name](*a, **k)
+
+        return inner
+
+    os_mod.replace = wrap("replace")
+    os_mod.remove = wrap("remove")
+    sh_mod.rmtree = wrap("rmtree")
+    os_mod.makedirs = wrap("makedirs")
+    try:
+        budget = 0
+        completed = False
+        while not completed and budget < 200:
+            # fresh pristine store for this crash point
+            state["armed"] = False
+            real["rmtree"](paths["store_path"])
+            sh_mod.copytree(pristine, paths["store_path"])
+            state["left"] = budget
+            state["armed"] = True
+            try:
+                C.compact_lsh_store(spark, paths["store_path"])
+                completed = True
+            except Crash:
+                pass
+            finally:
+                state["armed"] = False
+            # recovery (or the completed run) must leave the exact
+            # probe-visible rows
+            C.recover_lsh_store(paths["store_path"])
+            assert _store_rows(spark, paths["store_path"]) == want, (
+                f"rows diverged after crash at fs-op {budget}"
+            )
+            # and a clean re-run from the crashed state must converge
+            stats = C.compact_lsh_store(spark, paths["store_path"])
+            assert _store_rows(spark, paths["store_path"]) == want, (
+                f"rows diverged after re-compact from crash {budget}"
+            )
+            budget += 1
+        assert completed, "injection budget exhausted before a clean run"
+        assert budget > 10  # the sweep actually exercised many states
+        # final layout is consolidated
+        assert stats["buckets"]["folded"] in (0, 2)
+    finally:
+        os_mod.replace = real["replace"]
+        os_mod.remove = real["remove"]
+        sh_mod.rmtree = real["rmtree"]
+        os_mod.makedirs = real["makedirs"]
+
+
 def test_bind_store_half_rejects_extra_columns(spark):
     from neo4j_to_clickhouse_spark.operators.dedup import _bind_store_half
 
