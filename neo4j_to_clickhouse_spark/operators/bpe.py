@@ -46,6 +46,8 @@ __all__ = [
     "char_vocab",
     "learn_bpe",
     "learn_bpe_from_counts",
+    "save_bpe_artifacts",
+    "load_bpe_artifacts",
 ]
 
 
@@ -279,6 +281,63 @@ def learn_bpe(
     return learn_bpe_from_counts(
         {r["w"]: r["c"] for r in rows}, num_merges
     )
+
+
+def save_bpe_artifacts(
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    path: str,
+) -> None:
+    """Write the model in the GPT-2 artifact layout — ``merges.txt``
+    (one ``left right`` pair per line, rank order, ``#version`` header)
+    and ``vocab.json`` (piece -> id) — so trained tables interoperate
+    with standard tokenizer tooling. Local-filesystem paths (model
+    artifacts are driver-side, like the checkpoint configs)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, ".merges.txt.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+    os.replace(tmp, os.path.join(path, "merges.txt"))
+    tmp = os.path.join(path, ".vocab.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(vocab, fh, ensure_ascii=False)
+    os.replace(tmp, os.path.join(path, "vocab.json"))
+
+
+def load_bpe_artifacts(
+    path: str,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Read ``merges.txt`` + ``vocab.json`` back (the GPT-2 layout —
+    including files produced by standard tooling). Comment/blank lines
+    in merges.txt are skipped; a merge line must be exactly two
+    space-separated pieces."""
+    import json
+    import os
+
+    merges: list[tuple[str, str]] = []
+    with open(
+        os.path.join(path, "merges.txt"), encoding="utf-8"
+    ) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"malformed merges.txt line: {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    with open(
+        os.path.join(path, "vocab.json"), encoding="utf-8"
+    ) as fh:
+        vocab = {str(k): int(v) for k, v in json.load(fh).items()}
+    return merges, vocab
 
 
 def char_vocab(

@@ -51,6 +51,20 @@ def test_bm25_index_jobs_shape(spark):
     assert run_once() == n
 
 
+def test_minhash_probe_and_classifier_prod_jobs_execute(spark):
+    """Every EXTRA bench job must actually run once under test — a
+    name/import slip inside a job body otherwise survives to the real
+    bench run (caught live in r13: an F reference without its import
+    inside _classifier_prod_jobs)."""
+    for maker in (bench._minhash_probe_jobs, bench._classifier_prod_jobs):
+        jobs = maker(spark, "/root/testdata/sf0.001")
+        for name, prepare, run_once in jobs:
+            prepare()
+            n = run_once()
+            assert n > 0, name
+            assert run_once() == n, name
+
+
 def test_maintenance_jobs_shape(spark, tmp_path):
     """The compact job stages a real month-partitioned table and its
     timed run returns the affected-month count (>0 on the sf0.001

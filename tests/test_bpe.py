@@ -220,6 +220,42 @@ def test_learn_bpe_max_words_truncates_deterministically(spark):
     assert learn_bpe(df, "text", 1, max_words=1) == [("z", "z")]
 
 
+def test_bpe_artifact_roundtrip(tmp_path, spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        load_bpe_artifacts,
+        save_bpe_artifacts,
+    )
+
+    save_bpe_artifacts(MERGES, VOCAB, str(tmp_path / "model"))
+    # GPT-2 layout on disk
+    lines = (tmp_path / "model" / "merges.txt").read_text().splitlines()
+    assert lines[0].startswith("#version")
+    assert lines[1:] == ["t h", "th e", "s t"]
+    merges, vocab = load_bpe_artifacts(str(tmp_path / "model"))
+    assert merges == MERGES
+    assert vocab == VOCAB
+    # loaded artifacts drive the encoder identically
+    df = spark.createDataFrame([(0, "the fast")], "id long, text string")
+    a = bpe_encode(df, "text", MERGES, VOCAB).first()["token_ids"]
+    b = bpe_encode(df, "text", merges, vocab).first()["token_ids"]
+    assert a == b
+
+
+def test_load_bpe_artifacts_rejects_malformed(tmp_path):
+    import pytest as _pytest
+
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        load_bpe_artifacts,
+        save_bpe_artifacts,
+    )
+
+    save_bpe_artifacts(MERGES, VOCAB, str(tmp_path / "m"))
+    with open(tmp_path / "m" / "merges.txt", "a") as fh:
+        fh.write("a b c\n")
+    with _pytest.raises(ValueError, match="malformed"):
+        load_bpe_artifacts(str(tmp_path / "m"))
+
+
 def test_budget_mixture_consumes_bpe_counts(spark):
     from neo4j_to_clickhouse_spark.operators.sampling import (
         mixture_rates,
