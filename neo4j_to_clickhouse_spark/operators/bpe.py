@@ -244,6 +244,7 @@ def learn_bpe(
     text_col: str,
     num_merges: int,
     max_words: int = 100_000,
+    pretokenize: str = "whitespace",
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from the corpus — the training side of
     :func:`bpe_encode`.
@@ -259,18 +260,28 @@ def learn_bpe(
     Integer counts make the whole path bit-deterministic across any
     partitioning; the loop itself is :func:`learn_bpe_from_counts`,
     pinned by pytest.
+
+    ``pretokenize`` MUST match the mode later passed to
+    :func:`bpe_encode` — merges learned over whitespace words apply
+    differently to regex pieces (punctuation boundaries shift which
+    pairs are adjacent).
     """
-    rows = (
-        df.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(
-                        F.col(text_col), r"^\s+|\s+$", ""
-                    ),
-                    r"\s+",
-                )
-            ).alias("w")
+    if pretokenize == "whitespace":
+        pieces = F.split(
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""),
+            r"\s+",
         )
+    elif pretokenize == "regex":
+        pieces = F.regexp_extract_all(
+            F.col(text_col), F.lit(_PRETOKEN_RE), 0
+        )
+    else:
+        raise ValueError(
+            f"pretokenize must be 'whitespace' or 'regex', "
+            f"got {pretokenize!r}"
+        )
+    rows = (
+        df.select(F.explode(pieces).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))

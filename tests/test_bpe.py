@@ -211,6 +211,28 @@ def test_learn_bpe_distributed_and_roundtrip(spark):
     assert ids[0] == [vocab["aaab"], vocab["aaab"], vocab["ab"]]
 
 
+def test_learn_bpe_regex_pretokenization(spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import learn_bpe
+
+    # regex mode: punctuation splits out, so the frequent pair is
+    # inside the word run, never across the comma
+    df = spark.createDataFrame(
+        [(0, "ab, ab, ab, cd")], "id long, text string"
+    )
+    # two merges in whitespace mode: round 1 ties (a,b) vs (b,,) at 3
+    # -> lexicographic (a,b); round 2 then merges (ab,,) — a merge
+    # ACROSS the word/punctuation boundary that regex mode can never
+    # learn (the comma is its own piece there)
+    ws = learn_bpe(df, "text", 2)
+    rx = learn_bpe(df, "text", 2, pretokenize="regex")
+    assert ws == [("a", "b"), ("ab", ",")]
+    assert rx == [("a", "b"), ("c", "d")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pretokenize"):
+        learn_bpe(df, "text", 1, pretokenize="bytes")
+
+
 def test_learn_bpe_max_words_truncates_deterministically(spark):
     from neo4j_to_clickhouse_spark.operators.bpe import learn_bpe
 
