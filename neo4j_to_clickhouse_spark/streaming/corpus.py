@@ -83,6 +83,7 @@ def corpus_documents(
     agent: str = "*",
     enrich: bool = False,
     classifier_weights: list[int] | None = None,
+    classifier_hasher: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -93,10 +94,13 @@ def corpus_documents(
     ``quality_score``, and ``n_tokens``. ``classifier_weights`` (the
     micro-unit vector ``operators/classifier.fit_classifier`` trains)
     additionally scores every document in the same scan
-    (``classifier_score`` — plan-literal weights, xxhash64 production
-    hashing, zero shuffle): the DCLM/FineWeb-Edu quality filter
-    running INSIDE the ingest stream, so downstream selection never
-    re-reads the corpus."""
+    (``classifier_score`` — plan-literal weights, zero shuffle): the
+    DCLM/FineWeb-Edu quality filter running INSIDE the ingest stream,
+    so downstream selection never re-reads the corpus.
+    ``classifier_hasher`` MUST name the bucket space the weights were
+    TRAINED in (fit_classifier's ``hasher``): md5-trained weights
+    scored through xxhash64 buckets (or vice versa) produce silently
+    meaningless scores — the default is the xxhash64 production path."""
     recs = warc_records(files)
     resp = recs.where(
         (F.col("warc_type") == "response")
@@ -147,7 +151,7 @@ def corpus_documents(
             "text",
             classifier_weights,
             out_col="classifier_score",
-            hasher="xxhash64",
+            hasher=classifier_hasher,
         )
     quarantine = quar.select(
         "file",
@@ -294,6 +298,7 @@ def start_corpus_stream(
     query_name: str = "corpus_ingest",
     enrich: bool = False,
     classifier_weights: list[int] | None = None,
+    classifier_hasher: str = "xxhash64",
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
@@ -309,6 +314,7 @@ def start_corpus_stream(
             agent=agent,
             enrich=enrich,
             classifier_weights=classifier_weights,
+            classifier_hasher=classifier_hasher,
         ),
         table_path,
         quarantine_path,
@@ -569,6 +575,7 @@ def start_corpus_neardup_stream(
     in_batch: bool = False,
     compact_every: int | None = None,
     classifier_weights: list[int] | None = None,
+    classifier_hasher: str = "xxhash64",
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -698,6 +705,7 @@ def start_corpus_neardup_stream(
             agent=agent,
             enrich=enrich,
             classifier_weights=classifier_weights,
+            classifier_hasher=classifier_hasher,
         )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
         if in_batch:
