@@ -9961,8 +9961,10 @@ def bpe_token_count_stats(spark, sf_dir):
 # The verification driver certifies only the FIRST 50 entries of
 # ``queries()``.  From round 10 the window is MECHANICAL, not curated
 # (VERDICT r09 item 4): the 50 stalest hard-oracle queries — never-
-# certified first, then oldest driver-green round, name tie-break;
-# rows-only-by-design specs excluded (their hard siblings rotate).
+# certified first, then oldest driver-green round, name tie-break.
+# Rows-only-by-design specs get exactly ONE window slot, for their
+# debut rows-present record (VERDICT r13 item 2), then rotate out
+# permanently (their hard siblings rotate instead).
 # Regenerate with ``python tools/driver_window.py`` after each round
 # lands its CORRECTNESS file or a new query registers;
 # ``tests/test_registry.py::test_driver_window_is_the_stalest_50``
@@ -9972,110 +9974,62 @@ def bpe_token_count_stats(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 _DRIVER_WINDOW = [
-    "bpe_token_count_stats",  # last green: r00
-    "classifier_confusion_report",  # last green: r00
-    "packed_sequence_emission_stats",  # last green: r00
-    "daily_counts_gapfilled",  # last green: r09
-    "decontamination_overlap",  # last green: r09
-    "dedup_jaccard_capped",  # last green: r09
-    "dedup_survivors_minhash",  # last green: r09
-    "dedup_token_savings_by_source",  # last green: r09
-    "doc_length_magnitude_histogram",  # last green: r09
-    "duplicate_metadata_conflicts",  # last green: r09
-    "embedding_dimension_stats",  # last green: r09
-    "embedding_ivf_full_probe",  # last green: r09
-    "embedding_near_duplicates",  # last green: r09
-    "event_share_of_total",  # last green: r09
-    "event_type_pivot",  # last green: r09
-    "events_by_dow_hour",  # last green: r09
-    "fingerprint_uniqueness",  # last green: r09
-    "first_event_salted",  # last green: r09
-    "first_events_per_user",  # last green: r09
-    "grouping_sets_event_report",  # last green: r09
-    "hourly_event_windows",  # last green: r09
-    "langid_distribution",  # last green: r09
-    "multimodal_inventory",  # last green: r09
-    "ngram_diversity_by_source",  # last green: r09
-    "order_line_count_histogram",  # last green: r09
-    "orders_monthly_growth",  # last green: r09
-    "payload_profile",  # last green: r09
-    "quality_bands",  # last green: r09
-    "range_join_interval_stats",  # last green: r09
-    "repetition_by_source",  # last green: r09
-    "revenue_by_part_type",  # last green: r09
-    "revenue_pareto_report",  # last green: r09
-    "sample_stratified_per_source",  # last green: r09
-    "sample_temperature_weighted",  # last green: r09
-    "signup_to_purchase_latency",  # last green: r09
-    "summary_stats",  # last green: r09
-    "supplier_pagerank",  # last green: r09
-    "supplier_triangle_count",  # last green: r09
-    "tfidf_source_profile",  # last green: r09
-    "top_revenue_orders",  # last green: r09
-    "train_val_test_split_counts",  # last green: r09
-    "union_counts",  # last green: r09
-    "user_activity_percentiles",  # last green: r09
-    "user_entropy_bands",  # last green: r09
-    "value_deciles_by_type",  # last green: r09
-    "value_mad_by_type",  # last green: r09
-    "value_percentiles_by_type",  # last green: r09
-    "word_distribution",  # last green: r09
-    "acctbal_by_segment",  # last green: r10
-    "approx_distinct_users_bound",  # last green: r10
+    "bpe_learned_merges",  # last green: r00
+    "classifier_training_report",  # last green: r00
+    "asof_user_state",  # last green: r10
+    "asof_user_state_bucketed",  # last green: r10
+    "chunking_stats",  # last green: r10
+    "conjunctive_filters",  # last green: r10
+    "count_by_event_type",  # last green: r10
+    "count_distinct_by_type",  # last green: r10
+    "cross_source_span_overlap",  # last green: r10
+    "curation_funnel_report",  # last green: r10
+    "daily_moving_stats",  # last green: r10
+    "decontamination_bloom",  # last green: r10
+    "dedup_clusters",  # last green: r10
+    "dedup_exact_docs",  # last green: r10
+    "dedup_minhash_lsh",  # last green: r10
+    "dedup_ngram_jaccard",  # last green: r10
+    "dedup_simhash_planted",  # last green: r10
+    "dedup_survivors_by_source",  # last green: r10
+    "dedup_validation",  # last green: r10
+    "duplicate_keys",  # last green: r10
+    "embedding_ivf_recall",  # last green: r10
+    "embedding_kmeans_cells",  # last green: r10
+    "embedding_knn",  # last green: r10
+    "embedding_lsh_near_dup",  # last green: r10
+    "embedding_pq_codes",  # last green: r10
+    "embedding_quantization_report",  # last green: r10
+    "filter_array_membership",  # last green: r10
+    "filter_event_type",  # last green: r10
+    "filter_json_path",  # last green: r10
+    "filter_json_path_variant",  # last green: r10
+    "filter_time_range",  # last green: r10
+    "global_totals",  # last green: r10
+    "graph_degree_topk",  # last green: r10
+    "graph_two_hop_topk",  # last green: r10
+    "latest_events",  # last green: r10
+    "latest_state_per_entity",  # last green: r10
+    "lm_quality_by_source",  # last green: r10
+    "mp4_keyframe_stats",  # last green: r10
+    "multimodal_probe_stats",  # last green: r10
+    "order_priority_count",  # last green: r10
+    "orders_per_customer_topk",  # last green: r10
+    "pii_redaction_stats",  # last green: r10
+    "retention_cohort_counts",  # last green: r10
+    "rollup_event_counts",  # last green: r10
+    "sequence_count_histogram",  # last green: r10
+    "sessionization",  # last green: r10
+    "sorted_regions",  # last green: r10
+    "token_count_extremes",  # last green: r10
+    "value_histogram",  # last green: r10
+    "window_funnel_steps",  # last green: r10
 ]
 
 _ROTATION = [
-    "asof_user_state",  # r10
-    "asof_user_state_bucketed",  # r10
-    "chunking_stats",  # r10
-    "conjunctive_filters",  # r10
-    "count_by_event_type",  # r10
-    "count_distinct_by_type",  # r10
-    "cross_source_span_overlap",  # r10
-    "curation_funnel_report",  # r10
-    "daily_moving_stats",  # r10
-    "decontamination_bloom",  # r10
-    "dedup_clusters",  # r10
-    "dedup_exact_docs",  # r10
-    "dedup_minhash_lsh",  # r10
-    "dedup_ngram_jaccard",  # r10
-    "dedup_simhash_planted",  # r10
-    "dedup_survivors_by_source",  # r10
-    "dedup_validation",  # r10
-    "duplicate_keys",  # r10
-    "embedding_ivf_recall",  # r10
-    "embedding_kmeans_cells",  # r10
-    "embedding_knn",  # r10
-    "embedding_lsh_near_dup",  # r10
-    "embedding_pq_codes",  # r10
-    "embedding_quantization_report",  # r10
-    "filter_array_membership",  # r10
-    "filter_event_type",  # r10
-    "filter_json_path",  # r10
-    "filter_json_path_variant",  # r10
-    "filter_time_range",  # r10
-    "global_totals",  # r10
-    "graph_degree_topk",  # r10
-    "graph_two_hop_topk",  # r10
-    "latest_events",  # r10
-    "latest_state_per_entity",  # r10
-    "lm_quality_by_source",  # r10
-    "mp4_keyframe_stats",  # r10
-    "multimodal_probe_stats",  # r10
-    "order_priority_count",  # r10
-    "orders_per_customer_topk",  # r10
-    "pii_redaction_stats",  # r10
-    "retention_cohort_counts",  # r10
-    "rollup_event_counts",  # r10
-    "sequence_count_histogram",  # r10
-    "sessionization",  # r10
-    "sorted_regions",  # r10
-    "token_count_extremes",  # r10
-    "value_histogram",  # r10
-    "window_funnel_steps",  # r10
     "active_time_union_seconds",  # r11
     "approx_percentile_bound",  # r11
     "approx_percentile_bound_cert",  # r11
@@ -10176,8 +10130,56 @@ _ROTATION = [
     "value_skew_kurtosis_by_type",  # r12
     "vocab_growth_curve",  # r12
     "wet_ingest_stats",  # r12
-    "bpe_learned_merges",  # rows-only
-    "classifier_training_report",  # rows-only
+    "acctbal_by_segment",  # r13
+    "approx_distinct_users_bound",  # r13
+    "bpe_token_count_stats",  # r13
+    "classifier_confusion_report",  # r13
+    "daily_counts_gapfilled",  # r13
+    "decontamination_overlap",  # r13
+    "dedup_jaccard_capped",  # r13
+    "dedup_survivors_minhash",  # r13
+    "dedup_token_savings_by_source",  # r13
+    "doc_length_magnitude_histogram",  # r13
+    "duplicate_metadata_conflicts",  # r13
+    "embedding_dimension_stats",  # r13
+    "embedding_ivf_full_probe",  # r13
+    "embedding_near_duplicates",  # r13
+    "event_share_of_total",  # r13
+    "event_type_pivot",  # r13
+    "events_by_dow_hour",  # r13
+    "fingerprint_uniqueness",  # r13
+    "first_event_salted",  # r13
+    "first_events_per_user",  # r13
+    "grouping_sets_event_report",  # r13
+    "hourly_event_windows",  # r13
+    "langid_distribution",  # r13
+    "multimodal_inventory",  # r13
+    "ngram_diversity_by_source",  # r13
+    "order_line_count_histogram",  # r13
+    "orders_monthly_growth",  # r13
+    "packed_sequence_emission_stats",  # r13
+    "payload_profile",  # r13
+    "quality_bands",  # r13
+    "range_join_interval_stats",  # r13
+    "repetition_by_source",  # r13
+    "revenue_by_part_type",  # r13
+    "revenue_pareto_report",  # r13
+    "sample_stratified_per_source",  # r13
+    "sample_temperature_weighted",  # r13
+    "signup_to_purchase_latency",  # r13
+    "summary_stats",  # r13
+    "supplier_pagerank",  # r13
+    "supplier_triangle_count",  # r13
+    "tfidf_source_profile",  # r13
+    "top_revenue_orders",  # r13
+    "train_val_test_split_counts",  # r13
+    "union_counts",  # r13
+    "user_activity_percentiles",  # r13
+    "user_entropy_bands",  # r13
+    "value_deciles_by_type",  # r13
+    "value_mad_by_type",  # r13
+    "value_percentiles_by_type",  # r13
+    "word_distribution",  # r13
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only

@@ -37,11 +37,19 @@ def test_driver_window_is_the_stalest_50():
         "_DRIVER_WINDOW is not the mechanical stalest-50 — regenerate "
         "with `python tools/driver_window.py`"
     )
-    # rows-only specs never occupy a window slot
-    assert not (set(Q._DRIVER_WINDOW) & rows_only)
-    # staleness must be monotone non-decreasing across the window
+    # rows-only specs occupy a window slot only for their one debut
+    # driver row (VERDICT r13 item 2): anything rows-only in the window
+    # must never have appeared in a prior CORRECTNESS file.
+    from driver_window import ever_recorded
+
+    seen = ever_recorded(str(repo), upto_round=Q._WINDOW_ROUND)
+    in_window_rows_only = set(Q._DRIVER_WINDOW) & rows_only
+    assert not (in_window_rows_only & seen)
+    # staleness must be monotone non-decreasing across the hard-oracle
+    # tail of the window (debut rows-only specs head it)
     last = ledger(str(repo), upto_round=Q._WINDOW_ROUND)
-    rounds = [last.get(q, 0) for q in window]
+    hard_tail = [q for q in window if q not in rows_only]
+    rounds = [last.get(q, 0) for q in hard_tail]
     assert rounds == sorted(rounds)
 
 

@@ -58,6 +58,23 @@ def ledger(repo: str = REPO, upto_round: int | None = None) -> dict[str, int]:
     return greens
 
 
+def ever_recorded(repo: str = REPO, upto_round: int | None = None) -> set[str]:
+    """Names that appear in ANY committed CORRECTNESS file (green or
+    not).  Rows-only specs record ``rows_match: None`` so they never
+    enter :func:`ledger`; this weaker ledger decides whether a rows-only
+    spec has had its one debut driver row yet."""
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if upto_round is not None and int(m.group(1)) >= upto_round:
+            continue
+        with open(path) as fh:
+            seen.update(json.load(fh))
+    return seen
+
+
 def stalest_window(
     names: list[str],
     rows_only: set[str],
@@ -67,20 +84,28 @@ def stalest_window(
 ) -> tuple[list[str], list[str]]:
     """Partition ``names`` into (window, rotation).
 
-    ``window`` = the ``n`` stalest hard-oracle queries (never-certified
-    first, then oldest green round, name tie-break).  ``rotation`` = the
-    rest, freshest-last, with rows-only specs at the very end (they
-    never enter the window).
+    ``window`` = never-driver-run rows-only debuts first (each rows-only
+    spec earns exactly one window slot, for its debut rows-present
+    record — VERDICT r13 item 2), then the stalest hard-oracle queries
+    (never-certified first, oldest green round next, name tie-break) up
+    to ``n`` total.  ``rotation`` = the rest, freshest-last, with
+    already-debuted rows-only specs at the very end (they never re-enter
+    the window).
     """
     last = ledger(repo, upto_round)
+    seen = ever_recorded(repo, upto_round)
     hard = [q for q in names if q not in rows_only]
+    debut = sorted(q for q in names if q in rows_only and q not in seen)
 
     def staleness(q: str) -> tuple[int, str]:
         return (last.get(q, 0), q)
 
     ordered = sorted(hard, key=staleness)
-    window = ordered[:n]
-    rotation = ordered[n:] + sorted(q for q in names if q in rows_only)
+    n_hard = max(0, n - len(debut))
+    window = debut[:n] + ordered[:n_hard]
+    rotation = ordered[n_hard:] + sorted(
+        q for q in names if q in rows_only and q in seen
+    )
     return window, rotation
 
 
