@@ -34,7 +34,9 @@ Cross-engine determinism (house rules, see ``plans/queries.py`` header):
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import json
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,6 +46,69 @@ from neo4j_to_clickhouse_spark.operators.sampling import md5_u32
 
 #: micro-units per 1.0 of score weight (weights are ints; exact sums).
 WEIGHT_SCALE = 1_000_000
+
+#: plan-literal weight vectors embed ``n_buckets`` literals into every
+#: scoring/gradient expression; past ~100k the Catalyst plan itself
+#: becomes the bottleneck (the documented cliff at
+#: :func:`score_documents`). :func:`fit_classifier` refuses to start a
+#: job that would silently degrade there — the fix above the ceiling is
+#: the broadcast-join formulation, not a bigger literal.
+MAX_PLAN_LITERAL_BUCKETS = 100_000
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierModel:
+    """One self-describing training artifact: the micro-unit weight
+    vector PLUS the feature-space parameters it was trained in.
+
+    The hashed-feature map is only meaningful as a tuple — weights
+    trained with ``hasher='md5', seed=3, bigrams=False`` scored through
+    any other (hasher, seed, bigrams, n_buckets) produce silently
+    meaningless numbers. Passing the model (instead of a bare weight
+    list) to :func:`score_documents` or the streaming ingest
+    (``streaming/corpus.py``) makes the bucket space travel WITH the
+    weights, so the train→score boundary cannot drift.
+    """
+
+    weights: tuple[int, ...]
+    hasher: str = "md5"
+    seed: int = 7
+    bigrams: bool = True
+
+    def __post_init__(self) -> None:
+        if self.hasher not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hasher: {self.hasher!r}")
+        object.__setattr__(self, "weights", tuple(int(w) for w in self.weights))
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.weights)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "weights": list(self.weights),
+                "hasher": self.hasher,
+                "seed": self.seed,
+                "bigrams": self.bigrams,
+                "weight_scale": WEIGHT_SCALE,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "ClassifierModel":
+        d = json.loads(s)
+        scale = d.get("weight_scale", WEIGHT_SCALE)
+        if scale != WEIGHT_SCALE:
+            raise ValueError(
+                f"artifact weight_scale {scale} != engine {WEIGHT_SCALE}"
+            )
+        return cls(
+            weights=tuple(d["weights"]),
+            hasher=d["hasher"],
+            seed=d["seed"],
+            bigrams=d["bigrams"],
+        )
 
 
 def weight_table(n_buckets: int = 256, seed: int = 7) -> list[int]:
@@ -104,11 +169,11 @@ def ngram_features(text: Column | str, bigrams: bool = True) -> Column:
 def score_documents(
     df: DataFrame,
     text_col: str,
-    weights: list[int],
-    seed: int = 7,
-    bigrams: bool = True,
+    weights: "list[int] | ClassifierModel",
+    seed: int | None = None,
+    bigrams: bool | None = None,
     out_col: str = "score",
-    hasher: str = "md5",
+    hasher: str | None = None,
 ) -> DataFrame:
     """Linear-classifier score per document: mean hashed-gram weight,
     rounded to 6 decimals. ``score = round(sum(w[h(g)]) / (n * 1e6), 6)``
@@ -122,7 +187,32 @@ def score_documents(
     xxhash64) and it keeps the corpus shuffle-free — the join-back form
     re-keys the full corpus on the id. Pass ``hasher="xxhash64"`` for
     the 2x-throughput production path (see :func:`hash_bucket`).
+
+    ``weights`` may be a :class:`ClassifierModel`, in which case its
+    (hasher, seed, bigrams) define the bucket space and any explicit
+    conflicting argument raises — the safe way to carry a trained
+    artifact across the train→score boundary. With a bare weight list
+    the legacy defaults apply (seed=7, bigrams=True, hasher='md5').
     """
+    if isinstance(weights, ClassifierModel):
+        model = weights
+        for name, given, have in (
+            ("seed", seed, model.seed),
+            ("bigrams", bigrams, model.bigrams),
+            ("hasher", hasher, model.hasher),
+        ):
+            if given is not None and given != have:
+                raise ValueError(
+                    f"explicit {name}={given!r} conflicts with the "
+                    f"ClassifierModel's trained {name}={have!r} — score "
+                    "in the bucket space the weights were trained in"
+                )
+        weights = list(model.weights)
+        seed, bigrams, hasher = model.seed, model.bigrams, model.hasher
+    else:
+        seed = 7 if seed is None else seed
+        bigrams = True if bigrams is None else bigrams
+        hasher = "md5" if hasher is None else hasher
     n_buckets = len(weights)
     w_arr = F.array(*[F.lit(int(w)) for w in weights])
     grams = ngram_features(text_col, bigrams=bigrams)
@@ -189,12 +279,26 @@ def fit_classifier(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if n_buckets > MAX_PLAN_LITERAL_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds the plan-literal ceiling "
+            f"({MAX_PLAN_LITERAL_BUCKETS}): every iteration embeds "
+            "n_buckets literals into the margin expression and the job "
+            "degrades at plan-compile time, not run time. Above the "
+            "ceiling use a broadcast-join weight table instead (the "
+            "documented trade at score_documents)."
+        )
     from pyspark import StorageLevel
 
     grams = ngram_features(text_col, bigrams=bigrams)
     b = (
         df.select(
             F.col(label_col).cast("int").alias("__y"),
+            # validated on the RAW value: cast('int') truncates, so a
+            # fractional label (0.9 — a score column passed as the
+            # label) would otherwise become a legal 0 and silently
+            # train on corrupted labels
+            F.col(label_col).cast("double").isin(0.0, 1.0).alias("__y_ok"),
             F.transform(
                 grams,
                 lambda g: hash_bucket(g, n_buckets, seed, hasher).cast(
@@ -211,16 +315,16 @@ def fit_classifier(
         if n_docs == 0:
             raise ValueError("no documents with features to fit on")
         # logistic loss needs y ∈ {0, 1}: a stray label (NULL from a
-        # bad cast, a 5 from a score column) would silently poison
-        # every gradient — one cheap aggregate over the already-
-        # persisted frame fails loudly instead
+        # bad cast, a 5 from a score column, a fractional 0.9) would
+        # silently poison every gradient — one cheap aggregate over
+        # the already-persisted frame fails loudly instead
         bad = b.filter(
-            ~F.col("__y").isin(0, 1) | F.col("__y").isNull()
+            ~F.col("__y_ok") | F.col("__y_ok").isNull()
         ).count()
         if bad:
             raise ValueError(
                 f"{label_col} must be 0/1 (binary labels): "
-                f"{bad} rows are NULL or outside {{0, 1}}"
+                f"{bad} rows are NULL, fractional, or outside {{0, 1}}"
             )
         w = list(init) if init is not None else [0] * n_buckets
         if len(w) != n_buckets:
@@ -259,6 +363,43 @@ def fit_classifier(
         return w
     finally:
         b.unpersist()
+
+
+def fit_classifier_model(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+    seed: int = 7,
+    bigrams: bool = True,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    hasher: str = "md5",
+    init: list[int] | None = None,
+) -> ClassifierModel:
+    """:func:`fit_classifier`, returning the weights BUNDLED with the
+    bucket-space parameters they were trained in as one
+    :class:`ClassifierModel` artifact. Prefer this for anything that
+    crosses a boundary (streaming ingest, persisted artifacts): scoring
+    a model validates the space instead of trusting call-site defaults.
+    """
+    w = fit_classifier(
+        df,
+        text_col,
+        label_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        bigrams=bigrams,
+        iters=iters,
+        lr=lr,
+        l2=l2,
+        hasher=hasher,
+        init=init,
+    )
+    return ClassifierModel(
+        weights=tuple(w), hasher=hasher, seed=seed, bigrams=bigrams
+    )
 
 
 def confusion_counts(

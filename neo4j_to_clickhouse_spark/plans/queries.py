@@ -9887,10 +9887,13 @@ _BPE_MICRO_MERGES = [("t", "h"), ("th", "e"), ("s", "t")]
     # id level: token counts certify the (t,h)/(th,e)/(s,t) merge
     # loop, the id_sum certifies the vocabulary mapping (each merge's
     # id delta is closed-form). occ() via non-overlapping replace().
-    """WITH w AS (SELECT doc_id, source,
-                         unnest(string_split(text, ' ')) AS w
+    # whitespace-run split (engine side is str.split()) and a LEFT
+    # JOIN back to documents so degenerate docs (empty / whitespace-
+    # only text -> 0 tokens) count on both sides (ADVICE r13)
+    """WITH w AS (SELECT doc_id,
+                         unnest(string_split_regex(text, '\\s+')) AS w
                   FROM documents),
-       o AS (SELECT doc_id, source, length(w) AS n,
+       o AS (SELECT doc_id, length(w) AS n,
                     (length(w) - length(replace(w, 'th', ''))) / 2
                       AS occ_th,
                     (length(w) - length(replace(w, 'the', ''))) / 3
@@ -9902,11 +9905,16 @@ _BPE_MICRO_MERGES = [("t", "h"), ("th", "e"), ("s", "t")]
                       regexp_extract_all(w, '.'),
                       c -> ascii(c) - 97)) AS char_sum
              FROM w WHERE length(w) > 0),
-       per_doc AS (SELECT doc_id, source,
-                          sum(n - occ_th - occ_the - occ_st) AS n_tok,
-                          sum(char_sum - 3 * occ_the - 9 * occ_st)
-                            AS id_sum
-                   FROM o GROUP BY doc_id, source)
+       nonempty AS (SELECT doc_id,
+                           sum(n - occ_th - occ_the - occ_st) AS n_tok,
+                           sum(char_sum - 3 * occ_the - 9 * occ_st)
+                             AS id_sum
+                    FROM o GROUP BY doc_id),
+       per_doc AS (SELECT d.doc_id, d.source,
+                          coalesce(p.n_tok, 0) AS n_tok,
+                          coalesce(p.id_sum, 0) AS id_sum
+                   FROM documents d
+                   LEFT JOIN nonempty p ON d.doc_id = p.doc_id)
        SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,

@@ -82,8 +82,8 @@ def corpus_documents(
     rules: DataFrame,
     agent: str = "*",
     enrich: bool = False,
-    classifier_weights: list[int] | None = None,
-    classifier_hasher: str = "xxhash64",
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -97,10 +97,14 @@ def corpus_documents(
     (``classifier_score`` — plan-literal weights, zero shuffle): the
     DCLM/FineWeb-Edu quality filter running INSIDE the ingest stream,
     so downstream selection never re-reads the corpus.
-    ``classifier_hasher`` MUST name the bucket space the weights were
-    TRAINED in (fit_classifier's ``hasher``): md5-trained weights
-    scored through xxhash64 buckets (or vice versa) produce silently
-    meaningless scores — the default is the xxhash64 production path."""
+    The bucket space must be the one the weights were TRAINED in:
+    md5-trained weights scored through xxhash64 buckets (or vice
+    versa) produce silently meaningless scores. Pass a
+    ``ClassifierModel`` (``fit_classifier_model``'s artifact) and the
+    trained (hasher, seed, bigrams) travel with the weights; with a
+    bare weight list ``classifier_hasher`` is REQUIRED (there is no
+    default to silently mismatch) and the legacy seed=7/bigrams=True
+    apply."""
     recs = warc_records(files)
     resp = recs.where(
         (F.col("warc_type") == "response")
@@ -144,15 +148,40 @@ def corpus_documents(
             .withColumn("n_tokens", token_count("text"))
         )
     if classifier_weights is not None:
-        from ..operators.classifier import score_documents
+        from ..operators.classifier import ClassifierModel, score_documents
 
-        docs = score_documents(
-            docs,
-            "text",
-            classifier_weights,
-            out_col="classifier_score",
-            hasher=classifier_hasher,
-        )
+        if isinstance(classifier_weights, ClassifierModel):
+            if (
+                classifier_hasher is not None
+                and classifier_hasher != classifier_weights.hasher
+            ):
+                raise ValueError(
+                    f"classifier_hasher={classifier_hasher!r} conflicts "
+                    "with the ClassifierModel's trained hasher="
+                    f"{classifier_weights.hasher!r} — drop the argument, "
+                    "the model carries its own bucket space"
+                )
+            docs = score_documents(
+                docs,
+                "text",
+                classifier_weights,
+                out_col="classifier_score",
+            )
+        else:
+            if classifier_hasher is None:
+                raise ValueError(
+                    "bare classifier_weights needs an explicit "
+                    "classifier_hasher naming the bucket space the "
+                    "weights were trained in (fit_classifier's hasher) "
+                    "— or pass a ClassifierModel, which carries it"
+                )
+            docs = score_documents(
+                docs,
+                "text",
+                classifier_weights,
+                out_col="classifier_score",
+                hasher=classifier_hasher,
+            )
     quarantine = quar.select(
         "file",
         "record_id",
@@ -297,8 +326,8 @@ def start_corpus_stream(
     coalesce_output: int | None = None,
     query_name: str = "corpus_ingest",
     enrich: bool = False,
-    classifier_weights: list[int] | None = None,
-    classifier_hasher: str = "xxhash64",
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
@@ -574,8 +603,8 @@ def start_corpus_neardup_stream(
     threshold: float = 0.5,
     in_batch: bool = False,
     compact_every: int | None = None,
-    classifier_weights: list[int] | None = None,
-    classifier_hasher: str = "xxhash64",
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then

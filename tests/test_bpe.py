@@ -110,6 +110,48 @@ def test_spark_encoder_null_and_unknown(spark):
     assert rows[1] is None
 
 
+def test_token_count_stats_oracle_counts_degenerate_docs(spark, tmp_path):
+    """The certified bpe_token_count_stats oracle and the engine agree
+    on a fixture CONTAINING degenerate documents (ADVICE r13): empty
+    and whitespace-only text counts as a 0-token doc on BOTH sides,
+    and tab/newline word separators split identically."""
+    import duckdb
+
+    from neo4j_to_clickhouse_spark.plans import QUERIES
+
+    rows = [
+        (0, "a", "the cat sat"),
+        (1, "a", ""),  # empty -> 0 tokens, must still count
+        (2, "a", "   "),  # whitespace-only -> 0 tokens
+        (3, "b", "st\tthe\nsth"),  # non-space separators
+        (4, "b", "this"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    spec = QUERIES["bpe_token_count_stats"]
+    got = {
+        r["source"]: (
+            r["n_docs"], r["bpe_tokens"], r["id_sum"],
+            r["min_doc_tokens"], r["max_doc_tokens"],
+        )
+        for r in spec.spark(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; the driver's fixture is a file
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[1:]) for r in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
+    # the degenerate docs are actually in play: source 'a' has 3 docs,
+    # min 0 tokens
+    assert got["a"][0] == 3 and got["a"][3] == 0
+
+
 def test_token_count_column_and_packing_threading(spark):
     from neo4j_to_clickhouse_spark.operators.text import pack_sequences
 

@@ -186,6 +186,59 @@ def test_fit_input_validation(spark):
         fit_classifier(ok, "text", "y", n_buckets=8, init=[0] * 4)
     with pytest.raises(ValueError, match="iters"):
         fit_classifier(ok, "text", "y", n_buckets=8, iters=0)
+    # fractional labels are caught PRE-cast (ADVICE r13): 0.9 would
+    # truncate to a legal 0 under cast('int') — the "score column
+    # passed as label" case the check exists for
+    frac = spark.createDataFrame(
+        [("a b", 1.0), ("c d", 0.9)], "text string, y double"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        fit_classifier(frac, "text", "y", n_buckets=8, iters=1)
+    # plan-literal bucket ceiling fails at call time, not at the
+    # plan-compile cliff (ADVICE r13)
+    with pytest.raises(ValueError, match="plan-literal ceiling"):
+        fit_classifier(ok, "text", "y", n_buckets=100_001, iters=1)
+
+
+def test_fit_classifier_model_artifact(spark):
+    """fit_classifier_model bundles the bucket space with the weights;
+    scoring through the model equals scoring through the raw vector
+    with matching parameters, a conflicting explicit parameter raises,
+    and the JSON round-trip is exact."""
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        fit_classifier_model,
+    )
+
+    df = spark.createDataFrame(
+        [("good fine text", 1), ("junk junk junk", 0)] * 4,
+        "text string, y int",
+    )
+    model = fit_classifier_model(
+        df, "text", "y", n_buckets=16, seed=3, bigrams=False, iters=4,
+        hasher="xxhash64",
+    )
+    assert model.n_buckets == 16
+    raw = fit_classifier(
+        df, "text", "y", n_buckets=16, seed=3, bigrams=False, iters=4,
+        hasher="xxhash64",
+    )
+    assert list(model.weights) == raw
+    via_model = score_documents(df, "text", model).collect()
+    via_raw = score_documents(
+        df, "text", raw, seed=3, bigrams=False, hasher="xxhash64"
+    ).collect()
+    assert via_model == via_raw
+    with pytest.raises(ValueError, match="conflicts"):
+        score_documents(df, "text", model, seed=7)
+    with pytest.raises(ValueError, match="conflicts"):
+        score_documents(df, "text", model, hasher="md5")
+    # matching explicit args are accepted
+    score_documents(df, "text", model, seed=3, bigrams=False)
+    rt = ClassifierModel.from_json(model.to_json())
+    assert rt == model
+    with pytest.raises(ValueError, match="unknown hasher"):
+        ClassifierModel(weights=(0,), hasher="sha1")
 
 
 def test_confusion_counts_by_group(spark):

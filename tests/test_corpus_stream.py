@@ -379,8 +379,10 @@ def _neardup_phase2(drop):
 def test_stream_scores_documents_with_trained_classifier(spark, tmp_path):
     """classifier_weights threads a trained model into the ingest
     stream: every stored document carries classifier_score, equal to
-    batch score_documents on the same weights."""
+    batch score_documents on the same ClassifierModel — the artifact
+    carries its own (hasher, seed, bigrams), so no call-site hasher."""
     from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
         score_documents,
         weight_table,
     )
@@ -390,7 +392,9 @@ def test_stream_scores_documents_with_trained_classifier(spark, tmp_path):
 
     drop = _warc_files(tmp_path, 2)
     rules = _rules(spark, 2)
-    w = weight_table(64)
+    model = ClassifierModel(
+        weights=tuple(weight_table(64)), hasher="xxhash64"
+    )
     drain(
         start_corpus_stream(
             read_warc_file_stream(spark, str(drop)),
@@ -399,7 +403,7 @@ def test_stream_scores_documents_with_trained_classifier(spark, tmp_path):
             quarantine_path=str(tmp_path / "quar"),
             checkpoint_path=str(tmp_path / "ckpt"),
             coalesce_output=1,
-            classifier_weights=w,
+            classifier_weights=model,
         )
     )
     got = spark.read.parquet(str(tmp_path / "docs"))
@@ -409,14 +413,49 @@ def test_stream_scores_documents_with_trained_classifier(spark, tmp_path):
         for r in score_documents(
             got.drop("classifier_score"),
             "text",
-            w,
+            model,
             out_col="classifier_score",
-            hasher="xxhash64",
         ).collect()
     }
     for r in got.collect():
         assert r["classifier_score"] == want[r["canonical"]]
     assert any(v != 0.0 for v in want.values())
+
+
+def test_classifier_bucket_space_is_explicit(spark, tmp_path):
+    """The train->score hash-space boundary fails loudly instead of
+    silently mis-scoring (ADVICE r13): a bare weight list demands an
+    explicit classifier_hasher, and a ClassifierModel rejects a
+    conflicting one."""
+    import pytest
+
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        weight_table,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        corpus_documents,
+    )
+
+    drop = _warc_files(tmp_path, 1)
+    rules = _rules(spark, 1)
+    files = spark.read.format("binaryFile").load(str(drop))
+    w = weight_table(16)
+    with pytest.raises(ValueError, match="explicit\\s+classifier_hasher"):
+        corpus_documents(files, rules, classifier_weights=w)
+    model = ClassifierModel(weights=tuple(w), hasher="md5")
+    with pytest.raises(ValueError, match="conflicts"):
+        corpus_documents(
+            files,
+            rules,
+            classifier_weights=model,
+            classifier_hasher="xxhash64",
+        )
+    # matching explicit hasher is accepted (harmless redundancy)
+    docs, _ = corpus_documents(
+        files, rules, classifier_weights=model, classifier_hasher="md5"
+    )
+    assert "classifier_score" in docs.columns
 
 
 def test_neardup_stream_drops_cross_batch_clones(spark, tmp_path):

@@ -25,7 +25,7 @@ from neo4j_to_clickhouse_spark.operators.bpe import (
     learn_bpe,
 )
 from neo4j_to_clickhouse_spark.operators.classifier import (
-    fit_classifier,
+    fit_classifier_model,
     select_top_fraction,
 )
 from neo4j_to_clickhouse_spark.operators.text import pack_token_sequences
@@ -70,7 +70,7 @@ def test_crawl_to_training_shards(spark, tmp_path):
     labeled = spark.createDataFrame(
         [(GOOD, 1), (JUNK, 0)] * 10, "text string, y int"
     )
-    weights = fit_classifier(
+    weights = fit_classifier_model(
         labeled, "text", "y", n_buckets=64, iters=12, lr=4.0,
         hasher="xxhash64",
     )
