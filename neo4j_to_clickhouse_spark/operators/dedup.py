@@ -207,9 +207,31 @@ def dedup_incremental(
     in-batch window dedup over batch-sized data only.
     """
     hashed = new_df.withColumn("__content_hash", content_hash(text_col))
-    store = seen_hashes.select(
-        F.col(seen_hashes.columns[0]).alias("__content_hash")
-    )
+    # same bind contract as the LSH store halves (_bind_store_half,
+    # VERDICT r13 item 5): by NAME when the expected column is present,
+    # positionally only for an exactly-one-column frame — extra columns
+    # (a forgotten batch stamp, a whole survivors frame) fail loudly
+    # instead of silently anti-joining on whatever sits first.
+    cols = seen_hashes.columns
+    if "content_hash" in cols or "__content_hash" in cols:
+        key = "content_hash" if "content_hash" in cols else "__content_hash"
+        if len(cols) != 1:
+            extra = [c for c in cols if c != key]
+            raise ValueError(
+                f"seen_hashes has unexpected columns {extra}: expected "
+                f"exactly ({key!r},) — select the hash column only "
+                "before probing"
+            )
+        store = seen_hashes.select(F.col(key).alias("__content_hash"))
+    elif len(cols) == 1:
+        store = seen_hashes.select(
+            F.col(cols[0]).alias("__content_hash")
+        )
+    else:
+        raise ValueError(
+            f"seen_hashes columns {cols} are not bindable to a single "
+            "content-hash column: pass the one store column only"
+        )
     fresh = hashed.join(store, "__content_hash", "left_anti")
     w = Window.partitionBy("__content_hash").orderBy(F.col(id_col))
     return (
