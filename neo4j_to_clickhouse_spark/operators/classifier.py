@@ -426,6 +426,61 @@ def confusion_counts(
     return df.agg(*aggs)
 
 
+def calibrate_threshold(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    round_decimals: int | None = 6,
+) -> float | None:
+    """The top-``fraction`` score threshold as ONE driver-side float —
+    the calibrate-then-broadcast half of online selection (VERDICT r13
+    item 6): :func:`select_top_fraction` is batch-global (it must rank
+    the boundary ties), so a STREAM cannot gate documents with it. The
+    production pattern is: calibrate the threshold on a batch sample
+    once, then pass the literal to the ingest stream
+    (``start_corpus_stream(score_threshold=...)``), which keeps
+    ``score >= t`` inside the scan — zero state, zero shuffle, and the
+    threshold is a plan literal exactly like the weight vector.
+
+    Same bounded-histogram plan as :func:`select_top_fraction` (one
+    tiny aggregate, no global sort), same rounding contract. Returns
+    the boundary score ``t``: filtering ``score >= t`` keeps the top
+    ``ceil(fraction * n)`` rows PLUS any ties at ``t`` beyond the
+    residue — at corpus scale the tie overshoot is noise, and exact-k
+    semantics remain the batch ranker's job. Returns ``None`` when the
+    threshold group is the NULL-score group (``k`` exceeds the
+    non-null count): gate with "keep everything" in that regime.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    s = F.round(F.col(score_col).cast("double"), round_decimals) if (
+        round_decimals is not None
+    ) else F.col(score_col)
+    hist = df.groupBy(s.alias("__s")).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(F.col("__s").desc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "__s", "__n", F.sum("__n").over(w).alias("__cum")
+    )
+    total = cum.agg(F.sum("__n").alias("__total"))
+    rows = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
+        )
+        .filter(
+            (F.col("__cum") >= F.col("__k"))
+            & (F.col("__cum") - F.col("__n") < F.col("__k"))
+        )
+        .select("__s")
+        .collect()
+    )
+    if not rows:
+        return None  # empty input
+    return rows[0]["__s"]
+
+
 def select_top_fraction(
     df: DataFrame,
     score_col: str,

@@ -84,6 +84,7 @@ def corpus_documents(
     enrich: bool = False,
     classifier_weights=None,
     classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -182,6 +183,19 @@ def corpus_documents(
                 out_col="classifier_score",
                 hasher=classifier_hasher,
             )
+    if score_threshold is not None:
+        if classifier_weights is None:
+            raise ValueError(
+                "score_threshold requires classifier_weights: the gate "
+                "filters on the in-scan classifier_score column"
+            )
+        # the calibrate-then-broadcast online gate (VERDICT r13 item
+        # 6): the threshold is a plan literal from
+        # operators/classifier.calibrate_threshold — keep >= t inside
+        # the same scan that scored, zero extra state or shuffle
+        docs = docs.filter(
+            F.col("classifier_score") >= F.lit(float(score_threshold))
+        )
     quarantine = quar.select(
         "file",
         "record_id",
@@ -249,12 +263,18 @@ def _start_multi_ingest(
     checkpoint_path: str,
     processing_time: str | None,
     query_name: str,
+    post_batch=None,
 ) -> StreamingQuery:
     """Checkpointed foreachBatch sink over
-    ``outputs_fn(batch_df, batch_id) -> [(frame, root), ...]``."""
+    ``outputs_fn(batch_df, batch_id) -> [(frame, root), ...]``.
+    ``post_batch(spark, batch_id)`` runs after the promote, inside the
+    foreachBatch body (sequential on the driver) — the in-stream
+    maintenance hook."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _stage_outputs(outputs_fn(batch_df, batch_id), batch_id, query_name)
+        if post_batch is not None:
+            post_batch(batch_df.sparkSession, batch_id)
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name
@@ -270,10 +290,14 @@ def _start_file_ingest(
     processing_time: str | None,
     coalesce_output: int | None,
     query_name: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """The shared checkpointed idempotent sink: per micro-batch,
     ``transform(batch) -> (docs, quarantine)``, both staged and
-    promoted under deterministic batch-tagged names."""
+    promoted under deterministic batch-tagged names.
+    ``compact_every=k`` folds both lanes' accumulated batch files every
+    k micro-batches (:func:`compact_documents_table` — never the
+    newest batch, so replays stay idempotent)."""
 
     def outputs(batch_df: DataFrame, batch_id: int):
         docs, quar = transform(batch_df)
@@ -282,8 +306,21 @@ def _start_file_ingest(
             quar = quar.coalesce(1)
         return ((docs, table_path), (quar, quarantine_path))
 
+    post = None
+    if compact_every:
+
+        def post(spark, batch_id: int) -> None:
+            if batch_id > 0 and batch_id % compact_every == 0:
+                compact_documents_table(spark, table_path)
+                compact_documents_table(spark, quarantine_path)
+
     return _start_multi_ingest(
-        files_stream, outputs, checkpoint_path, processing_time, query_name
+        files_stream,
+        outputs,
+        checkpoint_path,
+        processing_time,
+        query_name,
+        post_batch=post,
     )
 
 
@@ -295,6 +332,7 @@ def start_wet_stream(
     processing_time: str | None = None,
     coalesce_output: int | None = None,
     query_name: str = "wet_ingest",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """WET drops -> documents table, continuously: conversion records
     strictly UTF-8 decoded (quarantine lane for broken bodies) through
@@ -312,6 +350,7 @@ def start_wet_stream(
         processing_time,
         coalesce_output,
         query_name,
+        compact_every=compact_every,
     )
 
 
@@ -328,13 +367,17 @@ def start_corpus_stream(
     enrich: bool = False,
     classifier_weights=None,
     classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
     ``processing_time=None`` the query drains available files and
     stops (``availableNow``) — the test/backfill mode.
     ``classifier_weights`` scores every document in-stream (see
-    :func:`corpus_documents`)."""
+    :func:`corpus_documents`); ``compact_every=k`` folds the document
+    and quarantine lanes' batch files every k micro-batches
+    (:func:`compact_documents_table`)."""
     return _start_file_ingest(
         files_stream,
         lambda batch: corpus_documents(
@@ -344,6 +387,7 @@ def start_corpus_stream(
             enrich=enrich,
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
+            score_threshold=score_threshold,
         ),
         table_path,
         quarantine_path,
@@ -351,6 +395,7 @@ def start_corpus_stream(
         processing_time,
         coalesce_output,
         query_name,
+        compact_every=compact_every,
     )
 
 
@@ -392,24 +437,29 @@ _COMPACT_ASIDE = ".compact_old"
 _COMPACT_STAGING = ".compact_staging"
 # {batch_id:09d} zero-pads to AT LEAST 9 digits — the pattern must
 # accept longer ids or a >1e9-batch stream's files silently never fold
-_BATCH_FILE_RE = r"^batch-(?:[A-Za-z0-9_\-]+~)?(\d{9,})-\d+\.parquet$"
+_BATCH_FILE_RE = r"^batch-(?:([A-Za-z0-9_\-]+)~)?(\d{9,})-\d+\.parquet$"
 _COMPACTED_FILE_RE = r"^compacted-(\d{9,})-\d+\.parquet$"
 
 
-def _half_files(path: str) -> tuple[dict[str, int], dict[str, int]]:
-    """(batch_files, compacted_files) in a store half: name -> stamp
-    (batch id for stream appends, generation for consolidated files)."""
+def _half_files(
+    path: str,
+) -> tuple[dict[str, tuple[str, int]], dict[str, int]]:
+    """(batch_files, compacted_files) in a batch-file dir: batch file
+    name -> (query tag, batch id); compacted name -> generation.
+    The tag matters when two queries share a destination (their batch-id
+    sequences advance independently): replay protection must keep each
+    TAG's newest batch, not just the globally newest id."""
     import os
     import re
 
-    batches: dict[str, int] = {}
+    batches: dict[str, tuple[str, int]] = {}
     compacted: dict[str, int] = {}
     if not os.path.isdir(path):
         return batches, compacted
     for name in os.listdir(path):
         m = re.match(_BATCH_FILE_RE, name)
         if m:
-            batches[name] = int(m.group(1))
+            batches[name] = (m.group(1) or "", int(m.group(2)))
             continue
         m = re.match(_COMPACTED_FILE_RE, name)
         if m:
@@ -477,28 +527,44 @@ def recover_lsh_store(store_path: str) -> list[str]:
     ]
 
 
-def _compact_lsh_half(
+def _compact_batch_dir(
     spark: SparkSession,
     path: str,
-    key_col: str,
+    key_col: str | None,
     upto_batch: int | None,
     drop_ids: DataFrame | None,
     target_files: int,
+    join_col: str = "id",
 ) -> dict:
+    """Fold a dir of ``batch-[<query>~]<id>-<i>.parquet`` appends (plus
+    any previous ``compacted-*`` generations) into ``target_files``
+    consolidated files, crash-recoverably — the shared engine behind
+    :func:`compact_lsh_store` (store halves) and
+    :func:`compact_documents_table` (document/quarantine lanes).
+    ``key_col`` clusters the output (None = plain repartition);
+    ``drop_ids`` anti-joins retired ids out on ``join_col``."""
     import json
     import os
     import shutil
 
     _recover_lsh_half(path)
     batches, compacted = _half_files(path)
-    max_batch = max(batches.values(), default=None)
     if upto_batch is None:
-        # never fold the newest batch present: a crashed-before-commit
-        # attempt of it will replay and must find its own batch-* files
-        upto = max_batch if max_batch is not None else 0
+        # never fold any query tag's newest batch present: a crashed-
+        # before-commit attempt of it will replay and must find (and
+        # replace) its own batch-* files
+        newest = {}
+        for name, (tag, b) in batches.items():
+            newest[tag] = max(newest.get(tag, -1), b)
+        fold = {
+            n for n, (tag, b) in batches.items() if b < newest[tag]
+        } | set(compacted)
+        upto = max([0, *(b for _, b in batches.values())])
     else:
+        fold = {
+            n for n, (_, b) in batches.items() if b < upto_batch
+        } | set(compacted)
         upto = upto_batch
-    fold = {n for n, b in batches.items() if b < upto} | set(compacted)
     fresh = len(fold) - len(compacted)  # batch files newly folded
     if not fold or (drop_ids is None and (fresh == 0 or len(fold) < 2)):
         return {"folded": 0, "files": len(batches) + len(compacted)}
@@ -511,17 +577,22 @@ def _compact_lsh_half(
                 f"ids, got columns {drop_ids.columns}"
             )
         df = df.join(
-            drop_ids.select(F.col(drop_ids.columns[0]).alias("id")),
-            "id",
+            drop_ids.select(
+                F.col(drop_ids.columns[0]).alias(join_col)
+            ),
+            join_col,
             "left_anti",
         )
     staging = os.path.join(path, _COMPACT_STAGING)
     shutil.rmtree(staging, ignore_errors=True)
     # consolidated files clustered by the probe's join key: incremental
     # probes of a compacted store co-locate on the bucket/digest hash
-    df.repartition(target_files, F.col(key_col)).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    out = (
+        df.repartition(target_files, F.col(key_col))
+        if key_col is not None
+        else df.repartition(target_files)
+    )
+    out.write.mode("overwrite").parquet(staging)
     staged = sorted(
         n for n in os.listdir(staging) if n.startswith("part-")
     )
@@ -579,10 +650,78 @@ def compact_lsh_store(
         if not os.path.isdir(hpath):
             out[half] = {"folded": 0, "files": 0}
             continue
-        out[half] = _compact_lsh_half(
+        out[half] = _compact_batch_dir(
             spark, hpath, key, upto_batch, drop_ids, target_files
         )
     return out
+
+
+def recover_documents_table(table_path: str) -> bool:
+    """Finish (or roll back) a documents/quarantine-table compaction
+    swap a crash interrupted; returns whether anything needed recovery.
+    Same marker/aside protocol (and recovery routine) as the LSH store
+    halves — run before reading a table a compactor may have died on."""
+    return _recover_lsh_half(table_path)
+
+
+def compact_documents_table(
+    spark: SparkSession,
+    table_path: str,
+    upto_batch: int | None = None,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "record_id",
+    cluster_col: str | None = None,
+    target_files: int = 1,
+) -> dict:
+    """Fold the corpus sink's per-micro-batch document (or quarantine)
+    parquet appends into ``target_files`` consolidated files,
+    crash-recoverably — VERDICT r13 item 4: the ingest lanes accrete
+    >=1 file per micro-batch (~86k files/day/stream at a 1 s trigger),
+    the same hazard :func:`compact_lsh_store` closed for the store
+    halves, with the same marker/aside swap protocol and the same
+    replay contract (each query tag's newest batch present is never
+    folded, so a crashed-before-commit batch still replaces its own
+    ``batch-<query>~<id>-<i>`` files by name on replay; pass
+    ``upto_batch`` past the newest only when the stream is cleanly
+    stopped).
+
+    ``drop_ids`` (single-column frame) is the M3 retention lane for the
+    DOCUMENTS side: ids retired from the corpus are anti-joined out of
+    the folded rows on ``id_col`` — pair it with
+    ``compact_lsh_store(drop_ids=...)`` so the near-dup store retires
+    the same documents. ``cluster_col`` optionally clusters the
+    consolidated files (e.g. ``host`` for per-site locality); default
+    is a plain repartition.
+
+    Flat tables only (the corpus/WET sinks write unpartitioned):
+    partition-dir layouts (``event_month=*``) are the province of
+    ``operators/maintenance.compact``, and mixing the two would fold
+    only the root files — rejected loudly instead.
+    """
+    import os
+
+    if os.path.isdir(table_path):
+        parts = [
+            e
+            for e in os.listdir(table_path)
+            if "=" in e and os.path.isdir(os.path.join(table_path, e))
+        ]
+        if parts:
+            raise ValueError(
+                f"{table_path} is hive-partitioned ({parts[:3]}...): "
+                "use operators/maintenance.compact for partitioned "
+                "event tables; compact_documents_table folds flat "
+                "streaming-sink layouts only"
+            )
+    return _compact_batch_dir(
+        spark,
+        table_path,
+        cluster_col,
+        upto_batch,
+        drop_ids,
+        target_files,
+        join_col=id_col,
+    )
 
 
 def start_corpus_neardup_stream(
@@ -605,6 +744,7 @@ def start_corpus_neardup_stream(
     compact_every: int | None = None,
     classifier_weights=None,
     classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -735,6 +875,7 @@ def start_corpus_neardup_stream(
             enrich=enrich,
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
+            score_threshold=score_threshold,
         )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
         if in_batch:
@@ -799,6 +940,11 @@ def start_corpus_neardup_stream(
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_lsh_store(spark, store_path)
+            # the document/quarantine lanes accrete exactly the same
+            # way (one file per micro-batch) — fold them on the same
+            # cadence, same never-the-newest-batch replay contract
+            compact_documents_table(spark, table_path)
+            compact_documents_table(spark, quarantine_path)
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name
