@@ -9037,6 +9037,58 @@ def classifier_topp_selection_stats(spark, sf_dir):
 
 
 @q(
+    "threshold_selection_stats",
+    # Certifies the calibrate-then-broadcast ONLINE selection gate
+    # (operators/classifier.py::calibrate_threshold — VERDICT r13 item
+    # 6): the engine computes the top-25% score threshold from the
+    # bounded histogram as ONE driver float, then filters score >= t
+    # (the exact plan the ingest stream runs with score_threshold=t).
+    # The oracle restates the same histogram/threshold algebra in SQL:
+    # t = the score where the descending cumulative count first
+    # reaches k = ceil(0.25 * n). Unlike the exact-k batch ranker
+    # (classifier_topp_selection_stats), the gate keeps ALL ties at t.
+    f"""WITH {_CLS_SCORED_CTE},
+       hist AS (SELECT score, count(*) AS n FROM scored GROUP BY score),
+       cum AS (SELECT score, n,
+                      sum(n) OVER (ORDER BY score DESC) AS c
+               FROM hist),
+       kk AS (SELECT ceil(0.25 * count(*)) AS k FROM scored),
+       thresh AS (SELECT score AS t FROM cum, kk
+                  WHERE c >= kk.k AND c - n < kk.k),
+       sel AS (SELECT * FROM scored
+               WHERE score >= (SELECT t FROM thresh))
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              min(score) + 0 AS min_kept_score,
+              CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       FROM sel GROUP BY source ORDER BY source""",
+    "online top-fraction gate: histogram-calibrated threshold "
+    "broadcast as a plan literal, score >= t inside the scan — the "
+    "streaming form of DCLM selection (ties at t all kept)",
+)
+def threshold_selection_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        calibrate_threshold,
+        score_documents,
+    )
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
+    )
+    t = calibrate_threshold(scored, "score", 0.25)
+    sel = scored.filter(F.col("score") >= F.lit(t))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.min("score") + F.lit(0.0)).alias("min_kept_score"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "cdx_fetch_plan_stats",
     # Certifies the CDX(J) crawl-index source (sources/cdx.py):
     # Common Crawl's per-capture index lines are planted from doc_id
@@ -9987,6 +10039,7 @@ _WINDOW_ROUND = 14
 _DRIVER_WINDOW = [
     "bpe_learned_merges",  # last green: r00
     "classifier_training_report",  # last green: r00
+    "threshold_selection_stats",  # last green: r00
     "asof_user_state",  # last green: r10
     "asof_user_state_bucketed",  # last green: r10
     "chunking_stats",  # last green: r10
@@ -10034,10 +10087,10 @@ _DRIVER_WINDOW = [
     "sorted_regions",  # last green: r10
     "token_count_extremes",  # last green: r10
     "value_histogram",  # last green: r10
-    "window_funnel_steps",  # last green: r10
 ]
 
 _ROTATION = [
+    "window_funnel_steps",  # r10
     "active_time_union_seconds",  # r11
     "approx_percentile_bound",  # r11
     "approx_percentile_bound_cert",  # r11

@@ -749,3 +749,76 @@ def test_neardup_stream_rejects_remote_store_uri(spark, tmp_path):
             "s3a://bucket/store",
             str(tmp_path / "ckpt"),
         )
+
+
+def test_stream_threshold_gate_matches_batch_selection(spark, tmp_path):
+    """VERDICT r13 item 6: calibrate the score threshold on a batch
+    sample, pass the literal to the ingest stream — the stream keeps
+    exactly the documents the batch-side `score >= t` filter keeps,
+    including after a checkpointed replay (restart drains nothing new,
+    table unchanged)."""
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        calibrate_threshold,
+        score_documents,
+        weight_table,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        corpus_documents,
+        start_corpus_stream,
+    )
+
+    drop = _warc_files(tmp_path, 3)
+    rules = _rules(spark, 3)
+    model = ClassifierModel(weights=tuple(weight_table(64)), hasher="md5")
+
+    # calibrate on the same fixture read as a BATCH (the production
+    # pattern: a historical sample)
+    files = spark.read.format("binaryFile").load(str(drop))
+    batch_docs, _ = corpus_documents(files, rules, classifier_weights=model)
+    t = calibrate_threshold(batch_docs, "classifier_score", 0.5)
+    assert t is not None
+    want = {
+        r["canonical"]
+        for r in batch_docs.filter(
+            F.col("classifier_score") >= F.lit(t)
+        ).collect()
+    }
+    assert want  # the gate keeps something
+    assert len(want) < batch_docs.count()  # ... and drops something
+
+    kw = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+        classifier_weights=model,
+        score_threshold=t,
+    )
+    drain(
+        start_corpus_stream(
+            read_warc_file_stream(spark, str(drop)), rules, **kw
+        )
+    )
+    got = {
+        r["canonical"]
+        for r in spark.read.parquet(str(tmp_path / "docs")).collect()
+    }
+    assert got == want
+    # replay: restart against the same checkpoint — nothing new drains,
+    # the kept set is unchanged (exactly-once)
+    drain(
+        start_corpus_stream(
+            read_warc_file_stream(spark, str(drop)), rules, **kw
+        )
+    )
+    got2 = {
+        r["canonical"]
+        for r in spark.read.parquet(str(tmp_path / "docs")).collect()
+    }
+    assert got2 == want
+    # threshold without weights fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="score_threshold requires"):
+        corpus_documents(files, rules, score_threshold=0.1)
