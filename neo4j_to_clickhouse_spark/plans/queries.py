@@ -10015,6 +10015,92 @@ def bpe_token_count_stats(spark, sf_dir):
     )
 
 
+@q(
+    "bpe_byte_level_stats",
+    # Certifies the byte-level GPT-2 encode lane (operators/bpe.py,
+    # VERDICT r13 item 3): pre-tokenize with the published GPT-2
+    # regex, map each pre-token's UTF-8 bytes through bytes_to_unicode
+    # (space -> 'Ġ'), then the merge chain (Ġ,t)/(Ġt,h)/(Ġth,e) over
+    # the 256-entry byte vocab. Closed form (derivation in
+    # tests/test_bpe.py; fixture is printable ASCII, single spaces, no
+    # apostrophes — asserted properties, so the RE2 split below equals
+    # the engine's lookahead pattern and every byte id is
+    # ascii(c)-33 except space=220; merge products Ġt=256, Ġth=257,
+    # Ġthe=258 give deltas -47/-70/-67):
+    #   n_tok(w)  = length(w) - [w ~ ' t%'] - [w ~ ' th%'] - [w ~ ' the%']
+    #   id_sum(w) = sum(byte ids) - 47[' t%'] - 70[' th%'] - 67[' the%']
+    """WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(text,
+                  ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS w
+              FROM documents),
+       o AS (SELECT doc_id, length(w)
+                    - CASE WHEN w LIKE ' t%' THEN 1 ELSE 0 END
+                    - CASE WHEN w LIKE ' th%' THEN 1 ELSE 0 END
+                    - CASE WHEN w LIKE ' the%' THEN 1 ELSE 0 END
+                      AS n_tok,
+                    list_sum(list_transform(regexp_extract_all(w, '.'),
+                      c -> CASE WHEN c = ' ' THEN 220
+                           ELSE ascii(c) - 33 END))
+                    - CASE WHEN w LIKE ' t%' THEN 47 ELSE 0 END
+                    - CASE WHEN w LIKE ' th%' THEN 70 ELSE 0 END
+                    - CASE WHEN w LIKE ' the%' THEN 67 ELSE 0 END
+                      AS id_sum
+             FROM w),
+       nonempty AS (SELECT doc_id, sum(n_tok) AS n_tok,
+                           sum(id_sum) AS id_sum
+                    FROM o GROUP BY doc_id),
+       per_doc AS (SELECT d.doc_id, d.source,
+                          coalesce(p.n_tok, 0) AS n_tok,
+                          coalesce(p.id_sum, 0) AS id_sum
+                   FROM documents d
+                   LEFT JOIN nonempty p ON d.doc_id = p.doc_id)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+              CAST(sum(id_sum) AS BIGINT) AS id_sum,
+              CAST(min(n_tok) AS BIGINT) AS min_doc_tokens,
+              CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+       FROM per_doc GROUP BY source ORDER BY source""",
+    "byte-level GPT-2 BPE encode: published pre-tokenizer + "
+    "bytes-to-unicode 'Ġ' convention + merge-rank loop over the byte "
+    "vocab, certified at token-count AND id-sum level",
+)
+def bpe_byte_level_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        byte_vocab,
+    )
+
+    merges = [("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e")]
+    enc = bpe_encode(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "text",
+        merges,
+        byte_vocab(merges),
+        pretokenize="gpt2",
+    )
+    per_doc = enc.select(
+        "source",
+        F.size("token_ids").alias("n_tok"),
+        F.aggregate(
+            "token_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.sum("id_sum").alias("id_sum"),
+            F.min("n_tok").alias("min_doc_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -10039,6 +10125,7 @@ _WINDOW_ROUND = 14
 _DRIVER_WINDOW = [
     "bpe_learned_merges",  # last green: r00
     "classifier_training_report",  # last green: r00
+    "bpe_byte_level_stats",  # last green: r00
     "threshold_selection_stats",  # last green: r00
     "asof_user_state",  # last green: r10
     "asof_user_state_bucketed",  # last green: r10
@@ -10086,10 +10173,10 @@ _DRIVER_WINDOW = [
     "sessionization",  # last green: r10
     "sorted_regions",  # last green: r10
     "token_count_extremes",  # last green: r10
-    "value_histogram",  # last green: r10
 ]
 
 _ROTATION = [
+    "value_histogram",  # r10
     "window_funnel_steps",  # r10
     "active_time_union_seconds",  # r11
     "approx_percentile_bound",  # r11

@@ -340,3 +340,158 @@ def test_budget_mixture_consumes_bpe_counts(spark):
     }
     assert rates["a"] == 0.5  # 80*0.5/80
     assert rates["b"] == 0.25
+
+
+# --- byte-level GPT-2 mode (VERDICT r13 item 3) -----------------------------
+
+
+def test_bytes_to_unicode_table():
+    """The public GPT-2 byte<->unicode table: 256 entries, bijective,
+    identity on printable latin-1, and the published remappings —
+    space -> 'Ġ' (U+0120), newline -> 'Ċ' (U+010A), tab -> 'ĉ'."""
+    from neo4j_to_clickhouse_spark.operators.bpe import bytes_to_unicode
+
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    for b in range(ord("!"), ord("~") + 1):
+        assert m[b] == chr(b)
+    assert m[ord(" ")] == "Ġ"  # Ġ
+    assert m[ord("\n")] == "Ċ"  # Ċ
+    assert m[ord("\t")] == "ĉ"  # ĉ
+    assert m[0] == "Ā"  # Ā: first remapped byte
+
+
+def test_gpt2_pretokenizer_published_examples():
+    """The released GPT-2 pre-tokenizer's split behavior, hand-derived
+    from the published pattern: contraction suffixes split off,
+    space prefixes attach to the next run, trailing-whitespace
+    lookahead keeps the last space with the following token."""
+    import re
+
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        _GPT2_PRETOKEN_RE,
+    )
+
+    pat = re.compile(_GPT2_PRETOKEN_RE)
+    assert pat.findall("Hello world!") == ["Hello", " world", "!"]
+    assert pat.findall("I'm can't") == ["I", "'m", " can", "'t"]
+    assert pat.findall("abc123 x9") == ["abc", "123", " x", "9"]
+    # double space: the lookahead splits the run so the last space
+    # attaches to 'b'
+    assert pat.findall("a  b") == ["a", " ", " b"]
+    assert pat.findall("a \nb") == ["a", " ", "\n", "b"]
+
+
+def test_gpt2_byte_level_encode_matches_hand_derivation(spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import byte_vocab
+
+    merges = [
+        ("Ġ", "t"),
+        ("Ġt", "h"),
+        ("Ġth", "e"),
+        ("l", "l"),
+        ("h", "e"),
+    ]
+    vocab = byte_vocab(merges)
+    # byte_vocab layout: 256 base chars then merge products
+    assert vocab["!"] == 0
+    # 256 base ids (0-255), then merge products in rank order
+    assert vocab["Ġt"] == 256
+    df = spark.createDataFrame(
+        [(0, "the llama"), (1, " the"), (2, "café")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["token_ids"]
+        for r in bpe_encode(
+            df, "text", merges, vocab, pretokenize="gpt2"
+        ).collect()
+    }
+    # "the" -> pieces t|he ((h,e) is the only applicable merge);
+    # " llama" -> Ġ|ll|a|m|a ((l,l) merges, nothing else applies)
+    assert rows[0] == [
+        vocab["t"], vocab["he"],
+        vocab["Ġ"], vocab["ll"], vocab["a"], vocab["m"], vocab["a"],
+    ]
+    # " the" -> Ġ+t -> Ġt+h -> Ġth+e: the full merge chain
+    assert rows[1] == [vocab["Ġthe"]]
+    # é is two UTF-8 bytes (0xC3 0xA9 -> 'Ã' '©'), both in the base
+    # vocab: byte-level never produces unk
+    assert rows[2] == [
+        vocab["c"], vocab["a"], vocab["f"], vocab["\xc3"], vocab["\xa9"]
+    ]
+    assert all(i >= 0 for ids in rows.values() for i in ids)
+
+
+def test_special_tokens_pass_through(spark):
+    from neo4j_to_clickhouse_spark.operators.bpe import byte_vocab
+
+    merges = [("h", "e")]
+    vocab = byte_vocab(merges)
+    eot = "<|endoftext|>"
+    df = spark.createDataFrame(
+        [(0, f"he{eot}he"), (1, eot), (2, "he")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["token_ids"]
+        for r in bpe_encode(
+            df,
+            "text",
+            merges,
+            vocab,
+            pretokenize="gpt2",
+            special_tokens={eot: 50256},
+        ).collect()
+    }
+    assert rows[2] == [vocab["he"]]
+    assert rows[0] == [vocab["he"], 50256, vocab["he"]]
+    assert rows[1] == [50256]
+
+
+def test_gpt2_learn_encode_decode_roundtrip(spark):
+    """learn_bpe(pretokenize='gpt2') learns byte-level merges from the
+    corpus; encoding with them + byte_vocab is fully reversible back to
+    the original text (ids -> pieces -> bytes -> utf-8) — the
+    end-to-end interop property published artifacts rely on."""
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        byte_vocab,
+        bytes_to_unicode,
+        learn_bpe,
+    )
+
+    texts = [
+        "the theme of the thesis",
+        "the llama ate the apple",
+        "numbers 123 and café too",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    merges = learn_bpe(df, "text", num_merges=12, pretokenize="gpt2")
+    assert merges, "learned nothing"
+    # every learned merge operates on byte-mapped strings (space
+    # appears only as Ġ)
+    assert all(" " not in a + b for a, b in merges)
+    vocab = byte_vocab(merges)
+    enc = bpe_encode(df, "text", merges, vocab, pretokenize="gpt2")
+    rev = {v: k for k, v in vocab.items()}
+    byte_of = {c: b for b, c in bytes_to_unicode().items()}
+    for r in enc.collect():
+        pieces = "".join(rev[i] for i in r["token_ids"])
+        decoded = bytes(byte_of[ch] for ch in pieces).decode("utf-8")
+        assert decoded == texts[r["id"]]
+
+
+def test_gpt2_artifact_roundtrip_preserves_byte_pieces(spark, tmp_path):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        byte_vocab,
+        load_bpe_artifacts,
+        save_bpe_artifacts,
+    )
+
+    merges = [("Ġ", "t"), ("Ġt", "h")]
+    vocab = byte_vocab(merges)
+    save_bpe_artifacts(merges, vocab, str(tmp_path / "model"))
+    m2, v2 = load_bpe_artifacts(str(tmp_path / "model"))
+    assert m2 == merges and v2 == vocab
