@@ -495,3 +495,59 @@ def test_gpt2_artifact_roundtrip_preserves_byte_pieces(spark, tmp_path):
     save_bpe_artifacts(merges, vocab, str(tmp_path / "model"))
     m2, v2 = load_bpe_artifacts(str(tmp_path / "model"))
     assert m2 == merges and v2 == vocab
+
+
+def _naive_learn(counts, num_merges):
+    """The original full-rescan Sennrich loop — kept here as the
+    semantics reference the incremental learner must equal."""
+    words = {}
+    for w, c in counts.items():
+        if len(w) >= 2:
+            key = tuple(w)
+            words[key] = words.get(key, 0) + int(c)
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for parts, c in words.items():
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        nxt = {}
+        for parts, c in words.items():
+            out, i = [], 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        words = nxt
+    return merges
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=300, deadline=None)
+def test_incremental_learner_equals_naive_rescan(counts, num_merges):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        learn_bpe_from_counts,
+    )
+
+    assert learn_bpe_from_counts(counts, num_merges) == _naive_learn(
+        counts, num_merges
+    )
