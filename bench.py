@@ -90,6 +90,13 @@ BENCH_QUERIES = [
     # table + per-batch word cache, the one new physical shape of the
     # round (training and compaction are multi-job, not bench rows)
     "bpe_token_count_stats",
+    # round-14: the byte-level GPT-2 encode (published pre-tokenizer
+    # regex + bytes-to-unicode map inside the Arrow batch — heavier
+    # per-row Python than the whitespace lane) and the online
+    # selection gate (score scan + bounded histogram + threshold
+    # filter — the calibrate-then-broadcast two-job shape)
+    "bpe_byte_level_stats",
+    "threshold_selection_stats",
 ]
 
 # Timed OUTSIDE the registry loop: maintenance compact() mutates its

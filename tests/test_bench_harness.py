@@ -46,9 +46,9 @@ def test_bm25_index_jobs_shape(spark):
     assert [j[0] for j in jobs] == ["bm25_indexed_query"]
     _, prepare, run_once = jobs[0]
     prepare()
-    n = run_once()
+    n = run_once(spark)
     assert n > 0
-    assert run_once() == n
+    assert run_once(spark) == n
 
 
 def test_minhash_probe_and_classifier_prod_jobs_execute(spark):
@@ -60,9 +60,9 @@ def test_minhash_probe_and_classifier_prod_jobs_execute(spark):
         jobs = maker(spark, "/root/testdata/sf0.001")
         for name, prepare, run_once in jobs:
             prepare()
-            n = run_once()
+            n = run_once(spark)
             assert n > 0, name
-            assert run_once() == n, name
+            assert run_once(spark) == n, name
 
 
 def test_maintenance_jobs_shape(spark, tmp_path):
@@ -73,8 +73,8 @@ def test_maintenance_jobs_shape(spark, tmp_path):
     assert [j[0] for j in jobs] == ["maintenance_compact"]
     name, prepare, run_once = jobs[0]
     prepare()
-    months = run_once()
+    months = run_once(spark)
     assert months > 0
     # a second prepare() restores a fresh copy: compact is repeatable
     prepare()
-    assert run_once() == months
+    assert run_once(spark) == months

@@ -361,6 +361,9 @@ def test_registry_wide_plan_lint(spark):
         # has no codegen expression form — one Arrow map with
         # broadcast merges + per-batch word cache (operators/bpe.py)
         "bpe_token_count_stats",
+        # r14: byte-level GPT-2 lane — same Arrow map, published
+        # pre-tokenizer + bytes-to-unicode inside the batch
+        "bpe_byte_level_stats",
     }
     py_markers = (
         "BatchEvalPython",

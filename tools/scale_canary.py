@@ -78,6 +78,13 @@ CEILINGS: dict[str, float | None] = {
     "packed_sequence_emission_stats": None,
     # r13: classifier evaluation (scan + confusion aggregate)
     "classifier_confusion_report": None,
+    # r14: byte-level GPT-2 encode (published pre-tokenizer + byte map
+    # inside the Arrow batch — heavier per row than the whitespace
+    # lane, but still one scan, must stay linear in corpus bytes)
+    "bpe_byte_level_stats": None,
+    # r14: the online selection gate (score scan + bounded histogram +
+    # broadcast-literal threshold filter — two scan-shaped jobs)
+    "threshold_selection_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
