@@ -9067,14 +9067,22 @@ def classifier_topp_selection_stats(spark, sf_dir):
     "streaming form of DCLM selection (ties at t all kept)",
 )
 def threshold_selection_stats(spark, sf_dir):
+    from pyspark import StorageLevel
+
     from neo4j_to_clickhouse_spark.operators.classifier import (
         calibrate_threshold,
         score_documents,
     )
 
+    # persist the scored frame: calibration materializes it for the
+    # histogram, the gate's final aggregate reuses it — without the
+    # cache the corpus is SCORED twice (measured 5.9 s -> one scoring
+    # pass at sf0.1). Same shared-plan cache idiom as the dedup
+    # shingle frames; in the streaming deployment calibration runs
+    # once on a sample and only the literal travels.
     scored = score_documents(
         _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     t = calibrate_threshold(scored, "score", 0.25)
     sel = scored.filter(F.col("score") >= F.lit(t))
     return (

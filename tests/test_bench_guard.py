@@ -69,3 +69,33 @@ def test_committed_baseline_covers_the_headline_set():
     }
     missing = (set(BENCH_QUERIES) | extra_jobs) - set(base)
     assert not missing, f"bench rows without a CPU baseline: {missing}"
+
+
+def test_clean_flags_survive_a_cpu_spike_run():
+    """The ratio baseline is the lowest-WALL run's ratio (r14 fix):
+    these are the live minhash_incremental_probe numbers where a
+    35 s-CPU accounting spike run used to set the best-ratio baseline
+    and disqualify the two genuinely clean 2.2 s runs — falsely
+    triggering the fresh-JVM retry."""
+    from bench import clean_run_flags
+
+    runs = [4.632, 2.234, 2.245, 7.278]
+    cpus = [35.936, 2.502, 2.479, 39.158]
+    steals = [0, 0, 0, 0]
+    flags = clean_run_flags(runs, cpus, steals, 50, 1.6)
+    # the warm runs are clean; min-of-clean is the honest 2.234
+    assert flags[1] and flags[2]
+    assert min(w for w, ok in zip(runs, flags) if ok) == 2.234
+
+
+def test_clean_flags_still_catch_host_noise():
+    """Host noise inflates wall at unchanged CPU: the noisy run's
+    ratio sits far above the best-wall run's and stays flagged."""
+    from bench import clean_run_flags
+
+    runs = [2.0, 9.5]
+    cpus = [1.8, 1.9]  # same compute, 4.75x the wall
+    flags = clean_run_flags(runs, cpus, [0, 0], 50, 1.6)
+    assert flags == [True, False]
+    # steal over budget is dirty regardless of ratio
+    assert clean_run_flags([2.0], [1.8], [500], 50, 1.6) == [False]
