@@ -85,6 +85,9 @@ def corpus_documents(
     classifier_weights=None,
     classifier_hasher: str | None = None,
     score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+    bpe_pretokenize: str = "gpt2",
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -105,7 +108,11 @@ def corpus_documents(
     trained (hasher, seed, bigrams) travel with the weights; with a
     bare weight list ``classifier_hasher`` is REQUIRED (there is no
     default to silently mismatch) and the legacy seed=7/bigrams=True
-    apply."""
+    apply. ``bpe_merges`` + ``bpe_vocab`` (e.g.
+    ``load_bpe_artifacts``'s pair) TOKENIZE in the same scan —
+    ``token_ids``/``n_bpe_tokens`` land on every stored document
+    (default byte-level GPT-2 mode), so packing and budget mixing
+    downstream consume real counts without re-reading text."""
     recs = warc_records(files)
     resp = recs.where(
         (F.col("warc_type") == "response")
@@ -196,6 +203,28 @@ def corpus_documents(
         docs = docs.filter(
             F.col("classifier_score") >= F.lit(float(score_threshold))
         )
+    if (bpe_merges is None) != (bpe_vocab is None):
+        raise ValueError(
+            "bpe_merges and bpe_vocab travel together (a merge table "
+            "without its vocabulary cannot produce ids) — pass both, "
+            "e.g. load_bpe_artifacts(path)"
+        )
+    if bpe_merges is not None:
+        # tokenize INSIDE the ingest scan (same posture as the in-
+        # stream classifier): broadcast merges+vocab, one more Arrow
+        # stage over the already-extracted text — the stored corpus
+        # carries real token_ids/n_bpe_tokens, so packing and budget
+        # mixing downstream never re-read or re-tokenize the text
+        from ..operators.bpe import bpe_encode
+
+        docs = bpe_encode(
+            docs,
+            "text",
+            bpe_merges,
+            bpe_vocab,
+            out_col="token_ids",
+            pretokenize=bpe_pretokenize,
+        ).withColumn("n_bpe_tokens", F.size("token_ids"))
     quarantine = quar.select(
         "file",
         "record_id",
@@ -368,6 +397,9 @@ def start_corpus_stream(
     classifier_weights=None,
     classifier_hasher: str | None = None,
     score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+    bpe_pretokenize: str = "gpt2",
     compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
@@ -388,6 +420,9 @@ def start_corpus_stream(
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
             score_threshold=score_threshold,
+            bpe_merges=bpe_merges,
+            bpe_vocab=bpe_vocab,
+            bpe_pretokenize=bpe_pretokenize,
         ),
         table_path,
         quarantine_path,
@@ -745,6 +780,9 @@ def start_corpus_neardup_stream(
     classifier_weights=None,
     classifier_hasher: str | None = None,
     score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+    bpe_pretokenize: str = "gpt2",
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -876,6 +914,9 @@ def start_corpus_neardup_stream(
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
             score_threshold=score_threshold,
+            bpe_merges=bpe_merges,
+            bpe_vocab=bpe_vocab,
+            bpe_pretokenize=bpe_pretokenize,
         )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
         if in_batch:

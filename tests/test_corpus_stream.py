@@ -822,3 +822,61 @@ def test_stream_threshold_gate_matches_batch_selection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="score_threshold requires"):
         corpus_documents(files, rules, score_threshold=0.1)
+
+
+def test_stream_tokenizes_documents_in_scan(spark, tmp_path):
+    """bpe_merges/bpe_vocab thread byte-level tokenization into the
+    ingest stream: every stored document carries token_ids and
+    n_bpe_tokens equal to batch bpe_encode on the same artifacts, and
+    the full online funnel (score -> gate -> tokenize) composes in one
+    scan."""
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        byte_vocab,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        start_corpus_stream,
+    )
+
+    drop = _warc_files(tmp_path, 2)
+    rules = _rules(spark, 2)
+    merges = [("d", "o"), ("do", "c")]
+    vocab = byte_vocab(merges)
+    drain(
+        start_corpus_stream(
+            read_warc_file_stream(spark, str(drop)),
+            rules,
+            table_path=str(tmp_path / "docs"),
+            quarantine_path=str(tmp_path / "quar"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            bpe_merges=merges,
+            bpe_vocab=vocab,
+        )
+    )
+    got = spark.read.parquet(str(tmp_path / "docs"))
+    assert {"token_ids", "n_bpe_tokens"} <= set(got.columns)
+    want = {
+        r["canonical"]: r["token_ids"]
+        for r in bpe_encode(
+            got.drop("token_ids", "n_bpe_tokens"),
+            "text",
+            merges,
+            vocab,
+            pretokenize="gpt2",
+        ).collect()
+    }
+    for r in got.collect():
+        assert r["token_ids"] == want[r["canonical"]]
+        assert r["n_bpe_tokens"] == len(r["token_ids"])
+    # the 'doc' merge chain fired (every doc's text starts 'doc N' or
+    # 'café N' — at least the former fully merges)
+    assert any(
+        vocab["doc"] in ids for ids in want.values()
+    )
+    # merges without vocab fails loudly
+    import pytest
+
+    files = spark.read.format("binaryFile").load(str(drop))
+    with pytest.raises(ValueError, match="travel together"):
+        corpus_documents(files, rules, bpe_merges=merges)
