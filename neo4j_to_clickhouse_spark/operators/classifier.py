@@ -365,6 +365,29 @@ def fit_classifier(
         b.unpersist()
 
 
+def save_classifier_model(model: ClassifierModel, path: str) -> None:
+    """Persist the artifact as one JSON file (atomic same-filesystem
+    replace, like ``save_bpe_artifacts``): the weights AND their bucket
+    space travel as one file, so a deployment can never load weights
+    without the (hasher, seed, bigrams) they were trained in."""
+    import os
+
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(model.to_json())
+    os.replace(tmp, path)
+
+
+def load_classifier_model(path: str) -> ClassifierModel:
+    """Read a :func:`save_classifier_model` artifact back; validates
+    the weight scale and hasher on load."""
+    with open(path, encoding="utf-8") as fh:
+        return ClassifierModel.from_json(fh.read())
+
+
 def fit_classifier_model(
     df: DataFrame,
     text_col: str,

@@ -258,3 +258,26 @@ def test_confusion_counts_by_group(spark):
         ).collect()
     }
     assert rows == {"a": (1, 1, 1, 0), "b": (0, 0, 0, 1)}
+
+
+def test_classifier_model_file_roundtrip(tmp_path):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        load_classifier_model,
+        save_classifier_model,
+    )
+
+    model = ClassifierModel(
+        weights=(5, -3, 0, 12), hasher="xxhash64", seed=11, bigrams=False
+    )
+    p = str(tmp_path / "artifacts" / "quality.model.json")
+    save_classifier_model(model, p)
+    assert load_classifier_model(p) == model
+    # a corrupted/foreign-scale artifact fails loudly on load
+    import json
+
+    d = json.loads(model.to_json())
+    d["weight_scale"] = 1000
+    (tmp_path / "bad.json").write_text(json.dumps(d))
+    with pytest.raises(ValueError, match="weight_scale"):
+        load_classifier_model(str(tmp_path / "bad.json"))
