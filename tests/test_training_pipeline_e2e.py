@@ -196,3 +196,136 @@ def test_crawl_to_training_shards(spark, tmp_path):
         r["pack_id"]: r["token_ids"] for r in back.collect()
     }
     assert reread == {r["pack_id"]: r["token_ids"] for r in rows}
+
+
+def test_online_funnel_gates_and_tokenizes_in_stream(spark, tmp_path):
+    """The r14 fully-ONLINE form of the funnel: train the classifier
+    artifact, calibrate the selection threshold on a batch sample, then
+    run ONE stream that scores, GATES (score >= t), near-dedups against
+    the store, tokenizes byte-level, and compacts every lane per batch.
+    The stored table IS the training corpus: gated documents only, real
+    token_ids, bounded file counts — no downstream re-read of text."""
+    from neo4j_to_clickhouse_spark.operators.bpe import byte_vocab
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        calibrate_threshold,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        corpus_documents,
+    )
+
+    labeled = spark.createDataFrame(
+        [(GOOD, 1), (JUNK, 0)] * 10, "text string, y int"
+    )
+    model = fit_classifier_model(
+        labeled, "text", "y", n_buckets=64, iters=12, lr=4.0,
+        hasher="xxhash64",
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rules = robots_rules_df(spark, [("h0.com", "User-agent: *\n")])
+    pages0 = [
+        ("http://h0.com/good1", GOOD),
+        ("http://h0.com/junk1", JUNK),
+    ]
+    _warc(drop, "f0.warc.gz", pages0)
+
+    # calibrate on the first drop read as a BATCH (the sample): keep
+    # the top half by in-stream score
+    files0 = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "f0.warc.gz")
+        .load(str(drop))
+    )
+    sample, _ = corpus_documents(files0, rules, classifier_weights=model)
+    t = calibrate_threshold(sample, "classifier_score", 0.5)
+    assert t is not None
+
+    merges = [("o", "n"), ("Ġ", "s"), ("Ġs", "p")]
+    vocab = byte_vocab(merges)
+    paths = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)),
+                rules,
+                coalesce_output=1,
+                classifier_weights=model,
+                score_threshold=t,
+                bpe_merges=merges,
+                bpe_vocab=vocab,
+                compact_every=1,
+                **paths,
+            )
+        )
+
+    run()  # batch 0: good1 kept, junk1 gated out
+    _warc(
+        drop,
+        "f1.warc.gz",
+        [
+            # near-clone of good1: passes the gate, drops at the probe
+            ("http://h0.com/clone", GOOD.replace("twelve", "TWELVE")),
+            ("http://h0.com/good2", GOOD.replace("prose", "writing")),
+            ("http://h0.com/junk2", JUNK.replace("spam", "scam")),
+        ],
+    )
+    run()  # batch 1
+
+    docs = spark.read.parquet(paths["table_path"])
+    canon = {r.canonical for r in docs.select("canonical").collect()}
+    # batch/stream equivalence defines the expectation: whatever the
+    # batch-side gate keeps, minus the near-clone (good1 is the
+    # threshold doc itself, so it always passes and shadows the clone)
+    all_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(drop))
+    )
+    gated, _ = corpus_documents(
+        all_files, rules, classifier_weights=model, score_threshold=t
+    )
+    expected = {
+        r.canonical for r in gated.select("canonical").collect()
+    } - {"http://h0.com/clone"}
+    assert canon == expected
+    # the gate kept the threshold doc and dropped every junk page
+    assert "http://h0.com/good1" in canon
+    assert not any("junk" in c for c in canon)
+    # tokenization landed in-stream, equal to batch bpe_encode
+    want = {
+        r["canonical"]: r["token_ids"]
+        for r in bpe_encode(
+            docs.drop("token_ids", "n_bpe_tokens"),
+            "text",
+            merges,
+            vocab,
+            pretokenize="gpt2",
+        ).collect()
+    }
+    for r in docs.collect():
+        assert r["token_ids"] == want[r["canonical"]]
+        assert r["n_bpe_tokens"] == len(r["token_ids"])
+        assert r["classifier_score"] >= t
+    # every ' s...' pre-token merged its space prefix somewhere
+    assert any(vocab["Ġs"] in ids for ids in want.values())
+    # compact_every=1 bounded every lane's files
+    import os
+
+    n_table = sum(
+        1 for n in os.listdir(paths["table_path"]) if n.endswith(".parquet")
+    )
+    assert n_table <= 2
+    for half in ("buckets", "digests"):
+        n_half = sum(
+            1
+            for n in os.listdir(os.path.join(paths["store_path"], half))
+            if n.endswith(".parquet")
+        )
+        assert n_half <= 2, half
