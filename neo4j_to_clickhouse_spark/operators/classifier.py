@@ -449,6 +449,43 @@ def confusion_counts(
     return df.agg(*aggs)
 
 
+def _top_fraction_threshold(
+    df: DataFrame, sel_col: str, fraction: float
+) -> DataFrame:
+    """The shared histogram-threshold plan: one bounded-cardinality
+    score histogram, a tiny cumulative window over it, and the row
+    where the descending cumulative count first reaches
+    ``k = ceil(fraction * n)`` — returned as ``(__t, __r)`` (threshold
+    score, residue = how many ties AT ``__t`` belong in the top-k).
+    Both the exact batch ranker (:func:`select_top_fraction`) and the
+    online calibrator (:func:`calibrate_threshold`) are this plan."""
+    s = F.col(sel_col)
+    hist = df.groupBy(sel_col).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(s.desc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        sel_col, "__n", F.sum("__n").over(w).alias("__cum")
+    )
+    total = cum.agg(F.sum("__n").alias("__total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
+        )
+        .filter(
+            (F.col("__cum") >= F.col("__k"))
+            & (F.col("__cum") - F.col("__n") < F.col("__k"))
+        )
+        .select(
+            s.alias("__t"),
+            (F.col("__k") - (F.col("__cum") - F.col("__n"))).alias(
+                "__r"
+            ),
+        )
+    )
+
+
 def calibrate_threshold(
     df: DataFrame,
     score_col: str,
@@ -479,29 +516,16 @@ def calibrate_threshold(
     s = F.round(F.col(score_col).cast("double"), round_decimals) if (
         round_decimals is not None
     ) else F.col(score_col)
-    hist = df.groupBy(s.alias("__s")).agg(F.count("*").alias("__n"))
-    w = Window.orderBy(F.col("__s").desc_nulls_last()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "__s", "__n", F.sum("__n").over(w).alias("__cum")
-    )
-    total = cum.agg(F.sum("__n").alias("__total"))
     rows = (
-        cum.crossJoin(F.broadcast(total))
-        .withColumn(
-            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
+        _top_fraction_threshold(
+            df.select(s.alias("__s")), "__s", fraction
         )
-        .filter(
-            (F.col("__cum") >= F.col("__k"))
-            & (F.col("__cum") - F.col("__n") < F.col("__k"))
-        )
-        .select("__s")
+        .select("__t")
         .collect()
     )
     if not rows:
         return None  # empty input
-    return rows[0]["__s"]
+    return rows[0]["__t"]
 
 
 def select_top_fraction(
@@ -561,30 +585,7 @@ def select_top_fraction(
     else:
         sel_col = score_col
     s = F.col(sel_col)
-    hist = df.groupBy(sel_col).agg(F.count("*").alias("__n"))
-    w = Window.orderBy(s.desc_nulls_last()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        sel_col, "__n", F.sum("__n").over(w).alias("__cum")
-    )
-    total = cum.agg(F.sum("__n").alias("__total"))
-    thresh = (
-        cum.crossJoin(F.broadcast(total))
-        .withColumn(
-            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
-        )
-        .filter(
-            (F.col("__cum") >= F.col("__k"))
-            & (F.col("__cum") - F.col("__n") < F.col("__k"))
-        )
-        .select(
-            s.alias("__t"),
-            (F.col("__k") - (F.col("__cum") - F.col("__n"))).alias(
-                "__r"
-            ),
-        )
-    )
+    thresh = _top_fraction_threshold(df, sel_col, fraction)
     joined = df.crossJoin(F.broadcast(thresh))
     # null-safe: when the threshold group is the NULL-score group,
     # every NON-null score is "above" it; otherwise plain >
