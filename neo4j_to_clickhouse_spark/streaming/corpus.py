@@ -253,12 +253,19 @@ def _stage_outputs(
 ) -> None:
     """Stage-and-promote every ``(frame, root)`` pair under
     deterministic batch-tagged names (`.pipeline._promote_staged`) —
-    the ONE idempotent-sink body every file-ingest stream shares."""
+    the ONE idempotent-sink body every file-ingest stream shares.
+
+    Each root is crash-RECOVERED first (one isfile check when clean):
+    a compactor that died mid-swap leaves that lane's folded files set
+    aside in a hidden dir — without healing here, every batch between
+    the restart and the next ``compact_every`` tick would write into a
+    silently-partial table that external readers also see."""
     import os
 
     from .pipeline import _promote_staged
 
     for frame, root in outputs:
+        _recover_lsh_half(root)
         staging = os.path.join(root, f".staging-{query_name}~{batch_id}")
         frame.write.mode("overwrite").parquet(staging)
         _promote_staged(staging, root, batch_id, query_name)

@@ -299,3 +299,68 @@ def test_recover_documents_table_finishes_interrupted_swap(spark, tmp_path):
     assert recover_documents_table(table) is True
     assert _rows(spark, table) == before
     assert not os.path.exists(aside)
+
+
+def test_stream_heals_crashed_docs_compactor_on_next_batch(spark, tmp_path):
+    """A compactor crash mid-swap on the DOCS table (fold files set
+    aside, no compacted file landed yet) heals on the NEXT micro-batch
+    via _stage_outputs' per-root recovery — not only at the next
+    compact_every tick."""
+    import json
+    import shutil
+
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        _COMPACT_ASIDE,
+        _COMPACT_MARKER,
+        _COMPACT_STAGING,
+    )
+
+    drop, rules, paths, run = _setup(spark, tmp_path)
+    for i, page in enumerate(
+        [
+            ("http://h0.com/a", "alpha beta gamma"),
+            ("http://h0.com/b", "delta epsilon zeta"),
+            ("http://h0.com/c", "eta theta iota"),
+        ]
+    ):
+        _warc(drop, f"f{i}.warc.gz", [page])
+        run()
+    table = paths["table_path"]
+    before = {r["canonical"] for r in spark.read.parquet(table).collect()}
+    # forge a pre-promote crash: folded files aside, marker present,
+    # staging full, NO compacted file landed -> rollback territory
+    fold = _files(table)[:2]
+    staging = os.path.join(table, _COMPACT_STAGING)
+    os.makedirs(staging)
+    for i, n in enumerate(fold):
+        shutil.copy(
+            os.path.join(table, n),
+            os.path.join(staging, f"part-{i}.parquet"),
+        )
+    with open(os.path.join(table, _COMPACT_MARKER), "w") as fh:
+        json.dump(
+            {
+                "remove": fold,
+                "adds": {
+                    f"part-{i}.parquet": f"compacted-{9:09d}-{i:05d}.parquet"
+                    for i in range(len(fold))
+                },
+                "gen": 9,
+            },
+            fh,
+        )
+    aside = os.path.join(table, _COMPACT_ASIDE)
+    os.makedirs(aside)
+    for n in fold:
+        os.replace(os.path.join(table, n), os.path.join(aside, n))
+    # the table now silently MISSES two batches' rows
+    assert {
+        r["canonical"] for r in spark.read.parquet(table).collect()
+    } != before
+    # next micro-batch (no compact_every configured at all): the sink
+    # heals the lane before writing
+    _warc(drop, "f3.warc.gz", [("http://h0.com/d", "kappa lambda mu")])
+    run()
+    got = {r["canonical"] for r in spark.read.parquet(table).collect()}
+    assert got == before | {"http://h0.com/d"}
+    assert not os.path.exists(aside)
