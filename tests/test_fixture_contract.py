@@ -118,3 +118,27 @@ def test_tokenized_columns_are_single_spaced(table, col):
         "either clean the fixture or convert the oracles to "
         "regexp_split_to_array with an empty guard"
     )
+
+
+def test_documents_text_is_printable_ascii():
+    """The byte-level BPE oracle (bpe_byte_level_stats) states its
+    closed form over PRINTABLE-ASCII, single-space text: every byte id
+    is ascii(c)-33 except space=220, UTF-8 length == char length, and
+    the lookahead-free RE2 pre-tokenizer split equals the engine's.
+    A regenerated fixture that breaks any of this must fail HERE, not
+    as a mysterious value-hash mismatch in the driver."""
+    path = os.path.join(SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"fixture table documents absent at {SF_DIR}")
+    con = duckdb.connect()
+    bad = con.execute(
+        f"""SELECT count(*) FROM '{path}'
+            WHERE regexp_matches(text, '[^\\x20-\\x7E]')
+               OR regexp_matches(text, '''')"""
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"documents.text: {bad} rows carry non-printable-ASCII or "
+        "apostrophes — the bpe_byte_level_stats closed-form oracle's "
+        "assumptions no longer hold; extend the oracle (contraction "
+        "lanes, per-byte ids) before trusting the driver row"
+    )
