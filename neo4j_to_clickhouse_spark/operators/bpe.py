@@ -158,20 +158,30 @@ def gpt2_byte_encode(piece: str) -> str:
     return "".join(_BYTE_MAP[b] for b in piece.encode("utf-8"))
 
 
-def _split_special(
-    text: str, specials: dict[str, int]
-) -> list[tuple[str, int | None]]:
-    """Split ``text`` on exact special-token occurrences (longest
-    first): ``[(segment, None) | (special, id), ...]``. Special tokens
-    never participate in merges — the standard passthrough contract."""
+def _special_pattern(specials: dict[str, int]):
+    """Compile the special-token alternation ONCE (longest first) —
+    built per Arrow batch, never per document row."""
     import re
 
-    pat = "|".join(
-        re.escape(t)
-        for t in sorted(specials, key=len, reverse=True)
+    return re.compile(
+        "("
+        + "|".join(
+            re.escape(t)
+            for t in sorted(specials, key=len, reverse=True)
+        )
+        + ")"
     )
+
+
+def _split_special(
+    text: str, specials: dict[str, int], pat
+) -> list[tuple[str, int | None]]:
+    """Split ``text`` on exact special-token occurrences using the
+    precompiled ``pat`` (:func:`_special_pattern`):
+    ``[(segment, None) | (special, id), ...]``. Special tokens never
+    participate in merges — the standard passthrough contract."""
     out: list[tuple[str, int | None]] = []
-    for part in re.split(f"({pat})", text):
+    for part in pat.split(text):
         if not part:
             continue
         sid = specials.get(part)
@@ -243,6 +253,11 @@ def bpe_encode(
         else:
             pat = None
         byte_level = mode == "gpt2"
+        spat = (
+            _special_pattern(b_specials)
+            if b_specials is not None
+            else None
+        )
         cache: dict[str, list[int]] = {}
 
         def word_ids(w: str) -> list[int]:
@@ -267,7 +282,7 @@ def bpe_encode(
             if b_specials is None:
                 return encode_segment(t)
             ids: list[int] = []
-            for seg, sid in _split_special(t, b_specials):
+            for seg, sid in _split_special(t, b_specials, spat):
                 if sid is not None:
                     ids.append(sid)
                 else:
@@ -425,12 +440,16 @@ def learn_bpe(
     :func:`bpe_encode` — merges learned over whitespace words apply
     differently to regex pieces (punctuation boundaries shift which
     pairs are adjacent). ``"gpt2"`` learns BYTE-LEVEL merges: the
-    corpus aggregate splits with the published GPT-2 pre-tokenizer
-    (Spark's Java regex has real ``\\p{L}``/``\\p{N}`` classes and the
-    trailing-whitespace lookahead), and the vocab-bounded count table
-    is byte-mapped (:func:`gpt2_byte_encode`) before the merge loop —
-    so the learned ``merges.txt`` speaks the same 'Ġ'-convention as
-    published artifacts.
+    corpus aggregate splits with the SAME compiled
+    ``_GPT2_PRETOKEN_RE`` the encoder uses, applied in one Arrow map —
+    learn==encode parity is by construction, not by hoping two regex
+    engines' ``\\p{L}`` approximations agree (they don't beyond ASCII:
+    Java's ``\\p{L}``/``\\p{N}`` and Python's ``[^\\W\\d_]``/``\\d``
+    classify e.g. U+00B9 differently, which would shift merge
+    adjacency between training and encoding). The vocab-bounded count
+    table is then byte-mapped (:func:`gpt2_byte_encode`) before the
+    merge loop, so the learned ``merges.txt`` speaks the same
+    'Ġ'-convention as published artifacts.
     """
     if pretokenize == "whitespace":
         pieces = F.split(
@@ -442,14 +461,16 @@ def learn_bpe(
             F.col(text_col), F.lit(_PRETOKEN_RE), 0
         )
     elif pretokenize == "gpt2":
-        pieces = F.regexp_extract_all(
-            F.col(text_col),
-            F.lit(
-                r"'s|'t|'re|'ve|'m|'ll|'d"
-                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
-            ),
-            0,
-        )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _gpt2_split(texts: pd.Series) -> pd.Series:
+            import re
+
+            pat = re.compile(_GPT2_PRETOKEN_RE)
+            return texts.map(pat.findall, na_action="ignore")
+
+        pieces = _gpt2_split(F.col(text_col))
     else:
         raise ValueError(
             f"pretokenize must be 'whitespace', 'regex' or 'gpt2', "

@@ -45,7 +45,7 @@ def test_bm25_index_jobs_shape(spark):
     jobs = bench._bm25_index_jobs(spark, "/root/testdata/sf0.001")
     assert [j[0] for j in jobs] == ["bm25_indexed_query"]
     _, prepare, run_once = jobs[0]
-    prepare()
+    prepare(spark)
     n = run_once(spark)
     assert n > 0
     assert run_once(spark) == n
@@ -59,7 +59,7 @@ def test_minhash_probe_and_classifier_prod_jobs_execute(spark):
     for maker in (bench._minhash_probe_jobs, bench._classifier_prod_jobs):
         jobs = maker(spark, "/root/testdata/sf0.001")
         for name, prepare, run_once in jobs:
-            prepare()
+            prepare(spark)
             n = run_once(spark)
             assert n > 0, name
             assert run_once(spark) == n, name
@@ -72,9 +72,9 @@ def test_maintenance_jobs_shape(spark, tmp_path):
     jobs = bench._maintenance_jobs(spark, "/root/testdata/sf0.001")
     assert [j[0] for j in jobs] == ["maintenance_compact"]
     name, prepare, run_once = jobs[0]
-    prepare()
+    prepare(spark)
     months = run_once(spark)
     assert months > 0
     # a second prepare() restores a fresh copy: compact is repeatable
-    prepare()
+    prepare(spark)
     assert run_once(spark) == months

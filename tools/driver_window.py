@@ -103,8 +103,13 @@ def stalest_window(
     ordered = sorted(hard, key=staleness)
     n_hard = max(0, n - len(debut))
     window = debut[:n] + ordered[:n_hard]
-    rotation = ordered[n_hard:] + sorted(
-        q for q in names if q in rows_only and q in seen
+    # overflow debuts (more never-recorded rows-only specs than window
+    # slots — practically impossible, but window+rotation MUST
+    # partition `names`) head the rotation: next in line to debut
+    rotation = (
+        debut[n:]
+        + ordered[n_hard:]
+        + sorted(q for q in names if q in rows_only and q in seen)
     )
     return window, rotation
 
