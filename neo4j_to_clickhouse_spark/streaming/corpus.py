@@ -77,6 +77,119 @@ def read_warc_file_stream(
     return _file_stream(spark, path, "*.warc*", max_files_per_trigger)
 
 
+def enrich_documents(
+    docs: DataFrame,
+    enrich: bool = False,
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+    bpe_pretokenize: str = "gpt2",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared curation-funnel stages over any documents frame with
+    a ``text`` column — WARC (``corpus_documents``) and WET
+    (``start_wet_stream``) ingest both route through here, so the two
+    crawl formats get identical in-scan semantics:
+
+    - ``enrich``: language ID + quality score + whitespace token count;
+    - ``classifier_weights``: hashed-n-gram scoring (``ClassifierModel``
+      carries its bucket space; a bare list REQUIRES
+      ``classifier_hasher``);
+    - ``score_threshold``: the calibrate-then-broadcast online gate
+      (``classifier_score >= t`` as a plan literal);
+    - ``bpe_merges``+``bpe_vocab``: byte-level tokenization in the same
+      scan (``token_ids``/``n_bpe_tokens``).
+
+    Every stage is scan-side (codegen expressions, plan-literal
+    weights, broadcast merge table) — zero shuffle added at any scale.
+    """
+    if enrich:
+        from ..operators.text import (
+            detect_language,
+            quality_score,
+            token_count,
+        )
+
+        docs = (
+            docs.withColumn("lang", detect_language(text_col))
+            .withColumn("quality_score", quality_score(text_col))
+            .withColumn("n_tokens", token_count(text_col))
+        )
+    if classifier_weights is not None:
+        from ..operators.classifier import ClassifierModel, score_documents
+
+        if isinstance(classifier_weights, ClassifierModel):
+            if (
+                classifier_hasher is not None
+                and classifier_hasher != classifier_weights.hasher
+            ):
+                raise ValueError(
+                    f"classifier_hasher={classifier_hasher!r} conflicts "
+                    "with the ClassifierModel's trained hasher="
+                    f"{classifier_weights.hasher!r} — drop the argument, "
+                    "the model carries its own bucket space"
+                )
+            docs = score_documents(
+                docs,
+                text_col,
+                classifier_weights,
+                out_col="classifier_score",
+            )
+        else:
+            if classifier_hasher is None:
+                raise ValueError(
+                    "bare classifier_weights needs an explicit "
+                    "classifier_hasher naming the bucket space the "
+                    "weights were trained in (fit_classifier's hasher) "
+                    "— or pass a ClassifierModel, which carries it"
+                )
+            docs = score_documents(
+                docs,
+                text_col,
+                classifier_weights,
+                out_col="classifier_score",
+                hasher=classifier_hasher,
+            )
+    if score_threshold is not None:
+        if classifier_weights is None:
+            raise ValueError(
+                "score_threshold requires classifier_weights: the gate "
+                "filters on the in-scan classifier_score column"
+            )
+        # the calibrate-then-broadcast online gate (VERDICT r13 item
+        # 6): the threshold is a plan literal from
+        # operators/classifier.calibrate_threshold — keep >= t inside
+        # the same scan that scored, zero extra state or shuffle
+        docs = docs.filter(
+            F.col("classifier_score") >= F.lit(float(score_threshold))
+        )
+    if (bpe_merges is None) != (bpe_vocab is None):
+        raise ValueError(
+            "bpe_merges and bpe_vocab travel together (a merge table "
+            "without its vocabulary cannot produce ids) — pass both, "
+            "e.g. load_bpe_artifacts(path)"
+        )
+    if bpe_merges is not None:
+        # tokenize INSIDE the ingest scan (same posture as the in-
+        # stream classifier): broadcast merges+vocab, one more Arrow
+        # stage over the already-extracted text — the stored corpus
+        # carries real token_ids/n_bpe_tokens, so packing and budget
+        # mixing downstream never re-read or re-tokenize the text
+        from ..operators.bpe import bpe_encode
+
+        docs = bpe_encode(
+            docs,
+            text_col,
+            bpe_merges,
+            bpe_vocab,
+            out_col="token_ids",
+            pretokenize=bpe_pretokenize,
+        ).withColumn("n_bpe_tokens", F.size("token_ids"))
+    return docs
+
+
 def corpus_documents(
     files: DataFrame,
     rules: DataFrame,
@@ -143,88 +256,16 @@ def corpus_documents(
         "text",
         F.length("text").alias("n_chars"),
     )
-    if enrich:
-        from ..operators.text import (
-            detect_language,
-            quality_score,
-            token_count,
-        )
-
-        docs = (
-            docs.withColumn("lang", detect_language("text"))
-            .withColumn("quality_score", quality_score("text"))
-            .withColumn("n_tokens", token_count("text"))
-        )
-    if classifier_weights is not None:
-        from ..operators.classifier import ClassifierModel, score_documents
-
-        if isinstance(classifier_weights, ClassifierModel):
-            if (
-                classifier_hasher is not None
-                and classifier_hasher != classifier_weights.hasher
-            ):
-                raise ValueError(
-                    f"classifier_hasher={classifier_hasher!r} conflicts "
-                    "with the ClassifierModel's trained hasher="
-                    f"{classifier_weights.hasher!r} — drop the argument, "
-                    "the model carries its own bucket space"
-                )
-            docs = score_documents(
-                docs,
-                "text",
-                classifier_weights,
-                out_col="classifier_score",
-            )
-        else:
-            if classifier_hasher is None:
-                raise ValueError(
-                    "bare classifier_weights needs an explicit "
-                    "classifier_hasher naming the bucket space the "
-                    "weights were trained in (fit_classifier's hasher) "
-                    "— or pass a ClassifierModel, which carries it"
-                )
-            docs = score_documents(
-                docs,
-                "text",
-                classifier_weights,
-                out_col="classifier_score",
-                hasher=classifier_hasher,
-            )
-    if score_threshold is not None:
-        if classifier_weights is None:
-            raise ValueError(
-                "score_threshold requires classifier_weights: the gate "
-                "filters on the in-scan classifier_score column"
-            )
-        # the calibrate-then-broadcast online gate (VERDICT r13 item
-        # 6): the threshold is a plan literal from
-        # operators/classifier.calibrate_threshold — keep >= t inside
-        # the same scan that scored, zero extra state or shuffle
-        docs = docs.filter(
-            F.col("classifier_score") >= F.lit(float(score_threshold))
-        )
-    if (bpe_merges is None) != (bpe_vocab is None):
-        raise ValueError(
-            "bpe_merges and bpe_vocab travel together (a merge table "
-            "without its vocabulary cannot produce ids) — pass both, "
-            "e.g. load_bpe_artifacts(path)"
-        )
-    if bpe_merges is not None:
-        # tokenize INSIDE the ingest scan (same posture as the in-
-        # stream classifier): broadcast merges+vocab, one more Arrow
-        # stage over the already-extracted text — the stored corpus
-        # carries real token_ids/n_bpe_tokens, so packing and budget
-        # mixing downstream never re-read or re-tokenize the text
-        from ..operators.bpe import bpe_encode
-
-        docs = bpe_encode(
-            docs,
-            "text",
-            bpe_merges,
-            bpe_vocab,
-            out_col="token_ids",
-            pretokenize=bpe_pretokenize,
-        ).withColumn("n_bpe_tokens", F.size("token_ids"))
+    docs = enrich_documents(
+        docs,
+        enrich=enrich,
+        classifier_weights=classifier_weights,
+        classifier_hasher=classifier_hasher,
+        score_threshold=score_threshold,
+        bpe_merges=bpe_merges,
+        bpe_vocab=bpe_vocab,
+        bpe_pretokenize=bpe_pretokenize,
+    )
     quarantine = quar.select(
         "file",
         "record_id",
@@ -369,17 +410,41 @@ def start_wet_stream(
     coalesce_output: int | None = None,
     query_name: str = "wet_ingest",
     compact_every: int | None = None,
+    enrich: bool = False,
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+    bpe_pretokenize: str = "gpt2",
 ) -> StreamingQuery:
     """WET drops -> documents table, continuously: conversion records
     strictly UTF-8 decoded (quarantine lane for broken bodies) through
     the same checkpointed idempotent sink as the WARC stream. The
-    transform is `sources.warc.wet_documents` verbatim — batch/stream
-    equivalence by construction."""
+    transform is `sources.warc.wet_documents` + the shared
+    :func:`enrich_documents` funnel stages (scoring, threshold gate,
+    byte-level tokenization) — WET ingest gets the same in-scan
+    curation semantics as WARC, batch/stream equivalence by
+    construction."""
     from ..sources.warc import wet_documents
+
+    def transform(batch: DataFrame):
+        docs, quar = wet_documents(batch)
+        docs = enrich_documents(
+            docs,
+            enrich=enrich,
+            classifier_weights=classifier_weights,
+            classifier_hasher=classifier_hasher,
+            score_threshold=score_threshold,
+            bpe_merges=bpe_merges,
+            bpe_vocab=bpe_vocab,
+            bpe_pretokenize=bpe_pretokenize,
+        )
+        return docs, quar
 
     return _start_file_ingest(
         files_stream,
-        wet_documents,
+        transform,
         table_path,
         quarantine_path,
         checkpoint_path,

@@ -880,3 +880,83 @@ def test_stream_tokenizes_documents_in_scan(spark, tmp_path):
     files = spark.read.format("binaryFile").load(str(drop))
     with pytest.raises(ValueError, match="travel together"):
         corpus_documents(files, rules, bpe_merges=merges)
+
+
+def test_wet_stream_runs_the_shared_funnel(spark, tmp_path):
+    """WET ingest gets the same in-scan curation stages as WARC
+    (shared enrich_documents): scored, gated, and tokenized documents
+    land in the table, equal to the batch composition."""
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        byte_vocab,
+    )
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        weight_table,
+    )
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_wet,
+        wet_documents,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        enrich_documents,
+        read_wet_file_stream,
+        start_wet_stream,
+    )
+
+    drop = tmp_path / "wetdrop"
+    drop.mkdir()
+    for i in range(2):
+        recs = [
+            {
+                "uri": f"http://w{i}.com/a",
+                "body": f"plain text doc {i} alpha beta".encode(),
+            },
+            {
+                "uri": f"http://w{i}.com/b",
+                "body": f"zz {i} qq".encode(),
+            },
+        ]
+        (drop / f"f{i}.warc.wet.gz").write_bytes(
+            encode_wet(recs, gzip_per_record=True)
+        )
+    model = ClassifierModel(weights=tuple(weight_table(64)), hasher="md5")
+    merges = [("d", "o"), ("do", "c")]
+    vocab = byte_vocab(merges)
+    kw = dict(
+        enrich=True,
+        classifier_weights=model,
+        bpe_merges=merges,
+        bpe_vocab=vocab,
+    )
+    drain(
+        start_wet_stream(
+            read_wet_file_stream(spark, str(drop)),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            **kw,
+        )
+    )
+    got = spark.read.parquet(str(tmp_path / "docs"))
+    assert {
+        "lang", "quality_score", "n_tokens", "classifier_score",
+        "token_ids", "n_bpe_tokens",
+    } <= set(got.columns)
+    # batch equivalence through the same shared function
+    files_b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(str(drop))
+    )
+    bdocs, _ = wet_documents(files_b)
+    want = {
+        (r["target_uri"], r["classifier_score"], tuple(r["token_ids"]))
+        for r in enrich_documents(bdocs, **kw).collect()
+    }
+    have = {
+        (r["target_uri"], r["classifier_score"], tuple(r["token_ids"]))
+        for r in got.collect()
+    }
+    assert have == want and len(have) == 4
