@@ -10128,112 +10128,62 @@ def bpe_byte_level_stats(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
 
 _DRIVER_WINDOW = [
-    "bpe_learned_merges",  # last green: r00
-    "classifier_training_report",  # last green: r00
-    "bpe_byte_level_stats",  # last green: r00
-    "threshold_selection_stats",  # last green: r00
-    "asof_user_state",  # last green: r10
-    "asof_user_state_bucketed",  # last green: r10
-    "chunking_stats",  # last green: r10
-    "conjunctive_filters",  # last green: r10
-    "count_by_event_type",  # last green: r10
-    "count_distinct_by_type",  # last green: r10
-    "cross_source_span_overlap",  # last green: r10
-    "curation_funnel_report",  # last green: r10
-    "daily_moving_stats",  # last green: r10
-    "decontamination_bloom",  # last green: r10
-    "dedup_clusters",  # last green: r10
-    "dedup_exact_docs",  # last green: r10
-    "dedup_minhash_lsh",  # last green: r10
-    "dedup_ngram_jaccard",  # last green: r10
-    "dedup_simhash_planted",  # last green: r10
-    "dedup_survivors_by_source",  # last green: r10
-    "dedup_validation",  # last green: r10
-    "duplicate_keys",  # last green: r10
-    "embedding_ivf_recall",  # last green: r10
-    "embedding_kmeans_cells",  # last green: r10
-    "embedding_knn",  # last green: r10
-    "embedding_lsh_near_dup",  # last green: r10
-    "embedding_pq_codes",  # last green: r10
-    "embedding_quantization_report",  # last green: r10
-    "filter_array_membership",  # last green: r10
-    "filter_event_type",  # last green: r10
-    "filter_json_path",  # last green: r10
-    "filter_json_path_variant",  # last green: r10
-    "filter_time_range",  # last green: r10
-    "global_totals",  # last green: r10
-    "graph_degree_topk",  # last green: r10
-    "graph_two_hop_topk",  # last green: r10
-    "latest_events",  # last green: r10
-    "latest_state_per_entity",  # last green: r10
-    "lm_quality_by_source",  # last green: r10
-    "mp4_keyframe_stats",  # last green: r10
-    "multimodal_probe_stats",  # last green: r10
-    "order_priority_count",  # last green: r10
-    "orders_per_customer_topk",  # last green: r10
-    "pii_redaction_stats",  # last green: r10
-    "retention_cohort_counts",  # last green: r10
-    "rollup_event_counts",  # last green: r10
-    "sequence_count_histogram",  # last green: r10
-    "sessionization",  # last green: r10
-    "sorted_regions",  # last green: r10
-    "token_count_extremes",  # last green: r10
+    "value_histogram",  # last green: r10
+    "window_funnel_steps",  # last green: r10
+    "active_time_union_seconds",  # last green: r11
+    "approx_percentile_bound",  # last green: r11
+    "approx_percentile_bound_cert",  # last green: r11
+    "asof_next_event",  # last green: r11
+    "audience_overlap_by_type",  # last green: r11
+    "basket_cooccurrence_topk",  # last green: r11
+    "bm25_multi_query_topk",  # last green: r11
+    "bm25_topk_docs",  # last green: r11
+    "column_profile_events",  # last green: r11
+    "conversion_by_signup_cohort",  # last green: r11
+    "corpus_ingest_pipeline_stats",  # last green: r11
+    "customers_inactive_since",  # last green: r11
+    "daily_anomaly_flags",  # last green: r11
+    "dedup_cluster_size_histogram",  # last green: r11
+    "dedup_incremental_batch",  # last green: r11
+    "distribution_shift_by_type",  # last green: r11
+    "dup_rate_by_lang",  # last green: r11
+    "embedding_centroid_spread",  # last green: r11
+    "embedding_coverage_report",  # last green: r11
+    "embedding_pq_adc_recall",  # last green: r11
+    "event_transition_matrix",  # last green: r11
+    "first_event_type_distribution",  # last green: r11
+    "gopher_quality_flags",  # last green: r11
+    "html_extract_stats",  # last green: r11
+    "json_value_stats_by_type",  # last green: r11
+    "langid_confusion",  # last green: r11
+    "large_order_customers",  # last green: r11
+    "late_arrival_audit",  # last green: r11
+    "max_concurrent_sessions",  # last green: r11
+    "mixture_epochs_plan",  # last green: r11
+    "nation_trade_volume",  # last green: r11
+    "partition_skew_report",  # last green: r11
+    "pricing_summary",  # last green: r11
+    "repeated_span_stats",  # last green: r11
+    "retention_candidates",  # last green: r11
+    "revenue_by_nation",  # last green: r11
+    "robots_filter_stats",  # last green: r11
+    "sample_hash_fraction",  # last green: r11
+    "semantic_dedup_survivors",  # last green: r11
+    "sequence_packing_stats",  # last green: r11
+    "session_window_counts",  # last green: r11
+    "shard_balance_report",  # last green: r11
+    "span_dedup_rewrite_stats",  # last green: r11
+    "state_interval_stats",  # last green: r11
+    "text_stats_by_source",  # last green: r11
+    "tokenizer_comparison_by_source",  # last green: r11
+    "topk_words_approx",  # last green: r11
+    "url_canonical_dedup_stats",  # last green: r11
 ]
 
 _ROTATION = [
-    "value_histogram",  # r10
-    "window_funnel_steps",  # r10
-    "active_time_union_seconds",  # r11
-    "approx_percentile_bound",  # r11
-    "approx_percentile_bound_cert",  # r11
-    "asof_next_event",  # r11
-    "audience_overlap_by_type",  # r11
-    "basket_cooccurrence_topk",  # r11
-    "bm25_multi_query_topk",  # r11
-    "bm25_topk_docs",  # r11
-    "column_profile_events",  # r11
-    "conversion_by_signup_cohort",  # r11
-    "corpus_ingest_pipeline_stats",  # r11
-    "customers_inactive_since",  # r11
-    "daily_anomaly_flags",  # r11
-    "dedup_cluster_size_histogram",  # r11
-    "dedup_incremental_batch",  # r11
-    "distribution_shift_by_type",  # r11
-    "dup_rate_by_lang",  # r11
-    "embedding_centroid_spread",  # r11
-    "embedding_coverage_report",  # r11
-    "embedding_pq_adc_recall",  # r11
-    "event_transition_matrix",  # r11
-    "first_event_type_distribution",  # r11
-    "gopher_quality_flags",  # r11
-    "html_extract_stats",  # r11
-    "json_value_stats_by_type",  # r11
-    "langid_confusion",  # r11
-    "large_order_customers",  # r11
-    "late_arrival_audit",  # r11
-    "max_concurrent_sessions",  # r11
-    "mixture_epochs_plan",  # r11
-    "nation_trade_volume",  # r11
-    "partition_skew_report",  # r11
-    "pricing_summary",  # r11
-    "repeated_span_stats",  # r11
-    "retention_candidates",  # r11
-    "revenue_by_nation",  # r11
-    "robots_filter_stats",  # r11
-    "sample_hash_fraction",  # r11
-    "semantic_dedup_survivors",  # r11
-    "sequence_packing_stats",  # r11
-    "session_window_counts",  # r11
-    "shard_balance_report",  # r11
-    "span_dedup_rewrite_stats",  # r11
-    "state_interval_stats",  # r11
-    "text_stats_by_source",  # r11
-    "tokenizer_comparison_by_source",  # r11
-    "topk_words_approx",  # r11
-    "url_canonical_dedup_stats",  # r11
     "warc_ingest_stats",  # r11
     "window_funnel_strict_order_steps",  # r11
     "argmax_event_per_user",  # r12
@@ -10336,6 +10286,56 @@ _ROTATION = [
     "value_mad_by_type",  # r13
     "value_percentiles_by_type",  # r13
     "word_distribution",  # r13
+    "asof_user_state",  # r14
+    "asof_user_state_bucketed",  # r14
+    "bpe_byte_level_stats",  # r14
+    "chunking_stats",  # r14
+    "conjunctive_filters",  # r14
+    "count_by_event_type",  # r14
+    "count_distinct_by_type",  # r14
+    "cross_source_span_overlap",  # r14
+    "curation_funnel_report",  # r14
+    "daily_moving_stats",  # r14
+    "decontamination_bloom",  # r14
+    "dedup_clusters",  # r14
+    "dedup_exact_docs",  # r14
+    "dedup_minhash_lsh",  # r14
+    "dedup_ngram_jaccard",  # r14
+    "dedup_simhash_planted",  # r14
+    "dedup_survivors_by_source",  # r14
+    "dedup_validation",  # r14
+    "duplicate_keys",  # r14
+    "embedding_ivf_recall",  # r14
+    "embedding_kmeans_cells",  # r14
+    "embedding_knn",  # r14
+    "embedding_lsh_near_dup",  # r14
+    "embedding_pq_codes",  # r14
+    "embedding_quantization_report",  # r14
+    "filter_array_membership",  # r14
+    "filter_event_type",  # r14
+    "filter_json_path",  # r14
+    "filter_json_path_variant",  # r14
+    "filter_time_range",  # r14
+    "global_totals",  # r14
+    "graph_degree_topk",  # r14
+    "graph_two_hop_topk",  # r14
+    "latest_events",  # r14
+    "latest_state_per_entity",  # r14
+    "lm_quality_by_source",  # r14
+    "mp4_keyframe_stats",  # r14
+    "multimodal_probe_stats",  # r14
+    "order_priority_count",  # r14
+    "orders_per_customer_topk",  # r14
+    "pii_redaction_stats",  # r14
+    "retention_cohort_counts",  # r14
+    "rollup_event_counts",  # r14
+    "sequence_count_histogram",  # r14
+    "sessionization",  # r14
+    "sorted_regions",  # r14
+    "threshold_selection_stats",  # r14
+    "token_count_extremes",  # r14
+    "bpe_learned_merges",  # rows-only
+    "classifier_training_report",  # rows-only
     "dedup_simhash",  # rows-only
     "embedding_ivf_topk",  # rows-only
     "random_sample",  # rows-only
