@@ -77,6 +77,52 @@ def read_warc_file_stream(
     return _file_stream(spark, path, "*.warc*", max_files_per_trigger)
 
 
+def _validate_enrich_args(
+    classifier_weights=None,
+    classifier_hasher: str | None = None,
+    score_threshold: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    bpe_vocab: dict[str, int] | None = None,
+) -> None:
+    """Argument-pairing checks for the curation funnel, shared between
+    :func:`enrich_documents` (the per-batch backstop) and the
+    ``start_*`` stream entry points (eager: a misconfigured stream must
+    fail at ``start``, not inside ``foreachBatch`` at batch 0 with the
+    query already checkpointed)."""
+    if classifier_weights is not None:
+        from ..operators.classifier import ClassifierModel
+
+        if isinstance(classifier_weights, ClassifierModel):
+            if (
+                classifier_hasher is not None
+                and classifier_hasher != classifier_weights.hasher
+            ):
+                raise ValueError(
+                    f"classifier_hasher={classifier_hasher!r} conflicts "
+                    "with the ClassifierModel's trained hasher="
+                    f"{classifier_weights.hasher!r} — drop the argument, "
+                    "the model carries its own bucket space"
+                )
+        elif classifier_hasher is None:
+            raise ValueError(
+                "bare classifier_weights needs an explicit "
+                "classifier_hasher naming the bucket space the "
+                "weights were trained in (fit_classifier's hasher) "
+                "— or pass a ClassifierModel, which carries it"
+            )
+    if score_threshold is not None and classifier_weights is None:
+        raise ValueError(
+            "score_threshold requires classifier_weights: the gate "
+            "filters on the in-scan classifier_score column"
+        )
+    if (bpe_merges is None) != (bpe_vocab is None):
+        raise ValueError(
+            "bpe_merges and bpe_vocab travel together (a merge table "
+            "without its vocabulary cannot produce ids) — pass both, "
+            "e.g. load_bpe_artifacts(path)"
+        )
+
+
 def enrich_documents(
     docs: DataFrame,
     enrich: bool = False,
@@ -105,6 +151,13 @@ def enrich_documents(
     Every stage is scan-side (codegen expressions, plan-literal
     weights, broadcast merge table) — zero shuffle added at any scale.
     """
+    _validate_enrich_args(
+        classifier_weights=classifier_weights,
+        classifier_hasher=classifier_hasher,
+        score_threshold=score_threshold,
+        bpe_merges=bpe_merges,
+        bpe_vocab=bpe_vocab,
+    )
     if enrich:
         from ..operators.text import (
             detect_language,
@@ -121,16 +174,6 @@ def enrich_documents(
         from ..operators.classifier import ClassifierModel, score_documents
 
         if isinstance(classifier_weights, ClassifierModel):
-            if (
-                classifier_hasher is not None
-                and classifier_hasher != classifier_weights.hasher
-            ):
-                raise ValueError(
-                    f"classifier_hasher={classifier_hasher!r} conflicts "
-                    "with the ClassifierModel's trained hasher="
-                    f"{classifier_weights.hasher!r} — drop the argument, "
-                    "the model carries its own bucket space"
-                )
             docs = score_documents(
                 docs,
                 text_col,
@@ -138,13 +181,6 @@ def enrich_documents(
                 out_col="classifier_score",
             )
         else:
-            if classifier_hasher is None:
-                raise ValueError(
-                    "bare classifier_weights needs an explicit "
-                    "classifier_hasher naming the bucket space the "
-                    "weights were trained in (fit_classifier's hasher) "
-                    "— or pass a ClassifierModel, which carries it"
-                )
             docs = score_documents(
                 docs,
                 text_col,
@@ -153,23 +189,12 @@ def enrich_documents(
                 hasher=classifier_hasher,
             )
     if score_threshold is not None:
-        if classifier_weights is None:
-            raise ValueError(
-                "score_threshold requires classifier_weights: the gate "
-                "filters on the in-scan classifier_score column"
-            )
         # the calibrate-then-broadcast online gate (VERDICT r13 item
         # 6): the threshold is a plan literal from
         # operators/classifier.calibrate_threshold — keep >= t inside
         # the same scan that scored, zero extra state or shuffle
         docs = docs.filter(
             F.col("classifier_score") >= F.lit(float(score_threshold))
-        )
-    if (bpe_merges is None) != (bpe_vocab is None):
-        raise ValueError(
-            "bpe_merges and bpe_vocab travel together (a merge table "
-            "without its vocabulary cannot produce ids) — pass both, "
-            "e.g. load_bpe_artifacts(path)"
         )
     if bpe_merges is not None:
         # tokenize INSIDE the ingest scan (same posture as the in-
@@ -426,6 +451,15 @@ def start_wet_stream(
     byte-level tokenization) — WET ingest gets the same in-scan
     curation semantics as WARC, batch/stream equivalence by
     construction."""
+    # eager: a misconfigured stream must die HERE, not in foreachBatch
+    # at batch 0 with the query already started (ADVICE r14)
+    _validate_enrich_args(
+        classifier_weights=classifier_weights,
+        classifier_hasher=classifier_hasher,
+        score_threshold=score_threshold,
+        bpe_merges=bpe_merges,
+        bpe_vocab=bpe_vocab,
+    )
     from ..sources.warc import wet_documents
 
     def transform(batch: DataFrame):
@@ -482,6 +516,14 @@ def start_corpus_stream(
     :func:`corpus_documents`); ``compact_every=k`` folds the document
     and quarantine lanes' batch files every k micro-batches
     (:func:`compact_documents_table`)."""
+    # eager arg-pairing check (ADVICE r14): fail at start, not batch 0
+    _validate_enrich_args(
+        classifier_weights=classifier_weights,
+        classifier_hasher=classifier_hasher,
+        score_threshold=score_threshold,
+        bpe_merges=bpe_merges,
+        bpe_vocab=bpe_vocab,
+    )
     return _start_file_ingest(
         files_stream,
         lambda batch: corpus_documents(
@@ -642,6 +684,7 @@ def _compact_batch_dir(
     drop_ids: DataFrame | None,
     target_files: int,
     join_col: str = "id",
+    retired_tags: "set[str] | None" = None,
 ) -> dict:
     """Fold a dir of ``batch-[<query>~]<id>-<i>.parquet`` appends (plus
     any previous ``compacted-*`` generations) into ``target_files``
@@ -649,22 +692,35 @@ def _compact_batch_dir(
     :func:`compact_lsh_store` (store halves) and
     :func:`compact_documents_table` (document/quarantine lanes).
     ``key_col`` clusters the output (None = plain repartition);
-    ``drop_ids`` anti-joins retired ids out on ``join_col``."""
+    ``drop_ids`` anti-joins retired ids out on ``join_col``.
+
+    Replay protection keeps each query TAG's newest batch unfolded
+    under the default ``upto_batch=None`` — which means a tag that
+    STOPS writing to a shared destination (a retired or renamed
+    query_name) strands its final batch file forever. ``retired_tags``
+    names tags whose newest batch may fold too: pass it only for
+    streams that are cleanly stopped (drained AND checkpoint-committed)
+    — a retired tag that later replays would find its files folded and
+    double-write (ADVICE r14)."""
     import json
     import os
     import shutil
 
     _recover_lsh_half(path)
     batches, compacted = _half_files(path)
+    retired = retired_tags or set()
     if upto_batch is None:
-        # never fold any query tag's newest batch present: a crashed-
-        # before-commit attempt of it will replay and must find (and
-        # replace) its own batch-* files
+        # never fold any LIVE query tag's newest batch present: a
+        # crashed-before-commit attempt of it will replay and must find
+        # (and replace) its own batch-* files. Tags the caller declares
+        # retired (cleanly stopped) fold entirely.
         newest = {}
         for name, (tag, b) in batches.items():
             newest[tag] = max(newest.get(tag, -1), b)
         fold = {
-            n for n, (tag, b) in batches.items() if b < newest[tag]
+            n
+            for n, (tag, b) in batches.items()
+            if b < newest[tag] or tag in retired
         } | set(compacted)
         upto = max([0, *(b for _, b in batches.values())])
     else:
@@ -731,6 +787,7 @@ def compact_lsh_store(
     upto_batch: int | None = None,
     drop_ids: DataFrame | None = None,
     target_files: int = 1,
+    retired_tags: "set[str] | None" = None,
 ) -> dict:
     """Fold the near-dedup store's per-micro-batch parquet appends into
     ``target_files`` consolidated files per half, crash-recoverably (see
@@ -748,6 +805,10 @@ def compact_lsh_store(
     store stops near-dup-matching against documents the corpus no longer
     keeps. Ids living only in not-yet-folded batch files are dropped by
     the NEXT compaction that folds them.
+
+    ``retired_tags``: query tags (query_name values) that are cleanly
+    stopped — their newest batch folds too instead of being stranded
+    by the per-tag replay protection (see :func:`_compact_batch_dir`).
     """
     import os
 
@@ -758,7 +819,13 @@ def compact_lsh_store(
             out[half] = {"folded": 0, "files": 0}
             continue
         out[half] = _compact_batch_dir(
-            spark, hpath, key, upto_batch, drop_ids, target_files
+            spark,
+            hpath,
+            key,
+            upto_batch,
+            drop_ids,
+            target_files,
+            retired_tags=retired_tags,
         )
     return out
 
@@ -779,6 +846,7 @@ def compact_documents_table(
     id_col: str = "record_id",
     cluster_col: str | None = None,
     target_files: int = 1,
+    retired_tags: "set[str] | None" = None,
 ) -> dict:
     """Fold the corpus sink's per-micro-batch document (or quarantine)
     parquet appends into ``target_files`` consolidated files,
@@ -828,6 +896,7 @@ def compact_documents_table(
         drop_ids,
         target_files,
         join_col=id_col,
+        retired_tags=retired_tags,
     )
 
 
@@ -912,6 +981,14 @@ def start_corpus_neardup_stream(
 
     from pyspark.errors import AnalysisException
 
+    # eager arg-pairing check (ADVICE r14): fail at start, not batch 0
+    _validate_enrich_args(
+        classifier_weights=classifier_weights,
+        classifier_hasher=classifier_hasher,
+        score_threshold=score_threshold,
+        bpe_merges=bpe_merges,
+        bpe_vocab=bpe_vocab,
+    )
     for label, pth in (
         ("table_path", table_path),
         ("quarantine_path", quarantine_path),

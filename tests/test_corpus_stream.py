@@ -960,3 +960,63 @@ def test_wet_stream_runs_the_shared_funnel(spark, tmp_path):
         for r in got.collect()
     }
     assert have == want and len(have) == 4
+
+
+def test_start_entry_points_validate_args_eagerly(spark, tmp_path):
+    """A misconfigured stream must fail at start_* — BEFORE the query
+    starts and checkpoints — not inside foreachBatch at batch 0
+    (ADVICE r14). Each pairing violation raises with zero streaming
+    queries left running and no checkpoint directory created."""
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        read_wet_file_stream,
+        start_corpus_neardup_stream,
+        start_wet_stream,
+    )
+
+    drop = _warc_files(tmp_path, 1)
+    rules = _rules(spark, 1)
+    files = read_warc_file_stream(spark, str(drop))
+    ckpt = tmp_path / "ckpt_eager"
+    common = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        checkpoint_path=str(ckpt),
+    )
+    n_active = len(spark.streams.active)
+    # threshold without weights
+    with pytest.raises(ValueError, match="score_threshold requires"):
+        start_corpus_stream(files, rules, score_threshold=0.1, **common)
+    # merges without vocab
+    with pytest.raises(ValueError, match="travel together"):
+        start_wet_stream(
+            read_wet_file_stream(spark, str(drop)),
+            bpe_merges=[("a", "b")],
+            **common,
+        )
+    # bare weights without a hasher
+    with pytest.raises(ValueError, match="bare classifier_weights"):
+        start_corpus_neardup_stream(
+            files,
+            rules,
+            store_path=str(tmp_path / "store"),
+            classifier_weights=[0] * 16,
+            **common,
+        )
+    # model + conflicting hasher
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        ClassifierModel,
+        weight_table,
+    )
+
+    model = ClassifierModel(weights=tuple(weight_table(16)), hasher="md5")
+    with pytest.raises(ValueError, match="conflicts"):
+        start_corpus_stream(
+            files,
+            rules,
+            classifier_weights=model,
+            classifier_hasher="xxhash64",
+            **common,
+        )
+    # nothing started, nothing checkpointed
+    assert len(spark.streams.active) == n_active
+    assert not ckpt.exists()

@@ -197,6 +197,48 @@ def test_per_tag_newest_protection(spark, tmp_path):
     assert _rows(spark, root) == before
 
 
+def test_retired_tags_fold_their_newest_batch(spark, tmp_path):
+    """A query tag that stops writing to a shared destination strands
+    its newest batch forever under the default bound (ADVICE r14);
+    retired_tags declares the tag cleanly stopped so its final batch
+    folds too — while live tags keep their replay protection."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "record_id long, text string"
+    )
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+    for tag, bids in (("warc", [0, 1, 2]), ("wet", [0, 1])):
+        for b in bids:
+            part = df.where(F.col("record_id") == b).coalesce(1)
+            staging = os.path.join(root, ".stage")
+            part.write.mode("overwrite").parquet(staging)
+            src = [
+                n for n in os.listdir(staging) if n.startswith("part-")
+            ][0]
+            os.replace(
+                os.path.join(staging, src),
+                os.path.join(root, f"batch-{tag}~{b:09d}-00000.parquet"),
+            )
+    before = _rows(spark, root)
+    stats = compact_documents_table(
+        spark, root, retired_tags={"wet"}
+    )
+    files = _files(root)
+    # the live tag keeps its newest batch; the retired tag folds whole
+    assert "batch-warc~000000002-00000.parquet" in files
+    assert not any(n.startswith("batch-wet~") for n in files)
+    assert stats["folded"] == 4
+    assert _rows(spark, root) == before
+    # a later compaction with the retired tag again is a clean no-op
+    assert (
+        compact_documents_table(spark, root, retired_tags={"wet"})[
+            "folded"
+        ]
+        == 0
+    )
+    assert _rows(spark, root) == before
+
+
 def test_drop_ids_retires_documents(spark, tmp_path):
     drop, rules, paths, run = _setup(spark, tmp_path)
     _warc(drop, "f0.warc.gz", [("http://h0.com/a", "alpha beta gamma")])
