@@ -13,7 +13,11 @@ Scale shape (100 TB posture):
 - The model is the ONLY state: a ``n_buckets``-entry integer weight
   vector folded into the plan as a LITERAL array — no broadcast table, no
   join, no shuffle. Scoring is one array-aggregate per row inside the
-  scan; the corpus never moves.
+  scan; the corpus never moves. Above the ~100k plan-literal ceiling
+  the weights ship to executors once per stage and an Arrow-batched
+  numpy gather replaces the literal chain (``weight_strategy``, still
+  zero shuffle, bit-equal scores) — large feature spaces are a flag,
+  not a wall.
 - Feature hashing (the fastText trick) bounds memory at ``n_buckets``
   regardless of vocabulary size, so the same plan serves a 100 TB corpus
   and a unit test.
@@ -38,6 +42,7 @@ import dataclasses
 import hashlib
 import json
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,10 +55,80 @@ WEIGHT_SCALE = 1_000_000
 #: plan-literal weight vectors embed ``n_buckets`` literals into every
 #: scoring/gradient expression; past ~100k the Catalyst plan itself
 #: becomes the bottleneck (the documented cliff at
-#: :func:`score_documents`). :func:`fit_classifier` refuses to start a
-#: job that would silently degrade there — the fix above the ceiling is
-#: the broadcast-join formulation, not a bigger literal.
+#: :func:`score_documents`). Above the ceiling the engine switches to
+#: the broadcast-gather formulation automatically
+#: (``weight_strategy="auto"``): the weights ship to executors as ONE
+#: task-binary payload and an Arrow-batched numpy gather replaces the
+#: literal ``element_at`` chain — same exact integer arithmetic,
+#: bit-equal scores (pinned in ``tests/test_classifier.py``).
 MAX_PLAN_LITERAL_BUCKETS = 100_000
+
+#: ceiling for the broadcast-gather TRAINING path: each gradient round
+#: shuffles and collects ``n_buckets`` rows to the driver; past ~4M
+#: that collect (and the weight vector itself) stops being a
+#: driver-side rounding error. Scoring has no such collect — its only
+#: per-executor cost is the weight array itself.
+MAX_BROADCAST_BUCKETS = 4_000_000
+
+
+def _resolve_weight_strategy(
+    weight_strategy: str, n_buckets: int, training: bool = False
+) -> str:
+    """Map ``auto`` to literal/broadcast by ``n_buckets`` and fail the
+    explicit-literal path loudly above the plan-compile cliff (ADVICE
+    r14: load-then-score must fail as loudly as fit)."""
+    if weight_strategy not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            f"unknown weight_strategy: {weight_strategy!r} "
+            "(expected 'auto', 'literal', or 'broadcast')"
+        )
+    strategy = weight_strategy
+    if strategy == "auto":
+        strategy = (
+            "literal"
+            if n_buckets <= MAX_PLAN_LITERAL_BUCKETS
+            else "broadcast"
+        )
+    if strategy == "literal" and n_buckets > MAX_PLAN_LITERAL_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds the plan-literal ceiling "
+            f"({MAX_PLAN_LITERAL_BUCKETS}): the job degrades at "
+            "plan-compile time, not run time. Use "
+            "weight_strategy='broadcast' (or 'auto') above the ceiling."
+        )
+    if training and n_buckets > MAX_BROADCAST_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds the training ceiling "
+            f"({MAX_BROADCAST_BUCKETS}): every gradient round collects "
+            "n_buckets rows to the driver. Shrink the feature space — "
+            "feature hashing at 4M buckets already separates anything "
+            "a linear model can."
+        )
+    return strategy
+
+
+def _gather_sum_udf(weights):
+    """Arrow-batched ``array<int> buckets -> long total`` gather: the
+    broadcast-weight scoring kernel. The int64 numpy sum is exact for
+    any realistic document (|w| <= ~2^31 micro-units x n_grams), so the
+    result is bit-equal to the literal ``element_at`` chain. The weight
+    array rides the pickled closure — shipped once per stage via
+    Spark's task-broadcast machinery (~8 MB at 1M buckets), never once
+    per row or per task."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(weights, dtype=np.int64)
+
+    @pandas_udf("long")
+    def gather(buckets: pd.Series) -> pd.Series:
+        out = np.zeros(len(buckets), dtype=np.int64)
+        for i, b in enumerate(buckets):
+            if b is not None and len(b):
+                out[i] = int(w[np.asarray(b, dtype=np.int64)].sum())
+        return pd.Series(out)
+
+    return gather
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +249,7 @@ def score_documents(
     bigrams: bool | None = None,
     out_col: str = "score",
     hasher: str | None = None,
+    weight_strategy: str = "auto",
 ) -> DataFrame:
     """Linear-classifier score per document: mean hashed-gram weight,
     rounded to 6 decimals. ``score = round(sum(w[h(g)]) / (n * 1e6), 6)``
@@ -193,6 +269,16 @@ def score_documents(
     conflicting argument raises — the safe way to carry a trained
     artifact across the train→score boundary. With a bare weight list
     the legacy defaults apply (seed=7, bigrams=True, hasher='md5').
+
+    ``weight_strategy``: ``"literal"`` embeds the weights as plan
+    literals (zero Python, whole-stage codegen; capped at
+    ``MAX_PLAN_LITERAL_BUCKETS`` — explicit literal above it raises,
+    ADVICE r14); ``"broadcast"`` hashes buckets JVM-side and gathers
+    weights in one Arrow-batched numpy kernel (the large-feature-space
+    path — bit-equal scores, weights shipped once per stage);
+    ``"auto"`` (default) picks literal up to the ceiling, broadcast
+    above it — so a persisted >100k-bucket model scores correctly
+    instead of hitting the plan-compile cliff.
     """
     if isinstance(weights, ClassifierModel):
         model = weights
@@ -214,17 +300,29 @@ def score_documents(
         bigrams = True if bigrams is None else bigrams
         hasher = "md5" if hasher is None else hasher
     n_buckets = len(weights)
-    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    strategy = _resolve_weight_strategy(weight_strategy, n_buckets)
     grams = ngram_features(text_col, bigrams=bigrams)
-    total = F.aggregate(
-        grams,
-        F.lit(0).cast("long"),
-        lambda acc, g: acc
-        + F.element_at(
-            w_arr,
-            (hash_bucket(g, n_buckets, seed, hasher) + 1).cast("int"),
-        ),
-    )
+    if strategy == "broadcast":
+        buckets = F.transform(
+            grams,
+            lambda g: hash_bucket(g, n_buckets, seed, hasher).cast(
+                "int"
+            ),
+        )
+        total = _gather_sum_udf(weights)(buckets)
+    else:
+        w_arr = F.array(*[F.lit(int(w)) for w in weights])
+        total = F.aggregate(
+            grams,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.element_at(
+                w_arr,
+                (hash_bucket(g, n_buckets, seed, hasher) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
     n = F.size(grams)
     score = F.when(
         n > 0,
@@ -245,6 +343,7 @@ def fit_classifier(
     l2: float = 0.0,
     hasher: str = "md5",
     init: list[int] | None = None,
+    weight_strategy: str = "auto",
 ) -> list[int]:
     """Train the hashed-n-gram logistic classifier the DCLM/FineWeb-Edu
     loop needs — distributed full-batch gradient descent producing the
@@ -269,9 +368,13 @@ def fit_classifier(
     (zero join) plus one ``n_buckets``-bounded aggregate — the ONLY
     shuffle, ``n_buckets`` rows. Nothing Python touches the corpus;
     the driver handles ``n_buckets`` integers per round. Plan-literal
-    weights cap practical ``n_buckets`` at ~100k (plan size); past
-    that, swap the literal for a broadcast-join formulation (the
-    documented trade at :func:`score_documents`).
+    weights cap practical ``n_buckets`` at ~100k (plan size); above
+    the ceiling ``weight_strategy="auto"`` (default) switches the
+    margin computation to the broadcast-gather kernel
+    (:func:`_gather_sum_udf` — bit-identical updates, pinned in
+    ``tests/test_classifier_fit.py``), bounded in turn by
+    ``MAX_BROADCAST_BUCKETS`` (each round collects ``n_buckets``
+    gradient rows to the driver).
 
     Docs with no grams carry no feature signal and are excluded (they
     score 0 at inference regardless). Returns micro-unit integer
@@ -279,15 +382,9 @@ def fit_classifier(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    if n_buckets > MAX_PLAN_LITERAL_BUCKETS:
-        raise ValueError(
-            f"n_buckets={n_buckets} exceeds the plan-literal ceiling "
-            f"({MAX_PLAN_LITERAL_BUCKETS}): every iteration embeds "
-            "n_buckets literals into the margin expression and the job "
-            "degrades at plan-compile time, not run time. Above the "
-            "ceiling use a broadcast-join weight table instead (the "
-            "documented trade at score_documents)."
-        )
+    strategy = _resolve_weight_strategy(
+        weight_strategy, n_buckets, training=True
+    )
     from pyspark import StorageLevel
 
     grams = ngram_features(text_col, bigrams=bigrams)
@@ -332,12 +429,18 @@ def fit_classifier(
                 f"init has {len(w)} weights, expected {n_buckets}"
             )
         for _ in range(iters):
-            w_arr = F.array(*[F.lit(int(x)) for x in w])
-            margin = F.aggregate(
-                F.col("__b"),
-                F.lit(0).cast("long"),
-                lambda acc, i: acc + F.element_at(w_arr, i + 1),
-            ) / (F.col("__n").cast("double") * float(WEIGHT_SCALE))
+            if strategy == "broadcast":
+                total = _gather_sum_udf(w)(F.col("__b"))
+            else:
+                w_arr = F.array(*[F.lit(int(x)) for x in w])
+                total = F.aggregate(
+                    F.col("__b"),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + F.element_at(w_arr, i + 1),
+                )
+            margin = total / (
+                F.col("__n").cast("double") * float(WEIGHT_SCALE)
+            )
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
             resid_q = F.round(
                 (p - F.col("__y"))
@@ -400,6 +503,7 @@ def fit_classifier_model(
     l2: float = 0.0,
     hasher: str = "md5",
     init: list[int] | None = None,
+    weight_strategy: str = "auto",
 ) -> ClassifierModel:
     """:func:`fit_classifier`, returning the weights BUNDLED with the
     bucket-space parameters they were trained in as one
@@ -419,6 +523,7 @@ def fit_classifier_model(
         l2=l2,
         hasher=hasher,
         init=init,
+        weight_strategy=weight_strategy,
     )
     return ClassifierModel(
         weights=tuple(w), hasher=hasher, seed=seed, bigrams=bigrams

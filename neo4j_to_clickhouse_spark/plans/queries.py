@@ -8996,6 +8996,54 @@ def quality_classifier_stats(spark, sf_dir):
 
 
 @q(
+    "quality_classifier_broadcast_stats",
+    # Certifies the BROADCAST-GATHER scoring kernel (VERDICT r14 item
+    # 5, operators/classifier.py::_gather_sum_udf): the large-feature-
+    # space path above the ~100k plan-literal ceiling — buckets hashed
+    # JVM-side, weights gathered in one Arrow-batched numpy int64 sum.
+    # Same bucket space and weights as quality_classifier_stats, same
+    # oracle: the kernel must be bit-equal to the literal chain, so
+    # one SQL restatement certifies both formulations.
+    f"""WITH {_CLS_SCORED_CTE}
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_positive,
+              round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*), 6) + 0 AS avg_score
+       FROM scored GROUP BY source ORDER BY source""",
+    "broadcast-gather classifier scoring (the >100k-bucket path): "
+    "JVM-side bucket hashing + one Arrow numpy gather, certified "
+    "bit-equal to the plan-literal formulation's oracle",
+)
+def quality_classifier_broadcast_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents,
+    )
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        _CLS_W,
+        seed=7,
+        weight_strategy="broadcast",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") > 0, 1).otherwise(0)
+            ).alias("n_positive"),
+            (F.round(_avg(F.col("score")), 6) + F.lit(0.0)).alias(
+                "avg_score"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "classifier_topp_selection_stats",
     # Certifies exact top-fraction selection WITHOUT a global sort
     # (operators/classifier.py::select_top_fraction — DCLM keeps the
@@ -10109,6 +10157,85 @@ def bpe_byte_level_stats(spark, sf_dir):
     )
 
 
+@q(
+    "bpe_byte_level_utf8_stats",
+    # The NON-ASCII hard-oracle lane for byte-level BPE (VERDICT r14
+    # item 2): the distinctive byte-level behavior — multi-byte UTF-8
+    # through bytes_to_unicode — driver-certified, not pytest-only.
+    # Both engines deterministically inject two-byte letters into the
+    # (pinned printable-ASCII) fixture: translate 'a'->'ä' (U+00E4 =
+    # C3 A4 -> 'Ã','¤', byte ids 127,97) and 'e'->'é' (U+00E9 = C3 A9
+    # -> 'Ã','©', ids 127,102), then encode with the ONE merge
+    # ('Ã','¤') -> id 256. The algebra is SPLIT-INVARIANT (unlike the
+    # ASCII lane, no pre-tokenizer restatement needed): with per-byte
+    # tokens everywhere except the merge, ids depend only on the char
+    # inventory — a char's bytes always share a pre-token, 'Ã'
+    # occurs only as ä/é's lead byte and '¤' only as ä's tail, so the
+    # merge fires exactly once per 'ä' and never across chars:
+    #   n_tok(c)  = 2 for 'é', 1 otherwise (incl. the merged 'ä')
+    #   id_sum(c) = 220 (space) | 256 ('ä') | 229 ('é')
+    #             | ascii(c)-33 (printable ASCII)
+    """WITH per_doc AS (SELECT doc_id, source,
+                regexp_extract_all(translate(text, 'ae', 'äé'), '.')
+                  AS cs
+              FROM documents),
+       stats AS (SELECT doc_id, source,
+                        coalesce(list_sum(list_transform(cs,
+                          c -> CASE WHEN c = 'é' THEN 2
+                               ELSE 1 END)), 0) AS n_tok,
+                        coalesce(list_sum(list_transform(cs,
+                          c -> CASE WHEN c = ' ' THEN 220
+                               WHEN c = 'ä' THEN 256
+                               WHEN c = 'é' THEN 229
+                               ELSE ascii(c) - 33 END)), 0) AS id_sum
+                 FROM per_doc)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+              CAST(sum(id_sum) AS BIGINT) AS id_sum,
+              CAST(min(n_tok) AS BIGINT) AS min_doc_tokens,
+              CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+       FROM stats GROUP BY source ORDER BY source""",
+    "byte-level GPT-2 encode over multi-byte UTF-8: two-byte letters "
+    "through bytes_to_unicode plus a merge ON multi-byte content, "
+    "certified at token-count AND id-sum level (split-invariant "
+    "algebra)",
+)
+def bpe_byte_level_utf8_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        byte_vocab,
+    )
+
+    merges = [("Ã", "¤")]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.translate(F.col("text"), "ae", "äé").alias("text"),
+    )
+    enc = bpe_encode(
+        docs, "text", merges, byte_vocab(merges), pretokenize="gpt2"
+    )
+    per_doc = enc.select(
+        "source",
+        F.size("token_ids").alias("n_tok"),
+        F.aggregate(
+            "token_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.sum("id_sum").alias("id_sum"),
+            F.min("n_tok").alias("min_doc_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-window ordering (SURVEY.md §8)
 # =====================================================================
@@ -10131,6 +10258,8 @@ def bpe_byte_level_stats(spark, sf_dir):
 _WINDOW_ROUND = 15
 
 _DRIVER_WINDOW = [
+    "bpe_byte_level_utf8_stats",  # last green: r00
+    "quality_classifier_broadcast_stats",  # last green: r00
     "value_histogram",  # last green: r10
     "window_funnel_steps",  # last green: r10
     "active_time_union_seconds",  # last green: r11
@@ -10179,11 +10308,11 @@ _DRIVER_WINDOW = [
     "state_interval_stats",  # last green: r11
     "text_stats_by_source",  # last green: r11
     "tokenizer_comparison_by_source",  # last green: r11
-    "topk_words_approx",  # last green: r11
-    "url_canonical_dedup_stats",  # last green: r11
 ]
 
 _ROTATION = [
+    "topk_words_approx",  # r11
+    "url_canonical_dedup_stats",  # r11
     "warc_ingest_stats",  # r11
     "window_funnel_strict_order_steps",  # r11
     "argmax_event_per_user",  # r12

@@ -57,6 +57,46 @@ def test_score_edges(spark):
     assert n_grams == 5
 
 
+def test_score_broadcast_strategy_bit_equal(spark):
+    """The broadcast-gather scoring kernel is bit-equal to the
+    plan-literal chain on both hashers, including empty/null edge
+    rows; explicit literal above the ceiling and unknown strategies
+    fail loudly (ADVICE r14)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, ""),
+            (3, None),
+            (4, "solo"),
+            (5, "alpha alpha alpha"),
+        ],
+        "id long, text string",
+    )
+    w = weight_table(64, 3)
+    for hasher in ("md5", "xxhash64"):
+        lit = {
+            r["id"]: r["score"]
+            for r in score_documents(
+                df, "text", w, seed=3, hasher=hasher,
+                weight_strategy="literal",
+            ).collect()
+        }
+        bc = {
+            r["id"]: r["score"]
+            for r in score_documents(
+                df, "text", w, seed=3, hasher=hasher,
+                weight_strategy="broadcast",
+            ).collect()
+        }
+        assert lit == bc
+    with pytest.raises(ValueError, match="plan-literal ceiling"):
+        score_documents(
+            df, "text", [0] * 100_001, weight_strategy="literal"
+        )
+    with pytest.raises(ValueError, match="unknown weight_strategy"):
+        score_documents(df, "text", w, weight_strategy="nope")
+
+
 def test_score_unigram_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     w = weight_table(64, 3)

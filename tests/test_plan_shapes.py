@@ -364,6 +364,12 @@ def test_registry_wide_plan_lint(spark):
         # r14: byte-level GPT-2 lane — same Arrow map, published
         # pre-tokenizer + bytes-to-unicode inside the batch
         "bpe_byte_level_stats",
+        # r15: the non-ASCII byte-level lane (same Arrow encode map)
+        "bpe_byte_level_utf8_stats",
+        # r15: broadcast-gather classifier scoring — buckets hash
+        # JVM-side, the weight gather is the ONE Arrow stage (the
+        # documented >100k-bucket path, operators/classifier.py)
+        "quality_classifier_broadcast_stats",
     }
     py_markers = (
         "BatchEvalPython",

@@ -85,6 +85,13 @@ CEILINGS: dict[str, float | None] = {
     # r14: the online selection gate (score scan + bounded histogram +
     # broadcast-literal threshold filter — two scan-shaped jobs)
     "threshold_selection_stats": None,
+    # r15: the non-ASCII byte-level lane (translate + Arrow encode
+    # map — same scan shape as bpe_byte_level_stats)
+    "bpe_byte_level_utf8_stats": None,
+    # r15: broadcast-gather classifier scoring (JVM bucket hash + one
+    # Arrow numpy gather — the >100k-bucket path; must track the
+    # literal lane's linearity)
+    "quality_classifier_broadcast_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
