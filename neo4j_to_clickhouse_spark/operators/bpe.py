@@ -46,11 +46,13 @@ __all__ = [
     "byte_vocab",
     "bytes_to_unicode",
     "char_vocab",
+    "corpus_word_counts",
     "gpt2_byte_encode",
     "learn_bpe",
     "learn_bpe_from_counts",
     "save_bpe_artifacts",
     "load_bpe_artifacts",
+    "synthetic_zipf_counts",
 ]
 
 
@@ -451,6 +453,28 @@ def learn_bpe(
     merge loop, so the learned ``merges.txt`` speaks the same
     'Ġ'-convention as published artifacts.
     """
+    return learn_bpe_from_counts(
+        corpus_word_counts(
+            df, text_col, max_words=max_words, pretokenize=pretokenize
+        ),
+        num_merges,
+    )
+
+
+def corpus_word_counts(
+    df: DataFrame,
+    text_col: str,
+    max_words: int = 100_000,
+    pretokenize: str = "whitespace",
+) -> dict[str, int]:
+    """The corpus half of :func:`learn_bpe`, exposed on its own: ONE
+    distributed word-frequency aggregate truncated to the ``max_words``
+    most frequent words (count desc, word asc — deterministic), with
+    ``pretokenize="gpt2"`` counts keyed by the BYTE-MAPPED word (the
+    form :func:`learn_bpe_from_counts` consumes). Use it to compose a
+    corpus's real counts with additional vocabulary before learning
+    (e.g. the production-operating-point bench unions a synthetic
+    vocabulary tail to reach a 50k-merge table on a small fixture)."""
     if pretokenize == "whitespace":
         pieces = F.split(
             F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""),
@@ -492,7 +516,37 @@ def learn_bpe(
             m = gpt2_byte_encode(w)
             mapped[m] = mapped.get(m, 0) + c
         counts = mapped
-    return learn_bpe_from_counts(counts, num_merges)
+    return counts
+
+
+def synthetic_zipf_counts(
+    n_words: int = 100_000, seed: int = 0, head_count: int = 10_000
+) -> dict[str, int]:
+    """Deterministic synthetic byte-mapped word-count table — the
+    GPT-2 OPERATING-POINT fixture (50k merges need a ~100k-word
+    vocabulary; the test corpus has only dozens of distinct words, so
+    production-shape learn/encode benches union this tail under the
+    real corpus counts). Words are 'Ġ'-prefixed md5-derived letter
+    strings of length 3-10 (already byte-mapped form — ASCII letters
+    map to themselves); counts follow a Zipf curve from ``head_count``
+    down to 1, so merge ranks densify realistically. Purely synthetic
+    timing/shape data — correctness lanes never touch it."""
+    import hashlib as _hl
+
+    counts: dict[str, int] = {}
+    i = 0
+    while len(counts) < n_words:
+        h = _hl.md5(f"zipf:{seed}:{i}".encode()).hexdigest()
+        n = 3 + int(h[:2], 16) % 8
+        w = "Ġ" + "".join(
+            chr(ord("a") + int(c, 16) % 16) for c in h[2 : 2 + n]
+        )
+        i += 1
+        if w in counts:
+            continue
+        rank = len(counts) + 1
+        counts[w] = max(1, int(head_count / rank**0.7))
+    return counts
 
 
 def save_bpe_artifacts(

@@ -56,7 +56,12 @@ def test_minhash_probe_and_classifier_prod_jobs_execute(spark):
     name/import slip inside a job body otherwise survives to the real
     bench run (caught live in r13: an F reference without its import
     inside _classifier_prod_jobs)."""
-    for maker in (bench._minhash_probe_jobs, bench._classifier_prod_jobs):
+    for maker in (
+        bench._minhash_probe_jobs,
+        bench._classifier_prod_jobs,
+        bench._classifier_broadcast_jobs,
+        bench._bpe_prod_jobs,
+    ):
         jobs = maker(spark, "/root/testdata/sf0.001")
         for name, prepare, run_once in jobs:
             prepare(spark)
