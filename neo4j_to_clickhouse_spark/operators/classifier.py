@@ -554,23 +554,23 @@ def confusion_counts(
     return df.agg(*aggs)
 
 
-def _top_fraction_threshold(
-    df: DataFrame, sel_col: str, fraction: float
+def _top_fraction_threshold_from_hist(
+    hist: DataFrame, score_col: str, n_col: str, fraction: float
 ) -> DataFrame:
-    """The shared histogram-threshold plan: one bounded-cardinality
-    score histogram, a tiny cumulative window over it, and the row
-    where the descending cumulative count first reaches
-    ``k = ceil(fraction * n)`` — returned as ``(__t, __r)`` (threshold
-    score, residue = how many ties AT ``__t`` belong in the top-k).
-    Both the exact batch ranker (:func:`select_top_fraction`) and the
-    online calibrator (:func:`calibrate_threshold`) are this plan."""
-    s = F.col(sel_col)
-    hist = df.groupBy(sel_col).agg(F.count("*").alias("__n"))
+    """The histogram half of the shared threshold plan, over a
+    PRE-AGGREGATED ``(score, count)`` frame — lets callers that already
+    maintain histograms (the streaming recalibrator merges per-batch
+    histogram rows) reuse the exact batch algebra. Returns the
+    ``(__t, __r)`` threshold row (see :func:`_top_fraction_threshold`).
+    ``hist`` must hold one row per distinct score."""
+    s = F.col(score_col)
     w = Window.orderBy(s.desc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.select(
-        sel_col, "__n", F.sum("__n").over(w).alias("__cum")
+        s,
+        F.col(n_col).alias("__n"),
+        F.sum(n_col).over(w).alias("__cum"),
     )
     total = cum.agg(F.sum("__n").alias("__total"))
     return (
@@ -588,6 +588,24 @@ def _top_fraction_threshold(
                 "__r"
             ),
         )
+    )
+
+
+def _top_fraction_threshold(
+    df: DataFrame, sel_col: str, fraction: float
+) -> DataFrame:
+    """The shared histogram-threshold plan: one bounded-cardinality
+    score histogram, a tiny cumulative window over it, and the row
+    where the descending cumulative count first reaches
+    ``k = ceil(fraction * n)`` — returned as ``(__t, __r)`` (threshold
+    score, residue = how many ties AT ``__t`` belong in the top-k).
+    The exact batch ranker (:func:`select_top_fraction`), the online
+    calibrator (:func:`calibrate_threshold`), and the streaming
+    recalibrator (via :func:`calibrate_threshold_from_histogram`) are
+    all this plan."""
+    hist = df.groupBy(sel_col).agg(F.count("*").alias("__hn"))
+    return _top_fraction_threshold_from_hist(
+        hist, sel_col, "__hn", fraction
     )
 
 
@@ -631,6 +649,127 @@ def calibrate_threshold(
     if not rows:
         return None  # empty input
     return rows[0]["__t"]
+
+
+def calibrate_threshold_from_histogram(
+    hist: DataFrame,
+    fraction: float,
+    score_col: str = "score",
+    n_col: str = "n",
+) -> float | None:
+    """:func:`calibrate_threshold` over a PRE-AGGREGATED
+    ``(score, count)`` histogram — the streaming recalibrator's entry
+    point (VERDICT r14 item 4): the ingest stream persists one bounded
+    histogram per micro-batch, and every recalibration tick merges the
+    trailing window's rows and reads the threshold off them, never
+    re-touching document text. ``hist`` MAY hold duplicate score rows
+    (one per batch) — they are summed here. Returns ``None`` on an
+    empty histogram (gate with keep-everything)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    merged = hist.groupBy(score_col).agg(F.sum(n_col).alias("__mn"))
+    rows = (
+        _top_fraction_threshold_from_hist(
+            merged, score_col, "__mn", fraction
+        )
+        .select("__t")
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0]["__t"]
+
+
+def rolling_threshold_report(
+    df: DataFrame,
+    score_col: str,
+    batch_col: str,
+    fraction: float,
+    window: int = 3,
+) -> DataFrame:
+    """Per-batch trailing-window top-``fraction`` thresholds — the
+    batch restatement of the streaming recalibration loop (VERDICT r14
+    item 4), and the auditable trajectory of a drifting corpus's gate:
+    for each batch ``b``, the threshold is calibrated on the score
+    histogram of batches ``(b - window, b]`` and applied to batch
+    ``b``'s own documents (``score >= t``, ties kept — the gate
+    semantics, not exact-k).
+
+    Returns one row per batch: ``(batch, threshold, pool_docs,
+    batch_docs, batch_kept)``.
+
+    Scale shape: the corpus is touched exactly once (the score scan
+    feeding the ``(batch, score)`` histogram — cardinality bounded by
+    batches x score domain); the trailing-window join, cumulative
+    window, and kept-count all run on histogram rows. The
+    window-alignment join is a broadcast over the distinct-batch
+    frame, so no corpus-sized shuffle exists anywhere."""
+    s = F.col(score_col)
+    hist = (
+        df.groupBy(batch_col, score_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumnRenamed(batch_col, "__hb")
+    )
+    batches = df.select(
+        F.col(batch_col).alias("__b")
+    ).distinct()
+    pool = (
+        hist.join(
+            F.broadcast(batches),
+            (F.col("__hb") <= F.col("__b"))
+            & (F.col("__hb") > F.col("__b") - F.lit(int(window))),
+        )
+        .groupBy("__b", score_col)
+        .agg(F.sum("__n").alias("__pn"))
+    )
+    w = Window.partitionBy("__b").orderBy(
+        s.desc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pool.select(
+        "__b",
+        s,
+        F.col("__pn"),
+        F.sum("__pn").over(w).alias("__cum"),
+    )
+    totals = pool.groupBy("__b").agg(F.sum("__pn").alias("__total"))
+    thr = (
+        cum.join(totals, "__b")
+        .withColumn(
+            "__k", F.ceil(F.lit(float(fraction)) * F.col("__total"))
+        )
+        .filter(
+            (F.col("__cum") >= F.col("__k"))
+            & (F.col("__cum") - F.col("__pn") < F.col("__k"))
+        )
+        .select("__b", s.alias("__t"), "__total")
+    )
+    batch_docs = hist.groupBy("__hb").agg(
+        F.sum("__n").alias("__bd")
+    )
+    kept = (
+        hist.join(
+            F.broadcast(thr), F.col("__hb") == F.col("__b")
+        )
+        .filter(s >= F.col("__t"))
+        .groupBy("__b")
+        .agg(F.sum("__n").alias("__bk"))
+    )
+    return (
+        thr.join(
+            batch_docs, F.col("__b") == F.col("__hb")
+        )
+        .join(kept, "__b", "left")
+        .select(
+            F.col("__b").alias("batch"),
+            (F.col("__t") + F.lit(0.0)).alias("threshold"),
+            F.col("__total").cast("long").alias("pool_docs"),
+            F.col("__bd").cast("long").alias("batch_docs"),
+            F.coalesce(F.col("__bk"), F.lit(0))
+            .cast("long")
+            .alias("batch_kept"),
+        )
+        .orderBy("batch")
+    )
 
 
 def select_top_fraction(

@@ -9145,6 +9145,84 @@ def threshold_selection_stats(spark, sf_dir):
 
 
 @q(
+    "rolling_threshold_trajectory",
+    # Certifies the ROLLING recalibration loop (VERDICT r14 item 4,
+    # operators/classifier.py::rolling_threshold_report — the batch
+    # restatement of the streaming recalibrator): documents are
+    # deterministically assigned to 6 md5 batches, and each batch's
+    # gate threshold is calibrated on the trailing-3-batch score
+    # histogram (top-25%, ties kept — gate semantics). The oracle
+    # restates the whole trajectory: per-batch histograms, the
+    # window-aligned pool, the descending-cumulative threshold row,
+    # and the kept count of each batch's own documents.
+    f"""WITH {_CLS_SCORED_CTE},
+       sb AS (SELECT score,
+                CAST(('0x' || substr(md5('b:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 6 AS INT) AS batch
+              FROM scored),
+       hist AS (SELECT batch, score, count(*) AS n
+                FROM sb GROUP BY batch, score),
+       batches AS (SELECT DISTINCT batch FROM sb),
+       pool AS (SELECT b.batch AS b, h.score, sum(h.n) AS n
+                FROM batches b
+                JOIN hist h ON h.batch <= b.batch
+                           AND h.batch > b.batch - 3
+                GROUP BY b.batch, h.score),
+       cum AS (SELECT b, score, n,
+                      sum(n) OVER (PARTITION BY b
+                                   ORDER BY score DESC) AS c
+               FROM pool),
+       tot AS (SELECT b, sum(n) AS total FROM pool GROUP BY b),
+       thr AS (SELECT cum.b, cum.score AS t, tot.total
+               FROM cum JOIN tot ON cum.b = tot.b
+               WHERE c >= ceil(0.25 * total)
+                 AND c - n < ceil(0.25 * total)),
+       bd AS (SELECT batch, sum(n) AS batch_docs
+              FROM hist GROUP BY batch),
+       kept AS (SELECT h.batch, sum(h.n) AS batch_kept
+                FROM hist h JOIN thr ON h.batch = thr.b
+                WHERE h.score >= thr.t GROUP BY h.batch)
+       SELECT thr.b AS batch, thr.t + 0 AS threshold,
+              CAST(thr.total AS BIGINT) AS pool_docs,
+              CAST(bd.batch_docs AS BIGINT) AS batch_docs,
+              CAST(coalesce(kept.batch_kept, 0) AS BIGINT)
+                AS batch_kept
+       FROM thr
+       JOIN bd ON bd.batch = thr.b
+       LEFT JOIN kept ON kept.batch = thr.b
+       ORDER BY batch""",
+    "rolling gate recalibration trajectory: per-batch trailing-window "
+    "histogram thresholds (top-25%, ties kept) with pool/kept "
+    "accounting — the drift-tracking form of online selection",
+)
+def rolling_threshold_trajectory(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        rolling_threshold_report,
+        score_documents,
+    )
+    from neo4j_to_clickhouse_spark.operators.sampling import md5_u32
+
+    scored = score_documents(
+        _t(spark, sf_dir, "documents"), "text", _CLS_W, seed=7
+    )
+    sb = scored.select(
+        "score",
+        (
+            md5_u32(
+                F.concat(F.lit("b:"), F.col("doc_id").cast("string"))
+            )
+            % 6
+        )
+        .cast("int")
+        .alias("batch"),
+    )
+    return rolling_threshold_report(
+        sb, "score", "batch", 0.25, window=3
+    )
+
+
+@q(
     "cdx_fetch_plan_stats",
     # Certifies the CDX(J) crawl-index source (sources/cdx.py):
     # Common Crawl's per-capture index lines are planted from doc_id
@@ -10260,6 +10338,7 @@ _WINDOW_ROUND = 15
 _DRIVER_WINDOW = [
     "bpe_byte_level_utf8_stats",  # last green: r00
     "quality_classifier_broadcast_stats",  # last green: r00
+    "rolling_threshold_trajectory",  # last green: r00
     "value_histogram",  # last green: r10
     "window_funnel_steps",  # last green: r10
     "active_time_union_seconds",  # last green: r11
@@ -10307,10 +10386,10 @@ _DRIVER_WINDOW = [
     "span_dedup_rewrite_stats",  # last green: r11
     "state_interval_stats",  # last green: r11
     "text_stats_by_source",  # last green: r11
-    "tokenizer_comparison_by_source",  # last green: r11
 ]
 
 _ROTATION = [
+    "tokenizer_comparison_by_source",  # r11
     "topk_words_approx",  # r11
     "url_canonical_dedup_stats",  # r11
     "warc_ingest_stats",  # r11

@@ -123,6 +123,54 @@ def _validate_enrich_args(
         )
 
 
+def _rolling_spec(
+    classifier_weights,
+    score_threshold: float | None,
+    recalibrate_every: int | None,
+    calibration_fraction: float | None,
+    calibration_window: int,
+    calibration_path: str | None,
+) -> dict | None:
+    """Validate + assemble the rolling-recalibration spec (VERDICT r14
+    item 4) for the stream entry points — eager, like
+    :func:`_validate_enrich_args`. Returns None when rolling is off."""
+    if recalibrate_every is None:
+        if calibration_fraction is not None or calibration_path is not None:
+            raise ValueError(
+                "calibration_fraction/calibration_path only apply with "
+                "recalibrate_every (rolling gate recalibration)"
+            )
+        return None
+    if classifier_weights is None:
+        raise ValueError(
+            "rolling recalibration requires classifier_weights: the "
+            "gate thresholds a classifier_score the scan must produce"
+        )
+    if calibration_path is None:
+        raise ValueError(
+            "rolling recalibration requires calibration_path (the "
+            "batch-stamped hist/ + thresholds/ lane root)"
+        )
+    if calibration_fraction is None or not (
+        0.0 < calibration_fraction <= 1.0
+    ):
+        raise ValueError(
+            "rolling recalibration requires calibration_fraction in "
+            f"(0, 1], got {calibration_fraction}"
+        )
+    if recalibrate_every < 1 or calibration_window < 1:
+        raise ValueError(
+            "recalibrate_every and calibration_window must be >= 1"
+        )
+    return {
+        "fraction": float(calibration_fraction),
+        "every": int(recalibrate_every),
+        "window": int(calibration_window),
+        "path": calibration_path,
+        "initial": score_threshold,
+    }
+
+
 def enrich_documents(
     docs: DataFrame,
     enrich: bool = False,
@@ -383,6 +431,33 @@ def _start_multi_ingest(
     )
 
 
+def _lane_before(
+    spark: SparkSession, path: str, schema: str, batch_id: int
+) -> DataFrame:
+    """Committed rows of a batch-stamped lane STRICTLY before
+    ``batch_id`` (crash-recovered first; same read discipline as the
+    near-dedup store's ``_prior``): a crashed attempt of the current
+    batch may have promoted its own rows, and replays must not see
+    them. Empty/absent lane -> empty frame of ``schema``."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    _recover_lsh_half(path)
+    if not os.path.isdir(path) or not any(
+        not e.startswith((".", "_")) for e in os.listdir(path)
+    ):
+        return spark.createDataFrame([], schema)
+    try:
+        return spark.read.parquet(path).where(
+            F.col("batch") < batch_id
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
 def _start_file_ingest(
     files_stream: DataFrame,
     transform,
@@ -393,36 +468,147 @@ def _start_file_ingest(
     coalesce_output: int | None,
     query_name: str,
     compact_every: int | None = None,
+    rolling: dict | None = None,
 ) -> StreamingQuery:
     """The shared checkpointed idempotent sink: per micro-batch,
     ``transform(batch) -> (docs, quarantine)``, both staged and
     promoted under deterministic batch-tagged names.
     ``compact_every=k`` folds both lanes' accumulated batch files every
     k micro-batches (:func:`compact_documents_table` — never the
-    newest batch, so replays stay idempotent)."""
+    newest batch, so replays stay idempotent).
 
-    def outputs(batch_df: DataFrame, batch_id: int):
+    ``rolling`` enables IN-STREAM gate recalibration (VERDICT r14
+    item 4): ``{"fraction", "every", "window", "path", "initial"}``.
+    ``transform`` must emit ``classifier_score`` and apply NO static
+    gate; per batch the docs are gated with the newest COMMITTED
+    threshold (batch < current — so replays see identical state;
+    ``initial`` or keep-all before the first calibration), the batch's
+    bounded score histogram lands in ``path/hist``, and every
+    ``every`` batches a new threshold — calibrated on the trailing
+    ``window`` batches' merged histograms INCLUDING the current one —
+    is appended to ``path/thresholds``, batch-stamped like the store
+    rows. Everything is deterministic from committed state, so a
+    replayed batch re-gates and re-calibrates to identical bytes."""
+    if rolling is None:
+
+        def outputs(batch_df: DataFrame, batch_id: int):
+            docs, quar = transform(batch_df)
+            if coalesce_output:
+                docs = docs.coalesce(coalesce_output)
+                quar = quar.coalesce(1)
+            return ((docs, table_path), (quar, quarantine_path))
+
+        post = None
+        if compact_every:
+
+            def post(spark, batch_id: int) -> None:
+                if batch_id > 0 and batch_id % compact_every == 0:
+                    compact_documents_table(spark, table_path)
+                    compact_documents_table(spark, quarantine_path)
+
+        return _start_multi_ingest(
+            files_stream,
+            outputs,
+            checkpoint_path,
+            processing_time,
+            query_name,
+            post_batch=post,
+        )
+
+    import os
+
+    from ..operators.classifier import (
+        calibrate_threshold_from_histogram,
+    )
+
+    hist_path = os.path.join(rolling["path"], "hist")
+    thr_path = os.path.join(rolling["path"], "thresholds")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        spark = batch_df.sparkSession
         docs, quar = transform(batch_df)
-        if coalesce_output:
-            docs = docs.coalesce(coalesce_output)
-            quar = quar.coalesce(1)
-        return ((docs, table_path), (quar, quarantine_path))
-
-    post = None
-    if compact_every:
-
-        def post(spark, batch_id: int) -> None:
-            if batch_id > 0 and batch_id % compact_every == 0:
+        # the scored frame feeds BOTH the gate and the histogram —
+        # persist so the corpus is scored once per batch
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            hist = docs.groupBy(
+                F.col("classifier_score").alias("score")
+            ).agg(F.count("*").alias("n"))
+            row = (
+                _lane_before(
+                    spark,
+                    thr_path,
+                    "threshold double, batch long",
+                    batch_id,
+                )
+                .orderBy(F.col("batch").desc())
+                .limit(1)
+                .collect()
+            )
+            t = row[0]["threshold"] if row else rolling.get("initial")
+            gated = (
+                docs.filter(
+                    F.col("classifier_score") >= F.lit(float(t))
+                )
+                if t is not None
+                else docs
+            )
+            quar_out = quar
+            if coalesce_output:
+                gated = gated.coalesce(coalesce_output)
+                quar_out = quar.coalesce(1)
+            tag = F.lit(batch_id).cast("long").alias("batch")
+            outs = [
+                (gated, table_path),
+                (quar_out, quarantine_path),
+                (hist.select("*", tag).coalesce(1), hist_path),
+            ]
+            if batch_id % rolling["every"] == 0:
+                prior_h = _lane_before(
+                    spark,
+                    hist_path,
+                    "score double, n long, batch long",
+                    batch_id,
+                )
+                win = (
+                    prior_h.where(
+                        F.col("batch")
+                        > batch_id - int(rolling["window"])
+                    )
+                    .select("score", "n")
+                    .unionByName(hist)
+                )
+                t_new = calibrate_threshold_from_histogram(
+                    win, rolling["fraction"]
+                )
+                if t_new is not None:
+                    outs.append(
+                        (
+                            spark.createDataFrame(
+                                [(float(t_new),)], "threshold double"
+                            )
+                            .select("*", tag)
+                            .coalesce(1),
+                            thr_path,
+                        )
+                    )
+            _stage_outputs(outs, batch_id, query_name)
+            if (
+                compact_every
+                and batch_id > 0
+                and batch_id % compact_every == 0
+            ):
                 compact_documents_table(spark, table_path)
                 compact_documents_table(spark, quarantine_path)
+                compact_documents_table(spark, hist_path)
+                compact_documents_table(spark, thr_path)
+        finally:
+            docs.unpersist()
 
-    return _start_multi_ingest(
-        files_stream,
-        outputs,
-        checkpoint_path,
-        processing_time,
-        query_name,
-        post_batch=post,
+    return _start_foreach(
+        files_stream, process, checkpoint_path, processing_time, query_name
     )
 
 
@@ -442,6 +628,10 @@ def start_wet_stream(
     bpe_merges: list[tuple[str, str]] | None = None,
     bpe_vocab: dict[str, int] | None = None,
     bpe_pretokenize: str = "gpt2",
+    recalibrate_every: int | None = None,
+    calibration_fraction: float | None = None,
+    calibration_window: int = 12,
+    calibration_path: str | None = None,
 ) -> StreamingQuery:
     """WET drops -> documents table, continuously: conversion records
     strictly UTF-8 decoded (quarantine lane for broken bodies) through
@@ -450,7 +640,10 @@ def start_wet_stream(
     :func:`enrich_documents` funnel stages (scoring, threshold gate,
     byte-level tokenization) — WET ingest gets the same in-scan
     curation semantics as WARC, batch/stream equivalence by
-    construction."""
+    construction. ``recalibrate_every`` switches the static gate to
+    ROLLING recalibration (see :func:`_start_file_ingest`):
+    ``score_threshold`` becomes the initial gate until the first
+    calibrated threshold lands in ``calibration_path``."""
     # eager: a misconfigured stream must die HERE, not in foreachBatch
     # at batch 0 with the query already started (ADVICE r14)
     _validate_enrich_args(
@@ -459,6 +652,14 @@ def start_wet_stream(
         score_threshold=score_threshold,
         bpe_merges=bpe_merges,
         bpe_vocab=bpe_vocab,
+    )
+    rolling = _rolling_spec(
+        classifier_weights,
+        score_threshold,
+        recalibrate_every,
+        calibration_fraction,
+        calibration_window,
+        calibration_path,
     )
     from ..sources.warc import wet_documents
 
@@ -469,7 +670,9 @@ def start_wet_stream(
             enrich=enrich,
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
-            score_threshold=score_threshold,
+            # rolling mode gates per batch in _start_file_ingest with
+            # the committed threshold; no static in-scan gate here
+            score_threshold=None if rolling else score_threshold,
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
@@ -486,6 +689,7 @@ def start_wet_stream(
         coalesce_output,
         query_name,
         compact_every=compact_every,
+        rolling=rolling,
     )
 
 
@@ -507,6 +711,10 @@ def start_corpus_stream(
     bpe_vocab: dict[str, int] | None = None,
     bpe_pretokenize: str = "gpt2",
     compact_every: int | None = None,
+    recalibrate_every: int | None = None,
+    calibration_fraction: float | None = None,
+    calibration_window: int = 12,
+    calibration_path: str | None = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
@@ -515,7 +723,13 @@ def start_corpus_stream(
     ``classifier_weights`` scores every document in-stream (see
     :func:`corpus_documents`); ``compact_every=k`` folds the document
     and quarantine lanes' batch files every k micro-batches
-    (:func:`compact_documents_table`)."""
+    (:func:`compact_documents_table`). ``recalibrate_every`` switches
+    the static ``score_threshold`` gate to ROLLING recalibration
+    (VERDICT r14 item 4, see :func:`_start_file_ingest`): every k
+    batches a fresh threshold is calibrated from the trailing
+    ``calibration_window`` batches' persisted score histograms, so a
+    drifting corpus keeps its effective keep-rate instead of silently
+    sliding off a calibrate-once literal."""
     # eager arg-pairing check (ADVICE r14): fail at start, not batch 0
     _validate_enrich_args(
         classifier_weights=classifier_weights,
@@ -523,6 +737,14 @@ def start_corpus_stream(
         score_threshold=score_threshold,
         bpe_merges=bpe_merges,
         bpe_vocab=bpe_vocab,
+    )
+    rolling = _rolling_spec(
+        classifier_weights,
+        score_threshold,
+        recalibrate_every,
+        calibration_fraction,
+        calibration_window,
+        calibration_path,
     )
     return _start_file_ingest(
         files_stream,
@@ -533,7 +755,7 @@ def start_corpus_stream(
             enrich=enrich,
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
-            score_threshold=score_threshold,
+            score_threshold=None if rolling else score_threshold,
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
@@ -545,6 +767,7 @@ def start_corpus_stream(
         coalesce_output,
         query_name,
         compact_every=compact_every,
+        rolling=rolling,
     )
 
 

@@ -92,6 +92,10 @@ CEILINGS: dict[str, float | None] = {
     # Arrow numpy gather — the >100k-bucket path; must track the
     # literal lane's linearity)
     "quality_classifier_broadcast_stats": None,
+    # r15: rolling recalibration trajectory (score scan + per-batch
+    # bounded histograms; the window join/cumulative run on histogram
+    # rows only — corpus is touched exactly once)
+    "rolling_threshold_trajectory": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
