@@ -1,4 +1,4 @@
-"""Throughput cost of the fully-online ingest funnel (r14).
+"""Throughput cost of the fully-online ingest funnel (r14; round-stamped output since r15).
 
 Measures start_corpus_stream draining the same synthetic WARC drop in
 two configurations:
@@ -15,7 +15,7 @@ overhead is the per-row compute of scoring + encoding only — this
 probe turns that expectation into a number.
 
 Usage: python tools/bench_online_funnel.py [n_files] [docs_per_file]
-Writes docs/evidence/FUNNEL_THROUGHPUT_r14.json.
+Writes docs/evidence/FUNNEL_THROUGHPUT_r{round}.json.
 """
 
 from __future__ import annotations
@@ -35,6 +35,12 @@ WORDS = (
     "unfolds across twelve distinct paragraphs of plain english text "
     "covering science history numbers 1234 and punctuation, marks. "
 ).split()
+
+
+def _round() -> int:
+    from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
+
+    return _WINDOW_ROUND
 
 
 def _make_drop(root: str, n_files: int, docs_per_file: int) -> None:
@@ -152,12 +158,20 @@ def main() -> None:
     for name, kw in configs.items():
         walls, steals = [], []
         n = 0
-        for rep in range(3):
+        # up to 8 reps until 3 CLEAN ones land (r15: the r14 record's
+        # 'scored' config was steal-polluted — a storm can span all 3
+        # fixed reps, so retry instead of reporting polluted numbers;
+        # a brief settle-wait lets a storm pass between reps)
+        rep = 0
+        while rep < 8 and sum(1 for st in steals if st <= 50) < 3:
             out = os.path.join(work, f"{name}{rep}")
             s0 = _steal()
             wall, n = _drain(spark, drop, out, **kw)
             walls.append(round(wall, 2))
             steals.append(_steal() - s0)
+            rep += 1
+            if steals[-1] > 50:
+                time.sleep(10)
         clean = [w for w, st in zip(walls, steals) if st <= 50]
         polluted = not clean
         clean = clean or walls
@@ -190,7 +204,10 @@ def main() -> None:
         ),
     }
     path = os.path.join(
-        REPO, "docs", "evidence", "FUNNEL_THROUGHPUT_r14.json"
+        REPO,
+        "docs",
+        "evidence",
+        f"FUNNEL_THROUGHPUT_r{_round()}.json"
     )
     with open(path, "w") as fh:
         json.dump(report, fh, indent=1)
