@@ -515,15 +515,6 @@ def _start_file_ingest(
             post_batch=post,
         )
 
-    import os
-
-    from ..operators.classifier import (
-        calibrate_threshold_from_histogram,
-    )
-
-    hist_path = os.path.join(rolling["path"], "hist")
-    thr_path = os.path.join(rolling["path"], "thresholds")
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
@@ -533,67 +524,16 @@ def _start_file_ingest(
         # persist so the corpus is scored once per batch
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            hist = docs.groupBy(
-                F.col("classifier_score").alias("score")
-            ).agg(F.count("*").alias("n"))
-            row = (
-                _lane_before(
-                    spark,
-                    thr_path,
-                    "threshold double, batch long",
-                    batch_id,
-                )
-                .orderBy(F.col("batch").desc())
-                .limit(1)
-                .collect()
-            )
-            t = row[0]["threshold"] if row else rolling.get("initial")
-            gated = (
-                docs.filter(
-                    F.col("classifier_score") >= F.lit(float(t))
-                )
-                if t is not None
-                else docs
-            )
+            gated, extra = _rolling_gate(spark, docs, batch_id, rolling)
             quar_out = quar
             if coalesce_output:
                 gated = gated.coalesce(coalesce_output)
                 quar_out = quar.coalesce(1)
-            tag = F.lit(batch_id).cast("long").alias("batch")
             outs = [
                 (gated, table_path),
                 (quar_out, quarantine_path),
-                (hist.select("*", tag).coalesce(1), hist_path),
+                *extra,
             ]
-            if batch_id % rolling["every"] == 0:
-                prior_h = _lane_before(
-                    spark,
-                    hist_path,
-                    "score double, n long, batch long",
-                    batch_id,
-                )
-                win = (
-                    prior_h.where(
-                        F.col("batch")
-                        > batch_id - int(rolling["window"])
-                    )
-                    .select("score", "n")
-                    .unionByName(hist)
-                )
-                t_new = calibrate_threshold_from_histogram(
-                    win, rolling["fraction"]
-                )
-                if t_new is not None:
-                    outs.append(
-                        (
-                            spark.createDataFrame(
-                                [(float(t_new),)], "threshold double"
-                            )
-                            .select("*", tag)
-                            .coalesce(1),
-                            thr_path,
-                        )
-                    )
             _stage_outputs(outs, batch_id, query_name)
             if (
                 compact_every
@@ -602,13 +542,98 @@ def _start_file_ingest(
             ):
                 compact_documents_table(spark, table_path)
                 compact_documents_table(spark, quarantine_path)
-                compact_documents_table(spark, hist_path)
-                compact_documents_table(spark, thr_path)
+                _compact_rolling_lanes(spark, rolling)
         finally:
             docs.unpersist()
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name
+    )
+
+
+def _rolling_gate(
+    spark: SparkSession,
+    docs: DataFrame,
+    batch_id: int,
+    rolling: dict,
+) -> tuple[DataFrame, list]:
+    """One batch of the rolling-recalibration loop (shared by the
+    plain/WET sinks and the near-dedup sink): gate ``docs`` (must
+    carry ``classifier_score``; persist it — both the gate and the
+    histogram consume it) with the newest COMMITTED threshold, and
+    return ``(gated_docs, extra_outputs)`` where the extras are the
+    batch's histogram row-set and, on a calibration tick, the new
+    batch-stamped threshold row. Everything derives from committed
+    state (``batch < batch_id``) plus the current batch's content, so
+    replays reproduce identical bytes."""
+    import os
+
+    from ..operators.classifier import (
+        calibrate_threshold_from_histogram,
+    )
+
+    hist_path = os.path.join(rolling["path"], "hist")
+    thr_path = os.path.join(rolling["path"], "thresholds")
+    hist = docs.groupBy(
+        F.col("classifier_score").alias("score")
+    ).agg(F.count("*").alias("n"))
+    row = (
+        _lane_before(
+            spark, thr_path, "threshold double, batch long", batch_id
+        )
+        .orderBy(F.col("batch").desc())
+        .limit(1)
+        .collect()
+    )
+    t = row[0]["threshold"] if row else rolling.get("initial")
+    gated = (
+        docs.filter(F.col("classifier_score") >= F.lit(float(t)))
+        if t is not None
+        else docs
+    )
+    tag = F.lit(batch_id).cast("long").alias("batch")
+    extra = [(hist.select("*", tag).coalesce(1), hist_path)]
+    if batch_id % rolling["every"] == 0:
+        prior_h = _lane_before(
+            spark,
+            hist_path,
+            "score double, n long, batch long",
+            batch_id,
+        )
+        win = (
+            prior_h.where(
+                F.col("batch") > batch_id - int(rolling["window"])
+            )
+            .select("score", "n")
+            .unionByName(hist)
+        )
+        t_new = calibrate_threshold_from_histogram(
+            win, rolling["fraction"]
+        )
+        if t_new is not None:
+            extra.append(
+                (
+                    spark.createDataFrame(
+                        [(float(t_new),)], "threshold double"
+                    )
+                    .select("*", tag)
+                    .coalesce(1),
+                    thr_path,
+                )
+            )
+    return gated, extra
+
+
+def _compact_rolling_lanes(spark: SparkSession, rolling: dict) -> None:
+    """Fold the hist/threshold lanes on the same cadence as the
+    document lanes (they accrete one file per batch / per tick)."""
+    import os
+
+    compact_documents_table(
+        spark, os.path.join(rolling["path"], "hist")
+    )
+    compact_documents_table(
+        spark, os.path.join(rolling["path"], "thresholds")
     )
 
 
@@ -1147,6 +1172,10 @@ def start_corpus_neardup_stream(
     bpe_merges: list[tuple[str, str]] | None = None,
     bpe_vocab: dict[str, int] | None = None,
     bpe_pretokenize: str = "gpt2",
+    recalibrate_every: int | None = None,
+    calibration_fraction: float | None = None,
+    calibration_window: int = 12,
+    calibration_path: str | None = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -1198,6 +1227,12 @@ def start_corpus_neardup_stream(
     ``_promote_staged``'s ``os.replace`` renames): a remote URI would
     silently defeat the first-batch store check, so it is rejected up
     front instead.
+
+    ``recalibrate_every`` switches the static gate to ROLLING
+    recalibration exactly like :func:`start_corpus_stream`, gating
+    BEFORE the near-dedup probe (funnel order: score -> gate ->
+    dedup): the full online funnel — classify, drift-tracking gate,
+    continuous near-dedup, tokenize, compact — runs in one stream.
     """
     import os
     from urllib.parse import urlparse
@@ -1211,6 +1246,14 @@ def start_corpus_neardup_stream(
         score_threshold=score_threshold,
         bpe_merges=bpe_merges,
         bpe_vocab=bpe_vocab,
+    )
+    rolling = _rolling_spec(
+        classifier_weights,
+        score_threshold,
+        recalibrate_every,
+        calibration_fraction,
+        calibration_window,
+        calibration_path,
     )
     for label, pth in (
         ("table_path", table_path),
@@ -1285,11 +1328,23 @@ def start_corpus_neardup_stream(
             enrich=enrich,
             classifier_weights=classifier_weights,
             classifier_hasher=classifier_hasher,
-            score_threshold=score_threshold,
+            score_threshold=None if rolling else score_threshold,
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
         )
+        rolling_extra: list = []
+        if rolling:
+            from pyspark import StorageLevel as _SL
+
+            # gate BEFORE near-dedup (funnel order: score -> gate ->
+            # dedup); the scored frame feeds gate + histogram, so
+            # persist it for the batch
+            docs = docs.persist(_SL.MEMORY_AND_DISK)
+            caches.append(docs)
+            docs, rolling_extra = _rolling_gate(
+                spark, docs, batch_id, rolling
+            )
         kw = dict(n=n, num_hashes=num_hashes, bands=bands)
         if in_batch:
             pairs = minhash_lsh_dedup(
@@ -1347,6 +1402,7 @@ def start_corpus_neardup_stream(
                 (quar, quarantine_path),
                 (new_b, bpath),
                 (new_d, dpath),
+                *rolling_extra,
             ),
             batch_id,
             query_name,
@@ -1358,6 +1414,8 @@ def start_corpus_neardup_stream(
             # cadence, same never-the-newest-batch replay contract
             compact_documents_table(spark, table_path)
             compact_documents_table(spark, quarantine_path)
+            if rolling:
+                _compact_rolling_lanes(spark, rolling)
 
     return _start_foreach(
         files_stream, process, checkpoint_path, processing_time, query_name

@@ -282,3 +282,118 @@ def test_rolling_args_validated_eagerly(spark, tmp_path):
             **common,
         )
     assert len(spark.streams.active) == 0
+
+
+def test_neardup_stream_rolling_gate(spark, tmp_path):
+    """The full online funnel in ONE stream: classify -> rolling gate
+    -> continuous near-dedup -> store append. The gate applies BEFORE
+    the dedup probe; a later-batch exact clone of a batch-0 survivor
+    passes the gate but must be dropped by the store probe, and the
+    threshold trajectory lands batch-stamped like every other lane."""
+    import hashlib
+
+    from neo4j_to_clickhouse_spark.sources.robots import robots_rules_df
+    from neo4j_to_clickhouse_spark.sources.warc import encode_warc
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        corpus_documents,
+        read_warc_file_stream,
+        start_corpus_neardup_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rules = robots_rules_df(spark, [("h0.com", "User-agent: *\n")])
+    # globally word-disjoint sentences: no two share ANY 3-shingle, so
+    # the only near-dup pair in the fixture is the planted exact clone
+    pool = [
+        " ".join(f"tok{m}{chr(97 + j)}" for j in range(5))
+        for m in range(16)
+    ]
+    batches = {
+        0: [(f"http://h0.com/b0-{i}", pool[i]) for i in range(6)],
+        # b1 carries an EXACT clone of b0's doc 0 under a new URL
+        1: [("http://h0.com/clone", pool[0])]
+        + [(f"http://h0.com/b1-{i}", pool[6 + i]) for i in range(4)],
+        2: [(f"http://h0.com/b2-{i}", pool[10 + i]) for i in range(4)],
+    }
+
+    def warc_for(b):
+        return encode_warc(
+            [
+                {
+                    "uri": uri,
+                    "record_id": "<urn:uuid:"
+                    + hashlib.md5(uri.encode()).hexdigest()
+                    + ">",
+                    "body": f"<p>{t}</p>".encode(),
+                    "status": 200,
+                    "content_type": "text/html; charset=utf-8",
+                }
+                for uri, t in batches[b]
+            ],
+            gzip_per_record=True,
+        )
+
+    kw = dict(
+        table_path=str(tmp_path / "docs"),
+        quarantine_path=str(tmp_path / "quar"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        coalesce_output=1,
+        classifier_weights=MODEL,
+        recalibrate_every=1,
+        calibration_fraction=0.5,
+        calibration_window=2,
+        calibration_path=str(tmp_path / "calib"),
+    )
+    for b in range(3):
+        (drop / f"f{b}.warc.gz").write_bytes(warc_for(b))
+        drain(
+            start_corpus_neardup_stream(
+                read_warc_file_stream(spark, str(drop)), rules, **kw
+            )
+        )
+    # expected: per-batch PRE-gate scores via the shared batch chain
+    scores = {}
+    for b in range(3):
+        fb = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"f{b}.warc.gz")
+            .load(str(drop))
+        )
+        d, _ = corpus_documents(fb, rules, classifier_weights=MODEL)
+        scores[b] = {
+            r["canonical"]: r["classifier_score"] for r in d.collect()
+        }
+
+    def thr_at(b):
+        rows = [
+            (s, 1)
+            for bb in range(max(0, b - 1), b + 1)
+            for s in scores[bb].values()
+        ]
+        return calibrate_threshold_from_histogram(
+            spark.createDataFrame(rows, "score double, n long"), 0.5
+        )
+
+    gates = {0: None, 1: thr_at(0), 2: thr_at(1)}
+    want = set()
+    for b in range(3):
+        for u, s in scores[b].items():
+            if (gates[b] is None or s >= gates[b]) and u != "http://h0.com/clone":
+                want.add(u)
+    got = {
+        r["canonical"]
+        for r in spark.read.parquet(str(tmp_path / "docs")).collect()
+    }
+    # the clone passed or failed the GATE on its score, but can never
+    # survive the store probe (identical text, Jaccard 1 vs batch 0)
+    assert "http://h0.com/clone" not in got
+    assert got == want
+    got_t = {
+        r["batch"]: r["threshold"]
+        for r in spark.read.parquet(
+            str(tmp_path / "calib" / "thresholds")
+        ).collect()
+    }
+    assert got_t == {0: thr_at(0), 1: thr_at(1), 2: thr_at(2)}
