@@ -436,12 +436,9 @@ def _bpe_prod_jobs(spark, sf_dir: str) -> list:
     from pyspark.sql import functions as F
 
     from neo4j_to_clickhouse_spark.operators.bpe import (
+        assert_byte_roundtrip,
         bpe_encode,
-        byte_vocab,
-        bytes_to_unicode,
-        corpus_word_counts,
-        learn_bpe_from_counts,
-        synthetic_zipf_counts,
+        gpt2_operating_point_artifact,
     )
     from neo4j_to_clickhouse_spark.plans.queries import _t
 
@@ -451,32 +448,13 @@ def _bpe_prod_jobs(spark, sf_dir: str) -> list:
         if "merges" in state:
             return
         docs = _t(s, sf_dir, "documents")
-        counts = synthetic_zipf_counts(100_000)
-        for w, c in corpus_word_counts(
-            docs, "text", pretokenize="gpt2"
-        ).items():
-            counts[w] = counts.get(w, 0) + c
-        state["merges"] = learn_bpe_from_counts(counts, 50_000)
-        state["vocab"] = byte_vocab(state["merges"])
-        # byte round-trip pin at the operating point: ids -> pieces ->
-        # bytes -> utf-8 must reproduce the text exactly
-        rev = {v: k for k, v in state["vocab"].items()}
-        byte_of = {c: b for b, c in bytes_to_unicode().items()}
-        sample = bpe_encode(
-            docs.limit(50),
-            "text",
-            state["merges"],
-            state["vocab"],
-            pretokenize="gpt2",
-        ).select("text", "token_ids")
-        for r in sample.collect():
-            pieces = "".join(rev[i] for i in r["token_ids"])
-            got = bytes(byte_of[ch] for ch in pieces).decode("utf-8")
-            if got != r["text"]:
-                raise AssertionError(
-                    "bpe 50k round-trip diverged: "
-                    f"{got[:60]!r} != {r['text'][:60]!r}"
-                )
+        state["merges"], state["vocab"] = gpt2_operating_point_artifact(
+            docs
+        )
+        # byte round-trip pin at the operating point, every session
+        assert_byte_roundtrip(
+            docs, "text", state["merges"], state["vocab"]
+        )
 
     def run_once(s) -> int:
         enc = bpe_encode(

@@ -48,6 +48,8 @@ __all__ = [
     "char_vocab",
     "corpus_word_counts",
     "gpt2_byte_encode",
+    "gpt2_operating_point_artifact",
+    "assert_byte_roundtrip",
     "learn_bpe",
     "learn_bpe_from_counts",
     "save_bpe_artifacts",
@@ -547,6 +549,55 @@ def synthetic_zipf_counts(
         rank = len(counts) + 1
         counts[w] = max(1, int(head_count / rank**0.7))
     return counts
+
+
+def gpt2_operating_point_artifact(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50_000,
+    n_synthetic_words: int = 100_000,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """A PRODUCTION-SIZED (merges, vocab) pair for benches and scale
+    probes: the corpus's real byte-mapped word counts unioned over the
+    deterministic :func:`synthetic_zipf_counts` tail, learned by the
+    real incremental Sennrich loop. The real words' counts dominate
+    the top ranks so their chains fully merge (encode on real text
+    walks real merge chains), while the synthetic tail densifies the
+    table to the GPT-2 operating point (50k merges → vocab 50256).
+    Shared by ``bench.py::_bpe_prod_jobs`` and
+    ``tools/bench_bpe_encode_50k.py`` so the two cannot drift."""
+    counts = synthetic_zipf_counts(n_synthetic_words)
+    for w, c in corpus_word_counts(
+        df, text_col, pretokenize="gpt2"
+    ).items():
+        counts[w] = counts.get(w, 0) + c
+    merges = learn_bpe_from_counts(counts, num_merges)
+    return merges, byte_vocab(merges)
+
+
+def assert_byte_roundtrip(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    n_docs: int = 50,
+) -> None:
+    """Pin the ids → pieces → bytes → utf-8 round-trip on a sample of
+    ``df`` — the cheap full-vocab integrity check benches run in their
+    untimed prepare. Raises AssertionError on the first divergence."""
+    rev = {v: k for k, v in vocab.items()}
+    byte_of = {c: b for b, c in bytes_to_unicode().items()}
+    sample = bpe_encode(
+        df.limit(n_docs), text_col, merges, vocab, pretokenize="gpt2"
+    ).select(text_col, "token_ids")
+    for r in sample.collect():
+        pieces = "".join(rev[i] for i in r["token_ids"])
+        got = bytes(byte_of[ch] for ch in pieces).decode("utf-8")
+        if got != r[text_col]:
+            raise AssertionError(
+                "byte round-trip diverged: "
+                f"{got[:60]!r} != {r[text_col][:60]!r}"
+            )
 
 
 def save_bpe_artifacts(

@@ -704,14 +704,25 @@ def rolling_threshold_report(
     window, and kept-count all run on histogram rows. The
     window-alignment join is a broadcast over the distinct-batch
     frame, so no corpus-sized shuffle exists anywhere."""
+    from pyspark import StorageLevel
+
     s = F.col(score_col)
+    # the histogram feeds FOUR downstream branches (batch list, pool,
+    # batch_docs, kept) and Catalyst does not reuse the aggregate
+    # exchange across them (verified: 10 corpus FileScans unpersisted,
+    # 0 ReusedExchange) — persist the bounded frame so the corpus is
+    # genuinely touched once (same idiom as threshold_selection_stats'
+    # scored persist; cache-manager keys on the canonicalized plan)
     hist = (
         df.groupBy(batch_col, score_col)
         .agg(F.count("*").alias("__n"))
         .withColumnRenamed(batch_col, "__hb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    batches = df.select(
-        F.col(batch_col).alias("__b")
+    # distinct batches FROM THE HISTOGRAM (not a second corpus scan):
+    # every corpus batch has >= 1 histogram row, so the sets are equal
+    batches = hist.select(
+        F.col("__hb").alias("__b")
     ).distinct()
     pool = (
         hist.join(

@@ -151,6 +151,19 @@ def _rolling_spec(
             "rolling recalibration requires calibration_path (the "
             "batch-stamped hist/ + thresholds/ lane root)"
         )
+    from urllib.parse import urlparse
+
+    if urlparse(calibration_path).scheme not in ("", "file"):
+        # a remote URI would silently disable recalibration: the
+        # staged-promote renames and _lane_before's isdir check are
+        # local-filesystem only, so the gate would read an empty lane
+        # forever while the stream runs without error
+        raise ValueError(
+            f"calibration_path={calibration_path!r}: the rolling "
+            "lanes are local-filesystem only (os.replace renames + "
+            "isdir checks) — mount locally or extend _promote_staged "
+            "for remote FS"
+        )
     if calibration_fraction is None or not (
         0.0 < calibration_fraction <= 1.0
     ):
@@ -432,29 +445,45 @@ def _start_multi_ingest(
 
 
 def _lane_before(
-    spark: SparkSession, path: str, schema: str, batch_id: int
+    spark: SparkSession,
+    path: str,
+    schema: "str | DataFrame",
+    batch_id: int,
 ) -> DataFrame:
     """Committed rows of a batch-stamped lane STRICTLY before
-    ``batch_id`` (crash-recovered first; same read discipline as the
-    near-dedup store's ``_prior``): a crashed attempt of the current
-    batch may have promoted its own rows, and replays must not see
-    them. Empty/absent lane -> empty frame of ``schema``."""
+    ``batch_id`` (crash-recovered first) — the ONE lane-read
+    discipline every replay-safe reader shares (rolling hist/threshold
+    lanes here; the near-dedup store's ``_prior`` delegates too): a
+    crashed attempt of the current batch may have promoted its own
+    rows, and replays must not see them. Empty/absent lane -> empty
+    frame of ``schema`` (a DDL string, or a template DataFrame whose
+    ``limit(0)`` supplies the schema). ONLY "no committed data yet"
+    takes the empty path — a dir holding nothing but hidden entries
+    (a crashed first attempt's ``.staging-*``) would otherwise raise
+    UNABLE_TO_INFER_SCHEMA and wedge every replay; any OTHER read
+    failure (corrupt footer, transient FS error) must raise, because
+    an empty-lane fallback there silently hides committed history."""
     import os
 
     from pyspark.errors import AnalysisException
+
+    def empty() -> DataFrame:
+        if isinstance(schema, str):
+            return spark.createDataFrame([], schema)
+        return schema.limit(0)
 
     _recover_lsh_half(path)
     if not os.path.isdir(path) or not any(
         not e.startswith((".", "_")) for e in os.listdir(path)
     ):
-        return spark.createDataFrame([], schema)
+        return empty()
     try:
         return spark.read.parquet(path).where(
             F.col("batch") < batch_id
         )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
-            return spark.createDataFrame([], schema)
+            return empty()
         raise
 
 
@@ -1237,8 +1266,6 @@ def start_corpus_neardup_stream(
     import os
     from urllib.parse import urlparse
 
-    from pyspark.errors import AnalysisException
-
     # eager arg-pairing check (ADVICE r14): fail at start, not batch 0
     _validate_enrich_args(
         classifier_weights=classifier_weights,
@@ -1281,32 +1308,13 @@ def start_corpus_neardup_stream(
     dpath = os.path.join(store_path, "digests")
 
     def _prior(spark, path: str, schema_df: DataFrame, batch_id: int):
-        # a compactor that crashed mid-swap leaves folded store rows set
-        # aside in a hidden dir — reading past that would silently hide
-        # history from the probe, so recovery runs first (idempotent,
-        # one isfile check when clean)
-        _recover_lsh_half(path)
-        # ONLY "no committed data yet" means first batch: a missing dir,
-        # or a dir holding nothing but hidden entries (a crashed first
-        # attempt leaves a .staging-* dir the promote never moved —
-        # Spark ignores dot-files, so reading would raise
-        # UNABLE_TO_INFER_SCHEMA and wedge every replay). Any OTHER
-        # read failure (corrupt footer, transient FS error) must raise —
-        # an empty-store fallback there would silently commit near-dups.
-        if not os.path.isdir(path) or not any(
-            not e.startswith((".", "_")) for e in os.listdir(path)
-        ):
-            return schema_df
-        try:
-            return (
-                spark.read.parquet(path)
-                .where(F.col("batch") < batch_id)
-                .drop("batch")
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
-                return schema_df
-            raise
+        # the shared lane-read discipline (_lane_before: crash
+        # recovery, hidden-entry-only empty check, batch < batch_id);
+        # the store probe additionally drops the stamp column (a no-op
+        # on the empty-lane template, which never carried it)
+        return _lane_before(spark, path, schema_df, batch_id).drop(
+            "batch"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -281,6 +281,17 @@ def test_rolling_args_validated_eagerly(spark, tmp_path):
             calibration_fraction=0.5,
             **common,
         )
+    # a remote calibration_path would silently disable recalibration
+    # (local-only renames/isdir) — rejected eagerly instead
+    with pytest.raises(ValueError, match="local-filesystem"):
+        start_wet_stream(
+            files,
+            classifier_weights=MODEL,
+            recalibrate_every=2,
+            calibration_fraction=0.5,
+            calibration_path="s3://bucket/calib",
+            **common,
+        )
     assert len(spark.streams.active) == 0
 
 

@@ -39,12 +39,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from neo4j_to_clickhouse_spark.operators.bpe import (
+        assert_byte_roundtrip,
         bpe_encode,
-        byte_vocab,
-        bytes_to_unicode,
-        corpus_word_counts,
-        learn_bpe_from_counts,
-        synthetic_zipf_counts,
+        gpt2_operating_point_artifact,
     )
     from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
 
@@ -60,30 +57,11 @@ def main() -> None:
     )
     docs01 = spark.read.parquet(f"{ROOT}/sf0.1/documents.parquet")
     t0 = time.monotonic()
-    counts = synthetic_zipf_counts(100_000)
-    for w, c in corpus_word_counts(
-        docs01, "text", pretokenize="gpt2"
-    ).items():
-        counts[w] = counts.get(w, 0) + c
-    merges = learn_bpe_from_counts(counts, 50_000)
-    vocab = byte_vocab(merges)
+    merges, vocab = gpt2_operating_point_artifact(docs01)
     learn_s = round(time.monotonic() - t0, 2)
 
     # round-trip pin through the full 50k vocab before any timing
-    rev = {v: k for k, v in vocab.items()}
-    byte_of = {c: b for b, c in bytes_to_unicode().items()}
-    for r in (
-        bpe_encode(
-            docs01.limit(50), "text", merges, vocab, pretokenize="gpt2"
-        )
-        .select("text", "token_ids")
-        .collect()
-    ):
-        pieces = "".join(rev[i] for i in r["token_ids"])
-        assert (
-            bytes(byte_of[ch] for ch in pieces).decode("utf-8")
-            == r["text"]
-        ), "50k round-trip diverged"
+    assert_byte_roundtrip(docs01, "text", merges, vocab)
 
     points = [
         ("0.01", f"{ROOT}/sf0.01"),
