@@ -112,3 +112,77 @@ def test_budget_mixture_member_set_is_pure(spark, wa, wb, budget, parts):
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
         if h < math.floor(rate * 4294967296.0):
             assert i in kept_ids
+
+
+_batch = st.integers(min_value=0, max_value=4)
+_rows = st.lists(
+    st.tuples(_batch, _score), min_size=1, max_size=30
+)
+_window = st.sampled_from([1, 2, 3])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_rows, fraction=_fraction, window=_window)
+def test_rolling_threshold_report_equals_python_replica(
+    spark, rows, fraction, window
+):
+    """rolling_threshold_report == a direct python restatement for ANY
+    (batch, score) multiset — heavy ties, NULL scores, sparse batch
+    ids, window > span. The trailing-window pool, the
+    descending-cumulative threshold row (incl. the NULL-group
+    boundary), and the ties-kept gate count are the parts worth
+    fuzzing beyond the fixture-shaped oracle."""
+    from collections import Counter
+
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        rolling_threshold_report,
+    )
+
+    df = spark.createDataFrame(rows, "batch int, score double")
+    got = {
+        r["batch"]: (
+            r["threshold"],
+            r["pool_docs"],
+            r["batch_docs"],
+            r["batch_kept"],
+        )
+        for r in rolling_threshold_report(
+            df, "score", "batch", fraction, window=window
+        ).collect()
+    }
+    exp = {}
+    for b in sorted({bb for bb, _ in rows}):
+        pool = [s for bb, s in rows if b - window < bb <= b]
+        k = math.ceil(fraction * len(pool))
+        cnt = Counter(pool)
+        keys = sorted(
+            (x for x in cnt if x is not None), reverse=True
+        ) + ([None] if None in cnt else [])
+        t, c = "missing", 0
+        for s_ in keys:
+            c += cnt[s_]
+            if c >= k and c - cnt[s_] < k:
+                t = s_
+                break
+        assert t != "missing"
+        bd = sum(1 for bb, _ in rows if bb == b)
+        kept = (
+            0
+            if t is None
+            else sum(
+                1
+                for bb, s_ in rows
+                if bb == b and s_ is not None and s_ >= t
+            )
+        )
+        exp[b] = (
+            None if t is None else t + 0.0,
+            len(pool),
+            bd,
+            kept,
+        )
+    assert got == exp
