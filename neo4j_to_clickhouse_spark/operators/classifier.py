@@ -331,6 +331,90 @@ def score_documents(
     return df.withColumn(out_col, score)
 
 
+def score_documents_multiclass(
+    df: DataFrame,
+    text_col: str,
+    class_weights: "dict[str, list[int]]",
+    seed: int = 7,
+    bigrams: bool = True,
+    hasher: str = "md5",
+    score_prefix: str = "score_",
+    label_col: str = "label",
+    weight_strategy: str = "auto",
+) -> DataFrame:
+    """One-vs-all multi-class linear scoring + argmax label — the
+    topic/domain tagger of a curation pipeline (tag -> per-domain
+    mixture weights, the taxonomy step FineWeb-style pipelines run
+    after binary quality filtering). ``class_weights`` maps class name
+    -> micro-unit weight vector; every class MUST share one bucket
+    space (same length, same (seed, bigrams, hasher)).
+
+    Adds one ``score_<class>`` column per class (same rounding
+    contract as :func:`score_documents` — mean hashed-gram
+    micro-weight, round 6) and ``label_col`` = the argmax class with
+    DETERMINISTIC first-in-sorted-name-order tie-break (an all-zero
+    document labels as the first class). Cross-engine restatable: the
+    certified lane's oracle replays the same sums and the same
+    tie-break as CASE comparisons over rounded scores.
+
+    Scale shape: the gram array and its bucket hashes are computed
+    ONCE in a projection and every class total aggregates over that
+    shared array — k classes cost k array-sums, not k tokenize+hash
+    passes; zero shuffle, zero join. ``weight_strategy`` as in
+    :func:`score_documents` (per-class literal arrays up to the
+    ceiling; the Arrow gather kernel above it)."""
+    if not class_weights:
+        raise ValueError("class_weights must name at least one class")
+    names = sorted(class_weights)
+    sizes = {len(class_weights[n]) for n in names}
+    if len(sizes) != 1:
+        raise ValueError(
+            "every class must share ONE bucket space: got vector "
+            f"lengths {sorted(sizes)}"
+        )
+    n_buckets = sizes.pop()
+    strategy = _resolve_weight_strategy(weight_strategy, n_buckets)
+    grams = ngram_features(text_col, bigrams=bigrams)
+    out = df.withColumn(
+        "__mc_buckets",
+        F.transform(
+            grams,
+            lambda g: hash_bucket(g, n_buckets, seed, hasher).cast(
+                "int"
+            ),
+        ),
+    )
+    n = F.size("__mc_buckets")
+    for name in names:
+        w = class_weights[name]
+        if strategy == "broadcast":
+            total = _gather_sum_udf(w)(F.col("__mc_buckets"))
+        else:
+            w_arr = F.array(*[F.lit(int(x)) for x in w])
+            total = F.aggregate(
+                F.col("__mc_buckets"),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + F.element_at(w_arr, i + 1),
+            )
+        score = F.when(
+            n > 0,
+            F.round(
+                total / (n.cast("double") * float(WEIGHT_SCALE)), 6
+            ),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"{score_prefix}{name}", score)
+    scores = F.array(
+        *[F.col(f"{score_prefix}{n_}") for n_ in names]
+    )
+    # argmax with first-in-sorted-order tie-break: array_position
+    # returns the FIRST index holding the max — pure codegen
+    label = F.element_at(
+        F.array(*[F.lit(n_) for n_ in names]),
+        F.array_position(scores, F.array_max(scores)).cast("int"),
+    )
+    return out.withColumn(label_col, label).drop("__mc_buckets")
+
+
 def fit_classifier(
     df: DataFrame,
     text_col: str,

@@ -8928,6 +8928,19 @@ from neo4j_to_clickhouse_spark.operators.classifier import (  # noqa: E402
 _CLS_W = _cls_weight_table(256, 7)
 _CLS_W_SQL = "[" + ", ".join(str(w) for w in _CLS_W) + "]"
 
+# one-vs-all taxonomy model for the multi-class lane: three synthetic
+# per-class vectors in ONE shared bucket space (names sorted — the
+# argmax tie-break order)
+_MC_W = {
+    "code": _cls_weight_table(256, 8),
+    "news": _cls_weight_table(256, 9),
+    "web": _cls_weight_table(256, 10),
+}
+_MC_W_SQL = {
+    k: "[" + ", ".join(str(w) for w in v) + "]"
+    for k, v in _MC_W.items()
+}
+
 # Shared oracle prelude: tokenize exactly like dedup.tokens (strip, ''
 # -> [], split \s+), build unigrams+bigrams, score = mean hashed-gram
 # micro-weight (exact BIGINT sum; ONE correctly-rounded division).
@@ -9040,6 +9053,79 @@ def quality_classifier_broadcast_stats(spark, sf_dir):
             ),
         )
         .orderBy("source")
+    )
+
+
+_MC_SCORE_COLS_SQL = ",\n        ".join(
+    "CASE WHEN len(grams) = 0 THEN 0.0 ELSE round(CAST(list_sum("
+    "list_transform(grams, x -> ({w})[1 + CAST(('0x' || "
+    "substr(md5('7:' || x), 1, 8))::BIGINT % 256 AS INT)])) AS DOUBLE)"
+    " / (len(grams) * 1000000.0), 6) + 0 END AS s_{n}".format(
+        w=_MC_W_SQL[n], n=n
+    )
+    for n in sorted(_MC_W)
+)
+
+
+@q(
+    "topic_classifier_stats",
+    # Certifies one-vs-all MULTI-CLASS linear tagging
+    # (operators/classifier.py::score_documents_multiclass — the
+    # topic/domain taxonomy step curation pipelines run after binary
+    # quality filtering, feeding per-domain mixture weights): three
+    # per-class vectors in one shared bucket space, scores with the
+    # binary lane's exact rounding contract, argmax label with the
+    # deterministic first-in-sorted-name-order tie-break (all-zero
+    # docs label 'code'). The oracle replays all three sums and the
+    # tie-break as CASE comparisons over the rounded scores; the
+    # reused scored CTE from the binary lane goes unreferenced.
+    f"""WITH {_CLS_SCORED_CTE},
+       mc AS (SELECT doc_id, source,
+        {_MC_SCORE_COLS_SQL}
+        FROM g),
+       lab AS (SELECT source,
+               CASE WHEN s_code >= s_news AND s_code >= s_web
+                    THEN 'code'
+                    WHEN s_news >= s_web THEN 'news'
+                    ELSE 'web' END AS label,
+               greatest(s_code, s_news, s_web) AS win
+               FROM mc)
+       SELECT source, label,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              round(CAST(sum(CAST(win AS DECIMAL(28,6))) AS DOUBLE),
+                    6) + 0 AS win_score_sum
+       FROM lab GROUP BY source, label ORDER BY source, label""",
+    "one-vs-all multi-class linear tagging (topic/domain taxonomy): "
+    "shared bucket hashing computed once, k plan-literal score "
+    "columns, codegen argmax with deterministic tie-break",
+)
+def topic_classifier_stats(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents_multiclass,
+    )
+
+    tagged = score_documents_multiclass(
+        _t(spark, sf_dir, "documents"), "text", _MC_W, seed=7
+    )
+    win = F.greatest(
+        *[F.col(f"score_{n}") for n in sorted(_MC_W)]
+    )
+    return (
+        tagged.withColumn("win", win)
+        .groupBy("source", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("win").cast("decimal(28,6)")
+                    ).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("win_score_sum"),
+        )
+        .orderBy("source", "label")
     )
 
 
@@ -10339,6 +10425,7 @@ _DRIVER_WINDOW = [
     "bpe_byte_level_utf8_stats",  # last green: r00
     "quality_classifier_broadcast_stats",  # last green: r00
     "rolling_threshold_trajectory",  # last green: r00
+    "topic_classifier_stats",  # last green: r00
     "value_histogram",  # last green: r10
     "window_funnel_steps",  # last green: r10
     "active_time_union_seconds",  # last green: r11
@@ -10385,10 +10472,10 @@ _DRIVER_WINDOW = [
     "shard_balance_report",  # last green: r11
     "span_dedup_rewrite_stats",  # last green: r11
     "state_interval_stats",  # last green: r11
-    "text_stats_by_source",  # last green: r11
 ]
 
 _ROTATION = [
+    "text_stats_by_source",  # r11
     "tokenizer_comparison_by_source",  # r11
     "topk_words_approx",  # r11
     "url_canonical_dedup_stats",  # r11

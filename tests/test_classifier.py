@@ -273,3 +273,69 @@ def test_select_top_fraction_with_null_scores(spark):
         for r in select_top_fraction(df, "score", "id", 0.75).collect()
     )
     assert got == [1, 2, 4]
+
+
+def test_score_documents_multiclass(spark):
+    """k-class scoring shares ONE bucket computation: per-class scores
+    equal k independent score_documents calls exactly, the argmax
+    label breaks ties deterministically toward the first sorted class
+    name (empty docs label first-class), broadcast strategy is
+    bit-equal, and mismatched bucket spaces fail loudly."""
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents_multiclass,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, ""),
+            (3, None),
+            (4, "solo"),
+        ],
+        "id long, text string",
+    )
+    cw = {
+        "code": weight_table(64, 8),
+        "news": weight_table(64, 9),
+        "web": weight_table(64, 10),
+    }
+    got = {
+        r["id"]: r
+        for r in score_documents_multiclass(
+            df, "text", cw, seed=3
+        ).collect()
+    }
+    # per-class equality with the binary scorer
+    for name, w in cw.items():
+        solo = {
+            r["id"]: r["score"]
+            for r in score_documents(df, "text", w, seed=3).collect()
+        }
+        for i in got:
+            assert got[i][f"score_{name}"] == solo[i], (name, i)
+    # argmax + deterministic tie-break
+    for i, r in got.items():
+        scores = {n: r[f"score_{n}"] for n in cw}
+        best = max(scores.values())
+        assert r["label"] == sorted(
+            n for n in cw if scores[n] == best
+        )[0]
+    assert got[2]["label"] == "code"  # all-zero -> first sorted class
+    # broadcast kernel bit-equality
+    bc = {
+        r["id"]: r
+        for r in score_documents_multiclass(
+            df, "text", cw, seed=3, weight_strategy="broadcast"
+        ).collect()
+    }
+    for i in got:
+        for n in cw:
+            assert bc[i][f"score_{n}"] == got[i][f"score_{n}"]
+        assert bc[i]["label"] == got[i]["label"]
+    # validation
+    with pytest.raises(ValueError, match="at least one"):
+        score_documents_multiclass(df, "text", {})
+    with pytest.raises(ValueError, match="ONE bucket space"):
+        score_documents_multiclass(
+            df, "text", {"a": [0] * 8, "b": [0] * 16}
+        )

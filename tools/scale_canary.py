@@ -96,6 +96,9 @@ CEILINGS: dict[str, float | None] = {
     # bounded histograms; the window join/cumulative run on histogram
     # rows only — corpus is touched exactly once)
     "rolling_threshold_trajectory": None,
+    # r15: multi-class tagging (shared bucket hashing + k literal
+    # score sums + codegen argmax — one scan, must stay linear)
+    "topic_classifier_stats": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
