@@ -194,6 +194,7 @@ def enrich_documents(
     bpe_vocab: dict[str, int] | None = None,
     bpe_pretokenize: str = "gpt2",
     text_col: str = "text",
+    topic_weights: "dict[str, list[int]] | None" = None,
 ) -> DataFrame:
     """The shared curation-funnel stages over any documents frame with
     a ``text`` column — WARC (``corpus_documents``) and WET
@@ -206,6 +207,10 @@ def enrich_documents(
       ``classifier_hasher``);
     - ``score_threshold``: the calibrate-then-broadcast online gate
       (``classifier_score >= t`` as a plan literal);
+    - ``topic_weights`` (class name -> micro-weight vector): one-vs-all
+      taxonomy tagging in the same scan — ``topic_score_<class>``
+      columns + the argmax ``topic`` label, so per-domain mixture
+      weighting downstream never re-reads text;
     - ``bpe_merges``+``bpe_vocab``: byte-level tokenization in the same
       scan (``token_ids``/``n_bpe_tokens``).
 
@@ -257,6 +262,16 @@ def enrich_documents(
         docs = docs.filter(
             F.col("classifier_score") >= F.lit(float(score_threshold))
         )
+    if topic_weights:
+        from ..operators.classifier import score_documents_multiclass
+
+        docs = score_documents_multiclass(
+            docs,
+            text_col,
+            topic_weights,
+            score_prefix="topic_score_",
+            label_col="topic",
+        )
     if bpe_merges is not None:
         # tokenize INSIDE the ingest scan (same posture as the in-
         # stream classifier): broadcast merges+vocab, one more Arrow
@@ -287,6 +302,7 @@ def corpus_documents(
     bpe_merges: list[tuple[str, str]] | None = None,
     bpe_vocab: dict[str, int] | None = None,
     bpe_pretokenize: str = "gpt2",
+    topic_weights: "dict[str, list[int]] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared batch/stream transform: ``binaryFile`` rows ->
     ``(documents, quarantine)``. Documents carry the canonical URL,
@@ -351,6 +367,7 @@ def corpus_documents(
         bpe_merges=bpe_merges,
         bpe_vocab=bpe_vocab,
         bpe_pretokenize=bpe_pretokenize,
+        topic_weights=topic_weights,
     )
     quarantine = quar.select(
         "file",
@@ -686,6 +703,7 @@ def start_wet_stream(
     calibration_fraction: float | None = None,
     calibration_window: int = 12,
     calibration_path: str | None = None,
+    topic_weights: "dict[str, list[int]] | None" = None,
 ) -> StreamingQuery:
     """WET drops -> documents table, continuously: conversion records
     strictly UTF-8 decoded (quarantine lane for broken bodies) through
@@ -730,6 +748,7 @@ def start_wet_stream(
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
+            topic_weights=topic_weights,
         )
         return docs, quar
 
@@ -769,6 +788,7 @@ def start_corpus_stream(
     calibration_fraction: float | None = None,
     calibration_window: int = 12,
     calibration_path: str | None = None,
+    topic_weights: "dict[str, list[int]] | None" = None,
 ) -> StreamingQuery:
     """Run the corpus chain continuously into ``table_path`` with the
     checkpointed idempotent sink (see module docstring). With
@@ -813,6 +833,7 @@ def start_corpus_stream(
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
+            topic_weights=topic_weights,
         ),
         table_path,
         quarantine_path,
@@ -1205,6 +1226,7 @@ def start_corpus_neardup_stream(
     calibration_fraction: float | None = None,
     calibration_window: int = 12,
     calibration_path: str | None = None,
+    topic_weights: "dict[str, list[int]] | None" = None,
 ) -> StreamingQuery:
     """The corpus chain with CONTINUOUS near-dedup: each micro-batch
     runs WARC -> canon -> robots -> charset -> extract, then
@@ -1340,6 +1362,7 @@ def start_corpus_neardup_stream(
             bpe_merges=bpe_merges,
             bpe_vocab=bpe_vocab,
             bpe_pretokenize=bpe_pretokenize,
+            topic_weights=topic_weights,
         )
         rolling_extra: list = []
         if rolling:

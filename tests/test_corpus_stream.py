@@ -1020,3 +1020,77 @@ def test_start_entry_points_validate_args_eagerly(spark, tmp_path):
     # nothing started, nothing checkpointed
     assert len(spark.streams.active) == n_active
     assert not ckpt.exists()
+
+
+def test_stream_tags_topics_in_scan(spark, tmp_path):
+    """topic_weights threads one-vs-all taxonomy tagging into the
+    ingest stream: stored documents carry topic_score_<class> columns
+    and the argmax topic label, equal to the batch composition through
+    the same shared enrich_documents."""
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        weight_table,
+    )
+    from neo4j_to_clickhouse_spark.sources.warc import (
+        encode_wet,
+        wet_documents,
+    )
+    from neo4j_to_clickhouse_spark.streaming.corpus import (
+        enrich_documents,
+        read_wet_file_stream,
+        start_wet_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    texts = [
+        "alpha beta gamma delta",
+        "epsilon zeta eta",
+        "theta iota kappa lambda mu",
+        "nu xi omicron",
+    ]
+    recs = [
+        {"uri": f"http://t.com/d{i}", "body": t.encode()}
+        for i, t in enumerate(texts)
+    ]
+    (drop / "f0.warc.wet.gz").write_bytes(
+        encode_wet(recs, gzip_per_record=True)
+    )
+    tw = {
+        "code": weight_table(64, 8),
+        "news": weight_table(64, 9),
+        "web": weight_table(64, 10),
+    }
+    drain(
+        start_wet_stream(
+            read_wet_file_stream(spark, str(drop)),
+            str(tmp_path / "docs"),
+            str(tmp_path / "quar"),
+            str(tmp_path / "ckpt"),
+            coalesce_output=1,
+            topic_weights=tw,
+        )
+    )
+    got = spark.read.parquet(str(tmp_path / "docs"))
+    assert {
+        "topic",
+        "topic_score_code",
+        "topic_score_news",
+        "topic_score_web",
+    } <= set(got.columns)
+    files_b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(str(drop))
+    )
+    bdocs, _ = wet_documents(files_b)
+    want = {
+        (r["target_uri"], r["topic"], r["topic_score_code"])
+        for r in enrich_documents(bdocs, topic_weights=tw).collect()
+    }
+    have = {
+        (r["target_uri"], r["topic"], r["topic_score_code"])
+        for r in got.collect()
+    }
+    assert have == want and len(have) == 4
+    # labels are non-degenerate on this fixture
+    assert len({t for _, t, _ in have}) > 1
