@@ -9130,6 +9130,91 @@ def topic_classifier_stats(spark, sf_dir):
 
 
 @q(
+    "topic_mixture_report",
+    # Certifies the composed taxonomy -> mixture pipeline (the reason
+    # the tagger exists): score_documents_multiclass assigns each doc
+    # its argmax topic, then budget_mixture hits a per-TOPIC token
+    # budget (code 0.5 / news 0.3 / web 0.2 of 20000 estimate tokens)
+    # with the deterministic md5-threshold member set. The oracle
+    # recomputes the tagging, the per-topic rates AND the exact member
+    # set — a hard end-to-end check of the composition, not just the
+    # pieces.
+    f"""WITH {_CLS_SCORED_CTE},
+       mc AS (SELECT doc_id, source,
+        {_MC_SCORE_COLS_SQL}
+        FROM g),
+       lab AS (SELECT doc_id, source,
+               CASE WHEN s_code >= s_news AND s_code >= s_web
+                    THEN 'code'
+                    WHEN s_news >= s_web THEN 'news'
+                    ELSE 'web' END AS label
+               FROM mc),
+       doc AS (SELECT l.doc_id, l.source, l.label,
+                      CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS t
+               FROM lab l JOIN documents d USING (doc_id)),
+       tokg AS (SELECT label, CAST(sum(t) AS BIGINT) AS tok
+                FROM doc GROUP BY label),
+       r AS (SELECT label,
+                least(1.0, 20000.0 *
+                    (CASE label WHEN 'code' THEN 0.5
+                          WHEN 'news' THEN 0.3 ELSE 0.2 END)
+                  / CAST(tok AS DOUBLE)) AS rate
+             FROM tokg),
+       kept AS (SELECT doc.source, doc.label, doc.t, r.rate
+                FROM doc JOIN r USING (label)
+                WHERE ('0x' || substr(md5(CAST(doc.doc_id
+                                               AS VARCHAR)), 1, 8)
+                      )::BIGINT
+                      < CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+       SELECT source, label AS topic,
+              round(min(rate), 6) + 0 AS mixture_rate,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(t) AS BIGINT) AS tokens_kept
+       FROM kept GROUP BY source, label ORDER BY source, topic""",
+    "taxonomy-driven mixture: argmax topic tagging -> per-topic token "
+    "budgets -> deterministic md5-threshold sampling, the composition "
+    "certified end-to-end (tags, rates, and member set recomputed)",
+)
+def topic_mixture_report(spark, sf_dir):
+    from neo4j_to_clickhouse_spark.operators.classifier import (
+        score_documents_multiclass,
+    )
+    from neo4j_to_clickhouse_spark.operators.sampling import (
+        budget_mixture,
+    )
+    from neo4j_to_clickhouse_spark.operators.text import (
+        subword_estimate,
+    )
+
+    tagged = score_documents_multiclass(
+        _t(spark, sf_dir, "documents"), "text", _MC_W, seed=7
+    )
+    tok = subword_estimate("text")
+    kept = budget_mixture(
+        tagged,
+        "label",
+        "doc_id",
+        {"code": 0.5, "news": 0.3, "web": 0.2},
+        20000,
+        tok,
+    )
+    return (
+        kept.groupBy("source", F.col("label").alias("topic"))
+        .agg(
+            (F.round(F.min("mixture_rate"), 6) + F.lit(0.0)).alias(
+                "mixture_rate"
+            ),
+            F.count("*").alias("n_kept"),
+            F.sum(tok).alias("tokens_kept"),
+        )
+        .select(
+            "source", "topic", "mixture_rate", "n_kept", "tokens_kept"
+        )
+        .orderBy("source", "topic")
+    )
+
+
+@q(
     "classifier_topp_selection_stats",
     # Certifies exact top-fraction selection WITHOUT a global sort
     # (operators/classifier.py::select_top_fraction — DCLM keeps the
@@ -10426,6 +10511,7 @@ _DRIVER_WINDOW = [
     "quality_classifier_broadcast_stats",  # last green: r00
     "rolling_threshold_trajectory",  # last green: r00
     "topic_classifier_stats",  # last green: r00
+    "topic_mixture_report",  # last green: r00
     "value_histogram",  # last green: r10
     "window_funnel_steps",  # last green: r10
     "active_time_union_seconds",  # last green: r11
@@ -10471,10 +10557,10 @@ _DRIVER_WINDOW = [
     "session_window_counts",  # last green: r11
     "shard_balance_report",  # last green: r11
     "span_dedup_rewrite_stats",  # last green: r11
-    "state_interval_stats",  # last green: r11
 ]
 
 _ROTATION = [
+    "state_interval_stats",  # r11
     "text_stats_by_source",  # r11
     "tokenizer_comparison_by_source",  # r11
     "topk_words_approx",  # r11

@@ -79,6 +79,8 @@ def _drain(spark, drop: str, out: str, **kw) -> tuple[float, int]:
     rules = robots_rules_df(
         spark, [(f"h{i}.com", "User-agent: *\n") for i in range(7)]
     )
+    if "recalibrate_every" in kw:
+        kw = dict(kw, calibration_path=f"{out}/calib")
     t0 = time.perf_counter()
     drain(
         start_corpus_stream(
@@ -147,6 +149,25 @@ def main() -> None:
             bpe_vocab=vocab,
             compact_every=4,
         ),
+        # EVERYTHING at once (r15): rolling recalibration (fraction
+        # 1.0 -> the calibrated gate keeps all rows, so doc counts stay
+        # comparable while the histogram/threshold machinery runs) +
+        # one-vs-all topic tagging on top of the full funnel
+        "funnel_max": dict(
+            enrich=True,
+            classifier_weights=model,
+            bpe_merges=merges,
+            bpe_vocab=vocab,
+            compact_every=4,
+            recalibrate_every=4,
+            calibration_fraction=1.0,
+            calibration_window=8,
+            topic_weights={
+                "code": weight_table(256, 8),
+                "news": weight_table(256, 9),
+                "web": weight_table(256, 10),
+            },
+        ),
     }
     def _steal() -> int:
         try:
@@ -193,14 +214,19 @@ def main() -> None:
         "plain": results["plain"],
         "scored": results["scored"],
         "funnel": results["funnel"],
+        "funnel_max": results["funnel_max"],
         "funnel_over_plain": overhead,
+        "funnel_max_over_plain": round(
+            results["funnel_max"]["wall"] / results["plain"]["wall"], 3
+        ),
         "scored_over_plain": round(
             results["scored"]["wall"] / results["plain"]["wall"], 3
         ),
         "funnel_stages": (
             "enrich + classifier(xxhash64, 256 buckets) + threshold "
             "gate + byte-level GPT-2 BPE (512 learned merges) + "
-            "compact_every=4"
+            "compact_every=4; funnel_max adds rolling recalibration "
+            "(every=4, window=8, fraction=1.0) + 3-class topic tagging"
         ),
     }
     path = os.path.join(

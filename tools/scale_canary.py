@@ -99,6 +99,9 @@ CEILINGS: dict[str, float | None] = {
     # r15: multi-class tagging (shared bucket hashing + k literal
     # score sums + codegen argmax — one scan, must stay linear)
     "topic_classifier_stats": None,
+    # r15: taxonomy -> mixture composition (tag scan + per-topic token
+    # agg + broadcast rates + scan-side md5 keep filter)
+    "topic_mixture_report": None,
     # documented-baseline allowlist: super-linear BY DESIGN, but a
     # drift past the documented exponent (+ noise margin) still fails
     "dedup_ngram_jaccard": 1.45,
