@@ -248,25 +248,40 @@ def load_bm25_index(
     JVM hash expression the writer used (one query-vocabulary-bounded
     collect — the contract-bounded pattern of `similarity.py`), then
     land as literal IN filters so Catalyst prunes partitions on
-    ``term_bucket`` and pushes ``In(term,…)`` into the parquet scan."""
-    n_buckets = (
-        spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+    ``term_bucket`` and pushes ``In(term,…)`` into the parquet scan.
+
+    The KB-sized metadata halves never launch a distributed job (r15
+    optimization round): ``meta`` and ``stats`` are single-row sidecar
+    files, read driver-side via pyarrow — reading them through a Spark
+    scan cost two scheduler round-trips per query set — and ``stats``
+    returns as a local (in-memory) DataFrame so its broadcast later
+    builds from driver data instead of another parquet scan job. The
+    bucket keys for a local ``queries`` frame likewise compute in one
+    constant-folded local projection (``ConvertToLocalRelation``), not
+    a distinct+hash shuffle job.
+    """
+    import pyarrow.parquet as pq
+
+    meta_tbl = pq.read_table(f"{path}/meta")
+    n_buckets = int(meta_tbl.column("n_buckets")[0].as_py())
+    stats_rows = pq.read_table(f"{path}/stats").to_pylist()
+    stats = spark.createDataFrame(
+        [(r["n_docs"], r["avgdl"]) for r in stats_rows],
+        "n_docs bigint, avgdl double",
     )
-    stats = spark.read.parquet(f"{path}/stats")
     postings = spark.read.parquet(f"{path}/postings")
     if queries is None:
         return postings.drop("term_bucket"), stats
-    keys = (
-        queries.select("term")
-        .distinct()
-        .select(
-            "term",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"),
-        )
-        .collect()
-    )
-    terms = sorted({r.term for r in keys})
-    buckets = sorted({int(r.b) for r in keys})
+    # ONE collect for terms AND buckets: the hash projects per query
+    # row (no distinct exchange — the query vocabulary is driver-
+    # bounded by contract, so the dedupe is a driver set-build), and a
+    # local queries frame constant-folds the whole projection
+    rows = queries.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"),
+    ).collect()
+    terms = sorted({r.term for r in rows})
+    buckets = sorted({int(r.b) for r in rows})
     pruned = postings.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
@@ -285,11 +300,14 @@ def bm25_topk_indexed(
     """Batch BM25 over a prebuilt index from :func:`build_bm25_index`
     (or loaded from its persisted parquet). Bit-identical scores to
     :func:`bm25_topk_per_query` — asserted by tests — without touching
-    document text. The postings filter (`join` on the broadcast query
-    vocabulary) is the only data-sized read; a term-partitioned store
-    turns it into partition pruning."""
-    vocab = queries.select("term").distinct()
-    hits = postings.join(F.broadcast(vocab), "term")
+    document text. The postings filter (a literal ``In(term,…)`` built
+    from the driver-bounded query vocabulary, r15: replaces a broadcast
+    distinct+join — the IN predicate pushes into the parquet scan,
+    where the old broadcast build was an extra exchange+job) is the
+    only data-sized read; a term-partitioned store turns it into
+    partition pruning."""
+    terms = sorted({r.term for r in queries.select("term").collect()})
+    hits = postings.where(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )
