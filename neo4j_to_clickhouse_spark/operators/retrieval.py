@@ -260,6 +260,9 @@ def load_bm25_index(
     constant-folded local projection (``ConvertToLocalRelation``), not
     a distinct+hash shuffle job.
     """
+    import glob
+    import json
+
     import pyarrow.parquet as pq
 
     meta_tbl = pq.read_table(f"{path}/meta")
@@ -269,7 +272,26 @@ def load_bm25_index(
         [(r["n_docs"], r["avgdl"]) for r in stats_rows],
         "n_docs bigint, avgdl double",
     )
-    postings = spark.read.parquet(f"{path}/postings")
+    # explicit read schema from ONE footer, driver-side: Spark's own
+    # row metadata rides in the footer, and the partition column stays
+    # the string the session's disabled type inference would yield —
+    # skips the distributed footer-inference job over the bucket dirs
+    schema = None
+    files = glob.glob(f"{path}/postings/term_bucket=*/*.parquet")
+    if files:
+        from pyspark.sql.types import StringType, StructType
+
+        meta = pq.read_schema(files[0]).metadata or {}
+        row_meta = meta.get(b"org.apache.spark.sql.parquet.row.metadata")
+        if row_meta:
+            schema = StructType.fromJson(json.loads(row_meta)).add(
+                "term_bucket", StringType()
+            )
+    postings = (
+        spark.read.schema(schema).parquet(f"{path}/postings")
+        if schema is not None
+        else spark.read.parquet(f"{path}/postings")
+    )
     if queries is None:
         return postings.drop("term_bucket"), stats
     # ONE collect for terms AND buckets: the hash projects per query
@@ -307,9 +329,17 @@ def bm25_topk_indexed(
     only data-sized read; a term-partitioned store turns it into
     partition pruning."""
     terms = sorted({r.term for r in queries.select("term").collect()})
-    hits = postings.where(F.col("term").isin(terms))
-    dfreq = hits.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+    from pyspark.sql import Window
+
+    # per-term document frequency as a window count over the ONE
+    # postings scan (r15: replaces a second scan + groupBy +
+    # broadcast-build job): postings carry one row per (document,
+    # distinct term) by build_bm25_index's contract, so count(*) over
+    # the term partition IS count_distinct(doc) — same exchange the
+    # scoring shuffle needs anyway, constant window state
+    w_t = Window.partitionBy("term")
+    hits = postings.where(F.col("term").isin(terms)).withColumn(
+        "df", F.count("*").over(w_t)
     )
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
@@ -320,8 +350,7 @@ def bm25_topk_indexed(
         one_minus_b + b * F.col("dl") / F.col("avgdl")
     )
     contrib = (
-        hits.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .withColumn(
             "c",
             F.round(idf * (F.col("tf") * k1p1) / denom, 8).cast(
@@ -330,7 +359,6 @@ def bm25_topk_indexed(
         )
         .select(id_col, "term", "c")
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)
