@@ -45,7 +45,11 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int = SPREAD_MIN_BYTES,
+) -> DataFrame:
     """Ensure at least cluster-parallelism partitions before CPU-heavy
     narrow transforms (shingling, hashing) — but ONLY when the input is big
     enough that single-core execution would actually hurt.
@@ -58,11 +62,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     itself is the bottleneck (an explicit ``repartition(n)`` is exempt from
     AQE coalescing, so every downstream stage inherits n tasks), so tiny
     inputs are returned untouched and AQE sizes the rest of the plan.
+
+    ``min_bytes`` tunes that floor per call site: the 32 MiB default was
+    measured on Python/Arrow fan-out (worker round-trips dominate), but
+    pure-codegen consumers (decimal aggregates, broadcast-join probes)
+    amortize a fan-out at a few MB — the TPC-H rows pass ~4 MiB and
+    measured 1.6 -> 1.2 s (pricing) / 2.1 -> 1.7 s (revenue_by_nation)
+    at sf0.1 (r15 optimization round). At real scale both floors are
+    moot: the scan is already split past cluster parallelism.
     """
     if df.isStreaming:  # .rdd is undefined on streams; micro-batch sizing
         return df  # is the trigger's job (maxOffsetsPerTrigger)
     size = _plan_size_bytes(df)
-    if size is not None and size < SPREAD_MIN_BYTES:
+    if size is not None and size < min_bytes:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

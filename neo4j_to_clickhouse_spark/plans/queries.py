@@ -752,7 +752,11 @@ def retention_candidates(spark, sf_dir):
     "flagship: TPC-H Q1-style pricing summary over the fact table",
 )
 def pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: a single-row-group fixture file scans as ONE task,
+    # serializing the decimal aggregate onto one core; at real SF the
+    # scan is already split and this is a no-op (dedup.spread docstring,
+    # r15 optimization round — 1.6 -> 1.2 s at sf0.1)
+    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -795,7 +799,9 @@ def pricing_summary(spark, sf_dir):
 def top_revenue_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: see pricing_summary — parallelizes the broadcast-join
+    # probe over the single-row-group fixture scan; no-op at real SF
+    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
     return (
         li.join(
             F.broadcast(
@@ -842,7 +848,9 @@ def revenue_by_nation(spark, sf_dir):
     # keeps the whole chain broadcast so the fact table never shuffles
     # (plan-asserted in tests/test_plan_shapes.py). Do not "fix" by
     # removing the hint.
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: see pricing_summary — parallelizes the broadcast-join
+    # probe over the single-row-group fixture scan; no-op at real SF
+    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
