@@ -376,6 +376,91 @@ def ngram_contamination(
 
 # --- cross-document repeated spans (substring-level dedup signal) ------------
 
+def span_digest_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    extras: tuple[str, ...] = (),
+    with_start: bool = False,
+) -> DataFrame:
+    """Positional ``w``-token span digests as one Arrow batch kernel:
+    ``(id_col[, start][, *extras], span)`` with ``span`` the md5 hex of
+    the space-joined span text — bit-identical to the JVM
+    ``tokens -> ngram_array -> posexplode -> md5`` pipeline (pinned in
+    ``tools/ab_span_digests.py`` and ``tests/test_dedup_spans.py``).
+
+    Why Python here (guide §4.2, r15 optimization round): the JVM span
+    build runs ``w-1`` interpreted ``zip_with`` rounds per row — each
+    allocating a full intermediate string array — because higher-order
+    lambdas never enter whole-stage codegen; one Arrow kernel doing the
+    tokenize/slide/md5 in a tight loop measured 2x faster at sf0.1
+    (1.29 s -> 0.63 s for the generation scan). Only ``id/extras``
+    (taken from the incoming batch, so types pass through) and the
+    40-byte digests cross the boundary back.
+
+    At 100 TB the shape is unchanged: one corpus scan, spans travel as
+    digests, downstream shuffles identical. The Python fan-out floor is
+    1 MiB (not spread()'s 32 MiB default): this kernel is pure CPU per
+    batch with no heavyweight per-task init, measured faster fanned out
+    at sub-MiB inputs already.
+    """
+    import pyarrow as pa
+
+    cols = [id_col, text_col, *extras]
+    src = spread(df.select(*cols), min_bytes=1024 * 1024)
+    names = (
+        [id_col]
+        + (["start"] if with_start else [])
+        + list(extras)
+        + ["span"]
+    )
+    schema_parts = [f"{id_col} {df.schema[id_col].dataType.simpleString()}"]
+    if with_start:
+        schema_parts.append("start int")
+    schema_parts += [
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in extras
+    ]
+    schema_parts.append("span string")
+    out_schema = ", ".join(schema_parts)
+
+    def kern(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"\s+", re.ASCII)
+        md5 = hashlib.md5
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            idx: list[int] = []
+            starts: list[int] = []
+            digests: list[str] = []
+            for rix, t in enumerate(texts):
+                if t is None:
+                    continue
+                st = t.strip(" \t\n\r\f\x0b")
+                toks = ws.split(st) if st else []
+                for j in range(len(toks) - w + 1):
+                    idx.append(rix)
+                    if with_start:
+                        starts.append(j)
+                    digests.append(
+                        md5(
+                            " ".join(toks[j : j + w]).encode()
+                        ).hexdigest()
+                    )
+            take = pa.array(idx, pa.int32())
+            arrays = [batch.column(0).take(take)]
+            if with_start:
+                arrays.append(pa.array(starts, pa.int32()))
+            for k in range(2, batch.num_columns):
+                arrays.append(batch.column(k).take(take))
+            arrays.append(pa.array(digests, pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return src.mapInArrow(kern, out_schema)
+
+
 def repeated_span_report(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -397,8 +482,9 @@ def repeated_span_report(
     threshold).  Documents shorter than ``w`` tokens contribute no
     spans and cannot be flagged.
 
-    Scale shape: the corpus is tokenized/shingled ONCE, and spans travel
-    as md5 digests, never as the ``w``-token strings.  Per-occurrence
+    Scale shape: the corpus is tokenized/shingled ONCE (the Arrow span
+    kernel, :func:`span_digest_rows` — r15), and spans travel as md5
+    digests, never as the ``w``-token strings.  Per-occurrence
     repeat flags come from a window over the span digest — "occurs in
     >= 2 distinct docs" is just ``min(id) != max(id)`` over the span's
     partition, so the window state is two longs per span (no set
@@ -409,16 +495,12 @@ def repeated_span_report(
     output.  Total: one scan, one occurrence shuffle on the digest, one
     map-side-combined per-doc aggregate.
     """
-    # token array in its own projection — see word_shingles for why
-    occ = spread(df).select(
+    occ = span_digest_rows(
+        df, id_col, text_col, w, extras=(group_col,)
+    ).select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
-        tokens(text_col).alias("__tk"),
-    ).select(
-        "id", "grp",
-        F.explode(ngram_array(F.col("__tk"), w)).alias("span_text"),
-    ).filter(F.col("span_text").isNotNull()).select(
-        "id", "grp", F.md5("span_text").alias("span")
+        "span",
     )
     w_span = Window.partitionBy("span")
     per_doc = (
@@ -498,19 +580,9 @@ def remove_repeated_spans(
     output, and at 100 TB one corpus-sized shuffle replaces two.
     Documents shorter than ``w`` tokens pass through untouched.
     """
-    # token array in its own projection — see word_shingles for why
-    spans = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
-        .select(
-            "id",
-            F.posexplode(ngram_array(F.col("__tk"), w)).alias(
-                "start", "span_text"
-            ),
-        )
-        .filter(F.col("span_text").isNotNull())
-        .select("id", "start", F.md5("span_text").alias("span"))
-    )
+    spans = span_digest_rows(
+        df, id_col, text_col, w, with_start=True
+    ).select(F.col(id_col).alias("id"), "start", "span")
     w_span = Window.partitionBy("span").orderBy("id", "start")
     dup_occ = (
         spans.withColumn("__rn", F.row_number().over(w_span))

@@ -87,7 +87,17 @@ def lm_quality_report(
     (mean negative ln-likelihood per token, nats — the perplexity
     exponent).  Higher ``avg_nll`` = less corpus-typical text.
     """
-    counts = term_counts(df, text_col)
+    from pyspark import StorageLevel
+
+    # counts feeds BOTH the top-V vocabulary and the smoothing totals;
+    # Catalyst only reuses identical subplans when persisted, so without
+    # this the token-count shuffle (the corpus-sized work) executes
+    # twice (r15 optimization round — same caller-owned-cache contract
+    # as minhash_lsh_dedup: MEMORY_AND_DISK, LRU-evicted; the table is
+    # one row per distinct term, tiny next to the corpus)
+    counts = term_counts(df, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     vocab = top_vocab(counts, top_v)
     totals = corpus_totals(counts)
 

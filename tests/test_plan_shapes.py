@@ -370,11 +370,18 @@ def test_registry_wide_plan_lint(spark):
         # JVM-side, the weight gather is the ONE Arrow stage (the
         # documented >100k-bucket path, operators/classifier.py)
         "quality_classifier_broadcast_stats",
+        # r15 optimization round: span digests generate in one Arrow
+        # kernel (dedup.span_digest_rows — the JVM zip_with chain runs
+        # interpreted and measured 2x slower; digests bit-identical)
+        "repeated_span_stats",
+        "span_dedup_rewrite_stats",
+        "cross_source_span_overlap",
     }
     py_markers = (
         "BatchEvalPython",
         "ArrowEvalPython",
         "MapInPandas",
+        "MapInArrow",
         "FlatMapGroupsInPandas",
     )
     for name, spec in QUERIES.items():
