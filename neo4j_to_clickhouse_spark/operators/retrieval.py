@@ -59,9 +59,15 @@ def bm25_topk(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )  # <= len(terms) rows
+    # per-term df as a window count over tf (r15: tf carries one row
+    # per (doc, term), so count(*) over the term partition IS
+    # count_distinct(doc) — the old broadcast dfreq re-executed the
+    # whole corpus explode a second time to build its build side)
+    from pyspark.sql import Window
+
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
 
     # expression shapes mirror the oracle SQL EXACTLY (same constant
     # folding, same operation order) so doubles agree bit-for-bit
@@ -78,8 +84,7 @@ def bm25_topk(
         "decimal(20,8)"
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("c", contrib)
         .groupBy(id_col)
         .agg(F.sum("c").alias("score_dec"))
@@ -108,14 +113,16 @@ def bm25_topk_per_query(
     multi-token query is several rows). Returns ``(query_id, id_col,
     score, rank)`` with rank 1..k per query.
 
-    100 TB design: the corpus is scanned and exploded ONCE; a broadcast
-    semi-join against the distinct query vocabulary prunes the explode
-    output to hits, per-(doc, term) contributions are computed once and
-    shared across every query containing the term (a term in 1000
-    queries costs one computation, not 1000), and the per-query top-k
-    runs as a rank window — Spark's WindowGroupLimit pushes the k-cut
-    into the shuffle read as a heap, so giant result groups are never
-    fully sorted or materialized.
+    100 TB design: the corpus is scanned and exploded ONCE; a literal
+    ``In(term,…)`` filter from the (driver-bounded) query vocabulary
+    prunes the explode output to hits inside codegen, per-(doc, term)
+    contributions are computed once and shared across every query
+    containing the term (a term in 1000 queries costs one computation,
+    not 1000), per-term document frequency is a window count on the
+    same hit table (not a broadcast build that re-executes the corpus
+    explode), and the per-query top-k runs as a rank window — Spark's
+    WindowGroupLimit pushes the k-cut into the shuffle read as a heap,
+    so giant result groups are never fully sorted or materialized.
     """
     toks = docs.select(
         F.col(id_col),
@@ -124,15 +131,23 @@ def bm25_topk_per_query(
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    vocab = queries.select("term").distinct()
+    # query vocabulary as a literal IN filter on the explode output
+    # (r15: the vocabulary is driver-bounded by contract — a codegen
+    # filter replaces the broadcast build job), and per-term df as a
+    # window count over tf (one row per (doc, term) by construction,
+    # so count(*) over the term partition IS count_distinct(doc) — the
+    # old broadcast dfreq re-executed the corpus explode a second time)
+    terms = sorted({r.term for r in queries.select("term").collect()})
     tf = (
         toks.select(id_col, "dl", F.explode("toks").alias("term"))
-        .join(F.broadcast(vocab), "term")
+        .where(F.col("term").isin(terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+    from pyspark.sql import Window
+
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
     )
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
@@ -143,8 +158,7 @@ def bm25_topk_per_query(
         one_minus_b + b * F.col("dl") / F.col("avgdl")
     )
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn(
             "c",
             F.round(idf * (F.col("tf") * k1p1) / denom, 8).cast(
@@ -153,7 +167,6 @@ def bm25_topk_per_query(
         )
         .select(id_col, "term", "c")
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)

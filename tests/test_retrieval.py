@@ -206,7 +206,11 @@ def test_bm25_partitioned_index_prunes_and_matches(spark, corpus, tmp_path):
 def test_bm25_plan_shape(corpus):
     plan = bm25_topk(corpus, ("spark", "query"), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # df table and corpus stats both arrive broadcast
-    assert plan.count("BroadcastExchange") >= 2
+    # corpus stats arrive broadcast; per-term df is a window count on
+    # the hit table (r15 — the old broadcast dfreq re-executed the
+    # corpus explode to build its build side), so exactly one
+    # data-independent broadcast remains
+    assert plan.count("BroadcastExchange") >= 1
+    assert "Window" in plan
     # top-k is a heap, not a global sort
     assert "TakeOrderedAndProject" in plan
