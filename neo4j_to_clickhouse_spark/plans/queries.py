@@ -4736,21 +4736,35 @@ def hourly_event_windows(spark, sf_dir):
     "store (hash-only anti-join), then in-batch keep-lowest-id",
 )
 def dedup_incremental_batch(spark, sf_dir):
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # the store and the hashed batch each feed TWO branches (the fresh
+    # accounting and the operator under test); Catalyst only reuses
+    # identical subplans when persisted, so without these the store
+    # distinct and the batch scan+md5 executed twice each (r15
+    # optimization round — 10 parquet scans in the before-plan; same
+    # caller-owned-cache contract as minhash_lsh_dedup)
     store = (
         docs.filter(F.col("doc_id") % 3 != 0)
         .select(D.content_hash("text").alias("h"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = batch.withColumn("__content_hash", D.content_hash("text"))
+    hashed = batch.withColumn(
+        "__content_hash", D.content_hash("text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     fresh = hashed.join(
         store.select(F.col("h").alias("__content_hash")),
         "__content_hash",
         "left_anti",
     )
-    surv = D.dedup_incremental(batch, store, "doc_id", "text")
-    bc = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
+    # dedup_incremental recomputes __content_hash over the cached frame
+    # (deterministic, withColumn replaces in place) — the cache covers
+    # the scan and the md5, the operator's own joins stay under test
+    surv = D.dedup_incremental(hashed, store, "doc_id", "text")
+    bc = hashed.groupBy("source").agg(F.count("*").alias("n_batch"))
     fc = fresh.groupBy("source").agg(F.count("*").alias("n_fresh"))
     sc = surv.groupBy("source").agg(F.count("*").alias("n_survivors"))
     return (
