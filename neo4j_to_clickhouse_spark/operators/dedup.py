@@ -49,6 +49,7 @@ def spread(
     df: DataFrame,
     min_partitions: int | None = None,
     min_bytes: int = SPREAD_MIN_BYTES,
+    by: str | None = None,
 ) -> DataFrame:
     """Ensure at least cluster-parallelism partitions before CPU-heavy
     narrow transforms (shingling, hashing) — but ONLY when the input is big
@@ -70,6 +71,15 @@ def spread(
     measured 1.6 -> 1.2 s (pricing) / 2.1 -> 1.7 s (revenue_by_nation)
     at sf0.1 (r15 optimization round). At real scale both floors are
     moot: the scan is already split past cluster parallelism.
+
+    ``by`` names a high-cardinality column to hash-partition on instead
+    of round-robin: a keyless ``repartition(n)`` first pays a LOCAL SORT
+    of its whole input (``spark.sql.execution.sortBeforeRepartition``,
+    on since SPARK-23207 so retried tasks reproduce their row-to-
+    partition assignment — guide §2.5), which tripled the fan-out's
+    task-CPU on the TPC-H rows; hashing a real key is deterministic
+    without the sort. Use a key with many more distinct values than
+    partitions so the hash spreads evenly.
     """
     if df.isStreaming:  # .rdd is undefined on streams; micro-batch sizing
         return df  # is the trigger's job (maxOffsetsPerTrigger)
@@ -78,6 +88,8 @@ def spread(
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if by is not None:
+            return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
 

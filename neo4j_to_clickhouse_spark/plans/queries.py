@@ -756,7 +756,11 @@ def pricing_summary(spark, sf_dir):
     # serializing the decimal aggregate onto one core; at real SF the
     # scan is already split and this is a no-op (dedup.spread docstring,
     # r15 optimization round — 1.6 -> 1.2 s at sf0.1)
-    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
+    li = D.spread(
+        _t(spark, sf_dir, "lineitem"),
+        min_bytes=4 * 1024 * 1024,
+        by="l_orderkey",
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -801,7 +805,11 @@ def top_revenue_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     # spread: see pricing_summary — parallelizes the broadcast-join
     # probe over the single-row-group fixture scan; no-op at real SF
-    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
+    li = D.spread(
+        _t(spark, sf_dir, "lineitem"),
+        min_bytes=4 * 1024 * 1024,
+        by="l_orderkey",
+    )
     return (
         li.join(
             F.broadcast(
@@ -850,7 +858,11 @@ def revenue_by_nation(spark, sf_dir):
     # removing the hint.
     # spread: see pricing_summary — parallelizes the broadcast-join
     # probe over the single-row-group fixture scan; no-op at real SF
-    li = D.spread(_t(spark, sf_dir, "lineitem"), min_bytes=4 * 1024 * 1024)
+    li = D.spread(
+        _t(spark, sf_dir, "lineitem"),
+        min_bytes=4 * 1024 * 1024,
+        by="l_orderkey",
+    )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
