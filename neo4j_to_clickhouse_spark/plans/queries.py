@@ -10534,112 +10534,62 @@ def bpe_byte_level_utf8_stats(spark, sf_dir):
 # The round this window was generated FOR: its selection is derived
 # from CORRECTNESS files of rounds strictly BEFORE it, so the test
 # stays reproducible after this round's own file lands.
-_WINDOW_ROUND = 15
+_WINDOW_ROUND = 16
 
 _DRIVER_WINDOW = [
-    "bpe_byte_level_utf8_stats",  # last green: r00
-    "quality_classifier_broadcast_stats",  # last green: r00
-    "rolling_threshold_trajectory",  # last green: r00
-    "topic_classifier_stats",  # last green: r00
-    "topic_mixture_report",  # last green: r00
-    "value_histogram",  # last green: r10
-    "window_funnel_steps",  # last green: r10
-    "active_time_union_seconds",  # last green: r11
-    "approx_percentile_bound",  # last green: r11
-    "approx_percentile_bound_cert",  # last green: r11
-    "asof_next_event",  # last green: r11
-    "audience_overlap_by_type",  # last green: r11
-    "basket_cooccurrence_topk",  # last green: r11
-    "bm25_multi_query_topk",  # last green: r11
-    "bm25_topk_docs",  # last green: r11
-    "column_profile_events",  # last green: r11
-    "conversion_by_signup_cohort",  # last green: r11
-    "corpus_ingest_pipeline_stats",  # last green: r11
-    "customers_inactive_since",  # last green: r11
-    "daily_anomaly_flags",  # last green: r11
-    "dedup_cluster_size_histogram",  # last green: r11
-    "dedup_incremental_batch",  # last green: r11
-    "distribution_shift_by_type",  # last green: r11
-    "dup_rate_by_lang",  # last green: r11
-    "embedding_centroid_spread",  # last green: r11
-    "embedding_coverage_report",  # last green: r11
-    "embedding_pq_adc_recall",  # last green: r11
-    "event_transition_matrix",  # last green: r11
-    "first_event_type_distribution",  # last green: r11
-    "gopher_quality_flags",  # last green: r11
-    "html_extract_stats",  # last green: r11
-    "json_value_stats_by_type",  # last green: r11
-    "langid_confusion",  # last green: r11
-    "large_order_customers",  # last green: r11
-    "late_arrival_audit",  # last green: r11
-    "max_concurrent_sessions",  # last green: r11
-    "mixture_epochs_plan",  # last green: r11
-    "nation_trade_volume",  # last green: r11
-    "partition_skew_report",  # last green: r11
-    "pricing_summary",  # last green: r11
-    "repeated_span_stats",  # last green: r11
-    "retention_candidates",  # last green: r11
-    "revenue_by_nation",  # last green: r11
-    "robots_filter_stats",  # last green: r11
-    "sample_hash_fraction",  # last green: r11
-    "semantic_dedup_survivors",  # last green: r11
-    "sequence_packing_stats",  # last green: r11
-    "session_window_counts",  # last green: r11
-    "shard_balance_report",  # last green: r11
-    "span_dedup_rewrite_stats",  # last green: r11
+    "state_interval_stats",  # last green: r11
+    "text_stats_by_source",  # last green: r11
+    "tokenizer_comparison_by_source",  # last green: r11
+    "topk_words_approx",  # last green: r11
+    "url_canonical_dedup_stats",  # last green: r11
+    "warc_ingest_stats",  # last green: r11
+    "window_funnel_strict_order_steps",  # last green: r11
+    "argmax_event_per_user",  # last green: r12
+    "bigram_lm_quality_by_source",  # last green: r12
+    "c4_line_filter_stats",  # last green: r12
+    "cdx_fetch_plan_stats",  # last green: r12
+    "cdx_latest_capture_stats",  # last green: r12
+    "charset_decode_stats",  # last green: r12
+    "classifier_topp_selection_stats",  # last green: r12
+    "clicker_purchaser_intersect",  # last green: r12
+    "compression_ratio_flags",  # last green: r12
+    "conditional_aggregates",  # last green: r12
+    "count_distinct_salted",  # last green: r12
+    "cube_event_counts",  # last green: r12
+    "dedup_quality_survivors_by_source",  # last green: r12
+    "domain_blocklist_stats",  # last green: r12
+    "host_link_pagerank",  # last green: r12
+    "lexicon_flag_stats",  # last green: r12
+    "line_dedup_rewrite_stats",  # last green: r12
+    "link_extraction_stats",  # last green: r12
+    "minhash_incremental_stats",  # last green: r12
+    "mojibake_repair_stats",  # last green: r12
+    "priority_sample_by_length",  # last green: r12
+    "priority_sample_estimator",  # last green: r12
+    "purchase_gap_histogram",  # last green: r12
+    "quality_classifier_stats",  # last green: r12
+    "redirect_resolution_stats",  # last green: r12
+    "returned_item_revenue",  # last green: r12
+    "revenue_forecast",  # last green: r12
+    "robots_wildcard_filter_stats",  # last green: r12
+    "rolling_weekly_active_users",  # last green: r12
+    "session_path_topk",  # last green: r12
+    "ship_lag_stats",  # last green: r12
+    "shipping_priority",  # last green: r12
+    "sitemap_url_expansion",  # last green: r12
+    "split_leakage_report",  # last green: r12
+    "template_prefix_audit",  # last green: r12
+    "token_budget_mixture_stats",  # last green: r12
+    "token_zipf_coverage",  # last green: r12
+    "top_brands_per_nation",  # last green: r12
+    "topk_words_per_source",  # last green: r12
+    "ttr_by_length_decile",  # last green: r12
+    "unicode_normalize_stats",  # last green: r12
+    "urgent_customers_by_segment",  # last green: r12
+    "user_activity_gini",  # last green: r12
 ]
 
 _ROTATION = [
-    "state_interval_stats",  # r11
-    "text_stats_by_source",  # r11
-    "tokenizer_comparison_by_source",  # r11
-    "topk_words_approx",  # r11
-    "url_canonical_dedup_stats",  # r11
-    "warc_ingest_stats",  # r11
-    "window_funnel_strict_order_steps",  # r11
-    "argmax_event_per_user",  # r12
-    "bigram_lm_quality_by_source",  # r12
-    "c4_line_filter_stats",  # r12
-    "cdx_fetch_plan_stats",  # r12
-    "cdx_latest_capture_stats",  # r12
-    "charset_decode_stats",  # r12
-    "classifier_topp_selection_stats",  # r12
-    "clicker_purchaser_intersect",  # r12
-    "compression_ratio_flags",  # r12
-    "conditional_aggregates",  # r12
-    "count_distinct_salted",  # r12
-    "cube_event_counts",  # r12
-    "dedup_quality_survivors_by_source",  # r12
-    "domain_blocklist_stats",  # r12
-    "host_link_pagerank",  # r12
-    "lexicon_flag_stats",  # r12
-    "line_dedup_rewrite_stats",  # r12
-    "link_extraction_stats",  # r12
-    "minhash_incremental_stats",  # r12
-    "mojibake_repair_stats",  # r12
-    "priority_sample_by_length",  # r12
-    "priority_sample_estimator",  # r12
-    "purchase_gap_histogram",  # r12
-    "quality_classifier_stats",  # r12
-    "redirect_resolution_stats",  # r12
-    "returned_item_revenue",  # r12
-    "revenue_forecast",  # r12
-    "robots_wildcard_filter_stats",  # r12
-    "rolling_weekly_active_users",  # r12
-    "session_path_topk",  # r12
-    "ship_lag_stats",  # r12
-    "shipping_priority",  # r12
-    "sitemap_url_expansion",  # r12
-    "split_leakage_report",  # r12
-    "template_prefix_audit",  # r12
-    "token_budget_mixture_stats",  # r12
-    "token_zipf_coverage",  # r12
-    "top_brands_per_nation",  # r12
-    "topk_words_per_source",  # r12
-    "ttr_by_length_decile",  # r12
-    "unicode_normalize_stats",  # r12
-    "urgent_customers_by_segment",  # r12
-    "user_activity_gini",  # r12
     "user_growth_accounting",  # r12
     "user_halves_churn",  # r12
     "value_corr_by_type",  # r12
@@ -10745,6 +10695,56 @@ _ROTATION = [
     "sorted_regions",  # r14
     "threshold_selection_stats",  # r14
     "token_count_extremes",  # r14
+    "active_time_union_seconds",  # r15
+    "approx_percentile_bound",  # r15
+    "approx_percentile_bound_cert",  # r15
+    "asof_next_event",  # r15
+    "audience_overlap_by_type",  # r15
+    "basket_cooccurrence_topk",  # r15
+    "bm25_multi_query_topk",  # r15
+    "bm25_topk_docs",  # r15
+    "bpe_byte_level_utf8_stats",  # r15
+    "column_profile_events",  # r15
+    "conversion_by_signup_cohort",  # r15
+    "corpus_ingest_pipeline_stats",  # r15
+    "customers_inactive_since",  # r15
+    "daily_anomaly_flags",  # r15
+    "dedup_cluster_size_histogram",  # r15
+    "dedup_incremental_batch",  # r15
+    "distribution_shift_by_type",  # r15
+    "dup_rate_by_lang",  # r15
+    "embedding_centroid_spread",  # r15
+    "embedding_coverage_report",  # r15
+    "embedding_pq_adc_recall",  # r15
+    "event_transition_matrix",  # r15
+    "first_event_type_distribution",  # r15
+    "gopher_quality_flags",  # r15
+    "html_extract_stats",  # r15
+    "json_value_stats_by_type",  # r15
+    "langid_confusion",  # r15
+    "large_order_customers",  # r15
+    "late_arrival_audit",  # r15
+    "max_concurrent_sessions",  # r15
+    "mixture_epochs_plan",  # r15
+    "nation_trade_volume",  # r15
+    "partition_skew_report",  # r15
+    "pricing_summary",  # r15
+    "quality_classifier_broadcast_stats",  # r15
+    "repeated_span_stats",  # r15
+    "retention_candidates",  # r15
+    "revenue_by_nation",  # r15
+    "robots_filter_stats",  # r15
+    "rolling_threshold_trajectory",  # r15
+    "sample_hash_fraction",  # r15
+    "semantic_dedup_survivors",  # r15
+    "sequence_packing_stats",  # r15
+    "session_window_counts",  # r15
+    "shard_balance_report",  # r15
+    "span_dedup_rewrite_stats",  # r15
+    "topic_classifier_stats",  # r15
+    "topic_mixture_report",  # r15
+    "value_histogram",  # r15
+    "window_funnel_steps",  # r15
     "bpe_learned_merges",  # rows-only
     "classifier_training_report",  # rows-only
     "dedup_simhash",  # rows-only
