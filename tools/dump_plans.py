@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for every bench query to plans/r15/.
+"""Dump .explain("formatted") for every bench query to plans/r<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix: "before" or "after" — file name becomes plans/r15/<query>_<suffix>.txt
+  suffix: "before" or "after" — file name becomes
+          plans/r<_WINDOW_ROUND>/<query>_<suffix>.txt
   query:  optional subset; default = all BENCH_QUERIES + the extra bench jobs'
           underlying registry shapes that have a registry entry.
 
@@ -28,10 +29,12 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from neo4j_to_clickhouse_spark.plans.queries import _WINDOW_ROUND
+
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        f"r{_WINDOW_ROUND}",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans", master="local[4]", shuffle_partitions=4)
