@@ -141,14 +141,39 @@ def ngram_array(toks: Column, n: int) -> Column:
     return grams
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Per-document distinct shingle SET as one narrow row:
+    ``(id, __sh array<string>, n_sh)`` — no shuffle, no aggregate.
 
-    Native composition: tokenize -> sliding n-gram (:func:`ngram_array`)
-    -> explode -> distinct. The distinct is a map-side-combined
-    aggregation on (id, shingle).
+    This is the r16 building block under every shingle consumer: the
+    dedup is per DOCUMENT (set semantics of (id, shingle)), and a
+    document is one row, so it runs inside the row's gram array with
+    ``array_distinct`` — the corpus-wide ``.distinct()`` exchange the
+    pre-r16 :func:`word_shingles` paid is gone, and per-doc sizes
+    (``n_sh``) are a ``size()`` projection instead of a corpus-wide
+    groupBy.  The trailing NULL slots :func:`ngram_array` leaves are
+    exactly the last ``n-1`` positions, so a ``slice`` drops them
+    without a higher-order filter.  Bit-identical (id, shingle) sets
+    pinned in ``tools/ab_shingles.py`` (260,388 rows at sf0.1;
+    generation scan 1.01 -> 0.46 s).
+
+    Contract: one row per ``id`` (the documents-table invariant).  Rows
+    sharing an id would no longer have their shingle sets merged — the
+    pre-r16 corpus-wide distinct did that silently; no certified input
+    has duplicate ids.
+
+    The fan-out floor is 1 MiB, not spread()'s 32 MiB default: the
+    zip_with n-gram chain runs in the interpreted evaluator (pure
+    JVM CPU per byte, no Python worker round-trips), measured 3.3 ->
+    2.5 s on the LSH row at sf0.1 from the fan-out alone; the spread
+    hashes on ``id_col`` so the keyless-repartition local sort
+    (sortBeforeRepartition, guide §2.5) never happens.  At real scale
+    the scan is already split and spread() no-ops.
 
     The token array is materialized in its OWN projection before the
     n-gram expression: :func:`ngram_array`'s zip_with chain references
@@ -157,12 +182,34 @@ def word_shingles(
     there re-runs the regex split per reference (measured 2.5x slower
     span generation at sf0.1).
     """
+    toks = F.col("__tk")
+    grams = F.array_distinct(
+        F.slice(
+            ngram_array(toks, n),
+            1,
+            F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+        )
+    )
     return (
-        spread(df)
+        spread(df, min_bytes=1024 * 1024, by=id_col)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
-        .select("id", F.explode(ngram_array(F.col("__tk"), n)).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+        .select("id", grams.alias("__sh"))
+        .withColumn("n_sh", F.size("__sh").cast("long"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The exploded view of :func:`shingle_sets` — same row set as the
+    pre-r16 tokenize -> ngram -> explode -> corpus-wide distinct
+    formulation (pinned in ``tools/ab_shingles.py``), with the distinct
+    exchange replaced by the per-row ``array_distinct``.
+    """
+    return shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("__sh").alias("shingle")
     )
 
 
@@ -291,17 +338,25 @@ def jaccard_pairs(
     stop-shingles; pairs similar ONLY through boilerplate are the ones
     intentionally dropped. Default None = exact.
 
-    The shingle table is persisted; cache lifetime is caller-owned (see
-    :func:`minhash_lsh_dedup` for the full contract).
+    The per-doc shingle-set table is persisted; cache lifetime is
+    caller-owned (see :func:`minhash_lsh_dedup` for the full contract).
+
+    r16 shape change (guide §2.4): the persisted table is the narrow
+    :func:`shingle_sets` row per document, so per-doc sizes are a
+    ``size()`` projection off the cache instead of a corpus-wide
+    groupBy aggregate — one exchange gone; the exploded view feeding
+    the inverted-index join derives from the same cache.  Identical
+    output pinned in ``tools/ab_shingles.py``.
     """
     from pyspark import StorageLevel
 
-    # sh feeds three branches (sizes + both join sides) — same explicit
-    # persist rationale as minhash_lsh_dedup
-    sh = word_shingles(df, id_col, text_col, n).persist(
+    # sets feeds three branches (the exploded join sides + both size
+    # lookups) — same explicit persist rationale as minhash_lsh_dedup
+    sets = shingle_sets(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = sets.select("id", F.explode("__sh").alias("shingle"))
+    sizes = sets.select("id", "n_sh")
     if max_shingle_freq is not None:
         # Stop-list form, NOT a count-over-window: the window would
         # shuffle AND SORT every shingle occurrence by its string —
@@ -786,20 +841,30 @@ def minhash_lsh_dedup(
     shingle computation feeds both paths; only candidate pairs pay the
     exact-Jaccard cost.
 
-    Two tables are persisted (memory-and-disk, LRU-evicted), because
-    Catalyst only reuses *identical* subplans:
+    Shape (r16, guide §2.4 — candidate generation and verification share
+    ONE narrow per-document table): :func:`shingle_sets` gives each
+    document's distinct-shingle ARRAY and size scan-side (no shuffle);
+    the signature aggregate runs over its exploded view (flat codegen
+    min columns, partial-aggregated map-side — unchanged); candidates
+    come from the banded self-join as before; verification attaches each
+    side's shingle array by id and counts the overlap with
+    ``array_intersect`` — exact set intersection, bit-identical Jaccard.
+    The pre-r16 formulation instead re-joined the exploded shingle table
+    twice (an (id_b, shingle)-keyed join over every candidate shingle
+    occurrence) and re-aggregated pairs — corpus-shingle-sized exchanges
+    that no longer exist (26 -> 17 Exchanges, 7 -> 4 scans at sf0.1;
+    same-session A/B 2.9-3.0 -> 2.5-2.7 s, ``tools/ab_shingles.py``).
 
-    - the shingle table — it feeds three branches (signature aggregate +
-      both verification sides); without the persist the
-      tokenize->ngram->distinct pipeline executes once per branch
-      (measured 6 redundant corpus scans in the physical plan);
-    - the signature table — one row of `num_hashes` longs per DOCUMENT
-      (tiny even at corpus scale), feeding the banded-bucket path and
-      both Jaccard-denominator joins; persisting it stops the 64-min
-      aggregate re-running once per branch.  The per-doc shingle count
-      rides along in the same aggregate (see
-      :func:`minhash_signatures`), so the old separate ``sizes`` pass
-      over the full shingle table is gone entirely.
+    One table is persisted (memory-and-disk, LRU-evicted), because
+    Catalyst only reuses *identical* subplans: the per-document set
+    table — one narrow row per document — feeds the signature path and
+    both verification sides.  The exploded shingle rows now have exactly
+    one consumer, so their persist is gone.  Per-row size is bounded by
+    the document itself (the shingle array is ~n x the document's token
+    bytes), so rows stay well-formed at 100 TB — no cross-document state
+    concentrates anywhere, and the candidate joins ship each candidate
+    document's array exactly as many times as the old shape shipped its
+    exploded shingle rows.
 
     Cache lifetime is caller-owned: unpersisting here is impossible (the
     return value is lazy — the cache must outlive the caller's action).
@@ -809,28 +874,32 @@ def minhash_lsh_dedup(
     """
     from pyspark import StorageLevel
 
-    sh = word_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = minhash_signatures(sh, num_hashes).persist(
+    sets = shingle_sets(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if caches is not None:
-        caches.extend((sh, sig))
-    cand = lsh_candidate_pairs(sig, bands, num_hashes)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        caches.append(sets)
+    sig = minhash_signatures(
+        sets.select("id", F.explode("__sh").alias("shingle")), num_hashes
     )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cand = lsh_candidate_pairs(sig, bands, num_hashes)
+    a = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("__sh").alias("__sh_a"),
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("__sh").alias("__sh_b"),
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -952,12 +1021,24 @@ def minhash_incremental(
     shingles). Returns the surviving rows of ``new_df``; append the
     survivors' own bucket/digest rows to the store to close the loop.
 
-    Scale shape: the batch's (id, bucket) rows probe the store with one
-    equi-join on the band hash (bucketed store ⇒ co-located, shuffle ∝
-    batch); verification touches only candidate old-docs' digests
-    (semi-join first, THEN count sizes — the store is never fully
-    aggregated). Candidate recall at J>=threshold follows the
-    1-(1-J^r)^b band bound documented on :func:`lsh_candidate_pairs`.
+    Scale shape (r16 — same candidate+verify fusion as
+    :func:`minhash_lsh_dedup`): the batch's :func:`shingle_sets` rows
+    carry each document's shingle array, size, and (via a one-pass
+    ``transform``) its md5 digest array scan-side; the batch's
+    (id, bucket) rows probe the store with one equi-join on the band
+    hash (bucketed store ⇒ co-located, shuffle ∝ batch); verification
+    touches only candidate old-docs' digests (semi-join first, then ONE
+    aggregate that yields each candidate old-doc's digest array + count
+    — the store is never fully aggregated), and the overlap is
+    ``array_intersect`` per candidate pair.  The pre-r16 formulation
+    re-joined the exploded batch digests against the exploded candidate
+    store digests on (old_id, digest) and re-aggregated pairs —
+    per-occurrence exchanges that no longer exist.  The store PARQUET
+    LAYOUT is unchanged: digests persist as exploded hash-only
+    (id, digest) rows exactly as :func:`lsh_store_digests` writes them;
+    arrays exist only inside this probe's plan.  Candidate recall at
+    J>=threshold follows the 1-(1-J^r)^b band bound documented on
+    :func:`lsh_candidate_pairs`.
     Documents with fewer than ``n`` words have no shingles and always
     survive (nothing to match on — pair them with exact-hash dedup).
     In-batch duplicates are NOT dropped here: run the batch through
@@ -966,14 +1047,14 @@ def minhash_incremental(
     """
     from pyspark import StorageLevel
 
-    sh = word_shingles(new_df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = minhash_signatures(sh, num_hashes).persist(
+    sets = shingle_sets(new_df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if caches is not None:
-        caches.extend((sh, sig))
+        caches.append(sets)
+    sig = minhash_signatures(
+        sets.select("id", F.explode("__sh").alias("shingle")), num_hashes
+    )
     nb = band_buckets(sig, bands, num_hashes)
     sb = _bind_store_half(seen_buckets, "bucket")
     cand = (
@@ -982,26 +1063,31 @@ def minhash_incremental(
         .distinct()
     )
     od = _bind_store_half(seen_digests, "digest")
-    # only candidate old-docs' digests move: semi-join before any count
-    od_c = od.join(cand.select("old_id").distinct(), "old_id").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # only candidate old-docs' digests move: semi-join before the
+    # aggregate, then one row (digest array + count) per candidate
+    old_sets = (
+        od.join(cand.select("old_id").distinct(), "old_id")
+        .groupBy("old_id")
+        .agg(
+            F.count("*").alias("n_b"),
+            F.collect_list("digest").alias("__dg_b"),
+        )
     )
-    if caches is not None:
-        caches.append(od_c)
-    nd = sh.select(
-        F.col("id").alias("new_id"), F.md5("shingle").alias("digest")
+    na = sets.select(
+        F.col("id").alias("new_id"),
+        F.col("n_sh").alias("n_a"),
+        # one interpreted pass per row (md5 of each shingle) — NOT the
+        # per-seed re-evaluation trap minhash_signatures documents: the
+        # lambda body references only its element
+        F.transform("__sh", F.md5).alias("__dg_a"),
     )
-    inter = (
-        cand.join(nd, "new_id")
-        .join(od_c, ["old_id", "digest"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = sig.select(F.col("id").alias("new_id"), F.col("n_sh").alias("n_a"))
-    nbz = od_c.groupBy("old_id").agg(F.count("*").alias("n_b"))
     dup_ids = (
-        inter.join(na, "new_id")
-        .join(nbz, "old_id")
+        cand.join(na, "new_id")
+        .join(old_sets, "old_id")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("__dg_a", "__dg_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")
