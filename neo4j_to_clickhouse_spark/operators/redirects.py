@@ -60,6 +60,21 @@ def resolve_redirects(
                 ).alias("__h"),
             )
         )
+        if not m.isStreaming:
+            # Lineage TRUNCATION between doubling rounds (r16, guide §5
+            # / §3.3 — the duplicate_clusters precedent): each round
+            # references the previous mapping TWICE, so without
+            # truncation the plan tree doubles per round — 86 Exchange
+            # nodes / 1,300 plan lines for the default 4 rounds, a
+            # driver-side planning bomb at depth even though the data
+            # shape is fine.  A lazy localCheckpoint cuts the plan to
+            # one LogicalRDD per round (19 Exchanges / ~240 lines) and
+            # materializes each round's mapping once, at first use, on
+            # executor storage — the mapping is redirect-set-sized (a
+            # few percent of a crawl), never the corpus.  Freed by the
+            # ContextCleaner as rounds rebind (see duplicate_clusters
+            # on why unpersist cannot apply to checkpoint frames).
+            m = m.localCheckpoint(eager=False)
     heads = edges.select(F.col(src).alias("__head")).distinct()
     out = (
         m.join(heads, m["__b"] == heads["__head"], "left")
