@@ -2485,6 +2485,12 @@ def corpus_ingest_pipeline_stats(spark, sf_dir):
         robots_rules_df,
     )
 
+    # Deliberately NOT spread (re-measured r16): fanning this sub-MB
+    # input 32 ways made the chain SLOWER (1.6 -> 2.1-3.9 s, interleaved
+    # A/B) — three Python stages (MapInPandas + 2x ArrowEvalPython) pay
+    # per-task worker round-trips that dominate at this input size,
+    # exactly the regime spread()'s 32 MiB Python floor was calibrated
+    # for. At real scale the scan arrives already split.
     d = (
         _t(spark, sf_dir, "documents")
         .where((F.col("doc_id") % 9) == 0)
